@@ -1,0 +1,552 @@
+package graft.rules
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.regex.{Matcher, Pattern}
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.rules.PyVal._
+
+/** One detected secret, flattened to a fixed-width record (the union of all
+  * rule-specific keys across the 18 rules — mirrors the reference's
+  * `_credentials` ES index whitelist, /root/reference/filecrawler/cmd/elastic.py:135-169).
+  * `finding_json` is the exact CPython-ordered JSON the reference hashes into
+  * the finding fingerprint (rulebase.py:360-367).
+  */
+final case class Finding(
+    rule_id: String,
+    rule_name: String,
+    matched: String,
+    severity: Int,
+    fingerprint: String,
+    entropy: Option[Double],
+    aws_access_key: Option[String],
+    aws_access_secret: Option[String],
+    aws_region: Option[String],
+    username: Option[String],
+    password: Option[String],
+    token: Option[String],
+    host: Option[String],
+    header_json: Option[String],
+    payload_json: Option[String],
+    exp_date: Option[String],
+    still_valid: Option[Boolean],
+    finding_json: String)
+
+/** A rule = data (patterns/keywords) + an optional post-processor, exactly
+  * the extension surface of the reference (rulebase.py:41-57). */
+final case class RuleSpec(
+    id: String,
+    name: String,
+    regex: Option[Pattern],
+    fpRegex: Option[Pattern],
+    keywords: Seq[String],
+    excludeKeywords: Seq[String],
+    secretGroup: Int,
+    severity: Int = 70,
+    // (fullText, match, nowEpochSec) => Some(extraFields) | None = FalsePositiveError
+    post: (String, String, Long) => Option[PyObj] = (_, _, _) => Some(PyObj.empty)) {
+  val lowerKeywords: Seq[String] = keywords.map(_.toLowerCase)
+  val lowerExcludes: Seq[String] = excludeKeywords.map(_.toLowerCase)
+  def ruleName: String = s"$name <$id>" // str(RuleBase), rulebase.py:63-67
+}
+
+/** Pure-Scala port of the reference's rule engine semantics
+  * (/root/reference/filecrawler/rulebase.py:285-387 `run`/`run_regex` and the
+  * 18 rules under /root/reference/filecrawler/rules/). Deterministic: the
+  * wall-clock reads in jwt.py:41-42 / httpheader.py:60-66 are replaced by an
+  * injected `nowEpochSec`.
+  */
+object Detector {
+
+  /** Fixed clock for deterministic runs: 2026-01-01T00:00:00Z. */
+  val FixedNowEpochSec: Long = 1767225600L
+
+  // --- regex building blocks (rulebase.py:20-36, base64 fragments decoded) ---
+  private val CaseInsensitive = "(?i)"
+  private val IdentifierPrefix = "(?:"
+  private val IdentifierSuffix = """)(?:[0-9a-z\-_\t .]{0,20})(?:[\s|']|[\s|"]){0,3}"""
+  private val Operator = """(?:=|>|:=|\|\|:|<=|=>|:)"""
+  private val SecretPrefixUnique = """\b("""
+  private val SecretPrefix = """(?:'|\"|\s|=|`){0,5}("""
+  private val SecretSuffix = """)(?:['|\"|\n|\r|\s|`|;]|$)"""
+
+  private def semiGeneric(identifiers: Seq[String], secretRegex: String): Pattern =
+    Pattern.compile(
+      CaseInsensitive + IdentifierPrefix + identifiers.mkString("|") +
+        IdentifierSuffix + Operator + SecretPrefix + secretRegex + SecretSuffix)
+
+  private def uniqueToken(secretRegex: String): Pattern =
+    Pattern.compile(CaseInsensitive + SecretPrefixUnique + secretRegex + SecretSuffix)
+
+  private def hexCls(n: Int) = s"[a-f0-9]{$n}"
+  private def alphaNumExtShort(n: Int) = s"[a-z0-9_-]{$n}"
+
+  // ---------------- helpers ----------------
+
+  def sha1Hex(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  /** Shannon entropy, natural log, summed in first-occurrence order of chars
+    * — bit-exact vs rulebase.py:258-283 (Counter preserves insertion order;
+    * math.log(p, e) == log(p)/1.0). Returns PyInt(0) when len<=1 because the
+    * reference returns int 0 there (affects the fingerprint JSON). */
+  def entropyPy(data: String): PyVal = {
+    if (data.length <= 1) return PyInt(0)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    data.foreach { c => counts.update(c, counts.getOrElse(c, 0) + 1) }
+    var ent = 0.0
+    val n = data.length.toDouble
+    counts.valuesIterator.foreach { c =>
+      val p = c.toDouble / n
+      if (p > 0.0) ent -= p * math.log(p)
+    }
+    PyFloat(ent)
+  }
+
+  def entropyDouble(data: String): Double = entropyPy(data) match {
+    case PyInt(i)   => i.toDouble
+    case PyFloat(d) => d
+    case _          => 0.0
+  }
+
+  /** Python urllib.parse.unquote: valid %XX sequences become bytes, decoded
+    * UTF-8 with errors='replace'; invalid escapes pass through literally. */
+  def pyUnquote(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    val bytes = ArrayBuffer.empty[Byte]
+    def flush(): Unit = {
+      if (bytes.nonEmpty) {
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(CodingErrorAction.REPLACE)
+        sb.append(dec.decode(java.nio.ByteBuffer.wrap(bytes.toArray)).toString)
+        bytes.clear()
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        i += 3
+      } else { flush(); sb.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Python base64.b64decode(validate=False) + .decode("utf-8"), matching
+    * binascii empirically: non-alphabet chars discarded pre-decode; the first
+    * '=' ends the data — decoding uses the data chars before it plus as many
+    * of the immediately-following '='s as the final quad needs, ignoring any
+    * trailer; D%4==1 or insufficient '='s raise, as does invalid UTF-8. */
+  def pyB64DecodeUtf8(s: String): String = {
+    val filtered = s.filter(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '/' || c == '=')
+    val firstEq = filtered.indexOf('=')
+    val data = if (firstEq < 0) filtered else filtered.substring(0, firstEq)
+    val run = if (firstEq < 0) 0
+      else filtered.substring(firstEq).takeWhile(_ == '=').length
+    val rem = data.length % 4
+    if (rem == 1) throw new IllegalArgumentException("data chars % 4 == 1")
+    val needed = (4 - rem) % 4
+    if (run < needed) throw new IllegalArgumentException("incorrect padding")
+    val bytes = java.util.Base64.getDecoder.decode(data + "=" * needed)
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  /** datetime.datetime.fromtimestamp(exp) under a UTC process TZ, rendered by
+    * Tools.json_serial (tools.py:313-317). None on overflow (year <1 or >9999). */
+  def pyFromTimestamp(epochSec: Long): Option[String] = {
+    try {
+      val inst = Instant.ofEpochSecond(epochSec)
+      val dt = inst.atZone(ZoneOffset.UTC)
+      if (dt.getYear < 1 || dt.getYear > 9999) None
+      else Some(dt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.'000Z'")))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Python Pattern.finditer(text, pos): search starts at `pos` but
+    * lookbehind sees before it and `^` does not re-anchor. Yields group(0)
+    * snapshots (eager — the underlying Matcher is mutable). */
+  def finditerFrom(p: Pattern, text: String, start: Int): Iterator[String] = {
+    val m = p.matcher(text)
+    m.region(math.max(0, start), text.length)
+    m.useTransparentBounds(true)
+    m.useAnchoringBounds(false)
+    new Iterator[String] {
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = { val r = m.group(0); has = m.find(); r }
+    }
+  }
+
+  /** run_regex (rulebase.py:370-387): extract group `secretGroup` from every
+    * match; whole match when the pattern has no groups and group==0; null
+    * when the pattern has fewer groups than requested. */
+  private def runRegex(text: String, regex: Option[Pattern], secretGroup: Int): Vector[String] = {
+    regex match {
+      case None => Vector.empty
+      case Some(p) =>
+        val out = ArrayBuffer.empty[String]
+        val m = p.matcher(text)
+        while (m.find()) {
+          val f: String =
+            if (secretGroup == 0 && m.groupCount() == 0) m.group(0)
+            else if (m.groupCount() >= secretGroup) m.group(secretGroup)
+            else null
+          out += f
+        }
+        out.toVector
+    }
+  }
+
+  // ---------------- post-processors ----------------
+
+  /** rules/aws.py:28-62 */
+  private def awsPost(text: String, found: String, now: Long): Option[PyObj] = {
+    try {
+      val p = Pattern.compile("""(?<![A-Za-z0-9/+=])[A-Za-z0-9/+=]{40}(?![A-Za-z0-9/+=])""")
+      val pr = Pattern.compile("""(us(-gov)?|ap|ca|cn|eu|sa)-(central|(north|south)?(east|west)?)-\d""")
+      val hexP = Pattern.compile("[a-fA-F0-9]+")
+      val start = math.max(0, text.indexOf(found) - 200)
+      val regionIt = finditerFrom(pr, text, start)
+      val region = if (regionIt.hasNext) regionIt.next() else ""
+      val secrets = finditerFrom(p, text, start)
+      while (secrets.hasNext) {
+        val m = secrets.next()
+        if (hexP.matcher(m).replaceAll("").trim.nonEmpty) {
+          return Some(PyObj(Vector(
+            "aws_access_key" -> PyStr(found),
+            "aws_access_secret" -> PyStr(m),
+            "aws_region" -> PyStr(region),
+            "severity" -> PyInt(100))))
+        }
+      }
+      Some(PyObj(Vector(
+        "aws_access_key" -> PyStr(found),
+        "aws_region" -> PyStr(region),
+        "severity" -> PyInt(30))))
+    } catch { case _: Throwable => Some(PyObj.empty) }
+  }
+
+  /** rules/gitlab.py:61-95 */
+  private def gitlabUrlPost(text: String, found: String, now: Long): Option[PyObj] = {
+    try {
+      val p = Pattern.compile(
+        """.*://(oauth2|gitlab-ci-token):([^@:/\n"']{16,256})@((?:(?:[a-zA-Z0-9-_]+\.)?[a-zA-Z_]+\.)?(gitlab)[a-zA-Z0-9._-]{0,256}[:0-9]{0,6})""")
+      val m = p.matcher(found)
+      if (!m.lookingAt()) return Some(PyObj.empty)
+      val username = m.group(1)
+      val token = m.group(2)
+      val host = m.group(3)
+      val entropy = entropyPy(token)
+      val entD = entropy match { case PyInt(i) => i.toDouble; case PyFloat(d) => d; case _ => 0.0 }
+      var severity = 100L
+      if (token.take(1) == "$") severity = 70L
+      if (entD <= 0.7) severity = 30L
+      if (entD <= 1.5 && found.toLowerCase.contains("localhost")) severity = 30L
+      Some(PyObj(Vector(
+        "username" -> PyStr(username),
+        "token" -> PyStr(token),
+        "host" -> PyStr(host),
+        "severity" -> PyInt(severity),
+        "entropy" -> entropy)))
+    } catch { case _: Throwable => Some(PyObj.empty) }
+  }
+
+  /** rules/jwt.py:25-47 — shared with httpheader's JWT branch. */
+  private def jwtDecode(found: String, now: Long): Option[PyObj] = {
+    // returns the update-dict; throws on failure (caller decides fallback)
+    val parts = found.split("\\.", -1)
+    if (parts.length < 2) return None
+    val payload = PyJson.loads(pyB64DecodeUtf8(pad4(parts(1)))) match {
+      case o: PyObj => o
+      case _ => throw new RuntimeException("payload not object")
+    }
+    val exp: Long = payload.get("exp") match {
+      case Some(PyInt(i)) => i
+      case Some(PyFloat(d)) => d.toLong
+      case Some(PyStr(s)) => s.trim.toLong // int(str) raises on bad → caught upstream
+      case Some(_) => throw new RuntimeException("bad exp")
+      case None => 0L
+    }
+    val expDate = pyFromTimestamp(exp)
+    val header = PyJson.loads(pyB64DecodeUtf8(pad4(parts(0))))
+    val valid = exp >= now + 10080
+    Some(PyObj(Vector(
+      "header" -> header,
+      "payload" -> payload,
+      "exp_date" -> expDate.map(PyDate).getOrElse(PyNull),
+      "still_valid" -> PyBool(valid),
+      "severity" -> PyInt(if (valid) 80 else 10))))
+  }
+  private def pad4(s: String): String = s + "=" * ((4 - s.length % 4) % 4)
+
+  /** rules/jwt.py post_processor: any failure → {} (keep base severity 70). */
+  private def jwtPost(text: String, found: String, now: Long): Option[PyObj] =
+    try jwtDecode(found, now).orElse(Some(PyObj.empty))
+    catch { case _: Throwable => Some(PyObj.empty) }
+
+  /** rules/httpheader.py:30-103, incl. the finally-return-overrides quirks. */
+  private def httpHeaderPost(text: String, found: String, now: Long): Option[PyObj] = {
+    try {
+      val p = Pattern.compile("(?i)(.*):[ ]{0,1}([a-za_z0-9]{1,50}) ([A-Za-z0-9/+=.-]+)")
+      val m = p.matcher(found)
+      if (!m.lookingAt()) return Some(PyObj.empty)
+      val authType0 = m.group(2)
+      val auth = m.group(3)
+      var data = PyObj(Vector(
+        "token" -> PyStr(s"$authType0 $auth"),
+        "severity" -> PyInt(60)))
+      val authType = authType0.toLowerCase
+      try {
+        if (authType == "jwt") {
+          // found.split('.') over the WHOLE match — header decode usually
+          // fails (parts[0] includes "Authorization: JWT ey...") and the
+          // whole update is skipped, exactly like the reference.
+          jwtDecode(found, now).foreach(upd => data = data.updated(upd))
+        } else if (authType == "basic") {
+          val payload = pyB64DecodeUtf8(auth)
+          val parts = pySplitMax(payload, ':', 2)
+          if (parts.length == 2) {
+            val username = parts(0)
+            val password = parts(1)
+            var severity = 100L
+            val entropy = entropyPy(password)
+            val entD = entropy match { case PyInt(i) => i.toDouble; case PyFloat(d) => d; case _ => 0.0 }
+            val earlyOut = username.trim.isEmpty || password.trim.isEmpty
+            if (!earlyOut) {
+              if (entD <= 0.7) severity = 30L
+              if (entD < 1.7) severity = 65L
+              if (!(username.length <= 2 || password.length <= 2)) {
+                data = data.updated(PyObj(Vector(
+                  "username" -> PyStr(username),
+                  "password" -> PyStr(password),
+                  "severity" -> PyInt(severity),
+                  "entropy" -> entropy)))
+              }
+            }
+          }
+        }
+      } catch { case _: Throwable => () } // except: pass; finally: return data
+      Some(data)
+    } catch { case _: Throwable => Some(PyObj.empty) }
+  }
+
+  /** Python str.split(sep, maxsplit). */
+  private def pySplitMax(s: String, sep: Char, maxsplit: Int): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    var start = 0
+    var splits = 0
+    var i = 0
+    while (i < s.length && splits < maxsplit) {
+      if (s.charAt(i) == sep) { out += s.substring(start, i); start = i + 1; splits += 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toVector
+  }
+
+  /** rules/urlcreds.py:42-111 */
+  private def urlCredsPost(text: String, found: String, now: Long): Option[PyObj] = {
+    try {
+      val p = Pattern.compile("""[a-zA-Z0-9_-]{2,30}://([^@:]{1,256}):([^@:/\n"']{1,256})@""")
+      val m = p.matcher(found)
+      if (!m.lookingAt()) return Some(PyObj.empty)
+      var username = m.group(1)
+      var password = m.group(2)
+      try username = pyUnquote(username) catch { case _: Throwable => () }
+      try password = pyUnquote(password) catch { case _: Throwable => () }
+      val entropy = entropyPy(password)
+      val entD = entropy match { case PyInt(i) => i.toDouble; case PyFloat(d) => d; case _ => 0.0 }
+      if (username.trim.isEmpty || password.trim.isEmpty) return Some(PyObj.empty)
+      var severity = 100L
+      if (password.take(1) == "$") severity = 60L
+      if (entD <= 0.7) severity = 30L
+      if (entD < 1.7) severity = 65L
+      val lower = found.toLowerCase
+      if (entD <= 2 && lower.contains("@localhost")) severity = 30L
+      if (entD <= 2 && lower.contains("@127.0.0.1")) severity = 30L
+      if (entD <= 1.5 && lower.contains("example")) severity = 30L
+      if (username.length <= 2 || password.length <= 2) severity = 50L
+      if (found.contains("gitlab")) {
+        try {
+          if (runRule(gitlabUrlTokenRule, found, now).nonEmpty) severity = 50L
+        } catch { case _: Throwable => () }
+      }
+      Some(PyObj(Vector(
+        "username" -> PyStr(username),
+        "password" -> PyStr(password),
+        "severity" -> PyInt(severity),
+        "entropy" -> entropy)))
+    } catch { case _: Throwable => Some(PyObj.empty) }
+  }
+
+  // ---------------- the 18 rules, registry order = reference import order ----------------
+  // (pkgutil alphabetical module walk + class definition order; SURVEY.md §2.5)
+
+  private val gitlabUrlTokenRule = RuleSpec(
+    id = "gitlab-oauth-url", name = "GitHub OAuth URL Access Token",
+    regex = Some(Pattern.compile(
+      """(http|https|ssh|git)://(oauth2|gitlab-ci-token):[^@:/\n"' ]{16,256}@(?:(?:[a-zA-Z0-9-_]+\.)?[a-zA-Z_]+\.)?(gitlab)[a-zA-Z0-9._-]{0,256}[:0-9]{0,6}""")),
+    fpRegex = None,
+    keywords = Seq("://"), excludeKeywords = Nil, secretGroup = 0,
+    post = gitlabUrlPost)
+
+  val rules: Vector[RuleSpec] = Vector(
+    RuleSpec("adafruit-api-key", "Adafruit API Key",
+      Some(semiGeneric(Seq("adafruit"), alphaNumExtShort(32))), None,
+      Seq("adafruit"), Nil, secretGroup = 1),
+    RuleSpec("adobe-client-id", "Adobe Client ID (OAuth Web)",
+      Some(semiGeneric(Seq("adobe"), hexCls(32))), None,
+      Seq("adobe"), Nil, secretGroup = 1),
+    RuleSpec("adobe-client-secret", "Adobe Client Secret",
+      Some(uniqueToken("""(p8e-)[a-z0-9]{32}""")), None,
+      Seq("p8e-"), Nil, secretGroup = 0),
+    RuleSpec("age-secret-key", "Age secret key",
+      Some(Pattern.compile("AGE-SECRET-KEY-1[QPZRY9X8GF2TVDW0S3JN54KHCE6MUA7L]{58}")), None,
+      Seq("AGE-SECRET-KEY-1"), Nil, secretGroup = 0),
+    RuleSpec("aws-access-token", "AWS",
+      Some(Pattern.compile("""(?<![A-Z0-9])(A3T[A-Z0-9]|AKIA|AGPA|AIDA|AROA|AIPA|ANPA|ANVA|ASIA)[A-Z0-9]{16}""")),
+      Some(Pattern.compile("""[A-Z0-9]{1,3}(A3T[A-Z0-9]|AKIA|AGPA|AIDA|AROA|AIPA|ANPA|ANVA|ASIA)[A-Z0-9]{16}[A-Z0-9]{1,3}""")),
+      Seq("AKIA", "AGPA", "AIDA", "AROA", "AIPA", "ANPA", "ANVA", "ASIA"),
+      Seq("EXAMPLE"), secretGroup = 0, post = awsPost),
+    // azure-client-key is an empty stub in the reference (rules/azure.py:6-15):
+    // no keywords → run() always returns None. Kept for registry parity.
+    RuleSpec("azure-client-key", "Azure Client Key", None, None, Nil, Nil, 0),
+    RuleSpec("github-pat", "GitHub Personal Access Token",
+      Some(Pattern.compile("ghp_[0-9a-zA-Z]{36}")), None, Seq("ghp_"), Nil, 0),
+    RuleSpec("github-fine-grained-pat", "GitHub Fine-Grained Personal Access Token",
+      Some(Pattern.compile("github_pat_[0-9a-zA-Z_]{82}")), None, Seq("github_pat_"), Nil, 0),
+    RuleSpec("github-oauth", "GitHub OAuth Access Token",
+      Some(Pattern.compile("gho_[0-9a-zA-Z]{36}")), None, Seq("gho_"), Nil, 0),
+    RuleSpec("github-app-token", "GitHub App Token",
+      Some(Pattern.compile("(ghu|ghs)_[0-9a-zA-Z]{36}")), None, Seq("ghu_", "ghs_"), Nil, 0),
+    RuleSpec("github-refresh-token", "GitHub Refresh Token",
+      Some(Pattern.compile("ghr_[0-9a-zA-Z]{36}")), None, Seq("ghr_"), Nil, 0),
+    RuleSpec("gitlab-pat", "GitLab Personal Access Token",
+      Some(Pattern.compile("""glpat-[0-9a-zA-Z\-\_]{20}""")), None, Seq("glpat-"), Nil, 0),
+    RuleSpec("gitlab-ptt", "GitLab Pipeline Trigger Token",
+      Some(Pattern.compile("glptt-[0-9a-f]{40}")), None, Seq("glptt-"), Nil, 0),
+    RuleSpec("gitlab-rrt", "GitHub OAuth Access Token",
+      Some(Pattern.compile("""GR1348941[0-9a-zA-Z\-\_]{20}""")), None, Seq("GR1348941"), Nil, 0),
+    gitlabUrlTokenRule,
+    RuleSpec("http-auth-header", "HTTP Authorization Header",
+      Some(Pattern.compile("""(?i)(Authorization|x-auth|x-token)[ ]{0,1}:[ ]{0,1}([a-za_z0-9]{1,50}) ([A-Za-z0-9/+=.-]+)""")),
+      Some(Pattern.compile("""[a-zA-Z0-9_-]{2,30}://([<]{0,1})(user|username|usuario)([>]{0,1}):([<]{0,1})(pass|password|token|secret|senha)([>]{0,1})@""")),
+      Seq("Authorization"),
+      // missing-comma quirk in the reference (httpheader.py:17-22): "\n" and
+      // "sqlserver://" concatenate into one keyword. Preserved verbatim.
+      Seq("\nsqlserver://", "smtp://", "mailto:"),
+      secretGroup = 0, post = httpHeaderPost),
+    RuleSpec("jwt", "JSON Web Token",
+      Some(uniqueToken("""ey[0-9a-z]{30,34}\.ey[0-9a-z-\/_]{30,500}\.[0-9a-zA-Z-\/_]{10,200}={0,2}""")),
+      None, Seq("ey"), Nil, secretGroup = 1, post = jwtPost),
+    RuleSpec("url-creds", "URL Credentials",
+      Some(Pattern.compile(
+        """([a-zA-Z0-9_-]{2,30}://[^@:/\n"' ]{1,256}:[^@:/\n"' ]{1,256}@[a-zA-Z0-9._-]{2,256}.[a-zA-Z0-9.]{2,256}[:0-9]{0,6})""")),
+      Some(Pattern.compile(
+        """[a-zA-Z0-9_-]{2,30}://([<]{0,1})(user|username|usuario)([>]{0,1}):([<]{0,1})(pass|password|token|secret|senha|pwd)([>]{0,1})@""")),
+      Seq("://"), Seq("\n", "sqlserver://", "smtp://", "mailto:"),
+      secretGroup = 0, post = urlCredsPost)
+  )
+
+  val ruleById: Map[String, RuleSpec] = rules.map(r => r.id -> r).toMap
+
+  /** RuleBase.run (rulebase.py:285-345): keyword prefilter → regex →
+    * first-occurrence dedup → exclude keywords → two-stage FP filter →
+    * post-processors → fingerprint. Returns the finding data dicts in order. */
+  def runRule(rule: RuleSpec, text: String, now: Long): Vector[PyObj] = {
+    if (rule.lowerKeywords.isEmpty) return Vector.empty
+    val lText = text.toLowerCase
+    if (!rule.lowerKeywords.exists(lText.contains)) return Vector.empty
+
+    var findings = Vector.empty[String]
+    runRegex(text, rule.regex, rule.secretGroup).foreach { f =>
+      if (f != null && !findings.contains(f)) {
+        val lf = f.toLowerCase
+        if (!rule.lowerExcludes.exists(lf.contains)) findings = findings :+ f
+      }
+    }
+    if (findings.isEmpty) return Vector.empty
+
+    val fp = runRegex(text, rule.fpRegex, rule.secretGroup)
+    if (fp.nonEmpty)
+      findings = findings.filterNot(f => fp.exists(fp1 => fp1 != null && fp1.contains(f)))
+    findings = findings.filter(f => runRegex(f, rule.fpRegex, rule.secretGroup).isEmpty)
+    if (findings.isEmpty) return Vector.empty
+
+    findings.flatMap { f => postProcess(rule, text, f, now) }
+  }
+
+  /** RuleBase._post_processor (rulebase.py:350-368). */
+  private def postProcess(rule: RuleSpec, text: String, matched: String, now: Long): Option[PyObj] = {
+    var data = PyObj(Vector("match" -> PyStr(matched), "severity" -> PyInt(rule.severity)))
+    rule.post(text, matched, now) match {
+      case None => return None // FalsePositiveError
+      case Some(upd) => data = data.updated(upd)
+    }
+    val mh = matched + (try PyJson.dumps(data) catch { case _: Throwable => "" })
+    Some(data.updated("fingerprint" -> PyStr(sha1Hex(mh))))
+  }
+
+  /** RuleBase.detect (rulebase.py:179-197): all rules in registry order,
+    * flattened to one Finding per (rule, match) preserving both orders. */
+  def detect(text: String, now: Long = FixedNowEpochSec): Vector[Finding] = {
+    if (text == null) return Vector.empty
+    rules.flatMap { rule =>
+      runRule(rule, text, now).map(d => toFinding(rule, d))
+    }
+  }
+
+  private def optStr(d: PyObj, k: String): Option[String] = d.get(k).collect {
+    case PyStr(s) => s
+    case PyDate(s) => s
+  }
+  private def optJson(d: PyObj, k: String): Option[String] =
+    d.get(k).collect { case o @ (_: PyObj | _: PyArr) => PyJson.dumps(o) }
+
+  def toFinding(rule: RuleSpec, d: PyObj): Finding = {
+    val sev = d.get("severity") match {
+      case Some(PyInt(i)) => i.toInt
+      case Some(PyFloat(f)) => f.toInt
+      case _ => rule.severity
+    }
+    Finding(
+      rule_id = rule.id,
+      rule_name = rule.ruleName,
+      matched = optStr(d, "match").getOrElse(""),
+      severity = sev,
+      fingerprint = optStr(d, "fingerprint").getOrElse(""),
+      entropy = d.get("entropy").collect {
+        case PyFloat(f) => f
+        case PyInt(i) => i.toDouble
+      },
+      aws_access_key = optStr(d, "aws_access_key"),
+      aws_access_secret = optStr(d, "aws_access_secret"),
+      aws_region = optStr(d, "aws_region"),
+      username = optStr(d, "username"),
+      password = optStr(d, "password"),
+      token = optStr(d, "token"),
+      host = optStr(d, "host"),
+      header_json = optJson(d, "header"),
+      payload_json = optJson(d, "payload"),
+      exp_date = d.get("exp_date").collect { case PyDate(s) => s },
+      still_valid = d.get("still_valid").collect { case PyBool(b) => b },
+      finding_json = PyJson.dumps(d))
+  }
+}

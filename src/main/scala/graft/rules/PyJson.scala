@@ -1,0 +1,248 @@
+package graft.rules
+
+import scala.collection.mutable
+
+/** Minimal JSON value model + serializer reproducing CPython
+  * `json.dumps(obj, default=Tools.json_serial)` byte-for-byte for the value
+  * shapes the reference's rule engine feeds it (see
+  * /root/reference/filecrawler/rulebase.py:360-367 and
+  * /root/reference/filecrawler/util/tools.py:313-322):
+  *   - dicts keep insertion order (CPython 3.7+ dict semantics)
+  *   - separators are `", "` / `": "` (json.dumps defaults)
+  *   - ensure_ascii=True: non-ASCII escaped as \uXXXX, '/' NOT escaped
+  *   - ints print bare, floats print via Python repr (shortest round-trip —
+  *     Java 17 Double.toString matches on the value range we emit),
+  *     bools as true/false, None as null
+  *   - datetimes serialized by json_serial as "%Y-%m-%dT%H:%M:%S.000Z"
+  *
+  * Also a small recursive-descent parser (for JWT header/payload JSON) that
+  * preserves key insertion order like json.loads into a CPython dict.
+  */
+sealed trait PyVal
+object PyVal {
+  final case class PyStr(v: String) extends PyVal
+  final case class PyInt(v: Long) extends PyVal
+  final case class PyFloat(v: Double) extends PyVal
+  final case class PyBool(v: Boolean) extends PyVal
+  case object PyNull extends PyVal
+  /** Naive datetime rendered by Tools.json_serial. */
+  final case class PyDate(iso: String) extends PyVal
+  final case class PyArr(v: Vector[PyVal]) extends PyVal
+  /** Insertion-ordered object; dict.update semantics via `updated`. */
+  final case class PyObj(v: Vector[(String, PyVal)]) extends PyVal {
+    def get(k: String): Option[PyVal] = v.collectFirst { case (`k`, x) => x }
+    /** CPython dict.update: existing keys keep position (value replaced),
+      * new keys append in iteration order. */
+    def updated(other: PyObj): PyObj = {
+      val keys = v.map(_._1).toSet
+      val replaced = v.map { case (k, x) =>
+        k -> other.get(k).getOrElse(x)
+      }
+      val appended = other.v.filterNot { case (k, _) => keys.contains(k) }
+      PyObj(replaced ++ appended)
+    }
+    def updated(kvs: (String, PyVal)*): PyObj = updated(PyObj(kvs.toVector))
+  }
+  object PyObj { val empty: PyObj = PyObj(Vector.empty) }
+}
+
+object PyJson {
+  import PyVal._
+
+  def dumps(v: PyVal): String = {
+    val sb = new StringBuilder
+    write(v, sb)
+    sb.toString
+  }
+
+  private def write(v: PyVal, sb: StringBuilder): Unit = v match {
+    case PyNull        => sb.append("null")
+    case PyBool(b)     => sb.append(if (b) "true" else "false")
+    case PyInt(i)      => sb.append(i.toString)
+    case PyFloat(d)    => sb.append(pyFloatRepr(d))
+    case PyStr(s)      => writeString(s, sb)
+    case PyDate(iso)   => writeString(iso, sb)
+    case PyArr(xs) =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(", ")
+        first = false
+        write(x, sb)
+      }
+      sb.append(']')
+    case PyObj(kvs) =>
+      sb.append('{')
+      var first = true
+      kvs.foreach { case (k, x) =>
+        if (!first) sb.append(", ")
+        first = false
+        writeString(k, sb)
+        sb.append(": ")
+        write(x, sb)
+      }
+      sb.append('}')
+  }
+
+  /** json.dumps ensure_ascii=True escaping. */
+  private def writeString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  /** Python float repr. Java 17 Double.toString is shortest-unique like
+    * CPython repr on the plain-decimal range [1e-3, 1e16) our entropy values
+    * live in; exponent-notation corner cases differ but are unreachable here.
+    */
+  def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else if (d == Math.floor(d) && Math.abs(d) < 1e16) {
+      // Python repr(2.0) == "2.0"; Java "2.0" — same.
+      val s = java.lang.Double.toString(d)
+      s
+    } else java.lang.Double.toString(d)
+  }
+
+  // ---------------- parser (json.loads analog) ----------------
+
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  def loads(s: String): PyVal = {
+    val p = new Parser(s)
+    p.skipWs()
+    val v = p.value()
+    p.skipWs()
+    if (!p.eof) throw ParseError(s"trailing data at ${p.pos}")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def peek: Char = if (eof) throw ParseError("eof") else s.charAt(pos)
+    def next(): Char = { val c = peek; pos += 1; c }
+    def skipWs(): Unit =
+      while (!eof && (peek == ' ' || peek == '\t' || peek == '\n' || peek == '\r')) pos += 1
+
+    def value(): PyVal = peek match {
+      case '{' => obj()
+      case '[' => arr()
+      case '"' => PyVal.PyStr(str())
+      case 't' => lit("true"); PyVal.PyBool(true)
+      case 'f' => lit("false"); PyVal.PyBool(false)
+      case 'n' => lit("null"); PyVal.PyNull
+      case _   => num()
+    }
+
+    private def lit(l: String): Unit = {
+      if (!s.startsWith(l, pos)) throw ParseError(s"bad literal at $pos")
+      pos += l.length
+    }
+
+    private def obj(): PyVal = {
+      next() // {
+      // CPython duplicate-key semantics: first position kept, value replaced.
+      val order = mutable.ArrayBuffer.empty[String]
+      val vals = mutable.HashMap.empty[String, PyVal]
+      skipWs()
+      if (peek == '}') { next(); return PyVal.PyObj(Vector.empty) }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = str()
+        skipWs()
+        if (next() != ':') throw ParseError(s"expected : at $pos")
+        skipWs()
+        val v = value()
+        if (!vals.contains(k)) order += k
+        vals(k) = v
+        skipWs()
+        next() match {
+          case ',' => ()
+          case '}' => done = true
+          case _   => throw ParseError(s"expected , or }} at $pos")
+        }
+      }
+      PyVal.PyObj(order.iterator.map(k => k -> vals(k)).toVector)
+    }
+
+    private def arr(): PyVal = {
+      next() // [
+      skipWs()
+      if (peek == ']') { next(); return PyVal.PyArr(Vector.empty) }
+      val buf = mutable.ArrayBuffer.empty[PyVal]
+      var done = false
+      while (!done) {
+        skipWs()
+        buf += value()
+        skipWs()
+        next() match {
+          case ',' => ()
+          case ']' => done = true
+          case _   => throw ParseError(s"expected , or ] at $pos")
+        }
+      }
+      PyVal.PyArr(buf.toVector)
+    }
+
+    private def str(): String = {
+      if (next() != '"') throw ParseError(s"expected string at $pos")
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        next() match {
+          case '"' => done = true
+          case '\\' =>
+            next() match {
+              case '"'  => sb.append('"')
+              case '\\' => sb.append('\\')
+              case '/'  => sb.append('/')
+              case 'b'  => sb.append('\b')
+              case 'f'  => sb.append('\f')
+              case 'n'  => sb.append('\n')
+              case 'r'  => sb.append('\r')
+              case 't'  => sb.append('\t')
+              case 'u' =>
+                if (pos + 4 > s.length) throw ParseError("bad \\u")
+                val hex = s.substring(pos, pos + 4)
+                pos += 4
+                sb.append(Integer.parseInt(hex, 16).toChar)
+              case c => throw ParseError(s"bad escape \\$c")
+            }
+          case c => sb.append(c)
+        }
+      }
+      sb.toString
+    }
+
+    private def num(): PyVal = {
+      val start = pos
+      if (!eof && (peek == '-' || peek == '+')) pos += 1
+      var isFloat = false
+      while (!eof && (peek.isDigit || peek == '.' || peek == 'e' || peek == 'E' ||
+        peek == '+' || peek == '-')) {
+        if (peek == '.' || peek == 'e' || peek == 'E') isFloat = true
+        pos += 1
+      }
+      val tok = s.substring(start, pos)
+      if (tok.isEmpty) throw ParseError(s"bad number at $start")
+      if (isFloat) PyVal.PyFloat(tok.toDouble)
+      else
+        try PyVal.PyInt(tok.toLong)
+        catch { case _: NumberFormatException => PyVal.PyFloat(tok.toDouble) }
+    }
+  }
+}
