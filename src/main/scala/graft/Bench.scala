@@ -1,24 +1,90 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.frontier.{CrawlConfig, Crawler}
+import graft.sources.SyntheticCorpus
+import graft.state.SnapshotStore
+
+/** Per-round benchmark. Emits ONE JSON line:
+  *  - queries: per-query wall seconds for the full SparkEntry battery on
+  *    SPARK_GRAFT_SF_DIR (value = their total, unit sec — the driver contract)
+  *  - crawl: the north-rule metric — URLs fetched+deduped/sec on the
+  *    synthetic frontier, measured at local[8] and local[32] on the SAME
+  *    input (the sandbox stand-in for N vs 4N executors), plus the scaling
+  *    efficiency tput32 / (4 * tput8).
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def freshSession(cores: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    session(cores)
+  }
+
+  /** One bench crawl: returns (urlsFetched, seconds). */
+  private def crawlRun(spark: SparkSession, scale: Double): (Long, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val cfg = CrawlConfig(
+      nSeeds = (2000 * scale).toInt.max(50),
+      budgetPerHost = 80,
+      maxWaves = 3,
+      salts = 16,
+      corpus = SyntheticCorpus.Config(
+        hosts = (1200 * scale).toInt.max(20), pathBits = 13,
+        maxOutlinks = 8, secretRate = 0.08))
+    val t0 = System.nanoTime()
+    val metrics = new Crawler(spark, cfg, new SnapshotStore(dir)).run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (metrics.map(_.fetched).sum, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
+
+    // ---- query battery on the shared-testdata tables ----
+    var spark = freshSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // ---- crawl throughput at two parallelism levels (north-rule evidence) ----
+    val warm = crawlRun(spark, scale * 0.1) // JIT + codegen warm-up
+    val (urls32, sec32) = crawlRun(spark, scale)
+    spark = freshSession(8)
+    val warm8 = crawlRun(spark, scale * 0.1)
+    val (urls8, sec8) = crawlRun(spark, scale)
+    val tput32 = urls32 / sec32
+    val tput8 = urls8 / sec8
+    val eff = tput32 / (4.0 * tput8)
+
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"query_battery_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""crawl":{"urls_32c":$urls32,"sec_32c":$sec32,"urls_per_sec_32c":$tput32,""" +
+      s""""urls_8c":$urls8,"sec_8c":$sec8,"urls_per_sec_8c":$tput8,""" +
+      s""""scaling_efficiency_8c_to_32c":$eff,""" +
+      s""""warmup_urls":${warm._1 + warm8._1}}}""")
     spark.stop()
   }
 }

@@ -1,13 +1,605 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
+import graft.frontier.{CrawlConfig, Crawler, Scheduler}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.SyntheticCorpus
+import graft.state.SnapshotStore
+
+/** Driver contract: `entry` (flagship, rows>0 smoke), `queries` (one per
+  * implemented operator — SURVEY.md §2 ids in comments), `oracleSql`
+  * (DuckDB-replayable ANSI SQL per query; omitted only where SQL cannot
+  * express the operator, e.g. the full crawler loop).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: the full crawl engine end-to-end on the synthetic web —
+    * frontier → politeness/priority → fetch → detect (Catalyst rule engine)
+    * → expand → snapshot — returning the findings table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = CrawlConfig(nSeeds = 10, budgetPerHost = 4, maxWaves = 3,
+      corpus = SyntheticCorpus.Config(hosts = 8, pathBits = 6, secretRate = 0.3))
+    val crawler = new Crawler(spark, cfg, new SnapshotStore(dir))
+    val metrics = crawler.run()
+    crawler.allFindings(metrics.last.wave)
+  }
+
+  // ---- shared query fragments ----
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(t(dir, "documents"))
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(t(dir, "embeddings"))
+  private def events(s: SparkSession, dir: String) = s.read.parquet(t(dir, "events"))
+
+  /** Deterministic planted secrets derived from md5(text) — identical
+    * expressions exist in the oracle SQL, so the full Catalyst rule engine
+    * output is DuckDB-checkable (severities/matches are known by
+    * construction; see q_detect_secrets). */
+  private def plantedText(c: Column, docId: Column): Column = {
+    val awsPlant = concat(lit(" AKIA"), upper(substring(md5(c), 1, 16)), lit(" "))
+    val ghpPlant = concat(lit(" ghp_"), substring(md5(c), 17, 16),
+      upper(substring(md5(c), 1, 16)), lit("WXYZ "))
+    concat(c,
+      when(docId % 3 === 0, awsPlant).otherwise(lit("")),
+      when(docId % 5 === 0, ghpPlant).otherwise(lit("")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- relational core (scan/filter/join/agg/window/limit) ----------
+
+    // S1+F1+F2+F3: scan with size gate, exclusion pattern, nonempty gate
+    "q_scan_gate" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("n_chars") >= 60 && col("n_chars") <= 400)
+        .filter(!col("source").rlike("^src1[0-9]$")) // glob-exclusion analog
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // A1/A2 aggregation: pricing summary (TPC-H Q1 shape)
+    "q_agg_pricing" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // S2-style dimension joins (broadcast): revenue per nation/region
+    "q_join_nations" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // F4 must_index: anti-join (customers never seen in orders)
+    "q_antijoin_unindexed" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // semi-join: suppliers with any heavy shipment
+    "q_semijoin_suppliers" -> ((s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val li = s.read.parquet(t(dir, "lineitem")).filter(col("l_quantity") > 45)
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // O2 window ranking: top-3 orders per customer (decile sample)
+    "q_window_rank" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders")).filter(col("o_custkey") % 10 === 0)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+
+    // O2 drain batch: orderBy + limit (TakeOrderedAndProject)
+    "q_topk_order" -> ((s, dir) => {
+      events(s, dir).orderBy(col("ts").asc, col("event_id").asc).limit(1000)
+        .select(col("event_id"), col("ts"))
+    }),
+
+    // A4 chunking: fixed-size chunks over a total order
+    "q_chunking" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      s.read.parquet(t(dir, "orders"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk", floor((col("rn") - 1) / 1000))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // event-time tumbling window aggregation (streaming-shaped batch)
+    "q_events_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // sessionization: 30-min-gap sessions via lag + running sum
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("session", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // 2.6 salted two-phase aggregation (skew path; result == plain groupBy)
+    "q_salted_agg" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("salt", pmod(col("event_id"), lit(16)))
+      e.groupBy(col("user_id"), col("salt"))
+        .agg(sum(col("value")).as("pv"), count(lit(1)).as("pc"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("pv")), 4).as("sum_value"), sum(col("pc")).as("cnt"))
+    }),
+
+    // ---------- filecrawler dataflow operators over documents ----------
+
+    // D1 content fingerprint (double-hash shape of file.py:52-64)
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        md5(concat(md5(col("text")), lit("_"), lower(col("source")))).as("fingerprint"))
+    }),
+
+    // D2 exact dedup groups
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))),
+
+    // F4/D2 seen-set anti-join (documents not yet "integrated")
+    "q_seen_antijoin" -> ((s, dir) => {
+      val seen = events(s, dir).select(col("user_id").as("doc_id")).distinct()
+      docs(s, dir).join(seen, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // 2.5 THE rule engine as a Catalyst expression, DuckDB-checked via
+    // deterministic md5-derived plants (severity/match known by construction)
+    "q_detect_secrets" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("text2", plantedText(col("text"), col("doc_id")))
+        .select(col("doc_id"), explode(detect_secrets(col("text2"))).as("f"))
+        .select(col("doc_id"), col("f.rule_id"), col("f.match").as("matched"),
+          col("f.severity"))
+    }),
+
+    // 2.5 entropy helper as scalar expression
+    "q_entropy" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        round(shannon_entropy(col("text")), 4).as("ent"))
+    }),
+
+    // 2.8 evidence slicing: ±2-token window around rule hits
+    "q_evidence_slice" -> ((s, dir) => {
+      val lines = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "line")))
+      val hits = lines.filter(col("line") === "key")
+        .select(col("doc_id"), col("idx").as("hit_idx"))
+      lines.join(hits, Seq("doc_id"))
+        .filter(abs(col("idx") - col("hit_idx")) <= 2)
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("line"))
+        .distinct()
+    }),
+
+    // O4 truncation: content head caps (indexed_chars analog)
+    "q_truncate" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 100).as("head_chars"),
+        concat_ws(" ", slice(
+          regexp_extract_all(col("text"), lit(TextAnalysis.TokenPattern), lit(0)),
+          1, 10)).as("head_tokens"))
+    }),
+
+    // URL canonicalization (frontier identity) through the driver gate
+    "q_url_canon" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("url", concat(lit("http://H"), (col("doc_id") % 20).cast("string"),
+          lit(".Test:80/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("#x"))))
+        .select(col("doc_id"), canonicalize_url(col("url")).as("canonical"))
+    }),
+
+    // O2' politeness/priority: per-key budget via salted two-phase top-k
+    "q_priority_topk" -> ((s, dir) => {
+      Scheduler.saltedTopKPerKey(
+        events(s, dir), col("event_type"), col("event_id"),
+        Seq(col("value").desc, col("event_id").asc), k = 5, salts = 8)
+        .select(col("event_type"), col("event_id"), round(col("value"), 6).as("value"))
+    }),
+
+    // ---------- training-data pipeline operators ----------
+
+    // text analysis: tokens, quality, language id, fingerprint
+    "q_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"))
+    }),
+
+    // SimHash document fingerprint (32-bit, codegen'd HOFs)
+    "q_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.simhash32(col("text")).as("simhash"))
+    }),
+
+    // MinHash + LSH candidate pairs
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docs(s, dir), col("doc_id"), col("text"))),
+
+    // n-gram Jaccard verify stage (bucketed pairwise; shingle sets are
+    // computed ONCE per doc before the join, not per pair)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+        array_distinct(Dedup.shingles(col("text"), 2)).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("source"), col("n_chars").as("nc_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("source"), col("n_chars").as("nc_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 2)
+        .withColumn("jac", round(when(union > 0, inter / union).otherwise(lit(0.0)), 4))
+        .filter(col("jac") >= 0.05)
+        .select(col("id_a"), col("id_b"), col("jac"))
+    }),
+
+    // embedding near-dup: nearest neighbor within label
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id"), col("embedding"))
+      val b = e.select(col("label"), col("vec_id").as("nn_id"),
+        col("embedding").as("nn_emb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nn_id").asc)
+      a.join(b, Seq("label"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", Dedup.cosine(col("embedding"), col("nn_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // ANN brute-force baseline: top-5 cosine for 10 query vectors
+    "q_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+    }),
+
+    // ANN scale path: IVF bucket probe
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), col("vec_id") % 97 === 0, 3)
+    }),
+
+    // multimodal: opaque binary payload + typed metadata
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.asMediaTable(docs(s, dir))
+        .select(col("doc_id"), col("media_len"), col("media_digest"))
+    }),
+
+    // multimodal: batched frame-sampling stub (mapInPandas-shaped)
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, dir)), nFrames = 3)
+    }),
+
+    // ---------- crawler end-to-end (rows-only check: no SQL analog) ----------
+    "q_crawl_e2e" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
+      val cfg = CrawlConfig(nSeeds = 8, budgetPerHost = 3, maxWaves = 3,
+        corpus = SyntheticCorpus.Config(hosts = 6, pathBits = 5, secretRate = 0.2))
+      val crawler = new Crawler(s, cfg, new SnapshotStore(tmp))
+      val metrics = crawler.run()
+      crawler.crawlLog(metrics.last.wave)
+    })
+  )
+
+  // ======================= DuckDB oracle SQL =======================
+
+  private val cosineSql: (String, String) => String = (a, b) => {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1,65), i -> CAST($x[i] AS DOUBLE) * $y[i]))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private val shinglesSql: Int => String = w =>
+    s"""CASE WHEN len(toks) >= $w
+       | THEN list_transform(range(0, len(toks)-${w - 1}),
+       |        i -> array_to_string(list_slice(toks, i+1, i+$w), ' '))
+       | ELSE [] END""".stripMargin
+
+  private def simhashOracleSql: String = {
+    val bits = (0 until 32).map { b =>
+      val nib = b / 4 + 1
+      val bit = b % 4
+      s"""(CASE WHEN list_sum(list_transform(hashes, h ->
+         | CASE WHEN ((strpos('0123456789abcdef', substr(h, $nib, 1)) - 1) >> $bit) & 1 = 1
+         | THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), t -> md5(t)) AS hashes
+       |  FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM d""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_gate" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars BETWEEN 60 AND 400
+        |  AND NOT regexp_matches(source, '^src1[0-9]$')
+        |  AND length(trim(text)) > 0""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS cnt,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_nations" ->
+      """SELECT n_name, r_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_antijoin_unindexed" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_semijoin_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_topk_order" ->
+      """SELECT event_id, ts FROM events ORDER BY ts ASC, event_id ASC LIMIT 1000""".stripMargin,
+
+    "q_chunking" ->
+      """SELECT chunk, count(*) AS cnt, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key FROM (
+        |  SELECT o_orderkey,
+        |    CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS chunk
+        |  FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM f)
+        |SELECT user_id, CAST(max(session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events FROM g GROUP BY 1""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(md5(text) || '_' || lower(source)) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keeper, count(*) AS dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_seen_antijoin" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)""".stripMargin,
+
+    "q_detect_secrets" ->
+      """SELECT doc_id, 'aws-access-token' AS rule_id,
+        |  'AKIA' || upper(substr(md5(text), 1, 16)) AS matched,
+        |  30 AS severity
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'github-pat',
+        |  'ghp_' || substr(md5(text), 17, 16) || upper(substr(md5(text), 1, 16)) || 'WXYZ',
+        |  70
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "q_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnts AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(cnt) AS n FROM cnts GROUP BY 1)
+        |SELECT cnts.doc_id,
+        |  round(-sum((CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE))
+        |             * ln(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE))), 4) AS ent
+        |FROM cnts JOIN tot USING (doc_id) GROUP BY 1""".stripMargin,
+
+    "q_evidence_slice" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, l[i] AS line
+        |  FROM ls, unnest(range(1, len(l) + 1)) AS t(i)),
+        |hits AS (SELECT doc_id, idx AS hit_idx FROM lines WHERE line = 'key')
+        |SELECT DISTINCT lines.doc_id, idx, line
+        |FROM lines JOIN hits ON lines.doc_id = hits.doc_id
+        |WHERE abs(idx - hit_idx) <= 2""".stripMargin,
+
+    "q_truncate" ->
+      """SELECT doc_id, substr(text, 1, 100) AS head_chars,
+        |  array_to_string(list_slice(regexp_extract_all(text, '[A-Za-z0-9]+'), 1, 10), ' ')
+        |    AS head_tokens
+        |FROM documents""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  'http://h' || (doc_id % 20) || '.test/p/' || doc_id AS canonical
+        |FROM documents""".stripMargin,
+
+    "q_priority_topk" ->
+      """SELECT event_type, event_id, round(value, 6) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "q_text_stats" -> {
+      val en = TextAnalysis.stopwordPattern(TextAnalysis.langStopwords.toMap.apply("en"))
+      val langCase = TextAnalysis.langStopwords.map { case (l, ws) =>
+        s"WHEN c_$l = mx AND mx > 0 THEN '$l'"
+      }.mkString(" ")
+      val langCounts = TextAnalysis.langStopwords.map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern(ws)}')) AS c_$l"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tokens,
+         |  $langCounts FROM documents),
+         |m AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_pt) AS mx FROM d)
+         |SELECT doc_id, tokens,
+         |  round(0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |               / greatest(length(text), 1))
+         |      + 0.3 * least(CAST(tokens AS DOUBLE) / 100.0, 1.0)
+         |      + 0.2 * least((CAST(len(regexp_extract_all(lower(text), '$en')) AS DOUBLE)
+         |                     / greatest(CAST(tokens AS DOUBLE), 1.0)) * 5.0, 1.0), 4)
+         |    AS quality,
+         |  CASE $langCase ELSE 'unknown' END AS lang_guess,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |FROM m""".stripMargin
+    },
+
+    "q_simhash" -> simhashOracleSql,
+
+    "q_dedup_minhash" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM d),
+         |sigs AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig0,
+         |  list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig1,
+         |  list_min(list_transform(shingles, s -> md5('2|' || s))) AS sig2,
+         |  list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig3
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH d0 AS (SELECT doc_id, source, n_chars,
+         |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+         |d AS (SELECT doc_id, source, n_chars,
+         |  list_distinct(${shinglesSql(2)}) AS sh FROM d0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) <= 2
+         |WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.05""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""SELECT vec_id, nn_id, round(cos, 6) AS cos FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    ${cosineSql("a.embedding", "b.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rn
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_ann_brute" ->
+      s"""SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${cosineSql("q.embedding", "v.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("q.embedding", "v.embedding")} DESC, v.vec_id ASC) AS rank
+         |  FROM embeddings v, embeddings q
+         |  WHERE q.vec_id < 10 AND v.vec_id != q.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM embeddings v, embeddings c WHERE c.vec_id < 8)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+         |      FROM assigned WHERE vec_id % 97 = 0)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${cosineSql("q.q_emb", "a.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC, a.vec_id ASC) AS rank
+         |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+         |  WHERE a.vec_id != q.query_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS media_len,
+        |  md5(substr(text, 1, 64)) AS media_digest
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  md5(md5(substr(text, 1, 64)) || '#' || i) AS frame_feature
+        |FROM documents, unnest(range(0, 3)) AS t(i)""".stripMargin
+  )
 }

@@ -1,0 +1,251 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.{canonicalize_url, detect_secrets, url_host}
+import graft.model.Span
+import graft.sources.SyntheticCorpus
+import graft.state.SnapshotStore
+
+final case class CrawlConfig(
+    nSeeds: Int = 20,
+    budgetPerHost: Int = 8,
+    maxWaves: Int = 6,
+    salts: Int = 8,
+    /** bloom-prefilter the seen-set membership (exact-confirm after). */
+    useBloom: Boolean = false,
+    bloomShards: Int = 8,
+    bloomExpectedPerShard: Long = 1L << 16,
+    corpus: SyntheticCorpus.Config = SyntheticCorpus.Config())
+
+final case class WaveMetrics(
+    wave: Int, fetched: Long, findings: Long, newLinks: Long, frontierLeft: Long)
+
+/** A fetched frontier entry with its document. */
+final case class Fetched(
+    canonical: String, url_hash: Long, host: String, depth: Int,
+    priority: Double, wave: Int, doc_id: String, spans: Array[Span])
+
+/** The crawl engine: an iterative sequence of declarative DataFrame jobs —
+  * one wave = filter(politeness ∘ priority) → fetch → detect → expand →
+  * commit (SURVEY.md §3.1 "Spark restatement"). State lives in snapshot
+  * tables re-read each wave: lineage stays one wave deep and any wave
+  * boundary is a resume point.
+  *
+  * Scale design (the 1000-executor story):
+  *  - per-host budget bounds each wave; no global driver-side top-k
+  *  - hot hosts: salted two-phase ranking (Scheduler.saltedTopKPerKey)
+  *  - the URL-seen set is APPEND-ONLY: each wave commits only its fetch
+  *    delta (the `crawl` table doubles as the seen delta); membership is an
+  *    anti-join on url_hash against the union of deltas — never a rewrite
+  *    of the cumulative set (at 10^10 keys a per-wave rewrite is O(total²)
+  *    I/O; append-only is exactly the Iceberg-snapshot layout)
+  *  - optional sharded bloom prefilter, built INCREMENTALLY (per-wave delta
+  *    pass OR-merged into the running shards) so each wave pays O(delta),
+  *    not O(total)
+  *  - per-wave driver work is O(#jobs)=6 (5 table writes + metric fetch):
+  *    all counters ride on Observation metrics inside the write jobs
+  *  - all merges are order-independent aggregates (min/max) ⇒ results are
+  *    partitioning-invariant — asserted against the single-threaded oracle.
+  */
+final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore) {
+  import spark.implicits._
+
+  /** robots rules as (host, array<prefix>) — one row per host so the gating
+    * join cannot duplicate candidates. */
+  private def disallowDf: DataFrame =
+    SyntheticCorpus.robotsDisallows(cfg.corpus).toDF("r_host", "r_prefix")
+      .groupBy($"r_host").agg(collect_list($"r_prefix").as("r_prefixes"))
+
+  // incremental bloom shards (driver-held, merged per wave delta)
+  private var shards: Array[BloomFilter] = _
+
+  /** Seed frontier: depth 0, seed priority. */
+  def seedFrontier(): DataFrame = {
+    val seeds = SyntheticCorpus.seedUrls(cfg.nSeeds, cfg.corpus)
+      .flatMap(UrlCanon.canonicalize)
+      .distinct
+    seeds.toDF("canonical")
+      .withColumn("url_hash", xxhash64($"canonical"))
+      .withColumn("host", url_host($"canonical"))
+      .withColumn("depth", lit(0))
+      .withColumn("priority", lit(Scheduler.SeedPriority))
+  }
+
+  /** Union of fetch deltas committed so far = the URL-seen set. */
+  def seenUpTo(wave: Int): DataFrame =
+    (0 to wave).map(w => store.read(spark, w, "crawl"))
+      .reduce(_ unionByName _)
+
+  /** Run (or resume) the crawl; returns per-wave metrics. */
+  def run(): Seq[WaveMetrics] = {
+    var wave = store.latestWave.map(_ + 1).getOrElse(0)
+    var frontier = if (wave == 0) seedFrontier()
+      else store.read(spark, wave - 1, "frontier")
+    if (cfg.useBloom) {
+      shards = Array.tabulate(cfg.bloomShards)(_ =>
+        BloomFilter.create(cfg.bloomExpectedPerShard, 0.01))
+      if (wave > 0) // resume: rebuild from committed deltas (one pass)
+        shards = SeenSet.merge(shards, SeenSet.buildShards(
+          seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+    }
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[WaveMetrics]
+    var frontierCount = frontier.count()
+    while (wave < cfg.maxWaves && frontierCount > 0) {
+      val m = step(wave, frontier)
+      frontier = store.read(spark, wave, "frontier")
+      frontierCount = m.frontierLeft
+      metrics += m
+      wave += 1
+    }
+    metrics.toSeq
+  }
+
+  /** One wave against the given frontier (seen = committed deltas < wave).
+    * Commits (frontier, crawl, findings, clocks, lineage) for `wave`. */
+  def step(wave: Int, frontier: DataFrame): WaveMetrics = {
+    val corpus = cfg.corpus
+
+    // 1. politeness + priority: per-host budget, salted two-phase top-k.
+    val fetchedSel = Scheduler.saltedTopKPerKey(
+      frontier, col("host"), col("url_hash"),
+      Seq(desc("priority"), asc("canonical")), cfg.budgetPerHost, cfg.salts)
+
+    // 2. fetch: canonical URL -> document (stand-in for the docs-table join).
+    val docs = fetchedSel
+      .select($"canonical", $"url_hash", $"host", $"depth", $"priority")
+      .as[(String, Long, String, Int, Double)]
+      .mapPartitions { it =>
+        it.map { case (canonical, h, host, depth, prio) =>
+          val d = SyntheticCorpus.docFor(canonical, corpus)
+          Fetched(canonical, h, host, depth, prio, wave, d.doc_id, d.spans)
+        }
+      }
+      .toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val textSpans = docs
+      .select($"canonical", $"depth", $"doc_id", explode($"spans").as("span"))
+      .filter($"span.kind" === "text")
+
+    // 3. detect: the rule engine as a Catalyst expression over text spans;
+    // media spans pass through untouched (not selected here).
+    val findings = textSpans
+      .select($"canonical", $"doc_id", $"span.offset".as("span_offset"),
+        explode(detect_secrets($"span.text")).as("f"))
+      .select($"canonical", $"doc_id", $"span_offset",
+        $"f.rule_id", $"f.severity", $"f.fingerprint", $"f.match",
+        $"f.entropy", $"f.finding_json")
+      .withColumn("wave", lit(wave))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val hitDocs = findings.select($"canonical").distinct()
+      .withColumn("rule_hit", lit(true))
+
+    // 4. expand: out-links, canonicalized, robots-gated, priority =
+    // f(depth, parent rule-hit), merged per target URL (min depth, max prio).
+    val rawLinks = textSpans
+      .select($"canonical", $"depth",
+        explode(regexp_extract_all($"span.text",
+          lit(UrlCanon.OutlinkPattern), lit(0))).as("url"))
+      .withColumn("link", canonicalize_url($"url"))
+      .filter($"link".isNotNull)
+    val gated = rawLinks
+      .join(hitDocs, Seq("canonical"), "left")
+      .na.fill(false, Seq("rule_hit"))
+      .withColumn("l_host", url_host($"link"))
+      .join(broadcast(disallowDf), $"l_host" === $"r_host", "left")
+      .withColumn("l_path",
+        regexp_replace($"link", lit("^[a-z]+://[^/]+"), lit("")))
+      .filter($"r_prefixes".isNull ||
+        !exists($"r_prefixes", p => startswith($"l_path", p)))
+      .select(
+        $"link".as("canonical"),
+        ($"depth" + 1).as("depth"),
+        Scheduler.priorityCol($"depth" + 1, $"rule_hit").as("priority"))
+    val candidates = gated
+      .groupBy($"canonical")
+      .agg(min($"depth").as("depth"), max($"priority").as("priority"))
+      .withColumn("url_hash", xxhash64($"canonical"))
+      .withColumn("host", url_host($"canonical"))
+
+    // 5. commit set algebra: frontier' = (frontier \ fetched) ∪
+    // (candidates \ (seen ∪ fetched)), merged by min-depth / max-priority.
+    val seenAfter =
+      if (wave == 0) docs.select($"url_hash")
+      else seenUpTo(wave - 1).select($"url_hash")
+        .unionByName(docs.select($"url_hash"))
+    val remaining = frontier.join(
+      docs.select("url_hash"), Seq("url_hash"), "left_anti")
+    val newLinksRaw =
+      if (cfg.useBloom) {
+        // delta-merge fetched hashes into the running shards, then prefilter
+        shards = SeenSet.merge(shards, SeenSet.buildShards(
+          docs.select($"url_hash"), cfg.bloomShards, cfg.bloomExpectedPerShard))
+        SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
+      } else SeenSet.filterUnseenExact(candidates, seenAfter)
+    val obsLinks = new Observation(s"links-$wave")
+    val newLinks = newLinksRaw
+      .select($"url_hash", $"canonical", $"host", $"depth", $"priority")
+      .observe(obsLinks, count(lit(1)).as("new_links"))
+    val obsFrontier = new Observation(s"frontier-$wave")
+    val newFrontier = remaining
+      .select($"url_hash", $"canonical", $"host", $"depth", $"priority")
+      .unionByName(newLinks)
+      .groupBy($"url_hash")
+      .agg(min($"canonical").as("canonical"), min($"host").as("host"),
+        min($"depth").as("depth"), max($"priority").as("priority"))
+      .observe(obsFrontier, count(lit(1)).as("frontier_left"))
+
+    // politeness clocks: cumulative per-host fetch counts (two-phase agg)
+    val prevClocks = if (wave > 0 && store.exists(wave - 1, "clocks"))
+      store.read(spark, wave - 1, "clocks")
+    else Seq.empty[(String, Long)].toDF("host", "fetched")
+    val clocks = prevClocks
+      .unionByName(docs.groupBy($"host").agg(count(lit(1)).as("fetched")))
+      .groupBy($"host").agg(sum($"fetched").as("fetched"))
+
+    // per-partition lineage metrics (north rule: per-partition lineage)
+    val lineage = docs
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("wave", lit(wave))
+
+    val obsCrawl = new Observation(s"crawl-$wave")
+    val crawl = docs
+      .select($"wave", $"canonical", $"url_hash", $"host",
+        $"depth", $"priority", $"doc_id")
+      .observe(obsCrawl, count(lit(1)).as("fetched"))
+    val obsFindings = new Observation(s"findings-$wave")
+    val findingsOut = findings.observe(obsFindings, count(lit(1)).as("n"))
+
+    store.commit(wave, Map(
+      "crawl" -> crawl,            // fetch log AND seen-set delta
+      "findings" -> findingsOut,
+      "frontier" -> newFrontier,
+      "clocks" -> clocks,
+      "lineage" -> lineage))
+
+    val m = WaveMetrics(
+      wave,
+      fetched = obsCrawl.get("fetched").asInstanceOf[Long],
+      findings = obsFindings.get("n").asInstanceOf[Long],
+      newLinks = obsLinks.get("new_links").asInstanceOf[Long],
+      frontierLeft = obsFrontier.get("frontier_left").asInstanceOf[Long])
+    docs.unpersist()
+    findings.unpersist()
+    m
+  }
+
+  /** Full crawl log across committed waves, in crawl order
+    * (wave, priority desc, canonical asc). */
+  def crawlLog(upToWave: Int): DataFrame =
+    seenUpTo(upToWave).orderBy($"wave", desc("priority"), $"canonical")
+
+  def allFindings(upToWave: Int): DataFrame =
+    (0 to upToWave).map(w => store.read(spark, w, "findings"))
+      .reduce(_ unionByName _)
+}

@@ -1,0 +1,52 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Politeness + priority scheduling (north rule: "per-host politeness buckets
+  * ... salted priority queue (depth + rule-hit score)").
+  *
+  * The reference's analog is the bounded FIFO drain
+  * (`ORDER BY indexing_date LIMIT 1000`, crawlerbase.py:393-396) plus queue
+  * caps (crawlerbase.py:214,389); here the budget is per host bucket and the
+  * order is (priority desc, canonical asc) — a deterministic total order.
+  */
+object Scheduler {
+
+  /** Top-k rows per key with explicit skew handling: a hot key's candidates
+    * are first reduced within (key, salt) sub-groups — S-way parallel — and
+    * only the survivors (≤ S·k per key) enter the final per-key ranking.
+    * Window functions shuffle by their partition keys, so stage 1 spreads a
+    * hot host over `salts` reducers instead of one. Deterministic for any
+    * total `order`.
+    */
+  def saltedTopKPerKey(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      order: Seq[Column],
+      k: Int,
+      salts: Int): DataFrame = {
+    require(k > 0 && salts > 0)
+    val pre = Window.partitionBy(key, pmod(saltSource, lit(salts))).orderBy(order: _*)
+    val fin = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__rn1", row_number().over(pre))
+      .filter(col("__rn1") <= k)
+      .drop("__rn1")
+      .withColumn("__rn2", row_number().over(fin))
+      .filter(col("__rn2") <= k)
+      .drop("__rn2")
+  }
+
+  /** Priority function shared with the oracle: rule-hit score + depth decay.
+    * Seeds get 2.0 (always ahead of discovered links). */
+  def priorityOf(depth: Int, parentHit: Boolean): Double =
+    (if (parentHit) 1.0 else 0.0) + 1.0 / (1.0 + depth)
+
+  val SeedPriority = 2.0
+
+  /** Column form of [[priorityOf]] for the expansion stage. */
+  def priorityCol(depth: Column, parentHit: Column): Column =
+    when(parentHit, lit(1.0)).otherwise(lit(0.0)) + lit(1.0) / (lit(1.0) + depth.cast("double"))
+}

@@ -1,0 +1,107 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** URL-seen set (north rule: "partitioned cuckoo-filter/bloom-filter URL-seen
+  * set"). Reference analog: the SQLite fingerprint membership check
+  * (crawlerbase.py:579-581) — exact, single-node. At 10^10 URLs an exact
+  * anti-join is the correct *ground truth* but shuffles the full candidate
+  * set against the full seen set every wave; the bloom shards cut that
+  * shuffle: candidates that miss every shard are *definitely unseen* and
+  * skip the join entirely; only "maybe seen" candidates (ε false-positive
+  * mass) need the exact confirm. No false negatives by construction.
+  *
+  * Shards are built with a two-phase distributed pass (mapPartitions building
+  * partial filters, OR-merge per shard) — the seen set is never collected as
+  * rows to the driver; only the fixed-size bitsets are. Shard residency is
+  * `pmod(url_hash, numShards)`, so each executor-side probe touches exactly
+  * one filter. At 10^10 keys / 1% fpp ≈ 12 GB of bitset total — sharding
+  * bounds what any single task must hold; at sandbox scale the shards are
+  * broadcast whole (the 1000-executor deployment would broadcast per-shard
+  * via a keyed join of candidates to their shard id).
+  */
+object SeenSet {
+
+  /** Exact membership filter: candidates not present in `seen`.
+    * `candidates` and `seen` must both carry `url_hash`. */
+  def filterUnseenExact(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+
+  /** Build per-shard bloom filters over seen.url_hash with a two-phase
+    * aggregate: partial filters per partition, OR-merged per shard. */
+  def buildShards(seen: DataFrame, numShards: Int, expectedPerShard: Long,
+      fpp: Double = 0.01): Array[BloomFilter] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val partials = seen.select(col("url_hash"))
+      .as[Long]
+      .mapPartitions { it =>
+        val filters = Array.tabulate(numShards)(_ =>
+          BloomFilter.create(expectedPerShard, fpp))
+        var nonEmpty = false
+        it.foreach { h =>
+          nonEmpty = true
+          filters(shardOf(h, numShards)).putLong(h)
+        }
+        if (nonEmpty) Iterator.single(filters.map(serialize).toSeq)
+        else Iterator.empty
+      }
+      .collect()
+    if (partials.isEmpty)
+      return Array.tabulate(numShards)(_ => BloomFilter.create(expectedPerShard, fpp))
+    partials.map(_.map(deserialize).toArray).reduce { (a, b) =>
+      a.zip(b).map { case (x, y) => x.mergeInPlace(y); x }
+    }
+  }
+
+  /** OR-merge shard arrays (incremental delta build). */
+  def merge(a: Array[BloomFilter], b: Array[BloomFilter]): Array[BloomFilter] =
+    a.zip(b).map { case (x, y) => x.mergeInPlace(y); x }
+
+  def shardOf(h: Long, numShards: Int): Int = {
+    val m = h % numShards
+    (if (m < 0) m + numShards else m).toInt
+  }
+
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+  private def deserialize(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Bloom-prefiltered membership: definite-unseen skip the exact join;
+    * "maybe seen" go through the exact anti-join confirm. Result is exactly
+    * equal to [[filterUnseenExact]] (no false negatives). */
+  def filterUnseenBloom(candidates: DataFrame, seen: DataFrame,
+      shards: Array[BloomFilter]): DataFrame = {
+    val spark = candidates.sparkSession
+    val bc = spark.sparkContext.broadcast(shards.map { bf =>
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    })
+    val n = shards.length
+    val maybeSeenUdf = udf { (h: Long) =>
+      // lazily deserialized once per executor via the broadcast cache
+      SeenSet.localShards(bc.value).apply(shardOf(h, n)).mightContainLong(h)
+    }
+    val flagged = candidates.withColumn("__maybe", maybeSeenUdf(col("url_hash")))
+    val definiteNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    val maybe = flagged.filter(col("__maybe")).drop("__maybe")
+    definiteNew.unionByName(filterUnseenExact(maybe, seen))
+  }
+
+  // executor-local deserialized shard cache keyed by broadcast identity
+  @transient private var cacheKey: AnyRef = _
+  @transient private var cacheVal: Array[BloomFilter] = _
+  private[frontier] def localShards(raw: Array[Array[Byte]]): Array[BloomFilter] =
+    synchronized {
+      if (!(cacheKey eq raw)) {
+        cacheVal = raw.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        cacheKey = raw
+      }
+      cacheVal
+    }
+}

@@ -1,0 +1,96 @@
+package graft.frontier
+
+/** URL canonicalization for the seen-set identity (north rule: "partitioned
+  * bloom-filter URL-seen set (canonicalized + xxHash64 URL keys)"). This is
+  * the analog of the reference's path normalization + fingerprint identity
+  * (/root/reference/filecrawler/libs/cpath.py:25-31, libs/file.py:52-64):
+  * one deterministic canonical form per logical resource.
+  *
+  * Rules (fixed; the oracle in tests implements the same spec):
+  *  - scheme and host lowercased
+  *  - default ports stripped (http:80, https:443, ftp:21)
+  *  - fragment dropped
+  *  - userinfo preserved verbatim
+  *  - path: %XX of unreserved chars (ALPHA DIGIT - . _ ~) decoded, other
+  *    escapes uppercased; duplicate '/' collapsed; '.' and '..' segments
+  *    resolved; trailing '/' stripped (root path becomes empty)
+  *  - query preserved (order kept), bare '?' stripped
+  * Pure total function: None for anything that does not parse as
+  * scheme://host[...].
+  */
+object UrlCanon {
+
+  private val UrlRe =
+    """(?i)^([a-z][a-z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#:]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$""".r
+
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
+
+  def canonicalize(url: String): Option[String] = url match {
+    case null => None
+    case UrlRe(scheme0, userinfo, host0, port0, path0, query) =>
+      val scheme = scheme0.toLowerCase
+      val host = host0.toLowerCase
+      if (host.isEmpty) return None
+      val port = Option(port0).map(_.toInt) match {
+        case Some(p) if DefaultPorts.get(scheme).contains(p) => None
+        case other => other
+      }
+      val path = canonPath(path0)
+      val sb = new StringBuilder(scheme).append("://")
+      Option(userinfo).foreach(u => sb.append(u).append('@'))
+      sb.append(host)
+      port.foreach(p => sb.append(':').append(p))
+      sb.append(path)
+      Option(query).filter(_.nonEmpty).foreach(q => sb.append('?').append(q))
+      Some(sb.toString)
+    case _ => None
+  }
+
+  /** Decode unreserved %XX, uppercase other escapes, collapse '//',
+    * resolve dot segments, strip trailing '/'. */
+  def canonPath(p: String): String = {
+    if (p == null || p.isEmpty) return ""
+    val decoded = decodeUnreserved(p)
+    val segs = decoded.split("/", -1).toList.filter(_.nonEmpty)
+    val resolved = segs.foldLeft(List.empty[String]) {
+      case (acc, ".")  => acc
+      case (acc, "..") => if (acc.isEmpty) acc else acc.init
+      case (acc, s)    => acc :+ s
+    }
+    if (resolved.isEmpty) "" else resolved.mkString("/", "/", "")
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def decodeUnreserved(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (isUnreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Host of a canonical URL (politeness bucket key). */
+  def hostOf(canonical: String): String = canonical match {
+    case UrlRe(_, _, host, _, _, _) => host.toLowerCase
+    case _ => ""
+  }
+
+  /** Out-link extraction pattern over text spans — kept simple and identical
+    * between engine, generator and oracle. */
+  val OutlinkPattern = "https?://[a-zA-Z0-9._~:/?#@!$&'()*+,;=%-]+"
+}

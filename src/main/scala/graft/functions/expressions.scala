@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+import graft.rules.{Detector, Finding}
+import graft.frontier.UrlCanon
+
+/** `detect_secrets(text, now_epoch_sec)` → array<finding struct>.
+  *
+  * The whole reference rule engine (SURVEY.md §2.5) as ONE custom Catalyst
+  * expression — the single mandatory custom expression called out in
+  * SURVEY.md §4. Deterministic (clock injected as the right child), null-safe,
+  * CodegenFallback: the regex engine cannot be usefully codegen'd, but the
+  * expression composes inside whole-stage-codegen'd projections without
+  * breaking the stage.
+  */
+case class DetectSecrets(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(Schemas.finding, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "detect_secrets"
+
+  override def eval(input: InternalRow): Any = {
+    val textV = left.eval(input)
+    val nowV = right.eval(input)
+    if (textV == null || nowV == null) return new GenericArrayData(Array.empty[Any])
+    val text = textV.asInstanceOf[UTF8String].toString
+    val now = nowV.asInstanceOf[Long]
+    val findings = Detector.detect(text, now)
+    new GenericArrayData(findings.map(DetectSecrets.toRow).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DetectSecrets {
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def optUtf8(o: Option[String]): Any = o.map(utf8).orNull
+
+  def toRow(f: Finding): InternalRow = InternalRow(
+    utf8(f.rule_id), utf8(f.rule_name), utf8(f.matched), f.severity,
+    utf8(f.fingerprint),
+    f.entropy.map(java.lang.Double.valueOf).orNull,
+    optUtf8(f.aws_access_key), optUtf8(f.aws_access_secret), optUtf8(f.aws_region),
+    optUtf8(f.username), optUtf8(f.password), optUtf8(f.token), optUtf8(f.host),
+    optUtf8(f.header_json), optUtf8(f.payload_json), optUtf8(f.exp_date),
+    f.still_valid.map(java.lang.Boolean.valueOf).orNull,
+    utf8(f.finding_json))
+}
+
+/** `shannon_entropy(text)` → double: the reference's entropy helper
+  * (rulebase.py:258-283) as a scalar expression, natural log, summed in
+  * first-occurrence order (bit-parity with the rule engine). */
+case class ShannonEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "shannon_entropy"
+  override def nullSafeEval(v: Any): Any =
+    Detector.entropyDouble(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `canonicalize_url(url)` → string (null when unparseable). */
+case class CanonicalizeUrl(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonicalize_url"
+  override def nullSafeEval(v: Any): Any =
+    UrlCanon.canonicalize(v.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `url_host(url)` → string host (empty when unparseable). */
+case class UrlHost(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_host"
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(UrlCanon.hostOf(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

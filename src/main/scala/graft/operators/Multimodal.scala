@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, batch-shaped decode/feature-extract stubs.
+  *
+  * The decode itself is STUBBED (no image/audio libs in this container —
+  * a deterministic fake derived from the payload hash stands in), but the
+  * Spark-side contract is real and tested: binary column schema, partition-
+  * preserving batched iteration (the Scala analog of mapInPandas: one
+  * mapPartitions over Iterator[Row] with per-batch processing), explodable
+  * frame output, and metadata columns that an exchangeable decoder would
+  * fill the same way.
+  */
+object Multimodal {
+
+  /** Wrap text docs as fake media rows: payload = utf-8 bytes (stand-in for
+    * image/audio bytes), plus typed metadata (byte length, content digest). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(substring(col("text"), 1, 64), "UTF-8").as("payload"),
+      octet_length(encode(substring(col("text"), 1, 64), "UTF-8")).cast("long").as("media_len"),
+      md5(substring(col("text"), 1, 64)).as("media_digest"))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_feature", StringType)))
+
+  /** Frame-sampling stub over batches: for each media row emit N "frames"
+    * whose feature is a deterministic function of (digest, frame index) —
+    * exactly where a real decoder (libjpeg/ffmpeg via Pandas UDF on PySpark,
+    * JNI here) would plug in. Batched mapPartitions keeps the decoder
+    * amortized per-batch like mapInPandas' Arrow batches. */
+  def sampleFrames(media: DataFrame, nFrames: Int, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media_digest").rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch "decoder" setup would happen here
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        batch.iterator.flatMap { r =>
+          val docId = r.getLong(0)
+          val mediaDigest = r.getString(1)
+          (0 until nFrames).map { f =>
+            val bytes = digest.digest(s"$mediaDigest#$f".getBytes("UTF-8"))
+            Row(docId, f, bytes.map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (cross join pruned to the query set —
+  * correct at any scale when the query set is small and broadcast).
+  * Scale path: IVF — vectors are assigned to their nearest centroid once
+  * (one broadcast join), searches probe only their centroid's bucket,
+  * cutting the candidate set by ~|centroids|; the same shape extends to
+  * IVF-PQ / LSH banding. All cosine math is zip_with+aggregate (codegen'd).
+  */
+object Similarity {
+
+  import Dedup.cosine
+
+  /** Brute-force top-k neighbors for each query vector. `queries` should be
+    * small (it is broadcast); ranking is (cosine desc, id asc) — total order.
+    * Returns (query_id, neighbor_id, cos) with cos rounded to 6 decimals. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** IVF bucket assignment: nearest centroid by (cosine desc, centroid_id asc).
+    * Centroids are broadcast; one pass over the vectors. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("c_emb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    vectors.join(c)
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+  }
+
+  /** IVF top-k: probe only the query's bucket. Same output shape as
+    * bruteForceTopK (approximate recall, bucket-local). */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids)
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val scored = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
+        col("centroid_id"))
+      .join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+}

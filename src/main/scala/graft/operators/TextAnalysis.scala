@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting. All built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs) and expressed in the
+  * Spark/DuckDB-common SQL subset so the driver's DuckDB oracle can replay
+  * them 1:1 (oracleSql in SparkEntry).
+  */
+object TextAnalysis {
+
+  val TokenPattern = "[A-Za-z0-9]+"
+
+  /** Word-ish token count (BPE-ish regex tokenizer), as BIGINT. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0))).cast("long")
+
+  /** Stopword tables per language, ASCII-only, word-boundary matched.
+    * Alphabetical language order defines the deterministic tie-break. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "que", "los", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "pt" -> Seq("o", "os", "uma", "para", "com"))
+
+  def stopwordPattern(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  def stopHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit(stopwordPattern(words)), lit(0))).cast("long")
+
+  /** n-gram-heuristic language ID: argmax stopword hits, ties resolved in
+    * alphabetical language order ('und' beats 'unknown' only with >0 hits). */
+  def langId(text: Column): Column = {
+    val counts = langStopwords.map { case (l, ws) => l -> stopHits(text, ws) }
+    val maxC = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("unknown")) { case ((l, c), elseCol) =>
+      when(c === maxC && maxC > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality score in [0,1]: alpha ratio + length term + stopword term,
+    * rounded to 4 decimals (float-drift-proof for the oracle compare). */
+  def qualityScore(text: Column): Column = {
+    val len = greatest(length(text), lit(1)).cast("double")
+    val alphaRatio = length(regexp_replace(text, lit("[^A-Za-z]"), lit(""))).cast("double") / len
+    val tokens = tokenCount(text).cast("double")
+    val stopFrac = stopHits(text, langStopwords.toMap.apply("en")).cast("double") /
+      greatest(tokens, lit(1.0))
+    round(lit(0.5) * alphaRatio + lit(0.3) * least(tokens / lit(100.0), lit(1.0)) +
+      lit(0.2) * least(stopFrac * lit(5.0), lit(1.0)), 4)
+  }
+
+  /** Content fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the reference's sha1 content fingerprint (file.py:52-64) restated with
+    * the hash DuckDB 1.0 shares with Spark. */
+  def docFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
+
+  /** 32-bit SimHash over md5-hashed tokens, built entirely from higher-order
+    * array functions (transform/aggregate/filter) so it stays inside
+    * whole-stage codegen AND has an exact DuckDB replica
+    * (see SparkEntry.simhashOracleSql). Bit b of a token = bit (b%4) of hex
+    * nibble (b/4) of md5(token); simhash bit b = sign of Σ(±1). */
+  def simhash32(text: Column): Column = {
+    val hashes = transform(
+      regexp_extract_all(lower(text), lit(TokenPattern), lit(0)),
+      t => md5(t))
+    val bits = (0 until 32).map { b =>
+      val nibble = b / 4
+      val bit = b % 4
+      // nibble value via position in hex alphabet (portable to DuckDB strpos)
+      val contrib = aggregate(hashes, lit(0L), (acc, h) => {
+        val v = (position(substring(h, nibble + 1, 1), lit("0123456789abcdef")) - 1).cast("long")
+        acc + when(shiftright(v, bit).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
+      })
+      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Wave-granular checkpointing with atomic-manifest commit semantics — the
+  * Iceberg-snapshot pattern (snapshot = manifest pointing at immutable data
+  * files; commit = atomic pointer swap) on plain parquet, because this
+  * sandbox ships no Iceberg runtime jar. Replaces the reference's SQLite
+  * outbox + `integrated` flag resume model (crawlerbase.py:337-409,
+  * libs/crawlerdb.py) with: write all state tables for wave N under
+  * `wave=N/`, then atomically rename `_LATEST.tmp` → `_LATEST`. A crash
+  * mid-wave leaves `_LATEST` at N-1 and the partially-written `wave=N/`
+  * directory is simply overwritten on restart — at-least-once wave
+  * execution with exactly-once visibility, the same contract Iceberg
+  * snapshots give on a cluster.
+  */
+final class SnapshotStore(rootDir: String) {
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+  private val latestFile = root.resolve("_LATEST")
+
+  def latestWave: Option[Int] =
+    if (Files.exists(latestFile)) Some(Files.readString(latestFile).trim.toInt)
+    else None
+
+  def tablePath(wave: Int, table: String): String =
+    root.resolve(s"wave=$wave").resolve(table).toString
+
+  /** Write state tables for `wave`, then commit atomically. */
+  def commit(wave: Int, tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(tablePath(wave, name))
+    }
+    val tmp = root.resolve(s"_LATEST.tmp$wave")
+    Files.writeString(tmp, wave.toString)
+    Files.move(tmp, latestFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(spark: SparkSession, wave: Int, table: String): DataFrame =
+    spark.read.parquet(tablePath(wave, table))
+
+  def exists(wave: Int, table: String): Boolean =
+    Files.exists(Paths.get(tablePath(wave, table)))
+}

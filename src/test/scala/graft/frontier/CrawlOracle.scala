@@ -1,0 +1,94 @@
+package graft.frontier
+
+import scala.collection.mutable
+
+import graft.rules.Detector
+import graft.sources.SyntheticCorpus
+
+/** Single-threaded reference implementation of the crawl semantics —
+  * the shared spec of SURVEY.md §7 ("specify it once ... and share the
+  * definition"). The Spark engine must produce the identical crawl order,
+  * seen set, and findings under any partitioning.
+  */
+object CrawlOracle {
+
+  final case class Entry(canonical: String, depth: Int, priority: Double)
+  final case class Result(
+      crawlOrder: Vector[(Int, String)],               // (wave, canonical) in order
+      seen: Set[String],                               // canonical URLs fetched
+      findings: Vector[(Int, String, Int, String, String)], // wave, doc, offset, rule, fingerprint
+      clocks: Map[String, Long])
+
+  def run(cfg: CrawlConfig): Result = {
+    val corpus = cfg.corpus
+    val disallows = SyntheticCorpus.robotsDisallows(corpus)
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2) }
+    val linkPattern = java.util.regex.Pattern.compile(UrlCanon.OutlinkPattern)
+
+    var frontier = mutable.Map.empty[String, Entry]
+    SyntheticCorpus.seedUrls(cfg.nSeeds, corpus)
+      .flatMap(UrlCanon.canonicalize).distinct
+      .foreach(c => frontier(c) = Entry(c, 0, Scheduler.SeedPriority))
+    val seen = mutable.Set.empty[String]
+    val order = Vector.newBuilder[(Int, String)]
+    val findings = Vector.newBuilder[(Int, String, Int, String, String)]
+    val clocks = mutable.Map.empty[String, Long].withDefaultValue(0L)
+
+    var wave = 0
+    while (wave < cfg.maxWaves && frontier.nonEmpty) {
+      // politeness: per-host budget, order (priority desc, canonical asc)
+      val byHost = frontier.values.groupBy(e => UrlCanon.hostOf(e.canonical))
+      val fetched = byHost.toSeq.flatMap { case (_, es) =>
+        es.toSeq.sortBy(e => (-e.priority, e.canonical)).take(cfg.budgetPerHost)
+      }
+      // crawl order within wave: priority desc, canonical asc
+      val ordered = fetched.sortBy(e => (-e.priority, e.canonical))
+      ordered.foreach(e => order += ((wave, e.canonical)))
+
+      val candidates = mutable.Map.empty[String, Entry]
+      fetched.foreach { e =>
+        seen += e.canonical
+        frontier.remove(e.canonical)
+        clocks(UrlCanon.hostOf(e.canonical)) += 1
+        val doc = SyntheticCorpus.docFor(e.canonical, corpus)
+        var hit = false
+        doc.spans.filter(_.kind == "text").foreach { sp =>
+          val fs = Detector.detect(sp.text, Detector.FixedNowEpochSec)
+          if (fs.nonEmpty) hit = true
+          fs.foreach(f =>
+            findings += ((wave, doc.doc_id, sp.offset, f.rule_id, f.fingerprint)))
+        }
+        // expand
+        doc.spans.filter(_.kind == "text").foreach { sp =>
+          val m = linkPattern.matcher(sp.text)
+          while (m.find()) {
+            UrlCanon.canonicalize(m.group(0)).foreach { link =>
+              if (SyntheticCorpus.robotsAllowed(link, disallows)) {
+                val p = Scheduler.priorityOf(e.depth + 1, hit)
+                val cur = candidates.get(link)
+                val merged = cur match {
+                  case Some(c) => Entry(link, math.min(c.depth, e.depth + 1),
+                    math.max(c.priority, p))
+                  case None => Entry(link, e.depth + 1, p)
+                }
+                candidates(link) = merged
+              }
+            }
+          }
+        }
+      }
+      // commit: new links (not seen) merged into frontier by min-depth/max-priority
+      candidates.foreach { case (link, c) =>
+        if (!seen.contains(link)) {
+          frontier.get(link) match {
+            case Some(f0) => frontier(link) = Entry(link,
+              math.min(f0.depth, c.depth), math.max(f0.priority, c.priority))
+            case None => frontier(link) = c
+          }
+        }
+      }
+      wave += 1
+    }
+    Result(order.result(), seen.toSet, findings.result(), clocks.toMap)
+  }
+}

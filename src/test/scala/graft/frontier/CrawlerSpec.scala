@@ -1,0 +1,147 @@
+package graft.frontier
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.SyntheticCorpus
+import graft.state.SnapshotStore
+
+/** Differential suite vs CrawlOracle (the shared semantics spec):
+  * crawl-order equality, URL-seen set equality, finding equality, politeness
+  * clock equality; bloom-prefiltered seen-set equivalence; resume-from-
+  * snapshot equivalence (north rule: "resumable from checkpoint").
+  */
+class CrawlerSpec extends AnyFunSuite with SparkTestSession {
+
+  private val cfg = CrawlConfig(
+    nSeeds = 12,
+    budgetPerHost = 3,
+    maxWaves = 4,
+    salts = 4,
+    corpus = SyntheticCorpus.Config(hosts = 10, pathBits = 6, maxOutlinks = 5,
+      secretRate = 0.25))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-crawl").toString
+
+  private lazy val oracle = CrawlOracle.run(cfg)
+
+  private def runEngine(c: CrawlConfig): (Crawler, SnapshotStore, Seq[WaveMetrics]) = {
+    val store = new SnapshotStore(tmp())
+    val crawler = new Crawler(spark, c, store)
+    val metrics = crawler.run()
+    (crawler, store, metrics)
+  }
+
+  private lazy val engineRun = runEngine(cfg)
+
+  test("oracle sanity: multi-wave crawl with dedup pressure") {
+    assert(oracle.crawlOrder.nonEmpty)
+    assert(oracle.crawlOrder.map(_._1).distinct.size == cfg.maxWaves)
+    assert(oracle.findings.nonEmpty)
+    // duplicates must actually occur for the seen-set to matter
+    assert(oracle.seen.size < oracle.crawlOrder.size + oracle.seen.size)
+  }
+
+  test("crawl-order equality vs oracle") {
+    val (crawler, _, metrics) = engineRun
+    val got = crawler.crawlLog(metrics.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got.size == oracle.crawlOrder.size)
+    assert(got == oracle.crawlOrder)
+  }
+
+  test("URL-seen set equality vs oracle") {
+    val (crawler, _, metrics) = engineRun
+    val got = crawler.seenUpTo(metrics.last.wave)
+      .select("canonical").collect().map(_.getString(0)).toSet
+    assert(got == oracle.seen)
+  }
+
+  test("findings equality vs oracle (wave, doc, offset, rule, fingerprint)") {
+    val (crawler, _, metrics) = engineRun
+    val got = crawler.allFindings(metrics.last.wave)
+      .select("wave", "doc_id", "span_offset", "rule_id", "fingerprint")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .toVector.sorted
+    assert(got == oracle.findings.sorted)
+  }
+
+  test("politeness clock equality vs oracle") {
+    val (_, store, metrics) = engineRun
+    val got = store.read(spark, metrics.last.wave, "clocks")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == oracle.clocks)
+  }
+
+  test("per-host budget is never exceeded within a wave") {
+    val (crawler, _, metrics) = engineRun
+    val over = crawler.crawlLog(metrics.last.wave)
+      .groupBy("wave", "host").count()
+      .filter(col("count") > cfg.budgetPerHost).count()
+    assert(over == 0)
+  }
+
+  test("bloom-prefiltered seen set produces identical crawl") {
+    val (_, _, m0) = engineRun
+    val (crawlerB, storeB, mB) = runEngine(cfg.copy(useBloom = true, bloomShards = 4))
+    val got = crawlerB.crawlLog(mB.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracle.crawlOrder)
+    val seenB = crawlerB.seenUpTo(mB.last.wave)
+      .select("canonical").collect().map(_.getString(0)).toSet
+    assert(seenB == oracle.seen)
+    assert(m0.map(_.fetched) == mB.map(_.fetched))
+  }
+
+  test("resume from snapshot: crash after wave 1 == uninterrupted run") {
+    val dir = tmp()
+    val storeA = new SnapshotStore(dir)
+    // phase 1: run only 2 waves ("crash" after wave 1 commit)
+    new Crawler(spark, cfg.copy(maxWaves = 2), storeA).run()
+    assert(storeA.latestWave.contains(1))
+    // phase 2: a fresh crawler on the same store resumes at wave 2
+    val crawlerR = new Crawler(spark, cfg, new SnapshotStore(dir))
+    val mR = crawlerR.run()
+    assert(mR.head.wave == 2)
+    val got = crawlerR.crawlLog(cfg.maxWaves - 1)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracle.crawlOrder)
+  }
+
+  test("lineage metrics: per-partition rows sum to fetched count") {
+    val (_, store, metrics) = engineRun
+    metrics.foreach { m =>
+      val rows = store.read(spark, m.wave, "lineage")
+        .agg(sum("rows")).collect()(0).getLong(0)
+      assert(rows == m.fetched)
+    }
+  }
+
+  test("span passthrough: parquet roundtrip preserves (kind, text, media_ref, order)") {
+    import spark.implicits._
+    val canonicals = oracle.seen.toSeq.sorted.take(20)
+    val docs = canonicals.map(c => SyntheticCorpus.docFor(c, cfg.corpus))
+    val dir = tmp() + "/docs"
+    docs.toDS().write.parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select($"doc_id", explode($"spans").as("span"))
+      .select($"doc_id", $"span.kind", $"span.text", $"span.media_ref", $"span.offset")
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4).toVector).toMap
+    docs.foreach { d =>
+      val exp = d.spans.map(s =>
+        (s.kind, Option(s.text), Option(s.media_ref), s.offset)).toVector
+      assert(back(d.doc_id) == exp, s"span sequence mismatch for ${d.doc_id}")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.frontier
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlCanonSpec extends AnyFunSuite {
+  import UrlCanon._
+
+  test("canonicalization traps from FIXTURES.md §3") {
+    // case
+    assert(canonicalize("HTTP://Host.TEST/a") == Some("http://host.test/a"))
+    // default ports
+    assert(canonicalize("http://h.test:80/a") == Some("http://h.test/a"))
+    assert(canonicalize("https://h.test:443/a") == Some("https://h.test/a"))
+    assert(canonicalize("http://h.test:8080/a") == Some("http://h.test:8080/a"))
+    // trailing slash
+    assert(canonicalize("http://h.test/a/") == Some("http://h.test/a"))
+    assert(canonicalize("http://h.test/") == Some("http://h.test"))
+    assert(canonicalize("http://h.test") == Some("http://h.test"))
+    // %-encoding: unreserved decoded, reserved kept + uppercased
+    assert(canonicalize("http://h.test/%70ath") == Some("http://h.test/path"))
+    assert(canonicalize("http://h.test/a%2fb") == Some("http://h.test/a%2Fb"))
+    // fragment dropped, query kept
+    assert(canonicalize("http://h.test/a#frag") == Some("http://h.test/a"))
+    assert(canonicalize("http://h.test/a?x=1&y=2#f") == Some("http://h.test/a?x=1&y=2"))
+    // dot segments
+    assert(canonicalize("http://h.test/a/./b/../c") == Some("http://h.test/a/c"))
+    // duplicate slashes
+    assert(canonicalize("http://h.test//a///b") == Some("http://h.test/a/b"))
+    // userinfo preserved
+    assert(canonicalize("http://u:p@h.test/a") == Some("http://u:p@h.test/a"))
+    // unparseable
+    assert(canonicalize("not a url") == None)
+    assert(canonicalize("mailto:a@b.c") == None)
+  }
+
+  test("hostOf") {
+    assert(hostOf("http://h3.test/p/1") == "h3.test")
+    assert(hostOf("http://u@H.TEST:99/p") == "h.test")
+    assert(hostOf("garbage") == "")
+  }
+
+  test("idempotent: canonicalize(canonicalize(u)) == canonicalize(u)") {
+    // exhaustive cross-product (3*3*4*7*3*2 = 1512 URLs)
+    for {
+      scheme <- Seq("http", "HTTP", "https")
+      host <- Seq("A.Test", "h0.test", "x.y.z")
+      port <- Seq("", ":80", ":443", ":8080")
+      path <- Seq("", "/", "/a/b", "/a//b/", "/%70x", "/a/../b", "/p%2Fq")
+      q <- Seq("", "?a=1", "?b=%41")
+      f <- Seq("", "#z")
+    } {
+      val u = s"$scheme://$host$port$path$q$f"
+      val c1 = canonicalize(u)
+      assert(c1.isDefined, u)
+      assert(canonicalize(c1.get) == c1, u)
+    }
+  }
+}
