@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd: ~3-5x smaller state tables — trades shared-disk bandwidth
+      // (doesn't scale with cores) for compression CPU (does)
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -36,17 +39,36 @@ object Bench {
     session(cores)
   }
 
+  private def benchCorpus(scale: Double) = SyntheticCorpus.Config(
+    hosts = (2000 * scale).toInt.max(20), pathBits = 13,
+    maxOutlinks = 8, secretRate = 0.08,
+    // web-page-sized docs (~30 KB text+links+emails) with realistic rule-
+    // keyword sparsity: per-URL compute reflects a real fetch+detect
+    wordsBase = 2000, wordsJitter = 1200, keywordRate = 0.8)
+
+  /** Multi-wave crawl: exercises the full loop incl. per-wave snapshot
+    * barriers (which at 10^10-URL scale amortize to ~0 — waves are huge). */
+  def benchConfig(scale: Double): CrawlConfig = CrawlConfig(
+    nSeeds = (16000 * scale).toInt.max(50),
+    budgetPerHost = 120,
+    maxWaves = 3,
+    salts = 16,
+    corpus = benchCorpus(scale))
+
+  /** Steady-state config: ONE huge wave — the cluster-scale unit of work
+    * (fetch → detect → expand → commit of a large frontier batch), where
+    * the fixed wave barrier is paid once and parallel compute dominates.
+    * This is the honest sandbox proxy for N-vs-4N executor scaling. */
+  def steadyConfig(scale: Double): CrawlConfig = CrawlConfig(
+    nSeeds = (100000 * scale).toInt.max(100),
+    budgetPerHost = 120,
+    maxWaves = 1,
+    salts = 16,
+    corpus = benchCorpus(scale))
+
   /** One bench crawl: returns (urlsFetched, seconds). */
-  private def crawlRun(spark: SparkSession, scale: Double): (Long, Double) = {
+  def crawlRun(spark: SparkSession, cfg: CrawlConfig): (Long, Double) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
-    val cfg = CrawlConfig(
-      nSeeds = (2000 * scale).toInt.max(50),
-      budgetPerHost = 80,
-      maxWaves = 3,
-      salts = 16,
-      corpus = SyntheticCorpus.Config(
-        hosts = (1200 * scale).toInt.max(20), pathBits = 13,
-        maxOutlinks = 8, secretRate = 0.08))
     val t0 = System.nanoTime()
     val metrics = new Crawler(spark, cfg, new SnapshotStore(dir)).run()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -58,33 +80,85 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
 
+    val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("crawl")
+
     // ---- query battery on the shared-testdata tables ----
     var spark = freshSession(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, n)
-    }
+    val results = if (crawlOnly) Seq.empty else
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (name, sec, n)
+      }
     val total = results.map(_._2).sum
 
-    // ---- crawl throughput at two parallelism levels (north-rule evidence) ----
-    val warm = crawlRun(spark, scale * 0.1) // JIT + codegen warm-up
-    val (urls32, sec32) = crawlRun(spark, scale)
-    spark = freshSession(8)
-    val warm8 = crawlRun(spark, scale * 0.1)
-    val (urls8, sec8) = crawlRun(spark, scale)
-    val tput32 = urls32 / sec32
-    val tput8 = urls8 / sec8
-    val eff = tput32 / (4.0 * tput8)
+    // ---- crawl throughput: north-rule scaling evidence at N=6 vs 4N=24
+    // cores (leaving headroom for the VM's 5-18% hypervisor steal, which
+    // otherwise asymmetrically throttles the saturated side), plus a 32-core
+    // run for peak throughput. Warm-up matters: cold (pre-C2) code allocates
+    // ~10x more — observed 99s of GC in a first big run vs 0.7s warm. The
+    // JIT state survives session swaps (same JVM), so only the first session
+    // pays the big warm-up.
+    // headline full-loop throughput in THIS JVM (warm), at the session cores
+    val warm = crawlRun(spark, steadyConfig(scale * 0.3))
+    val warmF = crawlRun(spark, benchConfig(scale * 0.05))
+    val (urlsF, secF) = crawlRun(spark, benchConfig(scale))
+    spark.stop()
+
+    // N vs 4N scaling: each measurement in its OWN child JVM (one
+    // spark-submit analog each; restarted in-JVM SparkContexts degrade ~2x)
+    val s24 = crawlSubprocess(24, "steady", scale)
+    val s6 = crawlSubprocess(6, "steady", scale)
+    val f24 = crawlSubprocess(24, "full", scale)
+    val f6 = crawlSubprocess(6, "full", scale)
+    val effSteady = (s24._1 / s24._2) / (4.0 * (s6._1 / s6._2))
+    val effFull = (f24._1 / f24._2) / (4.0 * (f6._1 / f6._2))
 
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"query_battery_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""crawl":{"urls_32c":$urls32,"sec_32c":$sec32,"urls_per_sec_32c":$tput32,""" +
-      s""""urls_8c":$urls8,"sec_8c":$sec8,"urls_per_sec_8c":$tput8,""" +
-      s""""scaling_efficiency_8c_to_32c":$eff,""" +
-      s""""warmup_urls":${warm._1 + warm8._1}}}""")
-    spark.stop()
+      s""""crawl":{"full_urls":$urlsF,"full_sec_${cpus}c":$secF,"full_urls_per_sec_${cpus}c":${urlsF / secF},""" +
+      s""""fullsub_urls":${f24._1},"fullsub_sec_24c":${f24._2},"fullsub_urls_per_sec_24c":${f24._1 / f24._2},""" +
+      s""""fullsub_sec_6c":${f6._2},"fullsub_urls_per_sec_6c":${f6._1 / f6._2},""" +
+      s""""steady_urls":${s24._1},"steady_sec_24c":${s24._2},"steady_urls_per_sec_24c":${s24._1 / s24._2},""" +
+      s""""steady_sec_6c":${s6._2},"steady_urls_per_sec_6c":${s6._1 / s6._2},""" +
+      s""""scaling_efficiency_steady_6c_to_24c":$effSteady,""" +
+      s""""scaling_efficiency_full_6c_to_24c":$effFull,""" +
+      s""""warmup_urls":${warm._1 + warmF._1}}}""")
+  }
+
+  /** Run one crawl measurement in a dedicated child JVM; parse its RESULT. */
+  def crawlSubprocess(cores: Int, mode: String, scale: Double): (Long, Double) = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
+    val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
+      s"-Xmx$mem", s"-Xms$mem", "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy",
+      s"-Xmn${sys.env.getOrElse("SPARK_YOUNG_GEN", "20g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.CrawlOnce", cores.toString, mode, scale.toString)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    proc.waitFor()
+    val R = """RESULT urls=(\d+) sec=([\d.]+)""".r
+    R.findFirstMatchIn(out.toString) match {
+      case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
+      case None =>
+        System.err.println(s"[bench] child $cores/$mode failed:\n${out.toString.takeRight(2000)}")
+        (0L, Double.NaN)
+    }
   }
 }

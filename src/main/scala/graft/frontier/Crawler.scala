@@ -75,10 +75,11 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       .withColumn("priority", lit(Scheduler.SeedPriority))
   }
 
-  /** Union of fetch deltas committed so far = the URL-seen set. */
+  /** Union of fetch deltas committed so far = the URL-seen set. One
+    * multi-path scan, not a unionByName chain — a growing union makes the
+    * driver re-analyze O(waves) relations per wave. */
   def seenUpTo(wave: Int): DataFrame =
-    (0 to wave).map(w => store.read(spark, w, "crawl"))
-      .reduce(_ unionByName _)
+    spark.read.parquet((0 to wave).map(w => store.tablePath(w, "crawl")): _*)
 
   /** Run (or resume) the crawl; returns per-wave metrics. */
   def run(): Seq[WaveMetrics] = {
@@ -95,7 +96,7 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val metrics = scala.collection.mutable.ArrayBuffer.empty[WaveMetrics]
     var frontierCount = frontier.count()
     while (wave < cfg.maxWaves && frontierCount > 0) {
-      val m = step(wave, frontier)
+      val m = step(wave, frontier, Some(frontierCount))
       frontier = store.read(spark, wave, "frontier")
       frontierCount = m.frontierLeft
       metrics += m
@@ -104,18 +105,37 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     metrics.toSeq
   }
 
+  /** Frontier row count below which single-window ranking beats the salted
+    * two-phase (any single host fits one reducer comfortably). */
+  private val SaltThreshold = 500000L
+
+  /** Expected-fetch size above which the docs cache is skipped (recompute
+    * the deterministic fetch instead of caching multi-GB payloads). */
+  private val DocsCacheThreshold = 50000L
+
   /** One wave against the given frontier (seen = committed deltas < wave).
-    * Commits (frontier, crawl, findings, clocks, lineage) for `wave`. */
-  def step(wave: Int, frontier: DataFrame): WaveMetrics = {
+    * Commits (frontier, crawl, findings, wavemeta) for `wave`. */
+  def step(wave: Int, frontier: DataFrame,
+      frontierSizeHint: Option[Long] = None): WaveMetrics = {
     val corpus = cfg.corpus
 
     // 1. politeness + priority: per-host budget, salted two-phase top-k.
-    val fetchedSel = Scheduler.saltedTopKPerKey(
-      frontier, col("host"), col("url_hash"),
-      Seq(desc("priority"), asc("canonical")), cfg.budgetPerHost, cfg.salts)
+    // The ranked frontier is persisted once; "remaining" is a filter on it
+    // (no anti-join shuffle to subtract the fetched set). The salted
+    // pre-phase engages only when the frontier is big enough for a hot host
+    // to bottleneck one reducer (identical semantics either way).
+    val order = Seq(desc("priority"), asc("canonical"))
+    val rankedRaw =
+      if (frontierSizeHint.exists(_ <= SaltThreshold))
+        Scheduler.plainRank(frontier, col("host"), order)
+      else Scheduler.budgetRank(frontier, col("host"), col("url_hash"),
+        order, cfg.budgetPerHost, cfg.salts)
+    val ranked = rankedRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val fetchedSel = ranked.filter(col("rank") <= cfg.budgetPerHost).drop("rank")
+    val remaining = ranked.filter(col("rank") > cfg.budgetPerHost).drop("rank")
 
     // 2. fetch: canonical URL -> document (stand-in for the docs-table join).
-    val docs = fetchedSel
+    val docsRaw = fetchedSel
       .select($"canonical", $"url_hash", $"host", $"depth", $"priority")
       .as[(String, Long, String, Int, Double)]
       .mapPartitions { it =>
@@ -125,21 +145,28 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
         }
       }
       .toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small waves: cache the fetched docs (reused by 3 writes). Huge waves:
+    // recomputing the deterministic fetch beats pumping multi-GB payloads
+    // through the block manager alongside the wave's own shuffles.
+    val docsCached = frontierSizeHint.forall(_ <= DocsCacheThreshold)
+    val docs = if (docsCached) docsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      else docsRaw
 
+    // NOTE: `wave` rides as DATA from the fetch closure, never as lit(wave)
+    // inside these plans — a changing literal would force whole-stage-codegen
+    // recompilation every wave (driver-side, serial, seconds per wave).
     val textSpans = docs
-      .select($"canonical", $"depth", $"doc_id", explode($"spans").as("span"))
+      .select($"wave", $"canonical", $"depth", $"doc_id", explode($"spans").as("span"))
       .filter($"span.kind" === "text")
 
     // 3. detect: the rule engine as a Catalyst expression over text spans;
     // media spans pass through untouched (not selected here).
     val findings = textSpans
-      .select($"canonical", $"doc_id", $"span.offset".as("span_offset"),
+      .select($"wave", $"canonical", $"doc_id", $"span.offset".as("span_offset"),
         explode(detect_secrets($"span.text")).as("f"))
-      .select($"canonical", $"doc_id", $"span_offset",
+      .select($"wave", $"canonical", $"doc_id", $"span_offset",
         $"f.rule_id", $"f.severity", $"f.fingerprint", $"f.match",
         $"f.entropy", $"f.finding_json")
-      .withColumn("wave", lit(wave))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val hitDocs = findings.select($"canonical").distinct()
@@ -178,8 +205,6 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       if (wave == 0) docs.select($"url_hash")
       else seenUpTo(wave - 1).select($"url_hash")
         .unionByName(docs.select($"url_hash"))
-    val remaining = frontier.join(
-      docs.select("url_hash"), Seq("url_hash"), "left_anti")
     val newLinksRaw =
       if (cfg.useBloom) {
         // delta-merge fetched hashes into the running shards, then prefilter
@@ -200,19 +225,16 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
         min($"depth").as("depth"), max($"priority").as("priority"))
       .observe(obsFrontier, count(lit(1)).as("frontier_left"))
 
-    // politeness clocks: cumulative per-host fetch counts (two-phase agg)
-    val prevClocks = if (wave > 0 && store.exists(wave - 1, "clocks"))
-      store.read(spark, wave - 1, "clocks")
-    else Seq.empty[(String, Long)].toDF("host", "fetched")
-    val clocks = prevClocks
-      .unionByName(docs.groupBy($"host").agg(count(lit(1)).as("fetched")))
-      .groupBy($"host").agg(sum($"fetched").as("fetched"))
-
-    // per-partition lineage metrics (north rule: per-partition lineage)
-    val lineage = docs
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows"))
-      .withColumn("wave", lit(wave))
+    // per-wave metadata in ONE table/write: politeness-clock deltas
+    // (kind=clock, cumulative view = clocksUpTo) and per-partition lineage
+    // rows (kind=lineage; north rule: per-partition lineage + metrics)
+    val wavemeta = docs
+      .groupBy($"wave", lit("clock").as("kind"), $"host".as("key"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(docs
+        .groupBy($"wave", lit("lineage").as("kind"),
+          spark_partition_id().cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
 
     val obsCrawl = new Observation(s"crawl-$wave")
     val crawl = docs
@@ -222,12 +244,11 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val obsFindings = new Observation(s"findings-$wave")
     val findingsOut = findings.observe(obsFindings, count(lit(1)).as("n"))
 
-    store.commit(wave, Map(
-      "crawl" -> crawl,            // fetch log AND seen-set delta
+    store.commit(wave, Seq(
+      "crawl" -> crawl,            // fetch log AND seen-set delta (caches docs)
       "findings" -> findingsOut,
-      "frontier" -> newFrontier,
-      "clocks" -> clocks,
-      "lineage" -> lineage))
+      "frontier" -> newFrontier,   // expansion plan, reuses cached docs
+      "wavemeta" -> wavemeta.coalesce(1)))  // tiny: one file, no fan-out
 
     val m = WaveMetrics(
       wave,
@@ -235,10 +256,19 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       findings = obsFindings.get("n").asInstanceOf[Long],
       newLinks = obsLinks.get("new_links").asInstanceOf[Long],
       frontierLeft = obsFrontier.get("frontier_left").asInstanceOf[Long])
-    docs.unpersist()
+    ranked.unpersist()
+    if (docsCached) docs.unpersist()
     findings.unpersist()
     m
   }
+
+  def wavemetaUpTo(wave: Int): DataFrame =
+    spark.read.parquet((0 to wave).map(w => store.tablePath(w, "wavemeta")): _*)
+
+  /** Cumulative politeness clocks = sum of per-wave deltas. */
+  def clocksUpTo(wave: Int): DataFrame =
+    wavemetaUpTo(wave).filter($"kind" === "clock")
+      .groupBy($"key".as("host")).agg(sum($"n").as("fetched"))
 
   /** Full crawl log across committed waves, in crawl order
     * (wave, priority desc, canonical asc). */

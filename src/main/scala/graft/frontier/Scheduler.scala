@@ -27,17 +27,40 @@ object Scheduler {
       saltSource: Column,
       order: Seq[Column],
       k: Int,
+      salts: Int): DataFrame =
+    budgetRank(df, key, saltSource, order, k, salts)
+      .filter(col("rank") <= k).drop("rank")
+
+  /** Rank every row per key, exact up to k and a >k sentinel beyond: the
+    * salted phase ranks within (key, salt); rows with salted rank > k are
+    * provably beyond budget in the final order too (their final rank ≥
+    * salted rank), so only ≤ salts·k survivors per key enter the final
+    * per-key window — a hot key never funnels all its rows through one
+    * reducer. Callers split fetched/remaining on `rank` ≤/> k without a
+    * subtraction join. */
+  def budgetRank(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      order: Seq[Column],
+      k: Int,
       salts: Int): DataFrame = {
     require(k > 0 && salts > 0)
     val pre = Window.partitionBy(key, pmod(saltSource, lit(salts))).orderBy(order: _*)
     val fin = Window.partitionBy(key).orderBy(order: _*)
-    df.withColumn("__rn1", row_number().over(pre))
-      .filter(col("__rn1") <= k)
-      .drop("__rn1")
-      .withColumn("__rn2", row_number().over(fin))
-      .filter(col("__rn2") <= k)
-      .drop("__rn2")
+    val salted = df.withColumn("__rn1", row_number().over(pre))
+    val head = salted.filter(col("__rn1") <= k)
+      .withColumn("rank", row_number().over(fin))
+    val tail = salted.filter(col("__rn1") > k)
+      .withColumn("rank", lit(Int.MaxValue))
+    head.unionByName(tail).drop("__rn1")
   }
+
+  /** Single-window rank — same semantics as budgetRank, one shuffle. Right
+    * when no key's row count threatens a single reducer (small frontiers);
+    * the crawler switches on a size hint. */
+  def plainRank(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
+    df.withColumn("rank", row_number().over(Window.partitionBy(key).orderBy(order: _*)))
 
   /** Priority function shared with the oracle: rule-hit score + depth decay.
     * Seeds get 2.0 (always ahead of discovered links). */

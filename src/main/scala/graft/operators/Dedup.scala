@@ -46,11 +46,14 @@ object Dedup {
     val sigs = minhashSignature(text, w, k)
     val withSigs = df.select(id.as("id") +: sigs: _*)
     val nBands = k / bandsOf
-    val bands = (0 until nBands).map { b =>
+    // one row per (doc, band) via an array+posexplode projection — the
+    // signature computation (k regex+md5 passes over the text) runs exactly
+    // once per doc, not once per band branch
+    val bandHashes = array((0 until nBands).map { b =>
       val cols = (0 until bandsOf).map(r => col(s"sig${b * bandsOf + r}"))
-      withSigs.select(col("id"), lit(b).as("band"), md5(concat(cols: _*)).as("bucket"))
-    }
-    bands.reduce(_ unionByName _)
+      md5(concat(cols: _*))
+    }: _*)
+    withSigs.select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
   }
 
   /** Candidate near-dup pairs from LSH band buckets (a < b, distinct). */

@@ -1,0 +1,39 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Evidence slicing — the ±5-line context window renderer of the reference
+  * (/root/reference/filecrawler/libs/slice.py:15-87, minus ANSI/PNG output):
+  * find every line containing any finding string, keep a window of
+  * `context` lines around each hit, merge overlapping windows, render kept
+  * lines with 1-based line numbers and "..." separators between gaps.
+  * Feeds the `filtered_content` field (crawlerbase.py:476-478).
+  */
+object Evidence {
+
+  val DefaultContext = 5
+
+  /** Pure function: (content, finding strings) -> rendered slice. */
+  def slice(content: String, findings: Seq[String],
+      context: Int = DefaultContext): String = {
+    if (content == null || content.isEmpty || findings.isEmpty) return ""
+    val lines = content.split("\n", -1)
+    val hits = lines.indices.filter(i => findings.exists(f => f.nonEmpty && lines(i).contains(f)))
+    if (hits.isEmpty) return ""
+    val keep = new java.util.TreeSet[Integer]()
+    hits.foreach { h =>
+      (math.max(0, h - context) to math.min(lines.length - 1, h + context))
+        .foreach(i => keep.add(i))
+    }
+    val out = new ArrayBuffer[String]()
+    var prev = -2
+    val it = keep.iterator()
+    while (it.hasNext) {
+      val i = it.next().intValue()
+      if (prev >= 0 && i > prev + 1) out += "..."
+      out += s"${i + 1}: ${lines(i)}"
+      prev = i
+    }
+    out.mkString("\n")
+  }
+}

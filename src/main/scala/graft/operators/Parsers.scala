@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.nio.charset.{CharsetDecoder, CodingErrorAction, StandardCharsets}
+
+import graft.rules.{PyJson, PyVal}
+
+/** The reference's parser layer (SURVEY.md §2.4): mime-first / extension-
+  * second / default-last dispatch over a static registry
+  * (parserbase.py:31-61), content = lossy-UTF-8 decode of the first
+  * `indexed_chars` bytes (parserbase.py:188-203), plus the per-format
+  * transforms that are portable without external tooling:
+  *  - P1 Default: decode + truncate
+  *  - P3 JSON: optional re-pretty-print (json.dumps indent=2), CPython-exact
+  *  - P8 PCAP/VDisk/WindowsBin: stubs -> empty content (parity)
+  *  - P2 PDF/Image/Office (Tika OCR), P6 certs (BouncyCastle), P7 javap:
+  *    external-tool parsers — dispatch resolves them (names preserved), the
+  *    decode step passes content through like P1 (this container ships no
+  *    Tika/BC; media payloads flow as media_ref per the north rule)
+  * Pure functions, usable in Dataset.map or wrapped as expressions.
+  */
+object Parsers {
+
+  final case class ParserSpec(name: String, extensions: Seq[String],
+      mimeTypes: Seq[String], kind: String)
+
+  /** Registry in the reference's load order (pkgutil alphabetical module
+    * walk; class-definition order within modules). */
+  val registry: Vector[ParserSpec] = Vector(
+    ParserSpec("Certificates Parser",
+      Seq("p8", "key", "p10", "csr", "cer", "crl", "p7c", "crt", "der", "pem",
+        "p12", "pfx", "p7b", "spc", "p7r"), Nil, "passthrough"),
+    ParserSpec("Default", Nil, Nil, "default"),
+    ParserSpec("Image Parser", Seq("png", "jpg", "jpeg", "gif", "emf"), Nil, "passthrough"),
+    ParserSpec("Java Classes Parser", Nil, Seq("application/x-java-applet"), "passthrough"),
+    ParserSpec("JSON Parser", Seq("json"), Seq("application/json"), "json"),
+    ParserSpec("Office Parser",
+      Seq("doc", "docx", "ppt", "pptx", "xls", "xlsx", "odt", "xlsm", "xltm", "xlsb"),
+      Seq("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+      "passthrough"),
+    ParserSpec("PCAP Parser", Seq("pcap", "pcapx"),
+      Seq("application/vnd.tcpdump.pcap"), "stub"),
+    ParserSpec("PDF Parser", Seq("pdf"), Nil, "passthrough"),
+    ParserSpec("VDisk Parser", Seq("vmdk", "vhd", "vhdx"), Nil, "stub"),
+    ParserSpec("Windows Binary Parser", Seq("exe", "dll", "ocx"),
+      Seq("application/vnd.microsoft.portable-executable"), "stub"),
+    ParserSpec("XML Parser", Seq("xml"), Seq("text/xml"), "default"),
+    ParserSpec("YAML Parser", Seq("yml", "yaml"), Nil, "default"))
+
+  private val default = ParserSpec("Default", Nil, Nil, "default")
+
+  /** parserbase.get_parser_instance: first mime match over the registry,
+    * else first extension match, else Default. */
+  def dispatch(extension: String, mime: String): ParserSpec = {
+    val ext = Option(extension).getOrElse("").trim.stripPrefix(".").toLowerCase
+    val m = Option(mime).getOrElse("").trim
+    registry.find(p => m.nonEmpty && p.mimeTypes.contains(m))
+      .orElse(registry.find(p => ext.nonEmpty && p.extensions.contains(ext)))
+      .getOrElse(default)
+  }
+
+  /** get_readable_data: first `indexedChars` BYTES, utf-8 decoded with
+    * errors='ignore' (invalid sequences dropped, not replaced). */
+  def readableData(bytes: Array[Byte], indexedChars: Int): String = {
+    val slice = if (indexedChars > 0 && bytes.length > indexedChars)
+      java.util.Arrays.copyOfRange(bytes, 0, indexedChars) else bytes
+    val dec: CharsetDecoder = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+    dec.decode(java.nio.ByteBuffer.wrap(slice)).toString
+  }
+
+  /** Full parse: (content, parserName). jsonSupport mirrors the reference's
+    * (default-off) re-pretty-print; failures keep the raw content. */
+  def parse(extension: String, mime: String, bytes: Array[Byte],
+      indexedChars: Int = 1000000, jsonSupport: Boolean = false): (String, String) = {
+    val spec = dispatch(extension, mime)
+    spec.kind match {
+      case "stub" => ("", spec.name)
+      case "json" =>
+        val content = readableData(bytes, indexedChars)
+        val out = if (jsonSupport) {
+          try PyJson.dumpsPretty(PyJson.loads(content), 2)
+          catch { case _: Throwable => content }
+        } else content
+        (out, spec.name)
+      case _ => (readableData(bytes, indexedChars), spec.name)
+    }
+  }
+}

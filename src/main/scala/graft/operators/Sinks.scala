@@ -1,0 +1,23 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY.md §2.9). The reference's ES/local-JSON/alert
+  * sinks become table writes + filters; the outbox/retry machinery (K3) is
+  * subsumed by snapshot commits (graft.state.SnapshotStore).
+  */
+object Sinks {
+
+  /** K2 local-JSON sink: only docs that carry credentials are written
+    * (cmd/local.py:61-82's `has_credential` gate), one JSON line per doc. */
+  def localJson(findings: DataFrame, outDir: String): Unit =
+    findings.write.mode("overwrite").json(outDir)
+
+  /** K4 alert gate: findings at or above the severity floor (default 70,
+    * alertbase.py:29), deduped by finding fingerprint (D3: the reference's
+    * UNIQUE(index_id, fingerprint) alert upsert). */
+  def alerts(findings: DataFrame, minSeverity: Int = 70): DataFrame =
+    findings.filter(col("severity") >= minSeverity)
+      .dropDuplicates("fingerprint")
+}

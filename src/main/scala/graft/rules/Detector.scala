@@ -48,7 +48,11 @@ final case class RuleSpec(
     secretGroup: Int,
     severity: Int = 70,
     // (fullText, match, nowEpochSec) => Some(extraFields) | None = FalsePositiveError
-    post: (String, String, Long) => Option[PyObj] = (_, _, _) => Some(PyObj.empty)) {
+    post: (String, String, Long) => Option[PyObj] = (_, _, _) => Some(PyObj.empty),
+    /** Literal substrings the main regex REQUIRES to match (derivable from
+      * the pattern, e.g. '@' for url-creds). Pure fast path: skipping the
+      * regex when absent cannot change results. Checked on the raw text. */
+    requiredChars: Seq[String] = Nil) {
   val lowerKeywords: Seq[String] = keywords.map(_.toLowerCase)
   val lowerExcludes: Seq[String] = excludeKeywords.map(_.toLowerCase)
   def ruleName: String = s"$name <$id>" // str(RuleBase), rulebase.py:63-67
@@ -399,13 +403,19 @@ object Detector {
   // ---------------- the 18 rules, registry order = reference import order ----------------
   // (pkgutil alphabetical module walk + class definition order; SURVEY.md §2.5)
 
+  // Possessive quantifiers ({n,m}+) below are RESULT-PRESERVING rewrites of
+  // the reference patterns: each rewritten class excludes the character the
+  // regex requires next, so greedy backtracking over that run can never
+  // succeed — Java just stops simulating it. Verified by the golden suite
+  // and the 307-case fuzz differential against the live reference engine.
   private val gitlabUrlTokenRule = RuleSpec(
     id = "gitlab-oauth-url", name = "GitHub OAuth URL Access Token",
     regex = Some(Pattern.compile(
-      """(http|https|ssh|git)://(oauth2|gitlab-ci-token):[^@:/\n"' ]{16,256}@(?:(?:[a-zA-Z0-9-_]+\.)?[a-zA-Z_]+\.)?(gitlab)[a-zA-Z0-9._-]{0,256}[:0-9]{0,6}""")),
+      """(http|https|ssh|git)://(oauth2|gitlab-ci-token):[^@:/\n"' ]{16,256}+@(?:(?:[a-zA-Z0-9-_]+\.)?[a-zA-Z_]+\.)?(gitlab)[a-zA-Z0-9._-]{0,256}[:0-9]{0,6}""")),
     fpRegex = None,
     keywords = Seq("://"), excludeKeywords = Nil, secretGroup = 0,
-    post = gitlabUrlPost)
+    post = gitlabUrlPost,
+    requiredChars = Seq("@", "gitlab"))
 
   val rules: Vector[RuleSpec] = Vector(
     RuleSpec("adafruit-api-key", "Adafruit API Key",
@@ -446,7 +456,7 @@ object Detector {
       Some(Pattern.compile("""GR1348941[0-9a-zA-Z\-\_]{20}""")), None, Seq("GR1348941"), Nil, 0),
     gitlabUrlTokenRule,
     RuleSpec("http-auth-header", "HTTP Authorization Header",
-      Some(Pattern.compile("""(?i)(Authorization|x-auth|x-token)[ ]{0,1}:[ ]{0,1}([a-za_z0-9]{1,50}) ([A-Za-z0-9/+=.-]+)""")),
+      Some(Pattern.compile("""(?i)(Authorization|x-auth|x-token)[ ]{0,1}:[ ]{0,1}([a-za_z0-9]{1,50}+) ([A-Za-z0-9/+=.-]++)""")),
       Some(Pattern.compile("""[a-zA-Z0-9_-]{2,30}://([<]{0,1})(user|username|usuario)([>]{0,1}):([<]{0,1})(pass|password|token|secret|senha)([>]{0,1})@""")),
       Seq("Authorization"),
       // missing-comma quirk in the reference (httpheader.py:17-22): "\n" and
@@ -454,15 +464,17 @@ object Detector {
       Seq("\nsqlserver://", "smtp://", "mailto:"),
       secretGroup = 0, post = httpHeaderPost),
     RuleSpec("jwt", "JSON Web Token",
-      Some(uniqueToken("""ey[0-9a-z]{30,34}\.ey[0-9a-z-\/_]{30,500}\.[0-9a-zA-Z-\/_]{10,200}={0,2}""")),
-      None, Seq("ey"), Nil, secretGroup = 1, post = jwtPost),
+      Some(uniqueToken("""ey[0-9a-z]{30,34}+\.ey[0-9a-z-\/_]{30,500}+\.[0-9a-zA-Z-\/_]{10,200}+={0,2}""")),
+      None, Seq("ey"), Nil, secretGroup = 1, post = jwtPost,
+      requiredChars = Seq(".")),
     RuleSpec("url-creds", "URL Credentials",
       Some(Pattern.compile(
-        """([a-zA-Z0-9_-]{2,30}://[^@:/\n"' ]{1,256}:[^@:/\n"' ]{1,256}@[a-zA-Z0-9._-]{2,256}.[a-zA-Z0-9.]{2,256}[:0-9]{0,6})""")),
+        """([a-zA-Z0-9_-]{2,30}+://[^@:/\n"' ]{1,256}+:[^@:/\n"' ]{1,256}+@[a-zA-Z0-9._-]{2,256}.[a-zA-Z0-9.]{2,256}[:0-9]{0,6})""")),
       Some(Pattern.compile(
         """[a-zA-Z0-9_-]{2,30}://([<]{0,1})(user|username|usuario)([>]{0,1}):([<]{0,1})(pass|password|token|secret|senha|pwd)([>]{0,1})@""")),
       Seq("://"), Seq("\n", "sqlserver://", "smtp://", "mailto:"),
-      secretGroup = 0, post = urlCredsPost)
+      secretGroup = 0, post = urlCredsPost,
+      requiredChars = Seq("@"))
   )
 
   val ruleById: Map[String, RuleSpec] = rules.map(r => r.id -> r).toMap
@@ -470,9 +482,18 @@ object Detector {
   /** RuleBase.run (rulebase.py:285-345): keyword prefilter → regex →
     * first-occurrence dedup → exclude keywords → two-stage FP filter →
     * post-processors → fingerprint. Returns the finding data dicts in order. */
-  def runRule(rule: RuleSpec, text: String, now: Long): Vector[PyObj] = {
+  def runRule(rule: RuleSpec, text: String, now: Long): Vector[PyObj] =
+    runRule(rule, text, text.toLowerCase, now)
+
+  /** `lText` = text.toLowerCase, computed once per detect() call — the
+    * reference lowercases per rule (rulebase.py:298), 18 copies per doc;
+    * hoisting it is allocation-neutral to results. */
+  def runRule(rule: RuleSpec, text: String, lText: String, now: Long): Vector[PyObj] = {
     if (rule.lowerKeywords.isEmpty) return Vector.empty
-    val lText = text.toLowerCase
+    // fast path (not in the reference, result-preserving): a regex that
+    // requires a literal char can't match text lacking it
+    if (rule.requiredChars.nonEmpty && !rule.requiredChars.forall(text.contains))
+      return Vector.empty
     if (!rule.lowerKeywords.exists(lText.contains)) return Vector.empty
 
     var findings = Vector.empty[String]
@@ -508,8 +529,9 @@ object Detector {
     * flattened to one Finding per (rule, match) preserving both orders. */
   def detect(text: String, now: Long = FixedNowEpochSec): Vector[Finding] = {
     if (text == null) return Vector.empty
+    val lText = text.toLowerCase
     rules.flatMap { rule =>
-      runRule(rule, text, now).map(d => toFinding(rule, d))
+      runRule(rule, text, lText, now).map(d => toFinding(rule, d))
     }
   }
 

@@ -116,6 +116,36 @@ object PyJson {
     } else java.lang.Double.toString(d)
   }
 
+  /** CPython json.dumps(obj, indent=n, sort_keys=False): newline+level
+    * indentation, item separator "," (no trailing space), key separator
+    * ": ", empty containers stay "{}"/"[]". */
+  def dumpsPretty(v: PyVal, indent: Int): String = {
+    val sb = new StringBuilder
+    def pad(level: Int): Unit = { sb.append('\n'); sb.append(" " * (indent * level)) }
+    def go(v: PyVal, level: Int): Unit = v match {
+      case PyArr(xs) if xs.isEmpty => sb.append("[]")
+      case PyObj(kvs) if kvs.isEmpty => sb.append("{}")
+      case PyArr(xs) =>
+        sb.append('[')
+        xs.zipWithIndex.foreach { case (x, i) =>
+          if (i > 0) sb.append(',')
+          pad(level + 1); go(x, level + 1)
+        }
+        pad(level); sb.append(']')
+      case PyObj(kvs) =>
+        sb.append('{')
+        kvs.zipWithIndex.foreach { case ((k, x), i) =>
+          if (i > 0) sb.append(',')
+          pad(level + 1)
+          sb.append(dumps(PyStr(k))); sb.append(": "); go(x, level + 1)
+        }
+        pad(level); sb.append('}')
+      case other => sb.append(dumps(other))
+    }
+    go(v, 0)
+    sb.toString
+  }
+
   // ---------------- parser (json.loads analog) ----------------
 
   final case class ParseError(msg: String) extends RuntimeException(msg)

@@ -32,7 +32,14 @@ object SyntheticCorpus {
       secretRate: Double = 0.08,
       /** Zipf-ish skew exponent for target-host selection: u^skew biases
         * towards host 0 — exercises the salting/skew path. */
-      skew: Double = 2.5)
+      skew: Double = 2.5,
+      /** words per text span: base + rng(jitter) — bench uses larger docs
+        * so per-URL compute reflects real page sizes. */
+      wordsBase: Int = 5,
+      wordsJitter: Int = 15,
+      /** probability a text span carries rule-keyword words (activating
+        * those rules' regex scans like real pages do). */
+      keywordRate: Double = 0.35)
 
   /** Spark SQL xxhash64 seed — same value the built-in uses. */
   val XxSeed = 42L
@@ -49,7 +56,18 @@ object SyntheticCorpus {
   private val words = Vector(
     "the", "config", "deploy", "server", "data", "index", "crawl", "batch",
     "value", "spark", "shuffle", "filter", "join", "window", "stream",
-    "partition", "schema", "column", "query", "scan")
+    "partition", "schema", "column", "query", "scan",
+    // realistic '@' density: emails keep the url-creds/auth rules' regexes
+    // honest on the hot path (their keyword+required-char gates pass)
+    "mail ops@corp.test", "cc admin@h0.test")
+
+  /** Rule-keyword words (real pages mention these): the rule's prefilter
+    * passes and its regex scans, but nothing matches — inserted per span at
+    * cfg.keywordRate, modeling realistic keyword sparsity. */
+  private val keywordWords = Vector(
+    "Authorization policy", "adobe suite", "adafruit sensor", "AKIA prefix",
+    "x-token header", "glpat-rotation", "github_pat_ docs", "ghp_ tokens",
+    "gho_ section", "AGE-SECRET-KEY-1 rotation", "GR1348941 runner")
 
   private val secretPool = Vector(
     // shapes from the reference's own tp corpus (tests/fakedata, rules _tps)
@@ -115,8 +133,13 @@ object SyntheticCorpus {
         Span("media", null, f"blob://${rng.nextLong()}%016x", offset)
       } else {
         val sb = new StringBuilder
-        (0 until 5 + rng.nextInt(15)).foreach { _ =>
+        (0 until cfg.wordsBase + rng.nextInt(cfg.wordsJitter)).foreach { _ =>
           sb.append(words(rng.nextInt(words.size))).append(' ')
+        }
+        if (rng.nextDouble() < cfg.keywordRate) {
+          (0 to rng.nextInt(3)).foreach { _ =>
+            sb.append(keywordWords(rng.nextInt(keywordWords.size))).append(' ')
+          }
         }
         if (i < linksPerSpan.size)
           linksPerSpan(i).foreach { t =>

@@ -28,10 +28,26 @@ final class SnapshotStore(rootDir: String) {
   def tablePath(wave: Int, table: String): String =
     root.resolve(s"wave=$wave").resolve(table).toString
 
-  /** Write state tables for `wave`, then commit atomically. */
-  def commit(wave: Int, tables: Map[String, DataFrame]): Unit = {
-    tables.foreach { case (name, df) =>
+  private val timing = sys.env.contains("GRAFT_COMMIT_TIMING")
+
+  /** Write state tables for `wave`, then commit atomically. The FIRST table
+    * is written alone (it materializes shared caches); the rest write
+    * concurrently — independent Spark jobs fill idle cores instead of
+    * queueing behind each other's small serial stages. */
+  def commit(wave: Int, tables: Seq[(String, DataFrame)]): Unit = {
+    def writeOne(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(tablePath(wave, name))
+      if (timing)
+        println(f"    [commit] wave=$wave $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    tables.headOption.foreach { case (n, df) => writeOne(n, df) }
+    if (tables.size > 1) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = tables.tail.map { case (n, df) => Future(writeOne(n, df)) }
+      fs.foreach(Await.result(_, Duration.Inf))
     }
     val tmp = root.resolve(s"_LATEST.tmp$wave")
     Files.writeString(tmp, wave.toString)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.detect_secrets
+
+/** Structured Streaming surface. The reference is a batch tool with
+  * streaming-shaped internals (bounded queues + outbox + idempotent sinks,
+  * SURVEY.md §2.11); these operators re-express that shape on real streams:
+  *  - a continuous document feed -> detect -> findings stream (the
+  *    producer→worker pipeline, crawlerbase.py:291-300)
+  *  - watermarked tumbling-window finding counts (the status thread's
+  *    counters, crawlerbase.py:302-335, with event-time semantics)
+  *  - mapGroupsWithState sessionization of per-host fetch activity (the
+  *    politeness-clock state, kept in the state store instead of SQLite)
+  * All transforms work identically on batch DataFrames (tested through
+  * MemoryStream in StreamingSpec).
+  */
+object Streams {
+
+  /** Detect secrets on a streaming (or batch) frame of (doc_id, ts, text):
+    * one row per finding. Stateless map — safe under any trigger. The
+    * watermark is declared HERE, on the doc stream, not downstream of the
+    * explode: findings-free documents must still advance event time, or
+    * windows would only close when new secrets arrive. */
+  def detectStream(docs: DataFrame): DataFrame =
+    docs.withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        explode(detect_secrets(col("text"))).as("f"))
+      .select(col("doc_id"), col("ts"),
+        col("f.rule_id"), col("f.severity"), col("f.fingerprint"))
+
+  /** Watermarked tumbling-window severity stats per rule: late data beyond
+    * the detectStream watermark is dropped, state is bounded — the streaming
+    * analog of the reference's run counters (A1). */
+  def windowedFindingCounts(findings: DataFrame): DataFrame =
+    findings
+      .groupBy(window(col("ts"), "5 minutes"), col("rule_id"))
+      .agg(count(lit(1)).as("n"), max(col("severity")).as("max_severity"))
+      .select(col("window.start").as("window_start"), col("rule_id"),
+        col("n"), col("max_severity"))
+
+  final case class HostEvent(host: String, ts: Timestamp)
+  final case class HostSession(host: String, started: Timestamp,
+      lastSeen: Timestamp, fetches: Long, closed: Boolean)
+
+  /** Per-host fetch sessions with a 30-minute idle timeout via
+    * mapGroupsWithState — the politeness clock as managed state. */
+  def hostSessions(events: Dataset[HostEvent]): Dataset[HostSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.host)
+      .mapGroupsWithState[HostSession, HostSession](
+        GroupStateTimeout.EventTimeTimeout) {
+        (host: String, batch: Iterator[HostEvent], state: GroupState[HostSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get.copy(closed = true)
+            state.remove()
+            s
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption
+            val first = evs.map(_.ts).minBy(_.getTime)
+            val last = evs.map(_.ts).maxBy(_.getTime)
+            val s = HostSession(
+              host,
+              prev.map(_.started).getOrElse(first),
+              prev.map(p => if (p.lastSeen.after(last)) p.lastSeen else last).getOrElse(last),
+              prev.map(_.fetches).getOrElse(0L) + evs.size,
+              closed = false)
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastSeen.getTime + 30 * 60 * 1000)
+            s
+          }
+      }
+  }
+
+  /** Wire a docs stream end-to-end to an in-memory findings sink; returns
+    * the query name to poll. */
+  def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =
+    detectStream(docs).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Bench
+import graft.frontier.Crawler
+import graft.state.SnapshotStore
+
+/** One crawl measurement in a dedicated JVM (the sandbox analog of one
+  * spark-submit): warms the JVM (cold pre-C2 code allocates ~10x more;
+  * a cold first run pays ~100s of GC), then runs the measured crawl and
+  * prints one RESULT line. Spawned by Bench — reusing or restarting
+  * SparkContexts inside one JVM measurably degrades later runs (~2x), so
+  * each (cores, config) gets a fresh process.
+  *
+  * Usage: CrawlOnce <cores> <steady|full> <scale>
+  */
+object CrawlOnce {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val mode = args(1)
+    val scale = args(2).toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-crawl-once-$cores-$mode")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def cfg(s: Double) =
+      if (mode == "steady") Bench.steadyConfig(s) else Bench.benchConfig(s)
+    // warm-up (not measured)
+    Bench.crawlRun(spark, cfg(scale * 0.3))
+    val (urls, sec) = Bench.crawlRun(spark, cfg(scale))
+    println(s"RESULT urls=$urls sec=$sec")
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.frontier.{CrawlConfig, Crawler}
+import graft.sources.SyntheticCorpus
+import graft.state.SnapshotStore
+
+/** Dev profiling harness: per-wave wall time + GC time at a given core count.
+  * Usage: runMain graft.tools.CrawlProfile <cores> <scale> */
+object CrawlProfile {
+  private def gcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 32
+    val scale = if (args.length > 1) args(1).toDouble else 1.0
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = if (args.length > 2 && args(2) == "steady")
+      graft.Bench.steadyConfig(scale)
+    else graft.Bench.benchConfig(scale)
+    // warm-up
+    val warmDir = java.nio.file.Files.createTempDirectory("prof-warm").toString
+    new Crawler(spark, cfg.copy(nSeeds = 500, maxWaves = 2), new SnapshotStore(warmDir)).run()
+
+    (1 to 2).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory("prof").toString
+      val store = new SnapshotStore(dir)
+      val crawler = new Crawler(spark, cfg, store)
+      var frontier = crawler.seedFrontier()
+      var wave = 0
+      var total = 0L
+      val t00 = System.nanoTime()
+      while (wave < cfg.maxWaves) {
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        val m = crawler.step(wave, frontier)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rt = Runtime.getRuntime
+        val usedGb = (rt.totalMemory - rt.freeMemory) / 1e9
+        println(f"round $round wave $wave: fetched=${m.fetched} findings=${m.findings} " +
+          f"newLinks=${m.newLinks} frontier=${m.frontierLeft} " +
+          f"wall=$sec%.2fs gc=${gcMs - g0}ms heap=$usedGb%.1fg/${rt.totalMemory / 1e9}%.0fg")
+        frontier = store.read(spark, wave, "frontier")
+        total += m.fetched
+        wave += 1
+      }
+      val wall = (System.nanoTime() - t00) / 1e9
+      println(f"round $round cores=$cores total=$total wall=$wall%.2fs tput=${total / wall}%.0f urls/s")
+      System.gc()
+      val rt = Runtime.getRuntime
+      println(f"  post-gc heap=${(rt.totalMemory - rt.freeMemory) / 1e9}%.1fg")
+    }
+    spark.stop()
+  }
+}

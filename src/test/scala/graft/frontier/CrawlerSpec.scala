@@ -73,8 +73,8 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("politeness clock equality vs oracle") {
-    val (_, store, metrics) = engineRun
-    val got = store.read(spark, metrics.last.wave, "clocks")
+    val (crawler, _, metrics) = engineRun
+    val got = crawler.clocksUpTo(metrics.last.wave)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == oracle.clocks)
   }
@@ -119,8 +119,9 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
   test("lineage metrics: per-partition rows sum to fetched count") {
     val (_, store, metrics) = engineRun
     metrics.foreach { m =>
-      val rows = store.read(spark, m.wave, "lineage")
-        .agg(sum("rows")).collect()(0).getLong(0)
+      val rows = store.read(spark, m.wave, "wavemeta")
+        .filter(col("kind") === "lineage")
+        .agg(sum("n")).collect()(0).getLong(0)
       assert(rows == m.fetched)
     }
   }

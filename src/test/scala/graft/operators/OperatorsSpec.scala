@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Unit coverage for the operator library on tiny literal data (the driver's
+  * DuckDB gate covers them at sf scale; these pin semantics). */
+class OperatorsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("evidence slice: windows, merges, line numbers, gaps (slice.py semantics)") {
+    val content = (1 to 20).map(i => s"line $i body").mkString("\n")
+    val out = Evidence.slice(content, Seq("line 10"), context = 2)
+    assert(out ==
+      """8: line 8 body
+        |9: line 9 body
+        |10: line 10 body
+        |11: line 11 body
+        |12: line 12 body""".stripMargin)
+    // two hits with a gap -> "..." separator
+    val out2 = Evidence.slice(content, Seq("line 3 ", "line 15"), context = 1)
+    assert(out2 ==
+      """2: line 2 body
+        |3: line 3 body
+        |4: line 4 body
+        |...
+        |14: line 14 body
+        |15: line 15 body
+        |16: line 16 body""".stripMargin)
+    // overlapping windows merge without separator
+    val out3 = Evidence.slice(content, Seq("line 5 ", "line 6 "), context = 1)
+    assert(!out3.contains("..."))
+    assert(Evidence.slice(content, Seq("absent")) == "")
+    assert(Evidence.slice("", Seq("x")) == "")
+  }
+
+  test("shingles and minhash signatures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("alpha beta gamma", "beta gamma delta"))
+    val pairs = Dedup.lshCandidatePairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // dups bucket together, distinct text doesn't
+  }
+
+  test("shingle jaccard") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("s1", "s2")
+    val j = df.select(Dedup.shingleJaccard(col("s1"), col("s2"), 2).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0)
+    assert(j(1) == 0.0)
+  }
+
+  test("cosine: orthogonal and identical vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(Dedup.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(c(0) - 1.0) < 1e-12)
+    assert(math.abs(c(1)) < 1e-12)
+  }
+
+  test("brute-force ANN ranks by cosine desc with id tie-break") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2)
+    assert(top.map(_._1).toSeq == Seq(3L, 1L)) // closest first
+  }
+
+  test("language id picks stopword-majority language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist das",
+      "zz qq xx").toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "unknown"))
+  }
+
+  test("parser dispatch: mime first, extension second, default last (parserbase.py:31-61)") {
+    assert(Parsers.dispatch("json", "").name == "JSON Parser")
+    assert(Parsers.dispatch("", "application/json").name == "JSON Parser")
+    // mime wins over a conflicting extension
+    assert(Parsers.dispatch("pdf", "application/json").name == "JSON Parser")
+    assert(Parsers.dispatch("PDF", "").name == "PDF Parser") // case-folded
+    assert(Parsers.dispatch(".yml", "").name == "YAML Parser") // dot-stripped
+    assert(Parsers.dispatch("nope", "application/unknown").name == "Default")
+    assert(Parsers.dispatch(null, null).name == "Default")
+    assert(Parsers.dispatch("exe", "").name == "Windows Binary Parser")
+  }
+
+  test("parser content: lossy decode, byte truncation, json pretty, stubs") {
+    val bad = Array[Byte]('h', 'i', 0xC3.toByte, ' ', 'x') // dangling UTF-8 lead
+    assert(Parsers.readableData(bad, 0) == "hi x") // errors='ignore' drops it
+    assert(Parsers.readableData("abcdef".getBytes("UTF-8"), 3) == "abc")
+    // stub parsers return empty content like the reference's P8 stubs
+    assert(Parsers.parse("pcap", "", "data".getBytes("UTF-8"))._1 == "")
+    // json_support=false (reference default): content passes through
+    val js = """{"b":1,"a":[1,2]}"""
+    assert(Parsers.parse("json", "", js.getBytes("UTF-8"))._1 == js)
+    // json_support=true: CPython json.dumps(indent=2), key order preserved
+    val pretty = Parsers.parse("json", "", js.getBytes("UTF-8"), jsonSupport = true)._1
+    assert(pretty ==
+      """{
+        |  "b": 1,
+        |  "a": [
+        |    1,
+        |    2
+        |  ]
+        |}""".stripMargin)
+  }
+
+  test("alert gate: severity floor + fingerprint dedup") {
+    import spark.implicits._
+    val f = Seq((90, "fp1"), (90, "fp1"), (60, "fp2"), (70, "fp3"))
+      .toDF("severity", "fingerprint")
+    val got = Sinks.alerts(f).collect().map(_.getString(1)).toSet
+    assert(got == Set("fp1", "fp3"))
+  }
+
+  test("multimodal frame sampling is deterministic and batch-shaped") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world payload"), (2L, "another doc")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asMediaTable(docs), nFrames = 3)
+    assert(frames.count() == 6)
+    val again = Multimodal.sampleFrames(Multimodal.asMediaTable(docs), nFrames = 3)
+    assert(frames.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+}
