@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries and
+  * assert the plan properties the engine is designed around (scan-level
+  * filter pushdown + column pruning, broadcast joins for dims, top-k as
+  * TakeOrderedAndProject, whole-stage codegen coverage). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "q_scan_gate", "q_agg_pricing", "q_join_nations", "q_topk_order",
+      "q_antijoin_unindexed", "q_priority_topk", "q_detect_secrets",
+      "q_dedup_minhash", "q_ann_ivf")
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      println(s"\n================ $name ================")
+      df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
