@@ -23,17 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: Xms=Xmx (lazy expansion under GB/s allocation costs 10-15s
+// GC per wave) + ParallelGC with a fixed young gen ~40% of heap (adaptive
+// sizing thrashes for ~minutes on the first large allocation burst —
+// observed 99s GC in a 161s job, then 0.8s once sized).
+val graftHeapGb: Int = {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g").toLowerCase
+  val n = m.takeWhile(_.isDigit)
+  val gb = if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt
+  math.max(2, gb)
+}
+val graftYoungGb: Int = sys.env.get("SPARK_YOUNG_GEN")
+  .map(_.toLowerCase.takeWhile(_.isDigit).toInt)
+  .getOrElse(math.max(1, (graftHeapGb * 2) / 5))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // pre-size the heap: lazy expansion under a high allocation rate causes
-  // constant collections while the heap grows (local[32] churns ~GB/s)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // throughput-batch workload in a single JVM: ParallelGC, with a FIXED
-  // young gen — adaptive sizing thrashes for ~minutes on the first large
-  // allocation burst (observed 99s GC in a 161s job, then 0.8s once sized)
+  s"-Xmx${graftHeapGb}g",
+  s"-Xms${graftHeapGb}g",
   "-XX:+UseParallelGC",
   "-XX:-UseAdaptiveSizePolicy",
-  s"-Xmn${sys.env.getOrElse("SPARK_YOUNG_GEN", "20g")}",
+  s"-Xmn${graftYoungGb}g",
 )

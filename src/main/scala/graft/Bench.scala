@@ -143,10 +143,15 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
+    val heapGb = {
+      val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g").toLowerCase
+      val n = m.takeWhile(_.isDigit)
+      math.max(2, if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt)
+    }
+    val youngGb = math.max(1, (heapGb * 2) / 5)
     val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
-      s"-Xmx$mem", s"-Xms$mem", "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy",
-      s"-Xmn${sys.env.getOrElse("SPARK_YOUNG_GEN", "20g")}",
+      s"-Xmx${heapGb}g", s"-Xms${heapGb}g",
+      "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy", s"-Xmn${youngGb}g",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.tools.CrawlOnce", cores.toString, mode, scale.toString)
