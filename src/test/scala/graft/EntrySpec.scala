@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver's smoke contract: entry() must return rows (> 0) on a
+  * fresh run, and every registered query must have either an oracle or a
+  * documented rows-only status. */
+class EntrySpec extends AnyFunSuite with SparkTestSession {
+
+  test("entry() produces findings rows (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("rows-only queries are the documented set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_crawl_e2e"), s"undocumented rows-only: $rowsOnly")
+  }
+
+  test("all queries run and return deterministic row counts at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n1 = fn(spark, dir).count()
+      val n2 = fn(spark, dir).count()
+      assert(n1 == n2, s"$name row count not stable: $n1 != $n2")
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.frontier
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Property tests for the sharded bloom seen-set (SURVEY.md §5 test plan:
+  * "seen-set shard membership incl. false-positive-rate property test"). */
+class SeenSetSpec extends AnyFunSuite with SparkTestSession {
+
+  test("sharded bloom: zero false negatives over 20k keys (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val seen = Vector.fill(20000)(rnd.nextLong())
+    val seenDf = seen.toDF("url_hash").repartition(8)
+    val shards = SeenSet.buildShards(seenDf, numShards = 8, expectedPerShard = 4096)
+    seen.foreach { h =>
+      assert(shards(SeenSet.shardOf(h, 8)).mightContainLong(h),
+        s"false negative for $h")
+    }
+  }
+
+  test("sharded bloom: false-positive rate below 3x nominal (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val seen = Vector.fill(20000)(rnd.nextLong()).toSet
+    val shards = SeenSet.buildShards(seen.toSeq.toDF("url_hash"), 8, 4096, fpp = 0.01)
+    val probes = Vector.fill(50000)(rnd.nextLong()).filterNot(seen)
+    val fps = probes.count(h => shards(SeenSet.shardOf(h, 8)).mightContainLong(h))
+    val rate = fps.toDouble / probes.size
+    assert(rate < 0.03, s"fpr $rate too high")
+  }
+
+  test("bloom prefilter result == exact anti-join result") {
+    import spark.implicits._
+    val seen = (0L until 5000L).map(i => i * 7919).toDF("url_hash")
+    val candidates = (0L until 8000L).map(i => i * 7919)
+      .union((0L until 3000L).map(i => i * 104729 + 13)).toDF("url_hash")
+    val shards = SeenSet.buildShards(seen, 4, 4096)
+    val exact = SeenSet.filterUnseenExact(candidates, seen)
+      .collect().map(_.getLong(0)).sorted
+    val bloom = SeenSet.filterUnseenBloom(candidates, seen, shards)
+      .collect().map(_.getLong(0)).sorted
+    assert(exact.sameElements(bloom))
+  }
+}
