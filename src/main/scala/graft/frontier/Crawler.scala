@@ -63,12 +63,18 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
   // incremental bloom shards (driver-held, merged per wave delta)
   private var shards: Array[BloomFilter] = _
 
-  /** Seed frontier: depth 0, seed priority. */
+  /** Seed frontier: depth 0, seed priority. Generated DISTRIBUTED
+    * (spark.range → map), never as a driver-side collection — a 10^10-URL
+    * seed list must not pass through the driver or a LocalRelation. */
   def seedFrontier(): DataFrame = {
-    val seeds = SyntheticCorpus.seedUrls(cfg.nSeeds, cfg.corpus)
-      .flatMap(UrlCanon.canonicalize)
-      .distinct
-    seeds.toDF("canonical")
+    val corpus = cfg.corpus
+    spark.range(cfg.nSeeds)
+      .as[Long]
+      .map(i => SyntheticCorpus.seedUrl(i, corpus))
+      .toDF("url")
+      .select(canonicalize_url($"url").as("canonical"))
+      .filter($"canonical".isNotNull)
+      .distinct()
       .withColumn("url_hash", xxhash64($"canonical"))
       .withColumn("host", url_host($"canonical"))
       .withColumn("depth", lit(0))

@@ -47,8 +47,11 @@ object SyntheticCorpus {
   def hash64(s: String): Long =
     XxHash64Function.hash(UTF8String.fromString(s), StringType, XxSeed)
 
+  def seedUrl(i: Long, cfg: Config): String =
+    s"http://h${i % cfg.hosts}.test/seed/$i"
+
   def seedUrls(n: Int, cfg: Config): Seq[String] =
-    (0 until n).map { i => s"http://h${i % cfg.hosts}.test/seed/$i" }
+    (0 until n).map(i => seedUrl(i, cfg))
 
   def docIdFor(canonical: String): String =
     "d%016x".format(hash64(canonical))
