@@ -83,9 +83,10 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
 
   /** Union of fetch deltas committed so far = the URL-seen set. One
     * multi-path scan, not a unionByName chain — a growing union makes the
-    * driver re-analyze O(waves) relations per wave. */
+    * driver re-analyze O(waves) relations per wave. Parquet column pruning
+    * means seen-set probes read only the url_hash column of the deltas. */
   def seenUpTo(wave: Int): DataFrame =
-    spark.read.parquet((0 to wave).map(w => store.tablePath(w, "crawl")): _*)
+    spark.read.parquet((0 to wave).map(w => store.tablePath(w, "wavecore")): _*)
 
   /** Run (or resume) the crawl; returns per-wave metrics. */
   def run(): Seq[WaveMetrics] = {
@@ -115,12 +116,13 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     * two-phase (any single host fits one reducer comfortably). */
   private val SaltThreshold = 500000L
 
-  /** Expected-fetch size above which the docs cache is skipped (recompute
-    * the deterministic fetch instead of caching multi-GB payloads). */
-  private val DocsCacheThreshold = 50000L
-
   /** One wave against the given frontier (seen = committed deltas < wave).
-    * Commits (frontier, crawl, findings, wavemeta) for `wave`. */
+    * Commits (wavecore, frontier, wavemeta) for `wave`. The `wavecore`
+    * table is the single heavy artifact: one row per fetched URL carrying
+    * the detect results and canonicalized out-links as array columns —
+    * fetch + detect run EXACTLY once per URL, the span payloads are never
+    * shuffled or stored, and the crawl log / findings / seen set are all
+    * projections of it. */
   def step(wave: Int, frontier: DataFrame,
       frontierSizeHint: Option[Long] = None): WaveMetrics = {
     val corpus = cfg.corpus
@@ -140,8 +142,13 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val fetchedSel = ranked.filter(col("rank") <= cfg.budgetPerHost).drop("rank")
     val remaining = ranked.filter(col("rank") > cfg.budgetPerHost).drop("rank")
 
-    // 2. fetch: canonical URL -> document (stand-in for the docs-table join).
-    val docsRaw = fetchedSel
+    // 2+3. fetch + detect + extract in ONE pass per URL, fully declarative:
+    // the span array is consumed by higher-order functions around the
+    // detect_secrets Catalyst expression and never materialized downstream.
+    // NOTE: `wave` rides as DATA from the fetch closure, never as lit(wave)
+    // inside these plans — a changing literal would force whole-stage-codegen
+    // recompilation every wave (driver-side, serial, seconds per wave).
+    val fetchedDocs = fetchedSel
       .select($"canonical", $"url_hash", $"host", $"depth", $"priority")
       .as[(String, Long, String, Int, Double)]
       .mapPartitions { it =>
@@ -151,44 +158,31 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
         }
       }
       .toDF()
-    // Small waves: cache the fetched docs (reused by 3 writes). Huge waves:
-    // recomputing the deterministic fetch beats pumping multi-GB payloads
-    // through the block manager alongside the wave's own shuffles.
-    val docsCached = frontierSizeHint.forall(_ <= DocsCacheThreshold)
-    val docs = if (docsCached) docsRaw.persist(StorageLevel.MEMORY_AND_DISK)
-      else docsRaw
+    val textSpansCol = filter($"spans", s => s.getField("kind") === "text")
+    val wavecore = fetchedDocs
+      .select($"wave", $"canonical", $"url_hash", $"host", $"depth",
+        $"priority", $"doc_id",
+        flatten(transform(textSpansCol, s =>
+          transform(detect_secrets(s.getField("text")), f => struct(
+            s.getField("offset").as("span_offset"),
+            f.getField("rule_id").as("rule_id"),
+            f.getField("severity").as("severity"),
+            f.getField("fingerprint").as("fingerprint"),
+            f.getField("match").as("match"),
+            f.getField("entropy").as("entropy"),
+            f.getField("finding_json").as("finding_json"))))).as("findings"),
+        array_distinct(flatten(transform(textSpansCol, s =>
+          filter(transform(
+            regexp_extract_all(s.getField("text"),
+              lit(UrlCanon.OutlinkPattern), lit(0)),
+            u => canonicalize_url(u)), l => l.isNotNull)))).as("links"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // compact: no span payloads
 
-    // NOTE: `wave` rides as DATA from the fetch closure, never as lit(wave)
-    // inside these plans — a changing literal would force whole-stage-codegen
-    // recompilation every wave (driver-side, serial, seconds per wave).
-    val textSpans = docs
-      .select($"wave", $"canonical", $"depth", $"doc_id", explode($"spans").as("span"))
-      .filter($"span.kind" === "text")
-
-    // 3. detect: the rule engine as a Catalyst expression over text spans;
-    // media spans pass through untouched (not selected here).
-    val findings = textSpans
-      .select($"wave", $"canonical", $"doc_id", $"span.offset".as("span_offset"),
-        explode(detect_secrets($"span.text")).as("f"))
-      .select($"wave", $"canonical", $"doc_id", $"span_offset",
-        $"f.rule_id", $"f.severity", $"f.fingerprint", $"f.match",
-        $"f.entropy", $"f.finding_json")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val hitDocs = findings.select($"canonical").distinct()
-      .withColumn("rule_hit", lit(true))
-
-    // 4. expand: out-links, canonicalized, robots-gated, priority =
-    // f(depth, parent rule-hit), merged per target URL (min depth, max prio).
-    val rawLinks = textSpans
-      .select($"canonical", $"depth",
-        explode(regexp_extract_all($"span.text",
-          lit(UrlCanon.OutlinkPattern), lit(0))).as("url"))
-      .withColumn("link", canonicalize_url($"url"))
-      .filter($"link".isNotNull)
-    val gated = rawLinks
-      .join(hitDocs, Seq("canonical"), "left")
-      .na.fill(false, Seq("rule_hit"))
+    // 4. expand: robots-gated out-links; priority = f(depth, parent
+    // rule-hit) — the hit flag comes straight off the row, no join.
+    val gated = wavecore
+      .select($"depth", (size($"findings") > 0).as("rule_hit"),
+        explode($"links").as("link"))
       .withColumn("l_host", url_host($"link"))
       .join(broadcast(disallowDf), $"l_host" === $"r_host", "left")
       .withColumn("l_path",
@@ -208,14 +202,14 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     // 5. commit set algebra: frontier' = (frontier \ fetched) ∪
     // (candidates \ (seen ∪ fetched)), merged by min-depth / max-priority.
     val seenAfter =
-      if (wave == 0) docs.select($"url_hash")
+      if (wave == 0) wavecore.select($"url_hash")
       else seenUpTo(wave - 1).select($"url_hash")
-        .unionByName(docs.select($"url_hash"))
+        .unionByName(wavecore.select($"url_hash"))
     val newLinksRaw =
       if (cfg.useBloom) {
         // delta-merge fetched hashes into the running shards, then prefilter
         shards = SeenSet.merge(shards, SeenSet.buildShards(
-          docs.select($"url_hash"), cfg.bloomShards, cfg.bloomExpectedPerShard))
+          wavecore.select($"url_hash"), cfg.bloomShards, cfg.bloomExpectedPerShard))
         SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
       } else SeenSet.filterUnseenExact(candidates, seenAfter)
     val obsLinks = new Observation(s"links-$wave")
@@ -234,37 +228,33 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     // per-wave metadata in ONE table/write: politeness-clock deltas
     // (kind=clock, cumulative view = clocksUpTo) and per-partition lineage
     // rows (kind=lineage; north rule: per-partition lineage + metrics)
-    val wavemeta = docs
+    val wavemeta = wavecore
       .groupBy($"wave", lit("clock").as("kind"), $"host".as("key"))
       .agg(count(lit(1)).as("n"))
-      .unionByName(docs
+      .unionByName(wavecore
         .groupBy($"wave", lit("lineage").as("kind"),
           spark_partition_id().cast("string").as("key"))
         .agg(count(lit(1)).as("n")))
 
-    val obsCrawl = new Observation(s"crawl-$wave")
-    val crawl = docs
-      .select($"wave", $"canonical", $"url_hash", $"host",
-        $"depth", $"priority", $"doc_id")
-      .observe(obsCrawl, count(lit(1)).as("fetched"))
-    val obsFindings = new Observation(s"findings-$wave")
-    val findingsOut = findings.observe(obsFindings, count(lit(1)).as("n"))
+    val obsCore = new Observation(s"wavecore-$wave")
+    val wavecoreOut = wavecore.observe(obsCore,
+      count(lit(1)).as("fetched"),
+      sum(size($"findings")).as("n_findings"))
 
     store.commit(wave, Seq(
-      "crawl" -> crawl,            // fetch log AND seen-set delta (caches docs)
-      "findings" -> findingsOut,
-      "frontier" -> newFrontier,   // expansion plan, reuses cached docs
+      "wavecore" -> wavecoreOut,   // fetch+detect delta: crawl log, findings,
+                                   // links, seen-set identity in one table
+      "frontier" -> newFrontier,   // expansion plan, reuses cached wavecore
       "wavemeta" -> wavemeta.coalesce(1)))  // tiny: one file, no fan-out
 
     val m = WaveMetrics(
       wave,
-      fetched = obsCrawl.get("fetched").asInstanceOf[Long],
-      findings = obsFindings.get("n").asInstanceOf[Long],
+      fetched = obsCore.get("fetched").asInstanceOf[Long],
+      findings = Option(obsCore.get("n_findings")).map(_.asInstanceOf[Long]).getOrElse(0L),
       newLinks = obsLinks.get("new_links").asInstanceOf[Long],
       frontierLeft = obsFrontier.get("frontier_left").asInstanceOf[Long])
     ranked.unpersist()
-    if (docsCached) docs.unpersist()
-    findings.unpersist()
+    wavecore.unpersist()
     m
   }
 
@@ -279,9 +269,16 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
   /** Full crawl log across committed waves, in crawl order
     * (wave, priority desc, canonical asc). */
   def crawlLog(upToWave: Int): DataFrame =
-    seenUpTo(upToWave).orderBy($"wave", desc("priority"), $"canonical")
+    seenUpTo(upToWave)
+      .select($"wave", $"canonical", $"url_hash", $"host", $"depth",
+        $"priority", $"doc_id")
+      .orderBy($"wave", desc("priority"), $"canonical")
 
+  /** Findings across committed waves — a projection of the wavecore deltas. */
   def allFindings(upToWave: Int): DataFrame =
-    (0 to upToWave).map(w => store.read(spark, w, "findings"))
-      .reduce(_ unionByName _)
+    seenUpTo(upToWave)
+      .select($"wave", $"canonical", $"doc_id", explode($"findings").as("f"))
+      .select($"wave", $"canonical", $"doc_id", $"f.span_offset",
+        $"f.rule_id", $"f.severity", $"f.fingerprint", $"f.match",
+        $"f.entropy", $"f.finding_json")
 }
