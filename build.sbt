@@ -28,9 +28,21 @@ val jdk17AddOpens = Seq(
 // sizing thrashes for ~minutes on the first large allocation burst —
 // observed 99s GC in a 161s job, then 0.8s once sized).
 val graftHeapGb: Int = {
-  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g").toLowerCase
-  val n = m.takeWhile(_.isDigit)
-  val gb = if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt
+  // Default is benchmark-grade (48g on the 128-GiB bench host) but clamped
+  // to half of detected physical RAM so plain `sbt test` still starts on
+  // small machines; SPARK_DRIVER_MEM overrides explicitly.
+  val physGb: Int =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      (os.getTotalMemorySize / (1L << 30)).toInt
+    } catch { case _: Throwable => 16 }
+  val requested = sys.env.get("SPARK_DRIVER_MEM").map { m0 =>
+    val m = m0.toLowerCase
+    val n = m.takeWhile(_.isDigit)
+    if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt
+  }
+  val gb = requested.getOrElse(math.min(48, math.max(4, physGb / 2)))
   math.max(2, gb)
 }
 val graftYoungGb: Int = sys.env.get("SPARK_YOUNG_GEN")

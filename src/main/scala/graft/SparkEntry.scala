@@ -258,10 +258,11 @@ object SparkEntry {
       Dedup.lshCandidatePairs(docs(s, dir), col("doc_id"), col("text"))),
 
     // n-gram Jaccard verify stage (bucketed pairwise; shingle sets are
-    // computed ONCE per doc before the join, not per pair)
+    // computed ONCE per doc before the join, not per pair — persisted so the
+    // self-join does not re-run the tokenizer on both sides)
     "q_dedup_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
-        array_distinct(Dedup.shingles(col("text"), 2)).as("sh"))
+        array_distinct(Dedup.shingles(col("text"), 2)).as("sh")).persist()
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
         col("source"), col("n_chars").as("nc_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
@@ -275,20 +276,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jac"))
     }),
 
-    // embedding near-dup: nearest neighbor within label
+    // embedding near-dup, scale-safe shape: nearest neighbor within the
+    // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
+    // centroids are the vec_id % 97 == 0 rows). All-pairs-within-group is
+    // O(n^2/|groups|) and was replaced by this bucketed probe.
     "q_dedup_embedding" -> ((s, dir) => {
       val e = emb(s, dir)
-      val a = e.select(col("label"), col("vec_id"), col("embedding"))
-      val b = e.select(col("label"), col("vec_id").as("nn_id"),
-        col("embedding").as("nn_emb"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nn_id").asc)
-      a.join(b, Seq("label"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cos", Dedup.cosine(col("embedding"), col("nn_emb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
+      Similarity.ivfNearestNeighbor(e, e.filter(col("vec_id") % 97 === 0))
     }),
 
     // ANN brute-force baseline: top-5 cosine for 10 query vectors
@@ -302,6 +296,10 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), col("vec_id") % 97 === 0, 3)
     }),
+
+    // ANN scale path without training: random-hyperplane (sign) LSH bands
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), col("vec_id") < 10, 3)),
 
     // multimodal: opaque binary payload + typed metadata
     "q_multimodal_meta" -> ((s, dir) => {
@@ -553,14 +551,53 @@ object SparkEntry {
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.05""".stripMargin,
 
     "q_dedup_embedding" ->
-      s"""SELECT vec_id, nn_id, round(cos, 6) AS cos FROM (
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM embeddings v, embeddings c WHERE c.vec_id % 97 = 0)
+         |  WHERE rn = 1)
+         |SELECT vec_id, nn_id, round(cos, 6) AS cos FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |    ${cosineSql("a.embedding", "b.embedding")} AS cos,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC) AS rn
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id != b.vec_id)
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id)
          |WHERE rn = 1""".stripMargin,
+
+    "q_ann_lsh" -> {
+      def bit(h: Int) = {
+        val ws = graft.operators.Similarity.hyperplaneWeights(h, 64)
+          .map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1,65),
+           |   i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])) > 0
+           |   THEN '1' ELSE '0' END)""".stripMargin
+      }
+      def bandKey(b: Int) = (0 until 4).map(r => bit(b * 4 + r)).mkString(" || ")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding,
+         |    ${bandKey(0)} AS b0,
+         |    ${bandKey(1)} AS b1
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, embedding, t.band,
+         |    CASE WHEN t.band = 0 THEN b0 ELSE b1 END AS bucket
+         |  FROM sigs, (VALUES (0),(1)) t(band)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${cosineSql("q.embedding", "v.embedding")} AS cos
+         |  FROM bands v JOIN bands q
+         |    ON v.band = q.band AND v.bucket = q.bucket
+         |  WHERE q.vec_id < 10 AND v.vec_id != q.vec_id)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3""".stripMargin
+    },
 
     "q_ann_brute" ->
       s"""SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (

@@ -27,28 +27,39 @@ object Dedup {
     when(n >= w, grams).otherwise(array())
   }
 
-  /** MinHash signature: k permutations simulated by seeded md5; the i-th
-    * signature is the lexicographic min of md5(i || '|' || shingle) — a
-    * uniform permutation of shingle space per seed, identical in DuckDB.
-    * Null when the doc has no shingles. */
-  def minhashSignature(text: Column, w: Int, k: Int): Seq[Column] =
+  /** MinHash signatures derived from an ALREADY-MATERIALIZED shingle-array
+    * column: k permutations simulated by seeded md5; the i-th signature is
+    * the lexicographic min of md5(i || '|' || shingle) — a uniform
+    * permutation of shingle space per seed, identical in DuckDB. Null when
+    * the doc has no shingles. Taking the shingle column (not the text) means
+    * the regex tokenization pass runs once per doc, not once per seed. */
+  def minhashSignatureFromShingles(sh: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
-      array_min(transform(shingles(text, w),
-        s => md5(concat(lit(s"$i|"), s)))).as(s"sig$i")
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))).as(s"sig$i")
     }
+
+  /** Convenience overload when no shingle column is staged. Prefer staging
+    * `shingles(text, w)` in its own projection and calling the column
+    * variant — referencing the text k times makes the tokenizer regex
+    * k-times evaluated (HOF lambdas sit outside whole-stage codegen, so
+    * subexpression elimination does not rescue this). */
+  def minhashSignature(text: Column, w: Int, k: Int): Seq[Column] =
+    minhashSignatureFromShingles(shingles(text, w), k)
 
   /** LSH banding: r signatures per band hashed together; docs sharing any
     * band bucket are candidate near-duplicates. Returns (band, bucket, id)
     * rows — the join key set. Scale: bucket join replaces the O(n²) pairwise
-    * compare; skewed buckets can be salted downstream. */
+    * compare; skewed buckets can be salted downstream. The shingle array is
+    * staged in its own projection so the tokenizer runs once per doc. */
   def lshBands(df: DataFrame, id: Column, text: Column,
       w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
-    val sigs = minhashSignature(text, w, k)
-    val withSigs = df.select(id.as("id") +: sigs: _*)
+    val staged = df.select(id.as("id"), shingles(text, w).as("_sh"))
+    val withSigs = staged.select(
+      col("id") +: minhashSignatureFromShingles(col("_sh"), k): _*)
     val nBands = k / bandsOf
     // one row per (doc, band) via an array+posexplode projection — the
-    // signature computation (k regex+md5 passes over the text) runs exactly
-    // once per doc, not once per band branch
+    // signature computation (k md5 passes over the shingle array) runs
+    // exactly once per doc, not once per band branch
     val bandHashes = array((0 until nBands).map { b =>
       val cols = (0 until bandsOf).map(r => col(s"sig${b * bandsOf + r}"))
       md5(concat(cols: _*))
@@ -56,10 +67,18 @@ object Dedup {
     withSigs.select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
   }
 
-  /** Candidate near-dup pairs from LSH band buckets (a < b, distinct). */
+  /** Candidate near-dup pairs from LSH band buckets (a < b, distinct).
+    *
+    * The bands DataFrame is persisted (memory-and-disk) before the
+    * self-join: without it, Spark evaluates the whole signature pipeline
+    * (tokenizer regex + k·md5 over every document) once per join side — a
+    * measured 2× CPU waste that dominates the dedup battery. The persisted
+    * plan is tiny ((id, band, bucket) rows, no text), so at 100-TB input it
+    * is the cheap thing to keep and the expensive thing to recompute. The
+    * caller may `unpersist()` the returned plan's source after consuming. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column,
       w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
-    val b = lshBands(df, id, text, w, k, bandsOf)
+    val b = lshBands(df, id, text, w, k, bandsOf).persist()
     val l = b.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = b.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))

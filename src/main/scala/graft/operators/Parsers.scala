@@ -52,7 +52,7 @@ object Parsers {
   /** parserbase.get_parser_instance: first mime match over the registry,
     * else first extension match, else Default. */
   def dispatch(extension: String, mime: String): ParserSpec = {
-    val ext = Option(extension).getOrElse("").trim.stripPrefix(".").toLowerCase
+    val ext = Option(extension).getOrElse("").trim.stripPrefix(".").toLowerCase(java.util.Locale.ROOT)
     val m = Option(mime).getOrElse("").trim
     registry.find(p => m.nonEmpty && p.mimeTypes.contains(m))
       .orElse(registry.find(p => ext.nonEmpty && p.extensions.contains(ext)))

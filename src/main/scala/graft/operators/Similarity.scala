@@ -8,10 +8,15 @@ import org.apache.spark.sql.expressions.Window
   *
   * Baseline: brute-force cosine top-k (cross join pruned to the query set —
   * correct at any scale when the query set is small and broadcast).
-  * Scale path: IVF — vectors are assigned to their nearest centroid once
-  * (one broadcast join), searches probe only their centroid's bucket,
-  * cutting the candidate set by ~|centroids|; the same shape extends to
-  * IVF-PQ / LSH banding. All cosine math is zip_with+aggregate (codegen'd).
+  * Scale paths:
+  *   - IVF — vectors are assigned to their nearest centroid once (one
+  *     broadcast join + map-side-combined groupBy), searches probe only
+  *     their centroid's bucket, cutting the candidate set by ~|centroids|.
+  *   - Random-hyperplane LSH — sign-bit signatures from deterministic
+  *     Rademacher (±1) hyperplanes, banded like MinHash-LSH; vectors
+  *     sharing any band bucket are candidates. No training step, so it
+  *     works before centroids exist.
+  * All cosine math is zip_with+aggregate (codegen'd, no UDF).
   */
 object Similarity {
 
@@ -33,24 +38,30 @@ object Similarity {
         col("rn").cast("long").as("rank"))
   }
 
-  /** IVF bucket assignment: nearest centroid by (cosine desc, centroid_id asc).
-    * Centroids are broadcast; one pass over the vectors. */
+  /** IVF bucket assignment: nearest centroid by (cosine desc, centroid_id
+    * asc). Centroids are broadcast; the argmax is a groupBy(vec_id) with
+    * max_by, so the n×|centroids| scored rows collapse map-side (partial
+    * aggregation) instead of being shuffled whole as a window sort would. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(col("vec_id").as("centroid_id"),
       col("embedding").as("c_emb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
     vectors.join(c)
       .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        // max over (ccos, -centroid_id) = best cosine, ties to lowest id
+        max_by(col("centroid_id"),
+          struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("centroid_id"), col("embedding"))
   }
 
   /** IVF top-k: probe only the query's bucket. Same output shape as
-    * bruteForceTopK (approximate recall, bucket-local). */
+    * bruteForceTopK (approximate recall, bucket-local). The assignment is
+    * persisted before being used on both sides of the probe join — without
+    * it the n×|centroids| scoring pass would run twice. */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, centroids)
+    val assigned = ivfAssign(vectors, centroids).persist()
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"))
@@ -63,6 +74,95 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** IVF-bucketed nearest-neighbor per vector (the scale-safe shape of
+    * embedding near-dup): each vector's single best neighbor within its
+    * centroid bucket. Replaces all-pairs-within-group, which is O(n²/|groups|)
+    * and cannot survive 100-TB inputs; bucket count should grow ~√n so bucket
+    * population stays bounded. Vectors alone in their bucket yield no row. */
+  def ivfNearestNeighbor(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids).persist()
+    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("nn_id"),
+      col("embedding").as("nn_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("embedding"), col("nn_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  // ---------------- random-hyperplane LSH ----------------
+
+  /** Deterministic ±1 (Rademacher) hyperplane weights for hyperplane `h`:
+    * component j is +1 when the first hex digit of md5("h_j") is < '8',
+    * else −1 — reproducible in any engine with md5, and inlined as literals
+    * in both the Spark plan and the DuckDB oracle so no per-row hashing or
+    * cross-engine float parity is involved. Rademacher projections satisfy
+    * the same sign-LSH collision bound as Gaussian ones (Achlioptas 2001). */
+  def hyperplaneWeights(h: Int, dim: Int): Seq[Double] =
+    Seq.tabulate(dim) { j =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${h}_$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+
+  /** Sign bit of <emb, hyperplane h> as the string "1"/"0" (string so band
+    * keys concatenate directly). Sum is a left fold from 0.0 — the exact
+    * shape DuckDB's list_sum reproduces. */
+  def hyperplaneBit(emb: Column, h: Int, dim: Int): Column = {
+    val w = typedLit(hyperplaneWeights(h, dim))
+    val dot = aggregate(
+      zip_with(emb, w, (x, ww) => x.cast("double") * ww),
+      lit(0.0d), (acc, v) => acc + v)
+    when(dot > 0, lit("1")).otherwise(lit("0"))
+  }
+
+  /** One row per (vector, band): nbits sign bits grouped into bands of
+    * `bandBits`; the bucket key is the band's bit string. Vectors sharing a
+    * (band, bucket) are near-dup candidates — the candidate set shrinks
+    * exponentially in bandBits while any-band matching keeps recall. */
+  def lshHyperplaneBands(vectors: DataFrame, nbits: Int, bandBits: Int,
+      dim: Int): DataFrame = {
+    require(nbits % bandBits == 0, "nbits must be a multiple of bandBits")
+    val bits = (0 until nbits).map(h => hyperplaneBit(col("embedding"), h, dim))
+    val nBands = nbits / bandBits
+    val bandKeys = array((0 until nBands).map { b =>
+      concat(bits.slice(b * bandBits, (b + 1) * bandBits): _*)
+    }: _*)
+    vectors.select(col("vec_id"), col("embedding"),
+      posexplode(bandKeys).as(Seq("band", "bucket")))
+  }
+
+  /** LSH top-k: rank each query's band-bucket candidates by exact cosine.
+    * Output shape matches bruteForceTopK/ivfTopK. The banded projection is
+    * persisted — it feeds both join sides, and recomputing it would re-run
+    * all nbits dot products over every vector per side. */
+  def lshTopK(vectors: DataFrame, queryPred: Column, k: Int,
+      nbits: Int = 8, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    val bands = lshHyperplaneBands(vectors, nbits, bandBits, dim).persist()
+    val q = bands.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band"), col("bucket"))
+    val cand = bands
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
+        col("band"), col("bucket"))
+      .join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+      // a pair colliding in several bands has identical cos rows: distinct
+      // on the scalar triple dedups across bands without comparing arrays
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
         col("rn").cast("long").as("rank"))

@@ -53,8 +53,8 @@ final case class RuleSpec(
       * the pattern, e.g. '@' for url-creds). Pure fast path: skipping the
       * regex when absent cannot change results. Checked on the raw text. */
     requiredChars: Seq[String] = Nil) {
-  val lowerKeywords: Seq[String] = keywords.map(_.toLowerCase)
-  val lowerExcludes: Seq[String] = excludeKeywords.map(_.toLowerCase)
+  val lowerKeywords: Seq[String] = keywords.map(_.toLowerCase(java.util.Locale.ROOT))
+  val lowerExcludes: Seq[String] = excludeKeywords.map(_.toLowerCase(java.util.Locale.ROOT))
   def ruleName: String = s"$name <$id>" // str(RuleBase), rulebase.py:63-67
 }
 
@@ -96,16 +96,24 @@ object Detector {
     md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
 
-  /** Shannon entropy, natural log, summed in first-occurrence order of chars
-    * — bit-exact vs rulebase.py:258-283 (Counter preserves insertion order;
-    * math.log(p, e) == log(p)/1.0). Returns PyInt(0) when len<=1 because the
-    * reference returns int 0 there (affects the fingerprint JSON). */
+  /** Shannon entropy, natural log, summed in first-occurrence order of code
+    * points — bit-exact vs rulebase.py:258-283 (Counter preserves insertion
+    * order; math.log(p, e) == log(p)/1.0). Returns PyInt(0) when len<=1
+    * because the reference returns int 0 there (affects the fingerprint JSON). */
   def entropyPy(data: String): PyVal = {
-    if (data.length <= 1) return PyInt(0)
-    val counts = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
-    data.foreach { c => counts.update(c, counts.getOrElse(c, 0) + 1) }
+    // CPython iterates a str by Unicode code point and len() counts code
+    // points, so astral chars (reachable via url-creds / basic-auth payloads)
+    // must not be split into surrogate pairs here.
+    val n = data.codePointCount(0, data.length).toDouble
+    if (n <= 1) return PyInt(0)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    var i = 0
+    while (i < data.length) {
+      val cp = data.codePointAt(i)
+      counts.update(cp, counts.getOrElse(cp, 0) + 1)
+      i += Character.charCount(cp)
+    }
     var ent = 0.0
-    val n = data.length.toDouble
     counts.valuesIterator.foreach { c =>
       val p = c.toDouble / n
       if (p > 0.0) ent -= p * math.log(p)
@@ -262,7 +270,7 @@ object Detector {
       var severity = 100L
       if (token.take(1) == "$") severity = 70L
       if (entD <= 0.7) severity = 30L
-      if (entD <= 1.5 && found.toLowerCase.contains("localhost")) severity = 30L
+      if (entD <= 1.5 && found.toLowerCase(java.util.Locale.ROOT).contains("localhost")) severity = 30L
       Some(PyObj(Vector(
         "username" -> PyStr(username),
         "token" -> PyStr(token),
@@ -316,7 +324,7 @@ object Detector {
       var data = PyObj(Vector(
         "token" -> PyStr(s"$authType0 $auth"),
         "severity" -> PyInt(60)))
-      val authType = authType0.toLowerCase
+      val authType = authType0.toLowerCase(java.util.Locale.ROOT)
       try {
         if (authType == "jwt") {
           // found.split('.') over the WHOLE match — header decode usually
@@ -382,7 +390,7 @@ object Detector {
       if (password.take(1) == "$") severity = 60L
       if (entD <= 0.7) severity = 30L
       if (entD < 1.7) severity = 65L
-      val lower = found.toLowerCase
+      val lower = found.toLowerCase(java.util.Locale.ROOT)
       if (entD <= 2 && lower.contains("@localhost")) severity = 30L
       if (entD <= 2 && lower.contains("@127.0.0.1")) severity = 30L
       if (entD <= 1.5 && lower.contains("example")) severity = 30L
@@ -483,9 +491,9 @@ object Detector {
     * first-occurrence dedup → exclude keywords → two-stage FP filter →
     * post-processors → fingerprint. Returns the finding data dicts in order. */
   def runRule(rule: RuleSpec, text: String, now: Long): Vector[PyObj] =
-    runRule(rule, text, text.toLowerCase, now)
+    runRule(rule, text, text.toLowerCase(java.util.Locale.ROOT), now)
 
-  /** `lText` = text.toLowerCase, computed once per detect() call — the
+  /** `lText` = text.toLowerCase(java.util.Locale.ROOT), computed once per detect() call — the
     * reference lowercases per rule (rulebase.py:298), 18 copies per doc;
     * hoisting it is allocation-neutral to results. */
   def runRule(rule: RuleSpec, text: String, lText: String, now: Long): Vector[PyObj] = {
@@ -499,7 +507,7 @@ object Detector {
     var findings = Vector.empty[String]
     runRegex(text, rule.regex, rule.secretGroup).foreach { f =>
       if (f != null && !findings.contains(f)) {
-        val lf = f.toLowerCase
+        val lf = f.toLowerCase(java.util.Locale.ROOT)
         if (!rule.lowerExcludes.exists(lf.contains)) findings = findings :+ f
       }
     }
@@ -529,7 +537,7 @@ object Detector {
     * flattened to one Finding per (rule, match) preserving both orders. */
   def detect(text: String, now: Long = FixedNowEpochSec): Vector[Finding] = {
     if (text == null) return Vector.empty
-    val lText = text.toLowerCase
+    val lText = text.toLowerCase(java.util.Locale.ROOT)
     rules.flatMap { rule =>
       runRule(rule, text, lText, now).map(d => toFinding(rule, d))
     }

@@ -101,19 +101,58 @@ object PyJson {
     sb.append('"')
   }
 
-  /** Python float repr. Java 17 Double.toString is shortest-unique like
-    * CPython repr on the plain-decimal range [1e-3, 1e16) our entropy values
-    * live in; exponent-notation corner cases differ but are unreachable here.
+  /** CPython float repr (pystrtod.c format_float_short, 'r' mode), which
+    * json.dumps uses verbatim for floats: shortest correctly-rounded decimal
+    * digits, printed positionally when the decimal point lands in (-4, 16]
+    * and in `d.dddde±XX` form (exponent ≥ 2 digits) otherwise. Java's
+    * Double.toString switches to scientific notation at 1e7 / below 1e-3 and
+    * formats the exponent differently, so it cannot be used for byte parity
+    * (e.g. a JWT float epoch 1516239022.5 must not become "1.5162390225E9").
+    *
+    * Digit extraction: round the exact binary value to p significant digits
+    * (HALF_EVEN — the correct rounding David Gay / Ryū use) for increasing p
+    * until the result round-trips; that p-digit string is CPython's.
+    * NaN/Infinity spellings follow json.dumps (allow_nan=True), not repr.
     */
   def pyFloatRepr(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
-    else if (d == Math.floor(d) && Math.abs(d) < 1e16) {
-      // Python repr(2.0) == "2.0"; Java "2.0" — same.
-      val s = java.lang.Double.toString(d)
-      s
-    } else java.lang.Double.toString(d)
+    else if (d == 0.0) { if (1.0 / d < 0.0) "-0.0" else "0.0" }
+    else {
+      val neg = d < 0.0
+      val a = math.abs(d)
+      val exact = new java.math.BigDecimal(a)
+      var p = 1
+      var rounded = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      while (rounded.doubleValue() != a && p < 17) {
+        p += 1
+        rounded = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      }
+      val stripped = rounded.stripTrailingZeros
+      val digits = stripped.unscaledValue.toString
+      // a = 0.<digits> * 10^decpt
+      val decpt = digits.length - stripped.scale
+      val sb = new StringBuilder
+      if (neg) sb.append('-')
+      if (decpt > -4 && decpt <= 16) {
+        if (decpt <= 0) { sb.append("0."); sb.append("0" * (-decpt)); sb.append(digits) }
+        else if (decpt >= digits.length) {
+          sb.append(digits); sb.append("0" * (decpt - digits.length)); sb.append(".0")
+        } else {
+          sb.append(digits.substring(0, decpt)); sb.append('.'); sb.append(digits.substring(decpt))
+        }
+      } else {
+        sb.append(digits.charAt(0))
+        if (digits.length > 1) { sb.append('.'); sb.append(digits.substring(1)) }
+        val e = decpt - 1
+        sb.append('e'); sb.append(if (e < 0) '-' else '+')
+        val ea = math.abs(e).toString
+        if (ea.length < 2) sb.append('0')
+        sb.append(ea)
+      }
+      sb.toString
+    }
   }
 
   /** CPython json.dumps(obj, indent=n, sort_keys=False): newline+level

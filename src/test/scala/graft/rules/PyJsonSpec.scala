@@ -1,0 +1,79 @@
+package graft.rules
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.PyVal._
+
+/** Pins pyFloatRepr to CPython float repr byte-for-byte (values generated
+  * with CPython 3: `repr(x)` / `json.dumps(x)`) across both positional and
+  * exponent regimes — Java's Double.toString flips to scientific notation at
+  * 1e7 and below 1e-3, which would break JWT finding_json parity — and pins
+  * code-point (not UTF-16 unit) entropy for astral characters.
+  */
+class PyJsonSpec extends AnyFunSuite {
+
+  private val cpythonRepr: Seq[(Double, String)] = Seq(
+    1516239022.5 -> "1516239022.5",
+    1e16 -> "1e+16",
+    9999999999999998.0 -> "9999999999999998.0",
+    1e15 -> "1000000000000000.0",
+    123456789.25 -> "123456789.25",
+    1e-4 -> "0.0001",
+    9.999e-5 -> "9.999e-05",
+    1e-5 -> "1e-05",
+    0.1 -> "0.1",
+    2.0 -> "2.0",
+    0.0 -> "0.0",
+    -0.0 -> "-0.0",
+    1e22 -> "1e+22",
+    1.5e16 -> "1.5e+16",
+    3.14159e300 -> "3.14159e+300",
+    java.lang.Double.MIN_VALUE -> "5e-324",
+    java.lang.Double.MAX_VALUE -> "1.7976931348623157e+308",
+    0.125 -> "0.125",
+    100.0 -> "100.0",
+    1e7 -> "10000000.0",
+    12345678.0 -> "12345678.0",
+    0.00012345 -> "0.00012345",
+    1234567890123456.7 -> "1234567890123456.8",
+    -1516239022.5 -> "-1516239022.5",
+    -1e-5 -> "-1e-05",
+  )
+
+  test("pyFloatRepr matches CPython repr on both regimes") {
+    cpythonRepr.foreach { case (d, exp) =>
+      assert(PyJson.pyFloatRepr(d) == exp, s"for $d")
+    }
+  }
+
+  test("pyFloatRepr round-trips on random doubles") {
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        val s = PyJson.pyFloatRepr(d)
+        assert(java.lang.Double.parseDouble(s) == d, s"round-trip failed: $d -> $s")
+      }
+    }
+  }
+
+  test("JSON dumps uses CPython float forms") {
+    val o = PyObj(Vector("exp" -> PyFloat(1516239022.5), "tiny" -> PyFloat(1.5e-5),
+      "big" -> PyFloat(1e22)))
+    assert(PyJson.dumps(o) == """{"exp": 1516239022.5, "tiny": 1.5e-05, "big": 1e+22}""")
+  }
+
+  test("entropy counts Unicode code points, not UTF-16 units") {
+    // CPython: entropy("a\U0001D11E") = -2*(0.5*ln 0.5) = ln 2
+    Detector.entropyPy("a𝄞") match {
+      case PyFloat(v) => assert(math.abs(v - math.log(2.0)) < 1e-15)
+      case other      => fail(s"expected PyFloat, got $other")
+    }
+    // a single astral char is length 1 in CPython -> int 0
+    assert(Detector.entropyPy("𝄞") == PyInt(0))
+    // two identical astral chars: one distinct symbol -> 0.0 float
+    Detector.entropyPy("𝄞𝄞") match {
+      case PyFloat(v) => assert(v == 0.0)
+      case other      => fail(s"expected PyFloat, got $other")
+    }
+  }
+}

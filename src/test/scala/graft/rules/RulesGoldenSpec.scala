@@ -36,8 +36,8 @@ class RulesGoldenSpec extends AnyFunSuite {
   }
 
   test("golden corpus loaded") {
-    assert(golden.size == 30)
-    assert(golden.map(_._2.size).sum >= 40)
+    assert(golden.size == 34)
+    assert(golden.map(_._2.size).sum >= 44)
   }
 
   golden.zipWithIndex.foreach { case ((text, expected), i) =>
