@@ -15,11 +15,19 @@ final case class CrawlConfig(
     budgetPerHost: Int = 8,
     maxWaves: Int = 6,
     salts: Int = 8,
-    /** bloom-prefilter the seen-set membership (exact-confirm after). */
-    useBloom: Boolean = false,
+    /** bloom-prefilter the seen-set membership (exact-confirm after). ON by
+      * default: this is the production path and the one Bench measures. */
+    useBloom: Boolean = true,
     bloomShards: Int = 8,
-    bloomExpectedPerShard: Long = 1L << 16,
-    corpus: SyntheticCorpus.Config = SyntheticCorpus.Config())
+    /** Expected TOTAL seen keys across the whole crawl. Shard geometry is
+      * fixed from this up front (expectedPerShard = keys/shards) because
+      * incremental per-wave OR-merges require identical bit width + hash
+      * count across waves; size it to the crawl's URL budget (10^10 keys /
+      * 1024 shards ≈ 10^7 per shard ≈ 12 MB per filter at 1% fpp). */
+    bloomExpectedKeys: Long = 1L << 21,
+    corpus: SyntheticCorpus.Config = SyntheticCorpus.Config()) {
+  def bloomExpectedPerShard: Long = math.max(1024L, bloomExpectedKeys / bloomShards)
+}
 
 final case class WaveMetrics(
     wave: Int, fetched: Long, findings: Long, newLinks: Long, frontierLeft: Long)

@@ -29,31 +29,57 @@ object SeenSet {
   def filterUnseenExact(candidates: DataFrame, seen: DataFrame): DataFrame =
     candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
 
-  /** Build per-shard bloom filters over seen.url_hash with a two-phase
-    * aggregate: partial filters per partition, OR-merged per shard. */
+  /** Build per-shard bloom filters over seen.url_hash with treeAggregate:
+    * partial filters per partition are OR-merged ON EXECUTORS (tree depth 2),
+    * so the driver receives exactly ONE merged shard array regardless of
+    * partition count. The previous collect()-then-reduce shape funneled
+    * numPartitions × numShards × shardBytes through the driver — a driver
+    * OOM at the 10^10-key sizing. */
   def buildShards(seen: DataFrame, numShards: Int, expectedPerShard: Long,
       fpp: Double = 0.01): Array[BloomFilter] = {
     val spark = seen.sparkSession
     import spark.implicits._
-    val partials = seen.select(col("url_hash"))
-      .as[Long]
+    val zero = Array.tabulate(numShards)(_ => BloomFilter.create(expectedPerShard, fpp))
+    seen.select(col("url_hash")).as[Long].rdd.treeAggregate(zero)(
+      seqOp = (filters, h) => { filters(shardOf(h, numShards)).putLong(h); filters },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+        a
+      },
+      depth = 2)
+  }
+
+  /** Fully-distributed shard build for deployments where the merged shard
+    * array must never co-reside on one node (10^10 keys / 1024 shards ≈
+    * 12 GB of bitset): per-partition sparse partials are reduceByKey-merged
+    * so each shard ends up ON ITS OWN partition (HashPartitioner(numShards),
+    * key = shard id — partition i holds exactly shard i). Pair with
+    * [[filterUnseenBloomDistributed]], which aligns candidate partitions to
+    * shard partitions and probes via zipPartitions — no broadcast of the
+    * shard array at all. */
+  def buildShardsDistributed(seen: DataFrame, numShards: Int,
+      expectedPerShard: Long, fpp: Double = 0.01)
+      : org.apache.spark.rdd.RDD[(Int, BloomFilter)] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen.select(col("url_hash")).as[Long].rdd
       .mapPartitions { it =>
-        val filters = Array.tabulate(numShards)(_ =>
-          BloomFilter.create(expectedPerShard, fpp))
-        var nonEmpty = false
+        val partial = new java.util.HashMap[Int, BloomFilter]()
         it.foreach { h =>
-          nonEmpty = true
-          filters(shardOf(h, numShards)).putLong(h)
+          val s = shardOf(h, numShards)
+          var bf = partial.get(s)
+          if (bf == null) {
+            bf = BloomFilter.create(expectedPerShard, fpp)
+            partial.put(s, bf)
+          }
+          bf.putLong(h)
         }
-        if (nonEmpty) Iterator.single(filters.map(serialize).toSeq)
-        else Iterator.empty
+        scala.jdk.CollectionConverters.MapHasAsScala(partial).asScala.iterator
+          .map { case (k, v) => (k, v) }
       }
-      .collect()
-    if (partials.isEmpty)
-      return Array.tabulate(numShards)(_ => BloomFilter.create(expectedPerShard, fpp))
-    partials.map(_.map(deserialize).toArray).reduce { (a, b) =>
-      a.zip(b).map { case (x, y) => x.mergeInPlace(y); x }
-    }
+      .reduceByKey(new org.apache.spark.HashPartitioner(numShards),
+        (a, b) => { a.mergeInPlace(b); a })
   }
 
   /** OR-merge shard arrays (incremental delta build). */
@@ -65,17 +91,12 @@ object SeenSet {
     (if (m < 0) m + numShards else m).toInt
   }
 
-  private def serialize(bf: BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
-  }
-  private def deserialize(b: Array[Byte]): BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
-
   /** Bloom-prefiltered membership: definite-unseen skip the exact join;
     * "maybe seen" go through the exact anti-join confirm. Result is exactly
-    * equal to [[filterUnseenExact]] (no false negatives). */
+    * equal to [[filterUnseenExact]] (no false negatives). This is the
+    * broadcast-probe variant — right when the total bitset fits comfortably
+    * in executor memory (≲ a few hundred MB); beyond that use
+    * [[buildShardsDistributed]] + [[filterUnseenBloomDistributed]]. */
   def filterUnseenBloom(candidates: DataFrame, seen: DataFrame,
       shards: Array[BloomFilter]): DataFrame = {
     val spark = candidates.sparkSession
@@ -90,6 +111,36 @@ object SeenSet {
     val flagged = candidates.withColumn("__maybe", maybeSeenUdf(col("url_hash")))
     val definiteNew = flagged.filter(!col("__maybe")).drop("__maybe")
     val maybe = flagged.filter(col("__maybe")).drop("__maybe")
+    definiteNew.unionByName(filterUnseenExact(maybe, seen))
+  }
+
+  /** Partition-aligned bloom probe: candidates are repartitioned by shard id
+    * onto the SAME HashPartitioner as [[buildShardsDistributed]]'s output, so
+    * partition i holds shard i's filter AND exactly the candidates that hash
+    * to it — the probe is a zipPartitions, no filter ever leaves its
+    * partition and nothing is broadcast. Semantics identical to
+    * [[filterUnseenBloom]]/[[filterUnseenExact]] (no false negatives); the
+    * RDD hop is the one place the engine drops below DataFrames, forced by
+    * the need for partitioner-aligned custom state. */
+  def filterUnseenBloomDistributed(candidates: DataFrame, seen: DataFrame,
+      shardRdd: org.apache.spark.rdd.RDD[(Int, BloomFilter)],
+      numShards: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val schema = candidates.schema
+    val hashIdx = schema.fieldIndex("url_hash")
+    val keyed = candidates.rdd
+      .map(r => (shardOf(r.getLong(hashIdx), numShards), r))
+      .partitionBy(new org.apache.spark.HashPartitioner(numShards))
+    val flagged = keyed.zipPartitions(shardRdd) { (rows, fs) =>
+      // 0 or 1 filters per partition; a shard with no seen keys is absent ⇒
+      // everything probing it is definitely unseen
+      val m = fs.toMap
+      rows.map { case (s, r) =>
+        (m.get(s).exists(_.mightContainLong(r.getLong(hashIdx))), r)
+      }
+    }
+    val definiteNew = spark.createDataFrame(flagged.filter(!_._1).map(_._2), schema)
+    val maybe = spark.createDataFrame(flagged.filter(_._1).map(_._2), schema)
     definiteNew.unionByName(filterUnseenExact(maybe, seen))
   }
 

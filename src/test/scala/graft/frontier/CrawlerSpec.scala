@@ -87,9 +87,12 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     assert(over == 0)
   }
 
-  test("bloom-prefiltered seen set produces identical crawl") {
+  test("exact (bloom-off) seen set produces identical crawl") {
+    // default config is bloom-ON (the production path, covered by every
+    // other test here); this pins the pure exact-anti-join path to the
+    // same oracle so both membership implementations stay interchangeable
     val (_, _, m0) = engineRun
-    val (crawlerB, storeB, mB) = runEngine(cfg.copy(useBloom = true, bloomShards = 4))
+    val (crawlerB, storeB, mB) = runEngine(cfg.copy(useBloom = false, bloomShards = 4))
     val got = crawlerB.crawlLog(mB.last.wave)
       .select("wave", "canonical").collect()
       .map(r => (r.getInt(0), r.getString(1))).toVector

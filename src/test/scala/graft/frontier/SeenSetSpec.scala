@@ -44,4 +44,37 @@ class SeenSetSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).sorted
     assert(exact.sameElements(bloom))
   }
+
+  test("distributed shard build + zipPartitions probe == exact anti-join") {
+    import spark.implicits._
+    val seen = (0L until 5000L).map(i => i * 7919).toDF("url_hash").repartition(6)
+    val candidates = (0L until 8000L).map(i => i * 7919)
+      .union((0L until 3000L).map(i => i * 104729 + 13)).toDF("url_hash")
+      .repartition(5)
+    val numShards = 4
+    val shardRdd = SeenSet
+      .buildShardsDistributed(seen, numShards, expectedPerShard = 4096)
+      .persist()
+    // each shard landed on its own partition (key i -> partition i)
+    val placement = shardRdd.mapPartitionsWithIndex((p, it) =>
+      it.map { case (s, _) => (p, s) }).collect()
+    placement.foreach { case (p, s) => assert(p == s) }
+    val exact = SeenSet.filterUnseenExact(candidates, seen)
+      .collect().map(_.getLong(0)).sorted
+    val bloom = SeenSet
+      .filterUnseenBloomDistributed(candidates, seen, shardRdd, numShards)
+      .collect().map(_.getLong(0)).sorted
+    assert(exact.sameElements(bloom))
+    shardRdd.unpersist()
+  }
+
+  test("treeAggregate build equals per-key membership with empty partitions") {
+    import spark.implicits._
+    // more partitions than rows: some partitions contribute nothing
+    val seen = (0L until 50L).map(i => i * 31).toDF("url_hash").repartition(32)
+    val shards = SeenSet.buildShards(seen, numShards = 8, expectedPerShard = 1024)
+    (0L until 50L).map(_ * 31).foreach { h =>
+      assert(shards(SeenSet.shardOf(h, 8)).mightContainLong(h))
+    }
+  }
 }
