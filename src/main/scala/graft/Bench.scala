@@ -82,16 +82,15 @@ object Bench {
 
     val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("crawl")
 
-    // ---- query battery on the shared-testdata tables ----
-    var spark = freshSession(cpus)
-    val results = if (crawlOnly) Seq.empty else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        (name, sec, n)
-      }
+    // ---- query battery, in its OWN warmed heap-pinned child JVM ----
+    // (same discipline as the crawl runs: round-1 measured the battery
+    // inside the sbt JVM at 556s vs 100s clean — it was measuring the
+    // host's GC state, not the engine)
+    val results: Seq[(String, Double)] =
+      if (crawlOnly) Seq.empty else batterySubprocess(cpus, sfDir)
     val total = results.map(_._2).sum
+
+    var spark = freshSession(cpus)
 
     // ---- crawl throughput: north-rule scaling evidence at N=6 vs 4N=24
     // cores (leaving headroom for the VM's 5-18% hypervisor steal, which
@@ -121,7 +120,7 @@ object Bench {
     val s6 = best(s6a, s6b)
     val effSteady = (s24._1 / s24._2) / (4.0 * (s6._1 / s6._2))
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"query_battery_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""crawl":{"full_urls":$urlsF,"full_sec_${cpus}c":$secF,"full_urls_per_sec_${cpus}c":${urlsF / secF},""" +
@@ -132,8 +131,9 @@ object Bench {
       s""""warmup_urls":${warm._1 + warmF._1}}}""")
   }
 
-  /** Run one crawl measurement in a dedicated child JVM; parse its RESULT. */
-  def crawlSubprocess(cores: Int, mode: String, scale: Double): (Long, Double) = {
+  /** Launch a measurement main in a dedicated heap-pinned child JVM (the
+    * sandbox analog of one spark-submit) and return its combined output. */
+  private def childJvmOutput(mainAndArgs: Seq[String]): String = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -144,17 +144,26 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val heapGb = {
-      val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g").toLowerCase
-      val n = m.takeWhile(_.isDigit)
-      math.max(2, if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt)
+      // mirrors build.sbt: explicit SPARK_DRIVER_MEM wins; default is
+      // benchmark-grade 48g clamped to half of physical RAM
+      val physGb = try {
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        (os.getTotalMemorySize / (1L << 30)).toInt
+      } catch { case _: Throwable => 16 }
+      val requested = sys.env.get("SPARK_DRIVER_MEM").map { m0 =>
+        val m = m0.toLowerCase
+        val n = m.takeWhile(_.isDigit)
+        if (m.endsWith("m")) math.max(1, n.toInt / 1024) else n.toInt
+      }
+      math.max(2, requested.getOrElse(math.min(48, math.max(4, physGb / 2))))
     }
     val youngGb = math.max(1, (heapGb * 2) / 5)
     val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
       s"-Xmx${heapGb}g", s"-Xms${heapGb}g",
       "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy", s"-Xmn${youngGb}g",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", sys.props("java.class.path"),
-      "graft.tools.CrawlOnce", cores.toString, mode, scale.toString)
+      "-cp", sys.props("java.class.path")) ++ mainAndArgs
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
@@ -162,12 +171,32 @@ object Bench {
     var line = reader.readLine()
     while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
     proc.waitFor()
+    out.toString
+  }
+
+  /** Run one crawl measurement in a dedicated child JVM; parse its RESULT. */
+  def crawlSubprocess(cores: Int, mode: String, scale: Double): (Long, Double) = {
+    val out = childJvmOutput(
+      Seq("graft.tools.CrawlOnce", cores.toString, mode, scale.toString))
     val R = """RESULT urls=(\d+) sec=([\d.]+)""".r
-    R.findFirstMatchIn(out.toString) match {
+    R.findFirstMatchIn(out) match {
       case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
       case None =>
-        System.err.println(s"[bench] child $cores/$mode failed:\n${out.toString.takeRight(2000)}")
+        System.err.println(s"[bench] child $cores/$mode failed:\n${out.takeRight(2000)}")
         (0L, Double.NaN)
+    }
+  }
+
+  /** Run the query battery warm in a dedicated child JVM; parse BATTERY. */
+  def batterySubprocess(cores: Int, sfDir: String): Seq[(String, Double)] = {
+    val out = childJvmOutput(Seq("graft.tools.BatteryOnce", cores.toString, sfDir))
+    out.linesIterator.find(_.startsWith("BATTERY ")) match {
+      case Some(line) =>
+        val R = """"([^"]+)":([-+\d.eE]+)""".r
+        R.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      case None =>
+        System.err.println(s"[bench] battery child failed:\n${out.takeRight(2000)}")
+        Seq.empty
     }
   }
 }

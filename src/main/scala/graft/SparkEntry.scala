@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, TextAnalysis}
 import graft.sources.SyntheticCorpus
 import graft.state.SnapshotStore
 
@@ -87,6 +87,44 @@ object SparkEntry {
         .groupBy(col("n_name"), col("r_name"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // S2 proper: IntelX sidecar metadata join — raw Info.csv lines are
+    // cleaned (char whitelist + comma-in-name fix), parsed, broadcast, and
+    // stem-matched onto docs with the created-timestamp override. The
+    // sidecar lines are synthesized deterministically from every
+    // n_chars%3==0 document (uppercased ids exercise the case-fold match;
+    // '#'/comma in the name exercise the cleaning path).
+    "q_intelx_join" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(lit("/ix/"), col("doc_id").cast("string"), lit(".TXT")).as("path"),
+        (lit(1700000000L) + col("n_chars")).cast("double").as("created0"))
+      val lines = docs(s, dir).filter(col("n_chars") % 3 === 0).select(
+        concat(
+          lit("Report, v#2 for "), col("source"), lit(","),
+          lit("2024-01-"), lpad((col("n_chars") % 27 + 1).cast("string"), 2, "0"),
+          lit(" 10:30:00,bucket-"), col("lang"), lit(",media,ct,123,"),
+          upper(col("doc_id").cast("string"))).as("line"))
+      val info = Sidecar.parseInfo(lines, col("line"))
+      Sidecar.intelxJoin(d, col("path"), col("created0"), info)
+        .select(col("doc_id"), col("source"), col("created"),
+          col("name"), col("bucket"))
+    }),
+
+    // mime sniffing: magic-number table over a binary column feeding
+    // container detection — blobs synthesized per doc with known headers
+    "q_mime_sniff" -> ((s, dir) => {
+      val m = col("n_chars") % 7
+      val blob = when(m === 0, concat(unhex(lit("504B0304")), encode(col("text").substr(1, 8), "UTF-8")))
+        .when(m === 1, concat(unhex(lit("1F8B08")), encode(col("text").substr(1, 8), "UTF-8")))
+        .when(m === 2, concat(encode(lit("%PDF-1.7\n"), "UTF-8"), encode(col("text").substr(1, 8), "UTF-8")))
+        .when(m === 3, concat(unhex(lit("53514C69746520666F726D6174203300")), encode(col("text").substr(1, 8), "UTF-8")))
+        .when(m === 4, concat(unhex(lit("89504E470D0A1A0A")), encode(col("text").substr(1, 8), "UTF-8")))
+        .when(m === 5, encode(concat(lit("plain text: "), col("text").substr(1, 8)), "UTF-8"))
+        .otherwise(concat(unhex(lit("00")), encode(col("text").substr(1, 8), "UTF-8")))
+      docs(s, dir)
+        .select(col("doc_id"), Mime.sniffMime(blob).as("mime"))
+        .withColumn("container", Mime.containerKind(col("mime")))
     }),
 
     // F4 must_index: anti-join (customers never seen in orders)
@@ -376,6 +414,58 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_intelx_join" ->
+      """WITH raw AS (
+        |  SELECT 'Report, v#2 for ' || source || ',2024-01-' ||
+        |    lpad(CAST(n_chars % 27 + 1 AS VARCHAR), 2, '0') ||
+        |    ' 10:30:00,bucket-' || lang || ',media,ct,123,' ||
+        |    upper(CAST(doc_id AS VARCHAR)) AS line
+        |  FROM documents WHERE n_chars % 3 = 0),
+        |filtered AS (
+        |  SELECT trim(regexp_replace(line, '[^\p{L}0-9:.,\-_ ]', '', 'g')) AS fline
+        |  FROM raw),
+        |fixed AS (
+        |  SELECT CASE WHEN p1 = '' THEN fline
+        |         ELSE replace(fline, p1, replace(p1, ',', '_')) END AS cline
+        |  FROM (SELECT fline,
+        |          regexp_replace(regexp_extract(fline,
+        |            '^(.*?),[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2},', 1),
+        |            '^[, ]+|[, ]+$', '', 'g') AS p1
+        |        FROM filtered)),
+        |info AS (
+        |  SELECT parts[1] AS name, parts[2] AS dt, parts[3] AS bucket,
+        |    lower(parts[7]) AS sid
+        |  FROM (SELECT string_split(cline, ',') AS parts FROM fixed)
+        |  WHERE len(parts) >= 7 AND regexp_matches(parts[2],
+        |    '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(1700000000 + n_chars AS DOUBLE) AS created0,
+        |    lower(CAST(doc_id AS VARCHAR)) AS stem
+        |  FROM documents)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(CAST(epoch(strptime(i.dt, '%Y-%m-%d %H:%M:%S')) AS DOUBLE),
+        |           d.created0) AS created,
+        |  i.name, i.bucket
+        |FROM d LEFT JOIN info i ON d.stem = i.sid""".stripMargin,
+
+    "q_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE n_chars % 7
+        |    WHEN 0 THEN 'application/zip'
+        |    WHEN 1 THEN 'application/gzip'
+        |    WHEN 2 THEN 'application/pdf'
+        |    WHEN 3 THEN 'application/vnd.sqlite3'
+        |    WHEN 4 THEN 'image/png'
+        |    WHEN 5 THEN 'text/plain'
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CASE n_chars % 7
+        |    WHEN 0 THEN 'zip'
+        |    WHEN 1 THEN 'gz'
+        |    WHEN 3 THEN 'sqlite3'
+        |    ELSE NULL END AS container
+        |FROM documents""".stripMargin,
 
     "q_antijoin_unindexed" ->
       """SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Content-based mime sniffing over a binary column — the Spark restatement
+  * of the reference's libmagic call (util/tools.py:285-310: mime=True over
+  * the first 2048 bytes), covering the magic numbers the reference actually
+  * dispatches on: the container formats of libs/containerfile.py:23-36 plus
+  * the media/document types its parser registry names. Everything is a
+  * codegen'd column expression over hex(prefix) — no UDF, no per-row
+  * library call.
+  */
+object Mime {
+
+  /** Sniff the mime type from leading magic bytes; falls back to text/plain
+    * when the head contains no control bytes (libmagic's ASCII-text
+    * heuristic, simplified), else application/octet-stream. */
+  def sniffMime(bin: Column): Column = {
+    val h = hex(substring(bin, 1, 16)) // uppercase hex of the head
+    // a control byte (00-08, 0B, 0C, 0E-1F, 7F) at any even hex offset
+    val hasControl = h.rlike("^(?:..)*?(?:0[0-8BCEF]|1[0-9A-F]|7F)")
+    when(h.startsWith("504B0304") || h.startsWith("504B0506") ||
+         h.startsWith("504B0708"), "application/zip")
+      .when(h.startsWith("526172211A07"), "application/x-rar-compressed")
+      .when(h.startsWith("377ABCAF271C"), "application/x-7z-compressed")
+      .when(h.startsWith("1F8B"), "application/gzip")
+      .when(h.startsWith("425A68"), "application/x-bzip2")
+      .when(h.startsWith("53514C69746520666F726D6174203300"), "application/vnd.sqlite3")
+      .when(h.startsWith("25504446"), "application/pdf")
+      .when(h.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"), "image/gif")
+      .when(h.startsWith("3C3F786D6C"), "text/xml")
+      .when(h.startsWith("D0CF11E0A1B11AE1"), "application/x-ole-storage")
+      .when(h.startsWith("4D5A"), "application/vnd.microsoft.portable-executable")
+      // rfc822 headers ("Received:", "Return-Path:", "From:")
+      .when(h.startsWith("52656365697665643A") ||
+            h.startsWith("52657475726E2D506174683A") ||
+            h.startsWith("46726F6D3A"), "message/rfc822")
+      .when(!hasControl, "text/plain")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Container format for a sniffed mime — the mime lists of
+    * containerfile.py:23-36 (_defs); null when not a container. Extension
+    * matching (the _defs `extensions` lists) stays the caller's dispatch
+    * concern, as in the reference. */
+  def containerKind(mime: Column): Column = {
+    when(mime === "application/zip", "zip")
+      .when(mime.isin("application/x-rar-compressed", "application/vnd.rar"), "rar")
+      .when(mime === "application/x-bzip", "bz")
+      .when(mime === "application/x-bzip2", "bz2")
+      .when(mime === "application/gzip", "gz")
+      .when(mime === "application/x-7z-compressed", "7z")
+      .when(mime === "message/rfc822", "eml")
+      .when(mime === "application/java-archive", "jar")
+      .when(mime === "application/vnd.sqlite3", "sqlite3")
+      .otherwise(lit(null).cast("string"))
+  }
+}

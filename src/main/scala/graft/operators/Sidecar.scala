@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IntelX sidecar metadata join (reference: parsers/intelxinfo.py:88-191,
+  * applied at crawlerbase.py:419-422 with the created-timestamp override in
+  * libs/file.py:39-49): each export directory carries an Info.csv whose rows
+  * (Name, Date, Bucket, Media, Content Type, Size, System ID) attach
+  * provenance to files named `<system id>.<ext>`; a matched row OVERRIDES
+  * the file's created timestamp with the CSV date.
+  *
+  * Spark restatement: the sidecar is a small dimension — parse its raw lines
+  * declaratively, broadcast, and left-join on the lowercased path stem.
+  * Reference quirks preserved:
+  *  - char whitelist before parsing (tools.py:44-60): unicode letters,
+  *    ASCII alnum, ':', '.', ',', '-', '_', ' '
+  *  - commas inside the Name field are folded to '_' by locating the
+  *    ",YYYY-MM-DD HH:MM:SS," date anchor (intelxinfo.py:68-71)
+  *  - stem matching lowercases the whole path and strips EVERY occurrence
+  *    of ".<ext>" from the filename (FileInfo.__eq__, intelxinfo.py:20-26),
+  *    so "a.txt.txt" stems to "a" and extensionless names lose all dots
+  */
+object Sidecar {
+
+  /** Chars the reference KEEPS when reading Info.csv lines. */
+  private val DisallowedRe = "[^\\p{L}0-9:.,\\-_ ]"
+
+  /** tools.py permited_char filter + strip, then the comma-in-name fix. */
+  def cleanInfoLine(line: Column): Column = {
+    val filtered = trim(regexp_replace(line, DisallowedRe, ""))
+    // leftmost ",<date>," anchor; prefix = the Name field (possibly with commas)
+    val prefix = regexp_extract(filtered,
+      "^(.*?),[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2},", 1)
+    val p1 = regexp_replace(prefix, "^[, ]+|[, ]+$", "")
+    val pn = regexp_replace(p1, ",", "_")
+    // p1 == "" is a no-op in the reference too (''.replace inserts '')
+    when(p1 === "", filtered).otherwise(replace(filtered, p1, pn))
+  }
+
+  /** Parse cleaned Info.csv lines in the canonical IntelX export layout
+    * (Name,Date,Bucket,Media,Content Type,Size,System ID — the header the
+    * reference's dynamic index discovery resolves for real exports). Header
+    * and short rows are dropped by the date-shape check, mirroring the
+    * reference's len(line_parts) >= max_idx gate. */
+  def parseInfo(lines: DataFrame, lineCol: Column): DataFrame = {
+    val parts = split(cleanInfoLine(lineCol), ",")
+    lines
+      .select(
+        // try_element_at: short rows yield nulls here and are dropped by
+        // the __n gate below (ANSI mode would throw on element_at)
+        try_element_at(parts, lit(1)).as("name"),
+        try_element_at(parts, lit(2)).as("date"),
+        try_element_at(parts, lit(3)).as("bucket"),
+        try_element_at(parts, lit(7)).as("system_id"),
+        size(parts).as("__n"))
+      .filter(col("__n") >= 7 &&
+        col("date").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"))
+      .drop("__n")
+  }
+
+  /** Lowercased stem with the reference's FileInfo.__eq__ quirks: pathlib
+    * suffix (last dot, but a leading dot is not a suffix), then remove ALL
+    * occurrences of ".<ext>"; extensionless names lose every dot. */
+  def stemLower(path: Column): Column = {
+    val name = element_at(split(lower(path), "/"), -1)
+    // ".+?" forces >=1 char before the suffix dot (pathlib: ".bashrc" has no suffix)
+    val suffix = regexp_extract(name, "^.+?(\\.[^.]*)$", 1)
+    val e = regexp_replace(suffix, "^[. ]+|[. ]+$", "")
+    when(e === "", replace(name, lit("."), lit("")))
+      .otherwise(replace(name, concat(lit("."), e), lit("")))
+  }
+
+  /** Stem-match broadcast left-join of parsed sidecar info onto docs, with
+    * the created-epoch override (to_epoch of the CSV date wins over the
+    * file's own timestamp; unmatched docs keep theirs). `info` must be
+    * small — it is broadcast, exactly like the reference's per-directory
+    * in-memory info_list. */
+  def intelxJoin(docs: DataFrame, pathCol: Column, createdEpochCol: Column,
+      info: DataFrame): DataFrame = {
+    val side = broadcast(info.select(
+      lower(col("system_id")).as("__sid"),
+      col("name"), col("bucket"),
+      unix_timestamp(to_timestamp(col("date"), "yyyy-MM-dd HH:mm:ss"))
+        .cast("double").as("__side_epoch")))
+    docs.join(side, stemLower(pathCol) === col("__sid"), "left")
+      .withColumn("created", coalesce(col("__side_epoch"), createdEpochCol.cast("double")))
+      .drop("__sid", "__side_epoch")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The full SparkEntry query battery in a dedicated JVM, measured WARM —
+  * the same discipline the crawl measurements get (CrawlOnce): a first
+  * unmeasured pass pays the C2-compile/allocation warm-up (~100s of GC in a
+  * cold JVM was observed swallowing the whole battery signal), caches are
+  * dropped, then the measured pass runs. Spawned by Bench so the sbt JVM's
+  * heap state and classloader churn never contaminate the numbers.
+  *
+  * Usage: BatteryOnce <cores> <sfDir>
+  * Prints: BATTERY {"q1":sec,...}
+  */
+object BatteryOnce {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = args(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-battery-once-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up pass (not measured)
+    qs.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    val results = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    println("BATTERY " +
+      results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

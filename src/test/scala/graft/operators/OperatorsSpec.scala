@@ -130,6 +130,87 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set("fp1", "fp3"))
   }
 
+  test("intelx sidecar: stem match reproduces FileInfo.__eq__ quirks") {
+    import spark.implicits._
+    // expected values pinned against the reference's Python semantics
+    // (intelxinfo.py:20-26: lowercase path, pathlib suffix, remove ALL
+    // ".<ext>" occurrences; extensionless names lose every dot)
+    val cases = Seq(
+      "/a/B.TXT" -> "b",
+      "a.txt.txt" -> "a",
+      ".bashrc" -> "bashrc",
+      "readme" -> "readme",
+      "x.1.2" -> "x.1",
+      "x.2.2" -> "x",
+      "file." -> "file",
+      "a.b." -> "ab",
+      "Info.csv" -> "info")
+    val got = cases.map(_._1).toDF("path")
+      .select(Sidecar.stemLower(col("path")).as("stem"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("intelx sidecar: line cleaning + comma-in-name fix + date override") {
+    import spark.implicits._
+    val lines = Seq(
+      "Name,Date,Bucket,Media,Content Type,Size,System ID", // header dropped
+      "Li, Wei's #réport!,2024-02-03 04:05:06,buck,med,ct,9,AbC",
+      "plain,2024-01-01 00:00:00,b2,m,c,1,zz",
+      "short,line").toDF("line")
+    val info = Sidecar.parseInfo(lines, col("line")).collect()
+    assert(info.length == 2)
+    // '#' and '!' and the apostrophe are filtered; the comma inside the
+    // name folds to '_' ("Li, Weis réport" -> "Li_ Weis réport")
+    assert(info.head.getString(0) == "Li_ Weis réport")
+    assert(info.head.getString(3) == "AbC")
+    val d = Seq(("/x/ABC.dat", 111.0), ("/x/other.dat", 222.0))
+      .toDF("path", "created0")
+    val joined = Sidecar.intelxJoin(d, col("path"), col("created0"),
+      Sidecar.parseInfo(lines, col("line")))
+      .select(col("path"), col("created")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 2024-02-03 04:05:06 UTC = 1706933106
+    assert(joined("/x/ABC.dat") == 1706933106.0)
+    assert(joined("/x/other.dat") == 222.0)
+  }
+
+  test("mime sniff: magic table over binary column") {
+    import spark.implicits._
+    def b(hexHead: String, tail: String = "rest of file"): Array[Byte] = {
+      val head = hexHead.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      head ++ tail.getBytes("UTF-8")
+    }
+    val cases: Seq[(Array[Byte], String, String)] = Seq(
+      (b("504B0304"), "application/zip", "zip"),
+      (b("504B0506"), "application/zip", "zip"),
+      (b("526172211A07"), "application/x-rar-compressed", "rar"),
+      (b("377ABCAF271C"), "application/x-7z-compressed", "7z"),
+      (b("1F8B08"), "application/gzip", "gz"),
+      (b("425A68"), "application/x-bzip2", "bz2"),
+      (b("53514C69746520666F726D6174203300"), "application/vnd.sqlite3", "sqlite3"),
+      ("%PDF-1.7".getBytes("UTF-8"), "application/pdf", null),
+      (b("89504E470D0A1A0A"), "image/png", null),
+      (b("FFD8FFE0"), "image/jpeg", null),
+      ("GIF89a".getBytes("UTF-8"), "image/gif", null),
+      ("<?xml version=\"1.0\"?>".getBytes("UTF-8"), "text/xml", null),
+      (b("D0CF11E0A1B11AE1"), "application/x-ole-storage", null),
+      ("MZ".getBytes("UTF-8"), "application/vnd.microsoft.portable-executable", null),
+      ("Received: from mail".getBytes("UTF-8"), "message/rfc822", "eml"),
+      ("From: a@b.c\nTo: x".getBytes("UTF-8"), "message/rfc822", "eml"),
+      ("just some text,\n\twith whitespace é".getBytes("UTF-8"), "text/plain", null),
+      (b("0001020304"), "application/octet-stream", null))
+    val df = cases.zipWithIndex.map { case ((bytes, _, _), i) => (i, bytes) }
+      .toDF("i", "bin")
+      .select(col("i"), Mime.sniffMime(col("bin")).as("mime"))
+      .withColumn("container", Mime.containerKind(col("mime")))
+      .orderBy("i").collect()
+    cases.zipWithIndex.foreach { case ((_, mime, container), i) =>
+      assert(df(i).getString(1) == mime, s"case $i mime")
+      assert(Option(df(i).getString(2)).orNull == container, s"case $i container")
+    }
+  }
+
   test("multimodal frame sampling is deterministic and batch-shaped") {
     import spark.implicits._
     val docs = Seq((1L, "hello world payload"), (2L, "another doc")).toDF("doc_id", "text")
