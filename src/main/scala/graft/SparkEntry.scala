@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, TextAnalysis}
-import graft.sources.SyntheticCorpus
+import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, TextAnalysis, YamlLite}
+import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
 /** Driver contract: `entry` (flagship, rows>0 smoke), `queries` (one per
@@ -125,6 +125,84 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), Mime.sniffMime(blob).as("mime"))
         .withColumn("container", Mime.containerKind(col("mime")))
+    }),
+
+    // S3: git-history source — commits table (pre-materialized shape)
+    // exploded to per-blob synthetic docs. Commits synthesized
+    // deterministically from documents; fingerprint (sha1, no DuckDB
+    // analog) is pinned by a unit test instead and excluded here.
+    "q_git_diffs" -> ((s, dir) => {
+      val commits = docs(s, dir).select(
+        lit("/repos/demo").as("repo"),
+        when(col("doc_id") % 5 === 0, "dev").otherwise("main").as("branch"),
+        md5(concat(lit("c"), col("doc_id").cast("string"))).as("commit_sha"),
+        concat(col("lang"), lit("@example.com")).as("author"),
+        concat(lit("Fix "), col("source"), lit("\r\n\n   \nDetails: "),
+          col("lang")).as("message"),
+        concat(lit("2024-01-"), lpad((col("n_chars") % 27 + 1).cast("string"), 2, "0"),
+          lit("T10:30:00+0000")).as("ts_str"),
+        concat(lit("src/"), col("source"), lit("/mod."), col("lang")).as("obj_path"),
+        (col("n_chars") % 100).as("insertions"),
+        (col("n_chars") % 7).as("deletions"),
+        (col("n_chars") % 100 + col("n_chars") % 7).as("lines"),
+        when(col("n_chars") % 3 =!= 0, encode(col("text").substr(1, 40), "UTF-8"))
+          .otherwise(lit(null).cast("binary")).as("a_blob"),
+        when(col("n_chars") % 2 === 0, encode(col("text").substr(41, 40), "UTF-8"))
+          .otherwise(lit(null).cast("binary")).as("b_blob"),
+        (col("doc_id") % 11 === 0).as("renamed"),
+        (col("doc_id") % 5 === 0).as("deleted_file"),
+        (col("doc_id") % 3 === 0).as("new_file"))
+      GitHistory.diffDocs(commits)
+        .select(col("branch"), col("commit_sha"), col("dtype"), col("filename"),
+          col("extension"), col("file_size"), col("created"),
+          col("path_virtual"), col("metadata"),
+          md5(col("content")).as("content_digest"))
+    }),
+
+    // P4 enabled path: XML object_content via Spark-native from_xml (no
+    // external jar). NOTE the reference's own xml_support=true path is dead
+    // code — xmlparser.py:24 calls json.loads on a dict, which always
+    // raises into the bare except — so this implements the documented
+    // INTENT (structured XML object), the content-only default stays
+    // parity-exact in Parsers. XML synthesized per doc; oracle derives the
+    // expected round-trip from the construction rule.
+    "q_xml_object" -> ((s, dir) => {
+      val xml = concat(
+        lit("<doc id=\""), col("doc_id").cast("string"), lit("\">"),
+        lit("<lang>"), col("lang"), lit("</lang>"),
+        lit("<n>"), col("n_chars").cast("string"), lit("</n>"),
+        lit("<tags><t>"), col("source"), lit("</t><t>x-"), col("lang"),
+        lit("</t></tags></doc>"))
+      val schema = "struct<_id:bigint, lang:string, n:bigint, tags:struct<t:array<string>>>"
+      docs(s, dir)
+        .select(col("doc_id"), from_xml(xml, lit(schema)).as("o"))
+        .select(col("doc_id"),
+          col("o._id").as("xml_id"),
+          col("o.lang").as("xml_lang"),
+          col("o.n").as("xml_n"),
+          array_join(col("o.tags.t"), ",").as("xml_tags"))
+    }),
+
+    // P5 enabled path: YAML object_content — YamlLite (PyYAML-1.1-subset
+    // loader, golden-tested byte-exact vs PyYAML) + CPython json.dumps
+    // (indent=2). Scalar parsing is inherently per-row; runs as a typed map.
+    "q_yaml_object" -> ((s, dir) => {
+      import s.implicits._
+      val nl = "\n"
+      val y = concat(
+        lit("app: "), col("source"), lit(nl),
+        lit("port: "), col("n_chars").cast("string"), lit(nl),
+        lit("ratio: "), (col("n_chars") % 100).cast("string"), lit("."),
+        (col("n_chars") % 10).cast("string"), lit(nl),
+        lit("flags:" + nl + "  debug: on" + nl + "  lang: "), col("lang"), lit(nl),
+        lit("ids:" + nl + "  - "), col("doc_id").cast("string"),
+        lit(nl + "  - 0x1a" + nl))
+      docs(s, dir).select(col("doc_id"), y.as("y")).as[(Long, String)]
+        .map { case (id, yml) =>
+          (id, YamlLite.loadDict(yml)
+            .map(graft.rules.PyJson.dumpsPretty(_, 2)).orNull)
+        }
+        .toDF("doc_id", "object_content")
     }),
 
     // F4 must_index: anti-join (customers never seen in orders)
@@ -465,6 +543,88 @@ object SparkEntry {
         |    WHEN 1 THEN 'gz'
         |    WHEN 3 THEN 'sqlite3'
         |    ELSE NULL END AS container
+        |FROM documents""".stripMargin,
+
+    "q_git_diffs" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'dev' ELSE 'main' END AS branch,
+        |    md5('c' || CAST(doc_id AS VARCHAR)) AS commit_sha,
+        |    lang || '@example.com' AS author,
+        |    'Fix ' || source || chr(13) || chr(10) || chr(10) || '   ' ||
+        |      chr(10) || 'Details: ' || lang AS message,
+        |    '2024-01-' || lpad(CAST(n_chars % 27 + 1 AS VARCHAR), 2, '0') ||
+        |      'T10:30:00+0000' AS ts_str,
+        |    'src/' || source || '/mod.' || lang AS obj_path,
+        |    n_chars % 100 AS insertions, n_chars % 7 AS deletions,
+        |    n_chars % 100 + n_chars % 7 AS lines,
+        |    CASE WHEN n_chars % 3 != 0 THEN substr(text, 1, 40) END AS a_str,
+        |    CASE WHEN n_chars % 2 = 0 THEN substr(text, 41, 40) END AS b_str,
+        |    (doc_id % 11 = 0) AS renamed, (doc_id % 5 = 0) AS deleted_file,
+        |    (doc_id % 3 = 0) AS new_file
+        |  FROM documents),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN renamed THEN 'R' WHEN deleted_file THEN 'D'
+        |         WHEN new_file THEN 'A' ELSE 'M' END AS dtype,
+        |    array_to_string(list_filter(
+        |      string_split(replace(message, chr(13), ''), chr(10)),
+        |      x -> regexp_matches(x, '\S')), chr(10)) AS msg_clean
+        |  FROM c),
+        |meta AS (
+        |  SELECT *,
+        |    '{"insertions": ' || CAST(insertions AS VARCHAR) ||
+        |    ', "deletions": ' || CAST(deletions AS VARCHAR) ||
+        |    ', "lines": ' || CAST(lines AS VARCHAR) ||
+        |    ', "branch": "' || branch ||
+        |    '", "commit": "' || commit_sha ||
+        |    '", "object": "' || obj_path ||
+        |    '", "author": "' || author ||
+        |    '", "message": "' ||
+        |      replace(replace(replace(msg_clean, '\', '\\'), '"', '\"'),
+        |              chr(10), '\n') ||
+        |    '", "timestamp": "' || ts_str ||
+        |    '", "type": "' || dtype || '"}' AS metadata
+        |  FROM m),
+        |sides AS (
+        |  SELECT *, 'a' AS salt, a_str AS content_str FROM meta
+        |  WHERE a_str IS NOT NULL
+        |  UNION ALL
+        |  SELECT *, 'b', b_str FROM meta
+        |  WHERE b_str IS NOT NULL AND length(b_str) > 0)
+        |SELECT branch, commit_sha, dtype,
+        |  string_split(obj_path, '/')[-1] AS filename,
+        |  regexp_replace(regexp_extract(string_split(obj_path, '/')[-1],
+        |    '^.+?(\.[^.]*)$', 1), '^[. ]+|[. ]+$', '', 'g') AS extension,
+        |  CAST(octet_length(encode(content_str)) AS BIGINT) AS file_size,
+        |  ts_str AS created,
+        |  '/repos/demo/<gitcommit>/' || branch || '/' || commit_sha ||
+        |    '/blob_' || salt || '/' ||
+        |    regexp_replace(obj_path, '^/+|/+$', '', 'g') AS path_virtual,
+        |  metadata, md5(content_str) AS content_digest
+        |FROM sides""".stripMargin,
+
+    "q_xml_object" ->
+      """SELECT doc_id, doc_id AS xml_id, lang AS xml_lang,
+        |  n_chars AS xml_n, source || ',x-' || lang AS xml_tags
+        |FROM documents""".stripMargin,
+
+    "q_yaml_object" ->
+      """SELECT doc_id,
+        |  '{' || chr(10) ||
+        |  '  "app": "' || source || '",' || chr(10) ||
+        |  '  "port": ' || CAST(n_chars AS VARCHAR) || ',' || chr(10) ||
+        |  '  "ratio": ' || CAST(n_chars % 100 AS VARCHAR) || '.' ||
+        |    CAST(n_chars % 10 AS VARCHAR) || ',' || chr(10) ||
+        |  '  "flags": {' || chr(10) ||
+        |  '    "debug": true,' || chr(10) ||
+        |  '    "lang": "' || lang || '"' || chr(10) ||
+        |  '  },' || chr(10) ||
+        |  '  "ids": [' || chr(10) ||
+        |  '    ' || CAST(doc_id AS VARCHAR) || ',' || chr(10) ||
+        |  '    26' || chr(10) ||
+        |  '  ]' || chr(10) ||
+        |  '}' AS object_content
         |FROM documents""".stripMargin,
 
     "q_antijoin_unindexed" ->

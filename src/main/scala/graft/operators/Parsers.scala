@@ -70,7 +70,35 @@ object Parsers {
     dec.decode(java.nio.ByteBuffer.wrap(slice)).toString
   }
 
-  /** Full parse: (content, parserName). jsonSupport mirrors the reference's
+  /** Full parse incl. structured object_content where the reference emits
+    * one:
+    *  - YAML (yamlparser.py:16-37): ALWAYS attempted (no config gate);
+    *    json.dumps(dict, sort_keys=False, indent=2) of the mapping; None
+    *    for non-mapping roots or load failures (the bare except). The
+    *    reference loads the FULL bytes (strict UTF-8 — a decode error is a
+    *    load failure), not the truncated content.
+    *  - XML: NEVER — the reference's xml_support path is dead code
+    *    (xmlparser.py:24 calls json.loads on a dict, which always raises
+    *    into the bare except), so byte parity means no object_content.
+    *    The structured-XML capability lives Spark-side via from_xml
+    *    (see SparkEntry q_xml_object). */
+  def parseFull(extension: String, mime: String, bytes: Array[Byte],
+      indexedChars: Int = 1000000, jsonSupport: Boolean = false)
+      : (String, String, Option[String]) = {
+    val (content, name) = parse(extension, mime, bytes, indexedChars, jsonSupport)
+    val obj = if (name == "YAML Parser") {
+      try {
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        val full = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        YamlLite.loadDict(full).map(PyJson.dumpsPretty(_, 2))
+      } catch { case _: Throwable => None }
+    } else None
+    (content, name, obj)
+  }
+
+  /** Base parse: (content, parserName). jsonSupport mirrors the reference's
     * (default-off) re-pretty-print; failures keep the raw content. */
   def parse(extension: String, mime: String, bytes: Array[Byte],
       indexedChars: Int = 1000000, jsonSupport: Boolean = false): (String, String) = {

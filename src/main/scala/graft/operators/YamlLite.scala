@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.rules.PyVal
+import graft.rules.PyVal._
+
+/** YAML-1.1 SUBSET loader for the reference's YAML object_content path
+  * (yamlparser.py:16-37: `dict(yaml.load(FullLoader))` then
+  * `json.dumps(tmp, sort_keys=False, indent=2)` — note the path is ALWAYS
+  * attempted, there is no config gate, and a non-mapping root raises into
+  * the bare except so only dict roots emit object_content).
+  *
+  * Supported (the config-file shapes a credential crawl actually meets):
+  * block mappings with indentation nesting, block sequences of scalars,
+  * plain/single/double-quoted scalars, YAML 1.1 scalar resolution (ints
+  * incl. 0x/0o/leading-zero octal and '_' separators, floats incl.
+  * .inf/.nan, the yes/no/on/off bool family, ~/null/empty nulls), full-line
+  * and trailing comments.
+  *
+  * NOT supported — parse returns None rather than guessing: flow styles
+  * ([..], {..}), block scalars (| >), anchors/aliases/tags (& * !),
+  * multi-document streams, complex keys. A None here means "no
+  * object_content", exactly the reference's behavior when loading fails.
+  */
+object YamlLite {
+
+  /** Load a YAML mapping; None when the root is not a mapping, the text
+    * uses unsupported constructs, or parsing fails. */
+  def loadDict(text: String): Option[PyObj] =
+    try {
+      val lines = prepare(text)
+      if (lines.isEmpty) None
+      else {
+        val (v, next) = parseBlock(lines, 0, lines.head._1)
+        if (next != lines.length) None
+        else v match {
+          case o: PyObj => Some(o)
+          case _        => None // dict(<list or scalar>) raises in the reference
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  // (indent, content) for each meaningful line
+  private def prepare(text: String): Vector[(Int, String)] =
+    text.replace("\r\n", "\n").replace("\r", "\n").split("\n", -1).toVector
+      .map { raw =>
+        val noTab = raw // tabs in indentation are illegal YAML; treat as content
+        val indent = noTab.takeWhile(_ == ' ').length
+        (indent, stripComment(noTab.trim))
+      }
+      .filter(_._2.nonEmpty)
+
+  /** Remove a trailing comment: '#' at start or preceded by whitespace,
+    * outside quotes. */
+  private def stripComment(s: String): String = {
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          // '' inside single quotes is an escaped quote
+          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else quote = 0
+        } else if (quote == '"' && c == '\\') i += 1
+      } else if (c == '"' || c == '\'') quote = c
+      else if (c == '#' && (i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'))
+        return s.substring(0, i).reverse.dropWhile(ch => ch == ' ' || ch == '\t').reverse
+      i += 1
+    }
+    s
+  }
+
+  private def parseBlock(lines: Vector[(Int, String)], start: Int,
+      indent: Int): (PyVal, Int) = {
+    require(start < lines.length && lines(start)._1 == indent, "bad block")
+    if (lines(start)._2.startsWith("- ") || lines(start)._2 == "-")
+      parseSeq(lines, start, indent)
+    else parseMap(lines, start, indent)
+  }
+
+  private def parseMap(lines: Vector[(Int, String)], start: Int,
+      indent: Int): (PyVal, Int) = {
+    var i = start
+    var entries = Vector.empty[(String, PyVal)]
+    while (i < lines.length && lines(i)._1 == indent && !lines(i)._2.startsWith("- ")) {
+      val s = lines(i)._2
+      val (key, rest) = splitKey(s)
+      if (rest.nonEmpty) {
+        entries :+= (key -> scalar(rest))
+        i += 1
+      } else {
+        // nested block or null
+        if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
+          val (v, next) = parseBlock(lines, i + 1, lines(i + 1)._1)
+          entries :+= (key -> v)
+          i = next
+        } else {
+          entries :+= (key -> PyNull)
+          i += 1
+        }
+      }
+    }
+    if (i < lines.length && lines(i)._1 > indent)
+      throw new IllegalArgumentException(s"bad indent at line $i")
+    // CPython dict: duplicate keys keep first position, last value
+    val order = entries.map(_._1).distinct
+    val last = entries.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    (PyObj(order.map(k => k -> last(k))), i)
+  }
+
+  private def parseSeq(lines: Vector[(Int, String)], start: Int,
+      indent: Int): (PyVal, Int) = {
+    var i = start
+    var items = Vector.empty[PyVal]
+    while (i < lines.length && lines(i)._1 == indent &&
+        (lines(i)._2.startsWith("- ") || lines(i)._2 == "-")) {
+      val body = if (lines(i)._2 == "-") "" else lines(i)._2.substring(2).trim
+      if (body.isEmpty) {
+        if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
+          val (v, next) = parseBlock(lines, i + 1, lines(i + 1)._1)
+          items :+= v
+          i = next
+        } else { items :+= PyNull; i += 1 }
+      } else if (body.contains(": ") || body.endsWith(":")) {
+        // inline map start under a dash — unsupported in the subset
+        throw new IllegalArgumentException("seq-of-maps unsupported")
+      } else {
+        items :+= scalar(body)
+        i += 1
+      }
+    }
+    (PyArr(items), i)
+  }
+
+  /** Split "key: rest" / "key:" — key may be quoted. */
+  private def splitKey(s: String): (String, String) = {
+    val (rawKey, after) =
+      if (s.startsWith("\"") || s.startsWith("'")) {
+        val q = s.charAt(0)
+        val end = s.indexOf(q, 1)
+        if (end < 0) throw new IllegalArgumentException("unterminated key quote")
+        (s.substring(0, end + 1), s.substring(end + 1))
+      } else {
+        val idx = keyColon(s)
+        if (idx < 0) throw new IllegalArgumentException(s"no key in: $s")
+        (s.substring(0, idx), s.substring(idx))
+      }
+    val afterTrim = after.trim
+    if (!afterTrim.startsWith(":"))
+      throw new IllegalArgumentException(s"no ':' after key in: $s")
+    val rest = afterTrim.substring(1).trim
+    val key = scalar(rawKey.trim) match {
+      case PyStr(k)  => k
+      case PyInt(k)  => k.toString  // json.dumps stringifies non-str keys
+      case PyBool(b) => if (b) "true" else "false"
+      case PyNull    => "null"
+      case other     => other.toString
+    }
+    (key, rest)
+  }
+
+  /** Position of the key-terminating ':' (followed by space or EOL). */
+  private def keyColon(s: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ':' && (i + 1 == s.length || s.charAt(i + 1) == ' '))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // PyYAML's 1.1 implicit resolvers exactly: decimal ints allow a signed 0;
+  // "017" is octal; floats REQUIRE a dot and a SIGNED exponent ("1.5e3" is
+  // a string in YAML 1.1 — no sign on the exponent)
+  private val IntDec = """[-+]?(?:0|[1-9][0-9_]*)""".r
+  private val IntOct = """[-+]?0o?[0-7_]+""".r
+  private val IntHex = """[-+]?0x[0-9a-fA-F_]+""".r
+  private val FloatRe =
+    """[-+]?[0-9][0-9_]*\.[0-9_]*(?:[eE][-+][0-9]+)?|\.[0-9_]+(?:[eE][-+][0-9]+)?""".r
+  private val Bools = Map(
+    "yes" -> true, "Yes" -> true, "YES" -> true, "true" -> true,
+    "True" -> true, "TRUE" -> true, "on" -> true, "On" -> true, "ON" -> true,
+    "no" -> false, "No" -> false, "NO" -> false, "false" -> false,
+    "False" -> false, "FALSE" -> false, "off" -> false, "Off" -> false,
+    "OFF" -> false)
+
+  /** YAML 1.1 scalar resolution (FullLoader's implicit resolvers). */
+  def scalar(raw: String): PyVal = {
+    val s = raw.trim
+    if (s.isEmpty || s == "~" || s == "null" || s == "Null" || s == "NULL") PyNull
+    else if (s.startsWith("\"")) {
+      if (!s.endsWith("\"") || s.length < 2)
+        throw new IllegalArgumentException("unterminated double quote")
+      PyStr(unescapeDouble(s.substring(1, s.length - 1)))
+    } else if (s.startsWith("'")) {
+      if (!s.endsWith("'") || s.length < 2)
+        throw new IllegalArgumentException("unterminated single quote")
+      PyStr(s.substring(1, s.length - 1).replace("''", "'"))
+    } else if ("[{|>&*!".contains(s.charAt(0)))
+      throw new IllegalArgumentException(s"unsupported construct: $s")
+    else if (Bools.contains(s)) PyBool(Bools(s))
+    else if (IntHex.matches(s)) {
+      val neg = s.startsWith("-")
+      val body = s.replaceAll("^[-+]", "").replace("_", "").stripPrefix("0x")
+      val mag = java.lang.Long.parseLong(body, 16)
+      PyInt(if (neg) -mag else mag)
+    } else if (IntOct.matches(s)) {
+      val neg = s.startsWith("-")
+      val body = s.replaceAll("^[-+]", "").replace("_", "")
+        .stripPrefix("0o").stripPrefix("0")
+      val mag = if (body.isEmpty) 0L else java.lang.Long.parseLong(body, 8)
+      PyInt(if (neg) -mag else mag)
+    } else if (IntDec.matches(s))
+      PyInt(java.lang.Long.parseLong(s.replace("_", "")))
+    else if (FloatRe.matches(s))
+      PyFloat(java.lang.Double.parseDouble(s.replace("_", "")))
+    else if (s == ".inf" || s == "+.inf") PyFloat(Double.PositiveInfinity)
+    else if (s == "-.inf") PyFloat(Double.NegativeInfinity)
+    else if (s == ".nan" || s == ".NaN") PyFloat(Double.NaN)
+    else PyStr(s)
+  }
+
+  private def unescapeDouble(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => sb.append('\n')
+          case 't'  => sb.append('\t')
+          case 'r'  => sb.append('\r')
+          case '"'  => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '0'  => sb.append(' ')
+          case o    => sb.append('\\').append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

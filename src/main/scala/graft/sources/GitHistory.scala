@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Git-history source (reference: gitfinder.py:23-123): every (branch,
+  * commit, changed file) becomes up to two synthetic documents — the parent
+  * side (`blob_a`, always emitted when present) and the child side
+  * (`blob_b`, only when non-empty) — carrying a metadata JSON of the
+  * commit stats and a sha1 fingerprint over repo + salt + that JSON.
+  *
+  * The reference walks the repo with GitPython; at cluster scale the walk
+  * is a one-time materialization job (repo → commits table), and THIS
+  * operator is the distributed part: a declarative explode over
+  * pre-materialized rows. Expected input columns:
+  *   repo, branch, commit_sha, author, message (raw), ts_str (already
+  *   "%Y-%m-%dT%H:%M:%S%z"-formatted), obj_path, insertions, deletions,
+  *   lines, a_blob (binary|null), b_blob (binary|null), renamed,
+  *   deleted_file, new_file (booleans).
+  *
+  * Reference quirks preserved:
+  *  - message cleaning (gitfinder.py:60-63): '\r' removed, blank lines
+  *    dropped, remaining lines joined with '\n'
+  *  - diff type ladder R > D > A > M (gitfinder.py:118-123)
+  *  - metadata key order = GitPython stats keys (insertions, deletions,
+  *    lines) then the dict.update keys (branch, commit, object, author,
+  *    message, timestamp, type) — CPython 3.7+ dict semantics
+  *  - fingerprint = sha1(f"{repo}_{salt}" + metadata_json)
+  *    (gitfinder.py:109-114)
+  *  - path_virtual = repo/<gitcommit>/branch/sha/blob_X/objpath with the
+  *    object path stripped of leading/trailing '/'
+  *  - filename/extension via pathlib (a leading dot is not a suffix;
+  *    extension = suffix stripped of '.'/' ')
+  */
+object GitHistory {
+
+  /** json.dumps string escaping for the JSON-safe subset git metadata uses
+    * (backslash, quote, newline; full escaping incl. \uXXXX lives in
+    * rules.PyJson for the rule engine). */
+  private def jsonEsc(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""),
+      "\n", "\\\\n")
+
+  /** gitfinder.py:60-63 message normalization. */
+  def messageClean(msg: Column): Column =
+    array_join(
+      filter(split(regexp_replace(msg, "\r", ""), "\n"), m => m.rlike("\\S")),
+      "\n")
+
+  /** R > D > A > M ladder. */
+  def diffType(renamed: Column, deletedFile: Column, newFile: Column): Column =
+    when(renamed, "R").when(deletedFile, "D").when(newFile, "A").otherwise("M")
+
+  /** CPython-ordered, json.dumps-formatted metadata object. */
+  def metadataJson(insertions: Column, deletions: Column, lines: Column,
+      branch: Column, commitSha: Column, objPath: Column, author: Column,
+      messageCleaned: Column, tsStr: Column, dtype: Column): Column =
+    concat(
+      lit("{\"insertions\": "), insertions.cast("long"),
+      lit(", \"deletions\": "), deletions.cast("long"),
+      lit(", \"lines\": "), lines.cast("long"),
+      lit(", \"branch\": \""), jsonEsc(branch),
+      lit("\", \"commit\": \""), jsonEsc(commitSha),
+      lit("\", \"object\": \""), jsonEsc(objPath),
+      lit("\", \"author\": \""), jsonEsc(author),
+      lit("\", \"message\": \""), jsonEsc(messageCleaned),
+      lit("\", \"timestamp\": \""), jsonEsc(tsStr),
+      lit("\", \"type\": \""), jsonEsc(dtype), lit("\"}"))
+
+  /** pathlib name/extension of the object path (suffix quirks shared with
+    * the sidecar stem logic, but case-preserving). */
+  def pathName(p: Column): Column = element_at(split(p, "/"), -1)
+  def pathExtension(p: Column): Column = {
+    val name = pathName(p)
+    val suffix = regexp_extract(name, "^.+?(\\.[^.]*)$", 1)
+    regexp_replace(suffix, "^[. ]+|[. ]+$", "")
+  }
+
+  /** Explode a commits table into per-blob synthetic documents. */
+  def diffDocs(commits: DataFrame): DataFrame = {
+    val msg = messageClean(col("message"))
+    val dtype = diffType(col("renamed"), col("deleted_file"), col("new_file"))
+    val meta = metadataJson(col("insertions"), col("deletions"), col("lines"),
+      col("branch"), col("commit_sha"), col("obj_path"), col("author"),
+      msg, col("ts_str"), dtype)
+    // a side: emitted whenever the blob exists; b side: only when non-empty
+    // (gitfinder.py:69 vs :88-90)
+    val sides = filter(
+      array(
+        struct(lit("a").as("salt"), col("a_blob").as("blob")),
+        struct(lit("b").as("salt"), col("b_blob").as("blob"))),
+      s => s.getField("blob").isNotNull &&
+        (s.getField("salt") === "a" || length(s.getField("blob")) > 0))
+    // pathlib normalizes trailing '/' away before taking .name — strip first
+    val objStripped = regexp_replace(col("obj_path"), "^/+|/+$", "")
+    commits
+      .withColumn("__meta", meta)
+      .withColumn("__side", explode(sides))
+      .select(
+        col("branch"), col("commit_sha"), col("obj_path"), col("author"),
+        dtype.as("dtype"),
+        sha1(concat(col("repo"), lit("_"), col("__side.salt"), col("__meta")))
+          .as("fingerprint"),
+        pathName(objStripped).as("filename"),
+        pathExtension(objStripped).as("extension"),
+        length(col("__side.blob")).cast("long").as("file_size"),
+        col("ts_str").as("created"),
+        concat(col("repo"), lit("/<gitcommit>/"), col("branch"), lit("/"),
+          col("commit_sha"), lit("/blob_"), col("__side.salt"), lit("/"),
+          objStripped).as("path_virtual"),
+        col("__meta").as("metadata"),
+        col("__side.blob").as("content"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.{PyJson, PyVal}
+import graft.rules.PyVal._
+
+/** Differential golden suite for the YAML object_content path:
+  * src/test/resources/yaml_golden.json holds PyYAML FullLoader + CPython
+  * json.dumps(sort_keys=False, indent=2) outputs (json == null where the
+  * reference's dict(yaml.load(...)) raises, i.e. no object_content).
+  * YamlLite.loadDict + PyJson.dumpsPretty must reproduce them byte-exactly. */
+class YamlSpec extends AnyFunSuite {
+
+  private val golden: Vector[(String, Option[String])] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/yaml_golden.json"), "UTF-8").mkString
+    PyJson.loads(raw) match {
+      case PyArr(cases) =>
+        cases.map {
+          case o: PyObj =>
+            val y = o.get("yaml").collect { case PyStr(s) => s }.get
+            val j = o.get("json") match {
+              case Some(PyStr(s)) => Some(s)
+              case _              => None
+            }
+            (y, j)
+          case _ => fail("bad case")
+        }
+      case _ => fail("bad golden file")
+    }
+  }
+
+  test("yaml golden corpus loaded") {
+    assert(golden.size == 8)
+    assert(golden.count(_._2.isEmpty) == 2) // list root + scalar root
+  }
+
+  golden.zipWithIndex.foreach { case ((y, expected), i) =>
+    test(f"yaml case ${i + 1} matches PyYAML+json.dumps output") {
+      val got = YamlLite.loadDict(y).map(PyJson.dumpsPretty(_, 2))
+      assert(got == expected,
+        s"\nyaml:\n$y\ngot:\n${got.orNull}\nexp:\n${expected.orNull}")
+    }
+  }
+
+  test("unsupported constructs return None, never wrong output") {
+    // flow styles, block scalars, anchors — the reference parses these with
+    // full PyYAML; the subset must refuse rather than mis-parse
+    assert(YamlLite.loadDict("a: [1, 2]").isEmpty)
+    assert(YamlLite.loadDict("a: {b: 1}").isEmpty)
+    assert(YamlLite.loadDict("a: |\n  text\n").isEmpty)
+    assert(YamlLite.loadDict("a: &anchor v").isEmpty)
+  }
+}

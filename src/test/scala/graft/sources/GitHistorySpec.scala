@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pins the git-history source against reference semantics
+  * (gitfinder.py:23-123): metadata JSON byte-layout (CPython json.dumps of
+  * the stats dict in insertion order), the sha1 fingerprint over
+  * repo + "_" + salt + json, the a/b emission rules, message cleaning, and
+  * the R>D>A>M type ladder. Expected strings/hashes generated with CPython
+  * json.dumps + hashlib on the same inputs. */
+class GitHistorySpec extends AnyFunSuite with SparkTestSession {
+
+  private def commitsDf = {
+    import spark.implicits._
+    Seq(
+      // (a present, b present non-empty) -> 2 rows, type M
+      ("/repos/demo", "main", "abc", "es@example.com",
+        "Fix s\r\n\n   \nD", "2024-01-05T10:30:00+0000", "src/x/mod.py",
+        5, 2, 7, Option("parent bytes"), Option("child bytes"),
+        false, false, false),
+      // b empty -> only the a row; renamed beats deleted (R)
+      ("/repos/demo", "dev", "def", "de@example.com",
+        "msg", "2024-02-01T00:00:00+0000", "/lib/a.txt.txt/",
+        1, 0, 1, Option("aa"), Option(""), true, true, false),
+      // a null, b non-empty -> only the b row; deleted beats new (D)
+      ("/repos/demo", "main", "ghi", "zh@example.com",
+        "m2", "2024-03-01T00:00:00+0000", "noext",
+        0, 3, 3, None, Option("bb"), false, true, true))
+      .toDF("repo", "branch", "commit_sha", "author", "message", "ts_str",
+        "obj_path", "insertions", "deletions", "lines", "a_s", "b_s",
+        "renamed", "deleted_file", "new_file")
+      .withColumn("a_blob", encode(col("a_s"), "UTF-8"))
+      .withColumn("b_blob", encode(col("b_s"), "UTF-8"))
+      .drop("a_s", "b_s")
+  }
+
+  test("emission rules, type ladder, metadata JSON, sha1 fingerprint") {
+    val rows = GitHistory.diffDocs(commitsDf)
+      .orderBy("commit_sha", "path_virtual").collect()
+    assert(rows.length == 4) // 2 + 1 (b empty) + 1 (a null)
+
+    val byPath = rows.map(r => r.getAs[String]("path_virtual") -> r).toMap
+    val aRow = byPath("/repos/demo/<gitcommit>/main/abc/blob_a/src/x/mod.py")
+    // CPython: json.dumps({'insertions': 5, ..., 'message': 'Fix s\nD', ...})
+    assert(aRow.getAs[String]("metadata") ==
+      "{\"insertions\": 5, \"deletions\": 2, \"lines\": 7, \"branch\": \"main\", " +
+      "\"commit\": \"abc\", \"object\": \"src/x/mod.py\", \"author\": \"es@example.com\", " +
+      "\"message\": \"Fix s\\nD\", \"timestamp\": \"2024-01-05T10:30:00+0000\", " +
+      "\"type\": \"M\"}")
+    // hashlib.sha1('/repos/demo_a' + json).hexdigest()
+    assert(aRow.getAs[String]("fingerprint") ==
+      "3f3f6c18e5fad2ec1ce671a5071d408d117f5b6c")
+    assert(aRow.getAs[String]("filename") == "mod.py")
+    assert(aRow.getAs[String]("extension") == "py")
+    assert(aRow.getAs[Long]("file_size") == "parent bytes".length.toLong)
+
+    // b side of the same commit exists and differs only in salt/path/blob
+    val bRow = byPath("/repos/demo/<gitcommit>/main/abc/blob_b/src/x/mod.py")
+    assert(bRow.getAs[String]("metadata") == aRow.getAs[String]("metadata"))
+    assert(bRow.getAs[String]("fingerprint") != aRow.getAs[String]("fingerprint"))
+
+    // renamed wins the ladder; obj_path stripped of '/'; pathlib double-ext
+    val rRow = byPath("/repos/demo/<gitcommit>/dev/def/blob_a/lib/a.txt.txt")
+    assert(rRow.getAs[String]("dtype") == "R")
+    assert(rRow.getAs[String]("filename") == "a.txt.txt")
+    assert(rRow.getAs[String]("extension") == "txt")
+
+    // a-null commit emits only blob_b; D beats A; extensionless name
+    val dRow = byPath("/repos/demo/<gitcommit>/main/ghi/blob_b/noext")
+    assert(dRow.getAs[String]("dtype") == "D")
+    assert(dRow.getAs[String]("extension") == "")
+  }
+}
