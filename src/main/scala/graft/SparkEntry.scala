@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, TextAnalysis, YamlLite}
+import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -203,6 +203,20 @@ object SparkEntry {
             .map(graft.rules.PyJson.dumpsPretty(_, 2)).orNull)
         }
         .toDF("doc_id", "object_content")
+    }),
+
+    // K1/D3 MERGE-upsert (insert_update_one_exclude): update-except-excluded
+    // for matched keys, insert for new keys, first-seen values preserved on
+    // the excluded columns (lang here stands in for created/indexing_date)
+    "q_upsert_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val incoming = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(lit("new-"), col("source")).as("source"),
+          lit("xx").as("lang"), (col("n_chars") + 1000).as("n_chars"))
+      Sinks.mergeUpsert(existing, incoming, Seq("doc_id"), Seq("lang"),
+        col("doc_id"))
     }),
 
     // F4 must_index: anti-join (customers never seen in orders)
@@ -626,6 +640,20 @@ object SparkEntry {
         |  '  ]' || chr(10) ||
         |  '}' AS object_content
         |FROM documents""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH e AS (SELECT doc_id, source, lang, n_chars FROM documents
+        |           WHERE doc_id % 2 = 0),
+        |i AS (SELECT doc_id, 'new-' || source AS source, 'xx' AS lang,
+        |        n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 3 = 0)
+        |SELECT coalesce(e.doc_id, i.doc_id) AS doc_id,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.source ELSE e.source END AS source,
+        |  CASE WHEN e.doc_id IS NOT NULL THEN e.lang ELSE i.lang END AS lang,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.n_chars ELSE e.n_chars END AS n_chars,
+        |  CASE WHEN e.doc_id IS NULL THEN 'inserted'
+        |       WHEN i.doc_id IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS __action
+        |FROM e FULL OUTER JOIN i ON e.doc_id = i.doc_id""".stripMargin,
 
     "q_antijoin_unindexed" ->
       """SELECT c_custkey, c_name FROM customer

@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
@@ -25,6 +25,10 @@ final case class CrawlConfig(
       * count across waves; size it to the crawl's URL budget (10^10 keys /
       * 1024 shards ≈ 10^7 per shard ≈ 12 MB per filter at 1% fpp). */
     bloomExpectedKeys: Long = 1L << 21,
+    /** Fetch-stage tasks per core: >1 so the scheduler absorbs per-doc
+      * work-size jitter (straggler tail) instead of one task pinning the
+      * wave's wall clock. */
+    fetchTasksPerCore: Int = 4,
     corpus: SyntheticCorpus.Config = SyntheticCorpus.Config()) {
   def bloomExpectedPerShard: Long = math.max(1024L, bloomExpectedKeys / bloomShards)
 }
@@ -68,8 +72,13 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     SyntheticCorpus.robotsDisallows(cfg.corpus).toDF("r_host", "r_prefix")
       .groupBy($"r_host").agg(collect_list($"r_prefix").as("r_prefixes"))
 
-  // incremental bloom shards (driver-held, merged per wave delta)
-  private var shards: Array[BloomFilter] = _
+  // incremental bloom shards (driver-held, merged per wave delta);
+  // initialized here so direct step() callers get the bloom path too
+  private var shards: Array[BloomFilter] =
+    if (cfg.useBloom)
+      Array.tabulate(cfg.bloomShards)(_ =>
+        SeenSet.createShard(cfg.bloomExpectedPerShard))
+    else null
 
   /** Seed frontier: depth 0, seed priority. Generated DISTRIBUTED
     * (spark.range → map), never as a driver-side collection — a 10^10-URL
@@ -101,15 +110,15 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     var wave = store.latestWave.map(_ + 1).getOrElse(0)
     var frontier = if (wave == 0) seedFrontier()
       else store.read(spark, wave - 1, "frontier")
-    if (cfg.useBloom) {
-      shards = Array.tabulate(cfg.bloomShards)(_ =>
-        BloomFilter.create(cfg.bloomExpectedPerShard, 0.01))
-      if (wave > 0) // resume: rebuild from committed deltas (one pass)
-        shards = SeenSet.merge(shards, SeenSet.buildShards(
-          seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
-    }
+    if (cfg.useBloom && wave > 0) // resume: rebuild from committed deltas
+      shards = SeenSet.merge(shards, SeenSet.buildShards(
+        seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
     val metrics = scala.collection.mutable.ArrayBuffer.empty[WaveMetrics]
-    var frontierCount = frontier.count()
+    // wave 0: nSeeds is a valid UPPER BOUND for the rank-strategy choice
+    // and loop gate (dedup/null-filter only shrink it) — skipping the
+    // count() saves a full seed-generation job; later waves reuse the
+    // frontier_left Observation, resume pays one count (rare path)
+    var frontierCount = if (wave == 0) cfg.nSeeds.toLong else frontier.count()
     while (wave < cfg.maxWaves && frontierCount > 0) {
       val m = step(wave, frontier, Some(frontierCount))
       frontier = store.read(spark, wave, "frontier")
@@ -156,8 +165,19 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     // NOTE: `wave` rides as DATA from the fetch closure, never as lit(wave)
     // inside these plans — a changing literal would force whole-stage-codegen
     // recompilation every wave (driver-side, serial, seconds per wave).
+    // Fetch parallelism is sized by WORK UNITS, not frontier bytes: the
+    // frontier rows are ~100 B but each explodes into a ~30 KB fetched doc
+    // plus detect work, so AQE's byte-based coalescing (and 1-task-per-core
+    // layouts generally) leave the stage straggler-bound — a single slow
+    // task extends the whole wave. An explicit round-robin repartition to
+    // 4 tasks/core lets the scheduler absorb the doc-size tail (AQE does
+    // not re-coalesce user-specified repartitions). The shuffled rows are
+    // tiny; the expansion happens after.
+    val fetchParallelism =
+      spark.sparkContext.defaultParallelism * cfg.fetchTasksPerCore
     val fetchedDocs = fetchedSel
       .select($"canonical", $"url_hash", $"host", $"depth", $"priority")
+      .repartition(fetchParallelism)
       .as[(String, Long, String, Int, Double)]
       .mapPartitions { it =>
         it.map { case (canonical, h, host, depth, prio) =>
@@ -201,9 +221,15 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
         $"link".as("canonical"),
         ($"depth" + 1).as("depth"),
         Scheduler.priorityCol($"depth" + 1, $"rule_hit").as("priority"))
+    // candidate dedup is FUSED into the frontier-merge groupBy below: the
+    // per-wave groupBy(canonical) pre-merge was a full extra shuffle of the
+    // candidate set, and min/max merging is associative, so duplicate link
+    // instances flow straight through the seen filter (bloom probes are
+    // per-instance and cheap; the anti-join shuffle on url_hash is then
+    // REUSED by the frontier groupBy on the same key). Per-wave candidate
+    // shuffles: 2 -> 1 (bloom definite-new path reaches the merge with no
+    // intermediate shuffle at all).
     val candidates = gated
-      .groupBy($"canonical")
-      .agg(min($"depth").as("depth"), max($"priority").as("priority"))
       .withColumn("url_hash", xxhash64($"canonical"))
       .withColumn("host", url_host($"canonical"))
 
@@ -213,13 +239,40 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       if (wave == 0) wavecore.select($"url_hash")
       else seenUpTo(wave - 1).select($"url_hash")
         .unionByName(wavecore.select($"url_hash"))
+
+    // per-wave metadata in ONE table/write: politeness-clock deltas
+    // (kind=clock, cumulative view = clocksUpTo) and per-partition lineage
+    // rows (kind=lineage; north rule: per-partition lineage + metrics)
+    val wavemeta = wavecore
+      .groupBy($"wave", lit("clock").as("kind"), $"host".as("key"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(wavecore
+        .groupBy($"wave", lit("lineage").as("kind"),
+          spark_partition_id().cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
+
+    // wavecore write FIRST (fills the cache with the heavy fetch+detect
+    // pass); the per-shard bloom delta rides this job as Observation
+    // metrics — the delta build costs ZERO extra jobs
+    val obsCore = new Observation(s"wavecore-$wave")
+    val coreMetrics: Seq[Column] =
+      Seq(count(lit(1)).as("fetched"), sum(size($"findings")).as("n_findings")) ++
+        (if (cfg.useBloom)
+          SeenSet.shardAggColumns($"url_hash", cfg.bloomShards, cfg.bloomExpectedPerShard)
+        else Nil)
+    val wavecoreOut = wavecore.observe(obsCore, coreMetrics.head, coreMetrics.tail: _*)
+    store.writeTable(wave, "wavecore", wavecoreOut)
+
+    // merge the delta into the running shards BEFORE building the frontier
+    // plan (the probe broadcasts the current shard bytes)
+    if (cfg.useBloom)
+      shards = SeenSet.merge(shards, SeenSet.shardsFromMetrics(
+        (0 until cfg.bloomShards).map(i => obsCore.get(s"bloom_$i"))))
     val newLinksRaw =
-      if (cfg.useBloom) {
-        // delta-merge fetched hashes into the running shards, then prefilter
-        shards = SeenSet.merge(shards, SeenSet.buildShards(
-          wavecore.select($"url_hash"), cfg.bloomShards, cfg.bloomExpectedPerShard))
-        SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
-      } else SeenSet.filterUnseenExact(candidates, seenAfter)
+      if (cfg.useBloom) SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
+      else SeenSet.filterUnseenExact(candidates, seenAfter)
+    // new_links counts unseen link INSTANCES (pre-merge; candidate dedup
+    // happens in the frontier groupBy) — a dedup-pressure metric
     val obsLinks = new Observation(s"links-$wave")
     val newLinks = newLinksRaw
       .select($"url_hash", $"canonical", $"host", $"depth", $"priority")
@@ -233,27 +286,12 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
         min($"depth").as("depth"), max($"priority").as("priority"))
       .observe(obsFrontier, count(lit(1)).as("frontier_left"))
 
-    // per-wave metadata in ONE table/write: politeness-clock deltas
-    // (kind=clock, cumulative view = clocksUpTo) and per-partition lineage
-    // rows (kind=lineage; north rule: per-partition lineage + metrics)
-    val wavemeta = wavecore
-      .groupBy($"wave", lit("clock").as("kind"), $"host".as("key"))
-      .agg(count(lit(1)).as("n"))
-      .unionByName(wavecore
-        .groupBy($"wave", lit("lineage").as("kind"),
-          spark_partition_id().cast("string").as("key"))
-        .agg(count(lit(1)).as("n")))
-
-    val obsCore = new Observation(s"wavecore-$wave")
-    val wavecoreOut = wavecore.observe(obsCore,
-      count(lit(1)).as("fetched"),
-      sum(size($"findings")).as("n_findings"))
-
-    store.commit(wave, Seq(
-      "wavecore" -> wavecoreOut,   // fetch+detect delta: crawl log, findings,
-                                   // links, seen-set identity in one table
-      "frontier" -> newFrontier,   // expansion plan, reuses cached wavecore
-      "wavemeta" -> wavemeta.coalesce(1)))  // tiny: one file, no fan-out
+    // frontier + wavemeta write concurrently off the cached wavecore; the
+    // atomic _LATEST seal lands only after every table is down
+    store.writeTablesParallel(wave, Seq(
+      "frontier" -> newFrontier,
+      "wavemeta" -> wavemeta.coalesce(1)))
+    store.seal(wave)
 
     val m = WaveMetrics(
       wave,

@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -39,7 +39,7 @@ object SeenSet {
       fpp: Double = 0.01): Array[BloomFilter] = {
     val spark = seen.sparkSession
     import spark.implicits._
-    val zero = Array.tabulate(numShards)(_ => BloomFilter.create(expectedPerShard, fpp))
+    val zero = Array.tabulate(numShards)(_ => createShard(expectedPerShard, fpp))
     seen.select(col("url_hash")).as[Long].rdd.treeAggregate(zero)(
       seqOp = (filters, h) => { filters(shardOf(h, numShards)).putLong(h); filters },
       combOp = (a, b) => {
@@ -70,7 +70,7 @@ object SeenSet {
           val s = shardOf(h, numShards)
           var bf = partial.get(s)
           if (bf == null) {
-            bf = BloomFilter.create(expectedPerShard, fpp)
+            bf = createShard(expectedPerShard, fpp)
             partial.put(s, bf)
           }
           bf.putLong(h)
@@ -82,9 +82,43 @@ object SeenSet {
         (a, b) => { a.mergeInPlace(b); a })
   }
 
-  /** OR-merge shard arrays (incremental delta build). */
+  /** OR-merge shard arrays (incremental delta build). Null entries in `b`
+    * (empty shards from aggregate-based builds) are skipped. */
   def merge(a: Array[BloomFilter], b: Array[BloomFilter]): Array[BloomFilter] =
-    a.zip(b).map { case (x, y) => x.mergeInPlace(y); x }
+    a.zip(b).map { case (x, y) => if (y != null) x.mergeInPlace(y); x }
+
+  /** Standard optimal-bits sizing (the formula sketch.BloomFilter.create
+    * uses for a target fpp), exposed so filters built through different
+    * paths (driver create, treeAggregate, BloomFilterAggregate metrics)
+    * share one geometry and stay mergeable. */
+  def optimalNumOfBits(expected: Long, fpp: Double): Long =
+    math.max(64L,
+      (-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+  /** A shard with the shared geometry. */
+  def createShard(expected: Long, fpp: Double = 0.01): BloomFilter =
+    BloomFilter.create(expected, optimalNumOfBits(expected, fpp))
+
+  /** Per-shard bloom aggregates to ride an Observation on an EXISTING job
+    * (e.g. the wavecore write) — the delta build then costs zero extra
+    * jobs. Metric i is the serialized filter over hashes in shard i (null
+    * when the shard saw no rows). */
+  def shardAggColumns(hashCol: Column, numShards: Int, expected: Long,
+      fpp: Double = 0.01): Seq[Column] = {
+    val bits = optimalNumOfBits(expected, fpp)
+    (0 until numShards).map { i =>
+      org.apache.spark.sql.graft.Shim.bloomFilterAgg(
+        when(pmod(hashCol, lit(numShards)) === i, hashCol), expected, bits)
+        .as(s"bloom_$i")
+    }
+  }
+
+  /** Decode shardAggColumns metric values back to filters (null-safe). */
+  def shardsFromMetrics(values: Seq[Any]): Array[BloomFilter] =
+    values.map {
+      case null => null
+      case b: Array[Byte] => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    }.toArray
 
   def shardOf(h: Long, numShards: Int): Int = {
     val m = h % numShards

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sink operators (SURVEY.md §2.9). The reference's ES/local-JSON/alert
@@ -20,4 +21,40 @@ object Sinks {
   def alerts(findings: DataFrame, minSeverity: Int = 70): DataFrame =
     findings.filter(col("severity") >= minSeverity)
       .dropDuplicates("fingerprint")
+
+  /** K1/D3 MERGE-upsert (the reference's insert_update_one_exclude,
+    * libs/database.py:107-137, used by insert_or_get_file/alert): rows whose
+    * key exists in `existing` UPDATE every column EXCEPT `excludeOnUpdate`
+    * (those keep their first-seen value — e.g. `created`, `indexing_date`
+    * for file_index); new keys insert whole rows. The reference applies
+    * rows one at a time, so within a batch the LAST row per key wins —
+    * reproduced by ranking on `orderCol` desc before the merge. Set
+    * algebra, not per-row RPC: one full-outer join on the key. The output
+    * carries an `__action` column ('inserted'/'updated'/'kept') so callers
+    * can recover the reference's (inserted, updated) counters with one agg. */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      excludeOnUpdate: Seq[String], orderCol: Column): DataFrame = {
+    require(existing.columns.sameElements(incoming.columns),
+      "existing/incoming schemas must match")
+    val cols = existing.columns.toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.desc)
+    val lastPerKey = incoming.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val e = existing.withColumn("__e", lit(true))
+      .select((cols.map(c => col(c).as(s"e_$c")) :+ col("__e")): _*)
+    val i = lastPerKey.withColumn("__i", lit(true))
+      .select((cols.map(c => col(c).as(s"i_$c")) :+ col("__i")): _*)
+    val cond = keys.map(k => e(s"e_$k") <=> i(s"i_$k")).reduce(_ && _)
+    e.join(i, cond, "full_outer")
+      .select(cols.map { c =>
+        val ec = col(s"e_$c"); val ic = col(s"i_$c")
+        val out =
+          if (keys.contains(c)) coalesce(ec, ic)
+          else if (excludeOnUpdate.contains(c)) when(col("__e").isNotNull, ec).otherwise(ic)
+          else when(col("__i").isNotNull, ic).otherwise(ec)
+        out.as(c)
+      } :+ when(col("__e").isNull, "inserted")
+        .when(col("__i").isNull, "kept")
+        .otherwise("updated").as("__action"): _*)
+  }
 }

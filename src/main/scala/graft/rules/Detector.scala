@@ -498,11 +498,18 @@ object Detector {
     * hoisting it is allocation-neutral to results. */
   def runRule(rule: RuleSpec, text: String, lText: String, now: Long): Vector[PyObj] = {
     if (rule.lowerKeywords.isEmpty) return Vector.empty
+    if (!rule.lowerKeywords.exists(lText.contains)) return Vector.empty
+    runRuleBody(rule, text, now)
+  }
+
+  /** The post-keyword-prefilter pipeline (regex → dedup → excludes → FP →
+    * post-processors). detect() reaches here through the one-pass
+    * Aho-Corasick scan instead of per-rule contains. */
+  private def runRuleBody(rule: RuleSpec, text: String, now: Long): Vector[PyObj] = {
     // fast path (not in the reference, result-preserving): a regex that
     // requires a literal char can't match text lacking it
     if (rule.requiredChars.nonEmpty && !rule.requiredChars.forall(text.contains))
       return Vector.empty
-    if (!rule.lowerKeywords.exists(lText.contains)) return Vector.empty
 
     var findings = Vector.empty[String]
     runRegex(text, rule.regex, rule.secretGroup).foreach { f =>
@@ -533,13 +540,28 @@ object Detector {
     Some(data.updated("fingerprint" -> PyStr(sha1Hex(mh))))
   }
 
+  // keyword prefilter as ONE Aho-Corasick pass over the lowercased text
+  // (vs 18 rules × keywords × contains scans); ids per rule precomputed
+  private lazy val kwPatterns: Vector[String] = rules.flatMap(_.lowerKeywords).distinct
+  private lazy val kwAC = new KeywordAC(kwPatterns)
+  private lazy val ruleKwIds: Vector[Array[Int]] = {
+    val idx = kwPatterns.zipWithIndex.toMap
+    rules.map(_.lowerKeywords.map(idx).toArray)
+  }
+
   /** RuleBase.detect (rulebase.py:179-197): all rules in registry order,
-    * flattened to one Finding per (rule, match) preserving both orders. */
+    * flattened to one Finding per (rule, match) preserving both orders.
+    * Prefilter semantics identical to the per-rule contains loop — a rule
+    * runs iff any of its keywords occurs in the lowercased text (rules with
+    * no keywords never run, as in the reference). */
   def detect(text: String, now: Long = FixedNowEpochSec): Vector[Finding] = {
     if (text == null) return Vector.empty
     val lText = text.toLowerCase(java.util.Locale.ROOT)
-    rules.flatMap { rule =>
-      runRule(rule, text, lText, now).map(d => toFinding(rule, d))
+    val found = kwAC.scan(lText)
+    rules.zipWithIndex.flatMap { case (rule, ri) =>
+      val ids = ruleKwIds(ri)
+      if (ids.isEmpty || !ids.exists(found.get)) Vector.empty
+      else runRuleBody(rule, text, now).map(d => toFinding(rule, d))
     }
   }
 

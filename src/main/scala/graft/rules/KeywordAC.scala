@@ -1,0 +1,83 @@
+package graft.rules
+
+/** One-pass Aho-Corasick scanner over the union of every rule's lowercased
+  * keywords — replaces the reference's per-rule keyword loop (18 rules ×
+  * keywords × str contains scans per document, rulebase.py:296-300) with a
+  * single automaton pass over the lowercased text. Result-preserving by
+  * construction: pattern id i is reported iff lText.contains(patterns(i)).
+  * All rule keywords are ASCII; a non-ASCII input char simply resets to the
+  * root state (no pattern can span it). */
+private[rules] final class KeywordAC(patterns: Vector[String]) {
+  require(patterns.forall(p => p.nonEmpty && p.forall(_ < 128)),
+    "keywords must be non-empty ASCII")
+  private val Alpha = 128
+
+  private val nextB = scala.collection.mutable.ArrayBuffer(Array.fill(Alpha)(-1))
+  private val failB = scala.collection.mutable.ArrayBuffer(0)
+  private val outB = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+  patterns.zipWithIndex.foreach { case (p, id) =>
+    var v = 0
+    p.foreach { ch =>
+      val c = ch.toInt
+      if (nextB(v)(c) < 0) {
+        nextB += Array.fill(Alpha)(-1)
+        failB += 0
+        outB += Nil
+        nextB(v)(c) = nextB.length - 1
+      }
+      v = nextB(v)(c)
+    }
+    outB(v) = id :: outB(v)
+  }
+
+  // BFS fail links, folding outputs and converting the trie into a total
+  // delta function (O(1) per input char, no fail-chasing at scan time)
+  locally {
+    val q = scala.collection.mutable.Queue[Int]()
+    var c = 0
+    while (c < Alpha) {
+      val u = nextB(0)(c)
+      if (u < 0) nextB(0)(c) = 0
+      else { failB(u) = 0; q.enqueue(u) }
+      c += 1
+    }
+    while (q.nonEmpty) {
+      val v = q.dequeue()
+      outB(v) = outB(v) ::: outB(failB(v))
+      var c2 = 0
+      while (c2 < Alpha) {
+        val u = nextB(v)(c2)
+        if (u < 0) nextB(v)(c2) = nextB(failB(v))(c2)
+        else { failB(u) = nextB(failB(v))(c2); q.enqueue(u) }
+        c2 += 1
+      }
+    }
+  }
+
+  private val delta: Array[Array[Int]] = nextB.toArray
+  private val outputs: Array[Array[Int]] = outB.map(_.toArray).toArray
+  val nPatterns: Int = patterns.length
+
+  /** BitSet of pattern ids occurring as substrings of `s`; early-exits once
+    * every pattern has been seen. */
+  def scan(s: String): java.util.BitSet = {
+    val found = new java.util.BitSet(nPatterns)
+    var st = 0
+    var hits = 0
+    var i = 0
+    val n = s.length
+    while (i < n && hits < nPatterns) {
+      val c = s.charAt(i)
+      st = if (c < Alpha) delta(st)(c) else 0
+      val os = outputs(st)
+      var j = 0
+      while (j < os.length) {
+        if (!found.get(os(j))) { found.set(os(j)); hits += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    found
+  }
+}

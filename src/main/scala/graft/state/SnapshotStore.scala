@@ -35,20 +35,31 @@ final class SnapshotStore(rootDir: String) {
     * concurrently — independent Spark jobs fill idle cores instead of
     * queueing behind each other's small serial stages. */
   def commit(wave: Int, tables: Seq[(String, DataFrame)]): Unit = {
-    def writeOne(name: String, df: DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(tablePath(wave, name))
-      if (timing)
-        println(f"    [commit] wave=$wave $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-    tables.headOption.foreach { case (n, df) => writeOne(n, df) }
-    if (tables.size > 1) {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fs = tables.tail.map { case (n, df) => Future(writeOne(n, df)) }
-      fs.foreach(Await.result(_, Duration.Inf))
-    }
+    tables.headOption.foreach { case (n, df) => writeTable(wave, n, df) }
+    if (tables.size > 1) writeTablesParallel(wave, tables.tail)
+    seal(wave)
+  }
+
+  /** Write one table for `wave` (no seal). */
+  def writeTable(wave: Int, name: String, df: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(tablePath(wave, name))
+    if (timing)
+      println(f"    [commit] wave=$wave $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+  }
+
+  /** Write several tables concurrently (independent Spark jobs fill idle
+    * cores instead of queueing behind each other's small serial stages). */
+  def writeTablesParallel(wave: Int, tables: Seq[(String, DataFrame)]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = tables.map { case (n, df) => Future(writeTable(wave, n, df)) }
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** Atomically advance _LATEST — only after every table of `wave` is down. */
+  def seal(wave: Int): Unit = {
     val tmp = root.resolve(s"_LATEST.tmp$wave")
     Files.writeString(tmp, wave.toString)
     Files.move(tmp, latestFile, StandardCopyOption.ATOMIC_MOVE,

@@ -18,18 +18,40 @@ object CrawlProfile {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 32
     val scale = if (args.length > 1) args(1).toDouble else 1.0
+    val mult = sys.env.getOrElse("GRAFT_SHUFFLE_MULT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * mult).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("GRAFT_AQE_COALESCE", "true"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = if (args.length > 2 && args(2) == "steady")
       graft.Bench.steadyConfig(scale)
     else graft.Bench.benchConfig(scale)
+
+    // per-job wall clock: which actions inside a wave eat the fixed cost
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        val cs = Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")
+        jobStart.put(js.jobId, (System.nanoTime(), if (desc.nonEmpty) desc else cs))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStart.remove(je.jobId)).foreach { case (t0, what) =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec > 0.3 && sys.env.contains("GRAFT_PROFILE_JOBS"))
+            println(f"    job ${je.jobId}%3d $sec%7.2fs  $what")
+        }
+      }
+    })
     // warm-up
     val warmDir = java.nio.file.Files.createTempDirectory("prof-warm").toString
     new Crawler(spark, cfg.copy(nSeeds = 500, maxWaves = 2), new SnapshotStore(warmDir)).run()

@@ -21,4 +21,17 @@ object Shim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
   }
+
+  /** Spark's internal BloomFilterAggregate (the runtime-filter machinery) as
+    * a Column aggregate: serialized sketch.BloomFilter over non-null longs,
+    * null when the group is empty. `numBits` must be passed explicitly so
+    * callers can geometry-match filters built elsewhere (mergeInPlace
+    * requires identical bit width + hash count). */
+  def bloomFilterAgg(child: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      ExpressionUtils.expression(child), Literal(expectedItems), Literal(numBits))
+    ExpressionUtils.column(agg.toAggregateExpression())
+  }
 }

@@ -80,4 +80,29 @@ class RulesGoldenSpec extends AnyFunSuite {
     // keyword differs from its match surface: jwt requires 'ey' substring.
     assert(Detector.detect("no secrets here").isEmpty)
   }
+
+  test("Aho-Corasick prefilter == per-rule contains prefilter (property)") {
+    // detect() routes through one AC scan; runRule keeps the reference's
+    // per-rule contains loop. They must agree on every text — including
+    // texts with keyword fragments, overlaps, case variants, non-ASCII.
+    val keywords = Detector.rules.flatMap(_.keywords)
+    val rnd = new scala.util.Random(1234)
+    val fillers = Vector("x", " ", ":", "/", ".", "A", "ey", "\n", "é", "𝄞",
+      "AKI", "authoriz", "gh", "_pat_", "GR13489")
+    (1 to 300).foreach { _ =>
+      val parts = Vector.fill(rnd.nextInt(20)) {
+        if (rnd.nextInt(3) == 0 && keywords.nonEmpty)
+          keywords(rnd.nextInt(keywords.length))
+        else fillers(rnd.nextInt(fillers.length))
+      }
+      val text = parts.mkString
+      val viaAc = Detector.detect(text)
+      val lText = text.toLowerCase(java.util.Locale.ROOT)
+      val viaContains = Detector.rules.flatMap { r =>
+        Detector.runRule(r, text, lText, Detector.FixedNowEpochSec)
+          .map(d => Detector.toFinding(r, d))
+      }
+      assert(viaAc == viaContains, s"mismatch on: $text")
+    }
+  }
 }
