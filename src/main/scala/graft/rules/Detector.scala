@@ -121,6 +121,11 @@ object Detector {
     PyFloat(ent)
   }
 
+  /** Python len() over a JVM string = Unicode code points, not UTF-16
+    * units — severity ladders comparing len(username)/len(password) must
+    * count astral chars as ONE. */
+  private def pyLen(s: String): Int = s.codePointCount(0, s.length)
+
   def entropyDouble(data: String): Double = entropyPy(data) match {
     case PyInt(i)   => i.toDouble
     case PyFloat(d) => d
@@ -344,7 +349,7 @@ object Detector {
             if (!earlyOut) {
               if (entD <= 0.7) severity = 30L
               if (entD < 1.7) severity = 65L
-              if (!(username.length <= 2 || password.length <= 2)) {
+              if (!(pyLen(username) <= 2 || pyLen(password) <= 2)) {
                 data = data.updated(PyObj(Vector(
                   "username" -> PyStr(username),
                   "password" -> PyStr(password),
@@ -394,7 +399,7 @@ object Detector {
       if (entD <= 2 && lower.contains("@localhost")) severity = 30L
       if (entD <= 2 && lower.contains("@127.0.0.1")) severity = 30L
       if (entD <= 1.5 && lower.contains("example")) severity = 30L
-      if (username.length <= 2 || password.length <= 2) severity = 50L
+      if (pyLen(username) <= 2 || pyLen(password) <= 2) severity = 50L
       if (found.contains("gitlab")) {
         try {
           if (runRule(gitlabUrlTokenRule, found, now).nonEmpty) severity = 50L

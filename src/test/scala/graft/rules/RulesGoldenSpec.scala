@@ -36,7 +36,7 @@ class RulesGoldenSpec extends AnyFunSuite {
   }
 
   test("golden corpus loaded") {
-    assert(golden.size == 34)
+    assert(golden.size == 35)
     assert(golden.map(_._2.size).sum >= 44)
   }
 
