@@ -92,7 +92,7 @@ object Parsers {
           .onMalformedInput(CodingErrorAction.REPORT)
           .onUnmappableCharacter(CodingErrorAction.REPORT)
         val full = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-        YamlLite.loadDict(full).map(PyJson.dumpsPretty(_, 2))
+        YamlLite.loadDictFull(full).map(PyJson.dumpsPretty(_, 2))
       } catch { case _: Throwable => None }
     } else None
     (content, name, obj)

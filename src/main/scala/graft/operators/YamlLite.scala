@@ -23,6 +23,17 @@ import graft.rules.PyVal._
   */
 object YamlLite {
 
+  /** Full loader: the CPython-exact subset parser first; anything it
+    * refuses (flow styles, block scalars, anchors/merge keys,
+    * seq-of-maps...) falls back to SnakeYAML (ships with Spark), whose
+    * YAML-1.1 scalar typing matches PyYAML on everything the goldens cover
+    * except signless exponents ("1.5e3": PyYAML string, SnakeYAML float —
+    * documented deviation). Values PyYAML would hand json.dumps that RAISE
+    * there (dates — the reference passes no `default=`) abort to None,
+    * exactly like the reference's bare except. */
+  def loadDictFull(text: String): Option[PyObj] =
+    loadDict(text).orElse(YamlSnake.loadDict(text))
+
   /** Load a YAML mapping; None when the root is not a mapping, the text
     * uses unsupported constructs, or parsing fails. */
   def loadDict(text: String): Option[PyObj] =
@@ -176,8 +187,17 @@ object YamlLite {
   private val IntDec = """[-+]?(?:0|[1-9][0-9_]*)""".r
   private val IntOct = """[-+]?0o?[0-7_]+""".r
   private val IntHex = """[-+]?0x[0-9a-fA-F_]+""".r
+  private val IntSex = """[-+]?[1-9][0-9_]*(?::[0-5]?[0-9])+""".r
   private val FloatRe =
     """[-+]?[0-9][0-9_]*\.[0-9_]*(?:[eE][-+][0-9]+)?|\.[0-9_]+(?:[eE][-+][0-9]+)?""".r
+  private val FloatSex = """[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*""".r
+  // PyYAML's implicit timestamp resolver: these become datetime objects,
+  // which the reference's json.dumps (no default=) RAISES on — refuse so
+  // the whole load resolves to "no object_content"
+  private val TimestampRe =
+    ("""[0-9]{4}-[0-9]{2}-[0-9]{2}""" +
+      """|[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}(?:[Tt]|[ \t]+)[0-9]{1,2}:[0-9]{2}:[0-9]{2}""" +
+      """(?:\.[0-9]*)?(?:[ \t]*(?:Z|[-+][0-9]{1,2}(?::[0-9]{2})?))?""").r
   private val Bools = Map(
     "yes" -> true, "Yes" -> true, "YES" -> true, "true" -> true,
     "True" -> true, "TRUE" -> true, "on" -> true, "On" -> true, "ON" -> true,
@@ -213,6 +233,16 @@ object YamlLite {
       PyInt(if (neg) -mag else mag)
     } else if (IntDec.matches(s))
       PyInt(java.lang.Long.parseLong(s.replace("_", "")))
+    else if (IntSex.matches(s)) {
+      // YAML 1.1 sexagesimal: 1:30 == 90
+      val neg = s.startsWith("-")
+      val mag = s.replaceAll("^[-+]", "").replace("_", "").split(':')
+        .foldLeft(0L)((acc, p) => acc * 60 + java.lang.Long.parseLong(p))
+      PyInt(if (neg) -mag else mag)
+    } else if (FloatSex.matches(s))
+      throw new IllegalArgumentException("sexagesimal float unsupported")
+    else if (TimestampRe.matches(s))
+      throw new IllegalArgumentException("timestamp scalar (json.dumps raises)")
     else if (FloatRe.matches(s))
       PyFloat(java.lang.Double.parseDouble(s.replace("_", "")))
     else if (s == ".inf" || s == "+.inf") PyFloat(Double.PositiveInfinity)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import graft.rules.PyVal
+import graft.rules.PyVal._
+
+/** SnakeYAML-backed fallback for the YAML object_content path — full YAML
+  * structure (flow styles, block scalars, anchors/aliases, merge keys,
+  * nested seq-of-maps) behind [[YamlLite]]'s CPython-exact subset.
+  *
+  * Scalar typing is SnakeYAML's YAML-1.1 resolver, which agrees with
+  * PyYAML's on ints (incl. 0x/leading-zero-octal/sexagesimal), the
+  * yes/no/on/off bool family, nulls, and dotted floats; the one known
+  * deviation is signless exponents ("1.5e3" — PyYAML string, SnakeYAML
+  * float). Values whose CPython json.dumps would RAISE in the reference
+  * (dates, binary — yamlparser.py passes no `default=`) abort the whole
+  * load to None, reproducing the reference's bare `except: pass`.
+  * SafeConstructor only — no arbitrary class instantiation from tags. */
+object YamlSnake {
+
+  private final class Unrepresentable extends RuntimeException
+
+  def loadDict(text: String): Option[PyObj] =
+    try {
+      val yaml = new org.yaml.snakeyaml.Yaml(
+        new org.yaml.snakeyaml.constructor.SafeConstructor(
+          new org.yaml.snakeyaml.LoaderOptions()))
+      yaml.load[Object](text) match {
+        case m: java.util.Map[_, _] => convert(m) match {
+          case o: PyObj => Some(o)
+          case _        => None
+        }
+        case _ => None // dict(<non-mapping>) raises in the reference
+      }
+    } catch { case _: Throwable => None }
+
+  private def convert(v: Any): PyVal = v match {
+    case null                   => PyNull
+    case b: java.lang.Boolean   => PyBool(b)
+    case i: java.lang.Integer   => PyInt(i.longValue)
+    case l: java.lang.Long      => PyInt(l)
+    case d: java.lang.Double    => PyFloat(d)
+    case f: java.lang.Float     => PyFloat(f.doubleValue)
+    case b: java.math.BigInteger =>
+      // json prints arbitrary precision; PyInt is a Long — refuse rather
+      // than silently truncate
+      if (b.bitLength < 64) PyInt(b.longValue) else throw new Unrepresentable
+    case d: java.math.BigDecimal => PyFloat(d.doubleValue)
+    case s: String              => PyStr(s)
+    case m: java.util.Map[_, _] =>
+      PyObj(m.asScala.toVector.map { case (k, x) =>
+        jsonKey(convert(k)) -> convert(x)
+      })
+    case l: java.util.List[_]   => PyArr(l.asScala.toVector.map(convert))
+    case _ => throw new Unrepresentable // Date, byte[], Set, ...
+  }
+
+  /** CPython json.dumps key coercion: str as-is; int/float/bool/None get
+    * their JSON spelling; anything else raises. */
+  private def jsonKey(k: PyVal): String = k match {
+    case PyStr(s)   => s
+    case PyInt(i)   => i.toString
+    case PyFloat(d) => graft.rules.PyJson.pyFloatRepr(d)
+    case PyBool(b)  => if (b) "true" else "false"
+    case PyNull     => "null"
+    case _          => throw new Unrepresentable
+  }
+}

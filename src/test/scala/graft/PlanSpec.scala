@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL-PLAN properties the engine is designed around, so a
+  * refactor that silently loses a pushdown, a broadcast, or a cache reuse
+  * fails CI instead of only showing up in a benchmark:
+  *  - scan-level filter pushdown + column pruning (q_scan_gate never reads
+  *    the text column it doesn't project)
+  *  - small dimensions broadcast (nation/region, the IntelX sidecar)
+  *  - global top-k as TakeOrderedAndProject (never a full sort)
+  *  - expensive self-join inputs persisted and read from cache on BOTH
+  *    sides (MinHash bands, IVF assignment) — the round-1 2x-recompute bug
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_gate: size/source filters pushed to the parquet scan") {
+    val p = plan("q_scan_gate")
+    assert(p.contains("GreaterThanOrEqual(n_chars,60)"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(n_chars,4"), p.take(2000))
+    // the text column IS read here — the empty-content gate filters on it
+  }
+
+  test("q_agg_pricing: column pruning reaches the lineitem scan") {
+    val p = plan("q_agg_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_comment"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_join_nations: both dims broadcast") {
+    val p = plan("q_join_nations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_intelx_join: sidecar is broadcast, docs side streams") {
+    val p = plan("q_intelx_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "sidecar join degraded to SMJ")
+  }
+
+  test("q_topk_order: global top-k is TakeOrderedAndProject") {
+    val p = plan("q_topk_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_dedup_minhash: bands persisted, BOTH self-join sides read cache") {
+    val p = plan("q_dedup_minhash")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "signature pipeline would recompute per join side:\n" + p.take(3000))
+  }
+
+  test("q_ann_ivf: assignment persisted, probe sides read cache") {
+    val p = plan("q_ann_ivf")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), "query side should broadcast")
+  }
+
+  test("q_upsert_merge: exactly one join, full-outer") {
+    val p = plan("q_upsert_merge")
+    assert(p.contains("FullOuter"), p.take(2000))
+  }
+
+  test("q_text_stats: whole-stage codegen covers the projection") {
+    // codegen'd stages print as "*(n) Op" in executedPlan.toString
+    val p = plan("q_text_stats")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p.take(1000))
+  }
+
+  test("q_antijoin_unindexed: anti-join stays a join, not a filter-collect") {
+    val p = plan("q_antijoin_unindexed")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+}

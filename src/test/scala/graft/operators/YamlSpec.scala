@@ -32,24 +32,27 @@ class YamlSpec extends AnyFunSuite {
   }
 
   test("yaml golden corpus loaded") {
-    assert(golden.size == 8)
-    assert(golden.count(_._2.isEmpty) == 2) // list root + scalar root
+    assert(golden.size == 13)
+    assert(golden.count(_._2.isEmpty) == 3) // list root + scalar root + date value
   }
 
   golden.zipWithIndex.foreach { case ((y, expected), i) =>
     test(f"yaml case ${i + 1} matches PyYAML+json.dumps output") {
-      val got = YamlLite.loadDict(y).map(PyJson.dumpsPretty(_, 2))
+      val got = YamlLite.loadDictFull(y).map(PyJson.dumpsPretty(_, 2))
       assert(got == expected,
         s"\nyaml:\n$y\ngot:\n${got.orNull}\nexp:\n${expected.orNull}")
     }
   }
 
-  test("unsupported constructs return None, never wrong output") {
-    // flow styles, block scalars, anchors — the reference parses these with
-    // full PyYAML; the subset must refuse rather than mis-parse
+  test("subset refuses what it cannot parse; the Snake fallback takes over") {
+    // the CPython-exact subset must refuse rather than mis-parse...
     assert(YamlLite.loadDict("a: [1, 2]").isEmpty)
     assert(YamlLite.loadDict("a: {b: 1}").isEmpty)
     assert(YamlLite.loadDict("a: |\n  text\n").isEmpty)
     assert(YamlLite.loadDict("a: &anchor v").isEmpty)
+    // ...and the SnakeYAML fallback handles them (goldens 9-13 pin parity)
+    assert(YamlLite.loadDictFull("a: [1, 2]").isDefined)
+    // dates abort both paths: the reference's json.dumps has no default=
+    assert(YamlLite.loadDictFull("a: 2024-01-05").isEmpty)
   }
 }
