@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.security.cert.{CertificateFactory, X509Certificate}
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+/** P6 certificate parser (reference: certparser.py:5-48): when the bytes
+  * load as an X.509 certificate (PEM first, DER second — JDK
+  * CertificateFactory accepts both), the document content is REPLACED by a
+  * text dump plus a PEM re-dump, exactly the reference's
+  * dump_certificate(TEXT) + dump_certificate(PEM) shape.
+  *
+  * Built on JDK crypto — no BouncyCastle needed for X.509. The PEM re-dump
+  * is byte-canonical (64-char base64 of the DER); the text dump follows the
+  * `openssl x509 -text` field layout as a STRUCTURAL analog (OpenSSL's text
+  * renderer is not reproduced byte-for-byte — documented deviation; PKCS
+  * #8/#10/#12 payloads don't load as certificates and keep plain content,
+  * matching the reference's silent fallthrough for non-certificate inputs).
+  */
+object Certs {
+
+  private val NotDateFmt = DateTimeFormatter
+    .ofPattern("MMM ppd HH:mm:ss yyyy 'GMT'", Locale.US)
+    .withZone(ZoneOffset.UTC)
+
+  def certText(bytes: Array[Byte]): Option[String] =
+    try {
+      val cf = CertificateFactory.getInstance("X.509")
+      val cert = cf.generateCertificate(new ByteArrayInputStream(bytes))
+        .asInstanceOf[X509Certificate]
+      Some(textDump(cert) + "\n" + pemEncode(cert.getEncoded))
+    } catch { case _: Throwable => None }
+
+  /** openssl-ordered DN (encoding order, i.e. C first): reverse the JDK's
+    * RFC2253 (most-specific-first) components. */
+  private def dn(p: javax.security.auth.x500.X500Principal): String =
+    p.getName(javax.security.auth.x500.X500Principal.RFC2253)
+      .split(",(?=(?:[^\\\\]|\\\\.)*$)") // not really needed for simple DNs
+      .toSeq.reverse.map(_.trim).mkString(", ")
+
+  private def serialHex(cert: X509Certificate): String = {
+    val hex = cert.getSerialNumber.toString(16)
+    val padded = if (hex.length % 2 == 1) "0" + hex else hex
+    padded.grouped(2).mkString(":")
+  }
+
+  private def textDump(c: X509Certificate): String = {
+    val keyInfo = c.getPublicKey match {
+      case k: java.security.interfaces.RSAPublicKey =>
+        s"RSA (${k.getModulus.bitLength} bit)"
+      case k: java.security.interfaces.ECPublicKey =>
+        s"EC (${k.getParams.getCurve.getField.getFieldSize} bit)"
+      case k => k.getAlgorithm
+    }
+    s"""Certificate:
+       |    Data:
+       |        Version: ${c.getVersion} (0x${(c.getVersion - 1).toHexString})
+       |        Serial Number:
+       |            ${serialHex(c)}
+       |        Signature Algorithm: ${c.getSigAlgName}
+       |        Issuer: ${dn(c.getIssuerX500Principal)}
+       |        Validity
+       |            Not Before: ${NotDateFmt.format(c.getNotBefore.toInstant)}
+       |            Not After : ${NotDateFmt.format(c.getNotAfter.toInstant)}
+       |        Subject: ${dn(c.getSubjectX500Principal)}
+       |        Subject Public Key Info:
+       |            Public Key Algorithm: $keyInfo""".stripMargin
+  }
+
+  /** Canonical PEM: BEGIN/END CERTIFICATE around 64-char base64 lines. */
+  def pemEncode(der: Array[Byte]): String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(der)
+    val lines = b64.grouped(64).mkString("\n")
+    s"-----BEGIN CERTIFICATE-----\n$lines\n-----END CERTIFICATE-----\n"
+  }
+}
+
+/** P7 Java-class parser (reference: javaparser.py:8-24): content is the
+  * output of `javap -p <classfile>` when it exits 0 — the reference's own
+  * subprocess model, byte-equal by construction since both run the same
+  * JDK tool. Bytes are gated on the 0xCAFEBABE magic before any process
+  * spawn. */
+object Javap {
+  def decompile(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 4 || bytes(0) != 0xCA.toByte || bytes(1) != 0xFE.toByte ||
+        bytes(2) != 0xBA.toByte || bytes(3) != 0xBE.toByte) return None
+    var tmp: java.nio.file.Path = null
+    try {
+      tmp = java.nio.file.Files.createTempFile("graft-javap", ".class")
+      java.nio.file.Files.write(tmp, bytes)
+      val pb = new ProcessBuilder("javap", "-p", tmp.getFileName.toString)
+      pb.directory(tmp.getParent.toFile)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      proc.getErrorStream.readAllBytes()
+      val code = proc.waitFor()
+      if (code == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    finally if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

@@ -34,6 +34,7 @@ object Mime {
       .when(h.startsWith("3C3F786D6C"), "text/xml")
       .when(h.startsWith("D0CF11E0A1B11AE1"), "application/x-ole-storage")
       .when(h.startsWith("4D5A"), "application/vnd.microsoft.portable-executable")
+      .when(h.startsWith("CAFEBABE"), "application/x-java-applet")
       // rfc822 headers ("Received:", "Return-Path:", "From:")
       .when(h.startsWith("52656365697665643A") ||
             h.startsWith("52657475726E2D506174683A") ||

@@ -11,11 +11,13 @@ import graft.rules.{PyJson, PyVal}
   * transforms that are portable without external tooling:
   *  - P1 Default: decode + truncate
   *  - P3 JSON: optional re-pretty-print (json.dumps indent=2), CPython-exact
+  *  - P5 YAML: object_content via YamlLite/SnakeYAML (parseFull)
+  *  - P6 Certificates: X.509 text+PEM dump via JDK crypto (Certs)
+  *  - P7 Java classes: `javap -p` subprocess, the reference's own model (Javap)
   *  - P8 PCAP/VDisk/WindowsBin: stubs -> empty content (parity)
-  *  - P2 PDF/Image/Office (Tika OCR), P6 certs (BouncyCastle), P7 javap:
-  *    external-tool parsers — dispatch resolves them (names preserved), the
-  *    decode step passes content through like P1 (this container ships no
-  *    Tika/BC; media payloads flow as media_ref per the north rule)
+  *  - P2 PDF/Image/Office (Tika OCR): external-tool parser — dispatch
+  *    resolves the name, the decode passes content through like P1 (no
+  *    Tika jar here; media payloads flow as media_ref per the north rule)
   * Pure functions, usable in Dataset.map or wrapped as expressions.
   */
 object Parsers {
@@ -28,10 +30,10 @@ object Parsers {
   val registry: Vector[ParserSpec] = Vector(
     ParserSpec("Certificates Parser",
       Seq("p8", "key", "p10", "csr", "cer", "crl", "p7c", "crt", "der", "pem",
-        "p12", "pfx", "p7b", "spc", "p7r"), Nil, "passthrough"),
+        "p12", "pfx", "p7b", "spc", "p7r"), Nil, "cert"),
     ParserSpec("Default", Nil, Nil, "default"),
     ParserSpec("Image Parser", Seq("png", "jpg", "jpeg", "gif", "emf"), Nil, "passthrough"),
-    ParserSpec("Java Classes Parser", Nil, Seq("application/x-java-applet"), "passthrough"),
+    ParserSpec("Java Classes Parser", Nil, Seq("application/x-java-applet"), "javap"),
     ParserSpec("JSON Parser", Seq("json"), Seq("application/json"), "json"),
     ParserSpec("Office Parser",
       Seq("doc", "docx", "ppt", "pptx", "xls", "xlsx", "odt", "xlsm", "xltm", "xlsb"),
@@ -105,6 +107,15 @@ object Parsers {
     val spec = dispatch(extension, mime)
     spec.kind match {
       case "stub" => ("", spec.name)
+      case "cert" =>
+        // certparser.py: content replaced by text+PEM dump when the bytes
+        // load as an X.509 cert; untouched otherwise
+        val content = readableData(bytes, indexedChars)
+        (Certs.certText(bytes).getOrElse(content), spec.name)
+      case "javap" =>
+        // javaparser.py: content replaced by `javap -p` output on exit 0
+        val content = readableData(bytes, indexedChars)
+        (Javap.decompile(bytes).getOrElse(content), spec.name)
       case "json" =>
         val content = readableData(bytes, indexedChars)
         val out = if (jsonSupport) {

@@ -195,7 +195,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       ("GIF89a".getBytes("UTF-8"), "image/gif", null),
       ("<?xml version=\"1.0\"?>".getBytes("UTF-8"), "text/xml", null),
       (b("D0CF11E0A1B11AE1"), "application/x-ole-storage", null),
-      ("MZ".getBytes("UTF-8"), "application/vnd.microsoft.portable-executable", null),
+      (b("4D5A90000300"), "application/vnd.microsoft.portable-executable", null),
+      (b("CAFEBABE00000041"), "application/x-java-applet", null),
       ("Received: from mail".getBytes("UTF-8"), "message/rfc822", "eml"),
       ("From: a@b.c\nTo: x".getBytes("UTF-8"), "message/rfc822", "eml"),
       ("just some text,\n\twith whitespace é".getBytes("UTF-8"), "text/plain", null),
@@ -209,6 +210,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       assert(df(i).getString(1) == mime, s"case $i mime")
       assert(Option(df(i).getString(2)).orNull == container, s"case $i container")
     }
+  }
+
+  test("cert parser: X.509 PEM and DER load, text dump + canonical PEM re-dump") {
+    def res(name: String): Array[Byte] =
+      getClass.getResourceAsStream(name).readAllBytes()
+    val pemBytes = res("/test_cert.pem")
+    val derBytes = res("/test_cert.der")
+    val (contentPem, namePem) = Parsers.parse("pem", "", pemBytes)
+    assert(namePem == "Certificates Parser")
+    // fixture generated with openssl req (subject pinned at generation time)
+    assert(contentPem.contains("Subject: C=US, ST=CA, O=Graft Test, CN=graft.test.example"))
+    assert(contentPem.contains("Serial Number:"))
+    assert(contentPem.contains("Not Before:"))
+    // PEM re-dump is canonical: equals the original openssl-written PEM body
+    val pemText = new String(pemBytes, "UTF-8").replace("\r\n", "\n")
+    assert(contentPem.endsWith(pemText.substring(pemText.indexOf("-----BEGIN"))))
+    // DER loads too and produces the identical dump
+    val (contentDer, _) = Parsers.parse("der", "", derBytes)
+    assert(contentDer == contentPem)
+    // non-certificate bytes keep plain content (reference fallthrough)
+    val (plain, _) = Parsers.parse("key", "", "not a cert".getBytes("UTF-8"))
+    assert(plain == "not a cert")
+  }
+
+  test("javap parser: real class file decompiles; non-class bytes pass through") {
+    val classFile = new java.io.File(
+      "target/scala-2.13/classes/graft/operators/Parsers$.class")
+    assume(classFile.exists())
+    val bytes = java.nio.file.Files.readAllBytes(classFile.toPath)
+    val (content, name) = Parsers.parse("", "application/x-java-applet", bytes)
+    assert(name == "Java Classes Parser")
+    assert(content.contains("public final class graft.operators.Parsers$"))
+    assert(content.contains("dispatch")) // -p shows members
+    val (plain, _) = Parsers.parse("", "application/x-java-applet",
+      "no magic".getBytes("UTF-8"))
+    assert(plain == "no magic")
   }
 
   test("multimodal frame sampling is deterministic and batch-shaped") {
