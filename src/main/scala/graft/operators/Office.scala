@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+/** P2 Office text extraction WITHOUT Tika: OOXML containers (docx/xlsx/pptx)
+  * are zip archives of XML, so the text layer is reachable with
+  * java.util.zip + tag stripping — docx paragraphs (word/document.xml
+  * <w:p>/<w:t>), xlsx shared strings (xl/sharedStrings.xml <t>), pptx slide
+  * runs (slide XML members, <a:t>). Output gets the reference's Tika-content
+  * cleanup applied verbatim (parserbase.py:178-184: strip '\r\n ' edges,
+  * tabs to two spaces, collapse 3+ newlines to 2).
+  *
+  * Fidelity note: this is the ENABLED-OCR path's structural analog — Tika's
+  * exact whitespace around tables/fields is not reproduced, and binary
+  * legacy formats (.doc/.xls OLE) and PDF/image OCR still need the external
+  * tool the sandbox doesn't ship. Non-OOXML bytes return None and content
+  * falls through untouched. */
+object Office {
+
+  def extractText(bytes: Array[Byte]): Option[String] =
+    try {
+      val members = zipMembers(bytes,
+        name => name == "word/document.xml" || name == "xl/sharedStrings.xml" ||
+          (name.startsWith("ppt/slides/slide") && name.endsWith(".xml")))
+      if (members.isEmpty) None
+      else {
+        val texts = members.toSeq.sortBy(_._1).map { case (name, xml) =>
+          if (name == "word/document.xml") paragraphText(xml, "w:p", "w:t")
+          else if (name == "xl/sharedStrings.xml") tagText(xml, "t").mkString("\n")
+          else paragraphText(xml, "a:p", "a:t")
+        }
+        Some(clean(texts.filter(_.nonEmpty).mkString("\n")))
+      }
+    } catch { case _: Throwable => None }
+
+  /** parserbase.py:178-184 content cleanup. */
+  def clean(content0: String): String = {
+    var content = content0.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+      .reverse.dropWhile(c => c == '\r' || c == '\n' || c == ' ').reverse
+    content = content.replace("\t", "  ")
+    while (content.contains("\n\n\n")) content = content.replace("\n\n\n", "\n\n")
+    content
+  }
+
+  private def zipMembers(bytes: Array[Byte],
+      want: String => Boolean): Map[String, String] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory && want(e.getName))
+        out(e.getName) = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+      e = zin.getNextEntry
+    }
+    out.toMap
+  }
+
+  /** One line per <para> block, concatenating its <run> texts. */
+  private def paragraphText(xml: String, para: String, run: String): String = {
+    val paras = xml.split(s"</$para>")
+    paras.iterator
+      .map(p => tagText(p, run).mkString(""))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  private def tagText(xml: String, tag: String): Vector[String] = {
+    val re = (s"<$tag(?:\\s[^>]*)?>(.*?)</$tag>").r
+    re.findAllMatchIn(xml).map(m => unescape(m.group(1))).toVector
+  }
+
+  private def unescape(s: String): String = {
+    val numeric = """&#(x?)([0-9a-fA-F]+);""".r
+    val base = s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+    val withNums = numeric.replaceAllIn(base, m => {
+      val cp = Integer.parseInt(m.group(2), if (m.group(1).nonEmpty) 16 else 10)
+      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+    })
+    withNums.replace("&amp;", "&")
+  }
+}

@@ -14,10 +14,11 @@ import graft.rules.{PyJson, PyVal}
   *  - P5 YAML: object_content via YamlLite/SnakeYAML (parseFull)
   *  - P6 Certificates: X.509 text+PEM dump via JDK crypto (Certs)
   *  - P7 Java classes: `javap -p` subprocess, the reference's own model (Javap)
+  *  - P2 Office: OOXML (docx/xlsx/pptx) text layer via java.util.zip (Office);
+  *    PDF/image OCR and OLE legacy formats remain Tika-blocked — dispatch
+  *    resolves their names, content passes through like P1 (media payloads
+  *    flow as media_ref per the north rule)
   *  - P8 PCAP/VDisk/WindowsBin: stubs -> empty content (parity)
-  *  - P2 PDF/Image/Office (Tika OCR): external-tool parser — dispatch
-  *    resolves the name, the decode passes content through like P1 (no
-  *    Tika jar here; media payloads flow as media_ref per the north rule)
   * Pure functions, usable in Dataset.map or wrapped as expressions.
   */
 object Parsers {
@@ -39,7 +40,7 @@ object Parsers {
       Seq("doc", "docx", "ppt", "pptx", "xls", "xlsx", "odt", "xlsm", "xltm", "xlsb"),
       Seq("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
-      "passthrough"),
+      "office"),
     ParserSpec("PCAP Parser", Seq("pcap", "pcapx"),
       Seq("application/vnd.tcpdump.pcap"), "stub"),
     ParserSpec("PDF Parser", Seq("pdf"), Nil, "passthrough"),
@@ -116,6 +117,11 @@ object Parsers {
         // javaparser.py: content replaced by `javap -p` output on exit 0
         val content = readableData(bytes, indexedChars)
         (Javap.decompile(bytes).getOrElse(content), spec.name)
+      case "office" =>
+        // OOXML text layer without Tika (see Office); non-OOXML bytes keep
+        // the plain decoded content like the reference's OCR-off path
+        val content = readableData(bytes, indexedChars)
+        (Office.extractText(bytes).getOrElse(content), spec.name)
       case "json" =>
         val content = readableData(bytes, indexedChars)
         val out = if (jsonSupport) {

@@ -80,6 +80,17 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup (D2 as a stream): first occurrence of each
+    * url_hash within the watermark horizon passes, replays are dropped —
+    * dropDuplicates keyed on (url_hash) with bounded state via the
+    * watermark, the streaming analog of the seen-set anti-join. The
+    * watermark horizon is the dedup guarantee window; beyond it the batch
+    * seen-set (SeenSet) is the durable authority. */
+  def dedupStream(entries: DataFrame): DataFrame =
+    entries
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("url_hash")
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

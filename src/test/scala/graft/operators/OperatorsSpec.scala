@@ -248,6 +248,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(plain == "no magic")
   }
 
+  test("office parser: OOXML text layer without Tika") {
+    def zipBytes(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, content) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8"))
+        z.closeEntry()
+      }
+      z.close()
+      bos.toByteArray
+    }
+    val docx = zipBytes(
+      "[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" ->
+        ("""<w:document><w:body><w:p><w:r><w:t>Hello &amp; goodbye</w:t>""" +
+          """<w:t xml:space="preserve"> world</w:t></w:r></w:p>""" +
+          """<w:p><w:r><w:t>Second &#233; para</w:t></w:r></w:p>""" +
+          """<w:p/></w:body></w:document>"""))
+    val (content, name) = Parsers.parse("docx", "", docx)
+    assert(name == "Office Parser")
+    assert(content == "Hello & goodbye world\nSecond é para")
+
+    val xlsx = zipBytes(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><t>alpha</t></si><si><t>beta&lt;1</t></si></sst>""")
+    assert(Parsers.parse("xlsx", "", xlsx)._1 == "alpha\nbeta<1")
+
+    // a plain zip with no OOXML members keeps decoded content (fallthrough)
+    val plainZip = zipBytes("readme.txt" -> "not office")
+    val (fallback, _) = Parsers.parse("docx", "", plainZip)
+    assert(fallback == Parsers.readableData(plainZip, 1000000))
+  }
+
   test("multimodal frame sampling is deterministic and batch-shaped") {
     import spark.implicits._
     val docs = Seq((1L, "hello world payload"), (2L, "another doc")).toDF("doc_id", "text")

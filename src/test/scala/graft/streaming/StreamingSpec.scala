@@ -79,4 +79,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(rows("h1.test") == 1L)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops replayed url hashes within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val entries = in.toDF().toDF("url_hash", "ts", "canonical")
+    val q = Streams.dedupStream(entries).writeStream
+      .format("memory").queryName("dedup_mem").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (11L, ts(0), "http://a.test/x"),
+        (22L, ts(1), "http://b.test/y"),
+        (11L, ts(2), "http://a.test/x"))  // replay inside the horizon
+      q.processAllAvailable()
+      in.addData((11L, ts(3), "http://a.test/x"), (33L, ts(4), "http://c.test/z"))
+      q.processAllAvailable()
+      val rows = spark.sql("select url_hash from dedup_mem").collect()
+        .map(_.getLong(0)).toList
+      assert(rows.sorted == List(11L, 22L, 33L), s"got $rows")
+    } finally q.stop()
+  }
 }
