@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** S5 database-as-source against an embedded Derby database (the JDBC
+  * driver Spark ships): distributed JDBC read + the reference's chunked
+  * JSON doc shape (containerfile.py:109-173), incl. the overshoot-by-one
+  * chunking and filename sanitization pinned against
+  * Tools.sanitize_filename outputs. */
+class JdbcSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val url: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    val u = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE creds (id INT, login VARCHAR(40), pw VARCHAR(40))")
+    st.execute("INSERT INTO creds VALUES (1, 'admin', 's3cret'), " +
+      "(2, 'svc', NULL), (3, 'bob', 'hunter2')")
+    st.close(); conn.close()
+    u
+  }
+
+  test("JDBC read loads the table distributed") {
+    val df = JdbcSource.readTable(spark, url, "creds")
+    assert(df.count() == 3)
+    assert(df.schema.fieldNames.toSeq == Seq("ID", "LOGIN", "PW"))
+  }
+
+  test("chunk docs: reference JSON shape, offsets, overshoot-by-one") {
+    val df = JdbcSource.readTable(spark, url, "creds").orderBy("ID")
+    // tiny budget: the <=-before-add check still admits one row per chunk
+    val docs = JdbcSource.tableDocs(df, "creds", chunkBytes = 1)
+    assert(docs.map(_._1) ==
+      Seq("creds_000000.json", "creds_000001.json", "creds_000002.json"))
+    val d0 = PyJson.loads(docs.head._2).asInstanceOf[PyObj]
+    assert(d0.get("table").contains(PyStr("creds")))
+    assert(d0.get("offset").contains(PyInt(0)))
+    assert(d0.get("total").contains(PyInt(3)))
+    assert(d0.get("count").contains(PyInt(1)))
+    val row0 = d0.get("data").collect { case PyArr(xs) => xs.head }.get
+      .asInstanceOf[PyObj]
+    assert(row0.get("ID").contains(PyInt(1)))
+    assert(row0.get("LOGIN").contains(PyStr("admin")))
+    // one doc when everything fits; NULL pw serializes as JSON null
+    val one = JdbcSource.tableDocs(df, "creds")
+    assert(one.size == 1)
+    assert(one.head._2.contains("\"PW\": null"))
+    assert(one.head._2.startsWith("{\n  \"table\": \"creds\","))
+  }
+
+  test("filename sanitization matches Tools.sanitize_filename") {
+    // expected values generated with the reference's own implementation
+    assert(JdbcSource.sanitizeFilename("Crédit  Card Data--x") == "Credit-Card-Data-x")
+    assert(JdbcSource.sanitizeFilename(" weird/table;name! ") == "weirdtablename")
+    assert(JdbcSource.sanitizeFilename("ok_table.v2") == "ok_table.v2")
+    assert(JdbcSource.sanitizeFilename("データ表") == "")
+    assert(JdbcSource.sanitizeFilename(null) == "")
+  }
+}
