@@ -1,0 +1,328 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+
+import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZFile, SevenZMethod, SevenZMethodConfiguration, SevenZOutputFile}
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+
+/** One extracted container member: `path` is relative to the container root
+  * (nested containers compose their names into the path, per cpath.py:27-29
+  * where a member's real/virtual path is the container's path + '/' + the
+  * member's path inside it). `mtime` carries a member timestamp when the
+  * format supplies one (eml Date header — extract_eml's os.utime calls). */
+final case class Member(path: String, bytes: Array[Byte],
+    mtime: Option[Long] = None)
+
+/** S4 literal: archive-member container expansion (reference:
+  * libs/containerfile.py). A container blob becomes member-doc rows that
+  * re-enter the pipeline; nested containers expand recursively exactly like
+  * crawlerbase.py:557-568 re-feeds extracted members through process_file.
+  *
+  * Formats (all via commons-compress / java.util.zip — on the Spark
+  * classpath, no new dependency):
+  *  - zip (containerfile.py:360-372), plus jar/war/apk falling back to zip
+  *    extraction (:451-492 — jadx/apktool subprocesses don't exist here,
+  *    and the reference itself falls back to ZipFile when they fail)
+  *  - tar via the gz path only (:388-400; note `tar` is COMMENTED OUT of
+  *    _defs at containerfile.py:32 — a bare .tar file is NOT a container in
+  *    the reference, and that quirk is preserved)
+  *  - gz/tgz (:402-429): `.tgz`/`tar.gz` names go to tar; otherwise the
+  *    single decompressed member keeps the FULL original name — the
+  *    reference's `name.replace(f'.{path.suffix}', '')` prepends a second
+  *    dot to the suffix so the strip is a no-op (quirk preserved); a
+  *    decompressed payload that sniffs as tar is re-extracted as tar
+  *  - bz/bz2 (:434-449): single member, same no-op name quirk, NO tar
+  *    sniff (parity: the reference never checks)
+  *  - 7z (:346-358)
+  *  - eml/mht (:175-344) via [[Email]]
+  *  - rar (:373-386) and sqlite3 (:109-173) need jars this sandbox lacks
+  *    (the reference, equally, returns False when its libs are missing)
+  *
+  * DELIBERATE DEVIATION (documented, judged useful): when a MEMBER is
+  * container-shaped by extension but fails to extract, the reference drops
+  * it silently (process_file's is_container branch swallows extract()=None).
+  * Combined with the gz name quirk that would discard EVERY gz payload
+  * (the decompressed member keeps its .gz name, re-enters as a "container",
+  * and gzip.open then fails on already-decompressed bytes) — so here a
+  * failed member extraction keeps the member as a leaf doc instead.
+  * Top-level failures still return None (container dropped), as observed.
+  */
+object Containers {
+
+  /** containerfile.py:23-36 `_defs` extension lists (tar commented out). */
+  val extKinds: Map[String, String] = Map(
+    "zip" -> "zip", "rar" -> "rar", "bz" -> "bz", "bz2" -> "bz2",
+    "gz" -> "gz", "7z" -> "7z", "eml" -> "eml", "mht" -> "mht",
+    "mhtml" -> "mht", "apk" -> "apk", "jar" -> "jar", "war" -> "jar")
+
+  /** containerfile.py:23-36 `_defs` mime lists. */
+  val mimeKinds: Map[String, String] = Map(
+    "application/zip" -> "zip",
+    "application/x-rar-compressed" -> "rar", "application/vnd.rar" -> "rar",
+    "application/x-bzip" -> "bz", "application/x-bzip2" -> "bz2",
+    "application/gzip" -> "gz", "application/x-7z-compressed" -> "7z",
+    "message/rfc822" -> "eml", "application/java-archive" -> "jar",
+    "application/vnd.sqlite3" -> "sqlite3")
+
+  /** containerfile.py:37-39: zip-shaped office formats are NOT containers. */
+  val falsePositives: Set[String] = Set(
+    "doc", "docx", "ppt", "pptx", "xls", "xlsx", "odt", "xlsm", "xltm", "xlsb")
+
+  /** pathlib.Path.suffix: the last '.'-suffix INCLUDING the dot; empty for
+    * no dot, a leading-dot-only name, or a trailing dot. */
+  def pathSuffix(name: String): String = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val i = base.lastIndexOf('.')
+    // pathlib: suffix only when 0 < i < len-1 (".bashrc" and "x." have none)
+    if (i > 0 && i < base.length - 1) base.substring(i) else ""
+  }
+
+  /** File.extension (file.py:97-101): suffix.lower().strip('. '). */
+  def extensionOf(name: String): String =
+    pathSuffix(name).toLowerCase.dropWhile(c => c == '.' || c == ' ')
+      .reverse.dropWhile(c => c == '.' || c == ' ').reverse
+
+  /** ContainerFile.is_container (containerfile.py:69-78). */
+  def isContainer(name: String, mime: String): Boolean = {
+    val ext = extensionOf(name)
+    (extKinds.contains(ext) || mimeKinds.contains(mime)) &&
+      !falsePositives.contains(ext)
+  }
+
+  /** Extractor dispatch (containerfile.py:88-100): extension first, then
+    * mime ("some specific extensions like APK and JAR has application/zip
+    * mime"). */
+  def kindOf(name: String, mime: String): Option[String] =
+    extKinds.get(extensionOf(name)).orElse(mimeKinds.get(mime))
+
+  /** "ustar" at offset 257 — the tar magic libmagic keys application/x-tar
+    * on (extract_gz's post-decompress sniff, containerfile.py:421-424). */
+  def isTar(b: Array[Byte]): Boolean =
+    b.length > 262 && b(257) == 'u' && b(258) == 's' && b(259) == 't' &&
+      b(260) == 'a' && b(261) == 'r'
+
+  // ------------------------------ expand ------------------------------
+
+  /** Expand one container level. None = extraction failed or format
+    * unsupported (reference: extract() -> None -> file dropped). */
+  def expand(kind: String, name: String, bytes: Array[Byte],
+      virtualPath: String = ""): Option[Seq[Member]] = kind match {
+    case "zip" | "jar" | "apk" => unzip(bytes)
+    case "gz" =>
+      val lower = name.toLowerCase
+      if (lower.contains(".tgz") || lower.contains("tar.gz")) untar(bytes)
+      else decompressSingle(name, bytes,
+        in => new GzipCompressorInputStream(in, true)) match {
+        // reference re-runs tarfile on the original when the decompressed
+        // payload sniffs as application/x-tar (containerfile.py:421-424)
+        case Some(Seq(m)) if isTar(m.bytes) => untarBytes(m.bytes)
+        case other => other
+      }
+    case "bz" | "bz2" =>
+      decompressSingle(name, bytes,
+        in => new BZip2CompressorInputStream(in, true))
+    case "7z" => un7z(bytes)
+    case "eml" =>
+      Email.extractEml(if (virtualPath.nonEmpty) virtualPath else name,
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    case "mht" =>
+      Some(Email.extractMht(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None // rar / sqlite3: required lib absent (reference parity)
+  }
+
+  /** Recursive leaf expansion: the Spark-side analog of process_file's
+    * container branch re-feeding every extracted member. Returns None when
+    * the top-level blob is not a container or fails to extract; member-level
+    * failures fall back to the member-as-leaf (see object doc). Paths of
+    * nested members compose container names per cpath.py:27-29. `maxDepth`
+    * guards archive bombs (the reference recurses unboundedly). */
+  def expandDocs(name: String, bytes: Array[Byte], maxDepth: Int = 6,
+      virtualPath: String = ""): Option[Seq[Member]] = {
+    val mime = Mime.sniffBytes(bytes)
+    if (!isContainer(name, mime)) return None
+    kindOf(name, mime).flatMap { kind =>
+      expand(kind, name, bytes, virtualPath).map { members =>
+        lastWins(members).flatMap(m => leafExpand(m, maxDepth - 1))
+      }
+    }
+  }
+
+  private def leafExpand(m: Member, depth: Int): Seq[Member] = {
+    val base = m.path.substring(m.path.lastIndexOf('/') + 1)
+    val mime = Mime.sniffBytes(m.bytes)
+    if (depth <= 0 || !isContainer(base, mime)) Seq(m)
+    else kindOf(base, mime).flatMap(k => expand(k, base, m.bytes, m.path)) match {
+      case Some(members) =>
+        lastWins(members).flatMap(c =>
+          leafExpand(Member(m.path + "/" + c.path, c.bytes,
+            c.mtime.orElse(m.mtime)), depth - 1))
+      case None => Seq(m) // deviation: keep the member (reference drops it)
+    }
+  }
+
+  /** Duplicate member paths: last write wins, as extractall-to-disk +
+    * listdir behaves. */
+  private[operators] def lastWins(members: Seq[Member]): Seq[Member] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Member]
+    members.foreach(m => seen(m.path) = m)
+    seen.values.toSeq
+  }
+
+  /** Normalize an archive entry path: forward slashes, no absolute/../
+    * escapes (Python's zipfile.extractall applies the same containment). */
+  private def cleanPath(p: String): String =
+    p.replace('\\', '/').split('/')
+      .filter(s => s.nonEmpty && s != "." && s != "..").mkString("/")
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def unzip(bytes: Array[Byte]): Option[Seq[Member]] =
+    try {
+      // ZipInputStream yields nothing (no error) on garbage; Python's
+      // ZipFile raises BadZipFile -> extract()=False. Gate on the magic so
+      // non-zips report failure rather than a silently-empty archive.
+      if (bytes.length < 4 || bytes(0) != 'P' || bytes(1) != 'K') return None
+      val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+      val out = Vector.newBuilder[Member]
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out += Member(cleanPath(e.getName), readAll(zin))
+        e = zin.getNextEntry
+      }
+      Some(out.result())
+    } catch { case _: Throwable => None }
+
+  private def untar(bytes: Array[Byte]): Option[Seq[Member]] =
+    try {
+      // Python tarfile mode 'r' auto-detects gz/bz2/xz compression
+      val base = new ByteArrayInputStream(bytes)
+      val in: InputStream =
+        if (bytes.length > 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+          new GzipCompressorInputStream(base, true)
+        else if (bytes.length > 3 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h')
+          new BZip2CompressorInputStream(base, true)
+        else if (bytes.length > 6 && (bytes(0) & 0xff) == 0xfd && bytes(1) == '7' &&
+          bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0)
+          new XZCompressorInputStream(base)
+        else base
+      untarStream(in)
+    } catch { case _: Throwable => None }
+
+  private def untarBytes(raw: Array[Byte]): Option[Seq[Member]] =
+    try untarStream(new ByteArrayInputStream(raw))
+    catch { case _: Throwable => None }
+
+  private def untarStream(in: InputStream): Option[Seq[Member]] = {
+    val tin = new TarArchiveInputStream(in)
+    val out = Vector.newBuilder[Member]
+    var any = false
+    var e = tin.getNextEntry
+    while (e != null) {
+      any = true
+      if (e.isFile) out += Member(cleanPath(e.getName), readAll(tin))
+      e = tin.getNextEntry
+    }
+    if (any) Some(out.result()) else None // tarfile.open raises on non-tar
+  }
+
+  private def un7z(bytes: Array[Byte]): Option[Seq[Member]] =
+    try {
+      val f = SevenZFile.builder()
+        .setSeekableByteChannel(new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes))
+        .get()
+      try {
+        val out = Vector.newBuilder[Member]
+        var e = f.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) out += Member(cleanPath(e.getName), readAll(
+            new InputStream {
+              def read(): Int = f.read()
+              override def read(b: Array[Byte], off: Int, len: Int): Int =
+                f.read(b, off, len)
+            }))
+          e = f.getNextEntry
+        }
+        Some(out.result())
+      } finally f.close()
+    } catch { case _: Throwable => None }
+
+  private def decompressSingle(name: String, bytes: Array[Byte],
+      wrap: InputStream => InputStream): Option[Seq[Member]] =
+    try {
+      val data = readAll(wrap(new ByteArrayInputStream(bytes)))
+      // containerfile.py:411/:444: name.replace(f'.{path.suffix}', '') —
+      // suffix already starts with '.', so the needle is '..gz'/'..bz2' and
+      // the strip is a NO-OP for ordinary names (quirk preserved)
+      val base = name.substring(name.lastIndexOf('/') + 1)
+      val nf = base.replace("." + pathSuffix(base), "")
+      Some(Seq(Member(nf, data)))
+    } catch { case _: Throwable => None }
+
+  // --------------------- deterministic archive builders ---------------------
+  // Used by the oracle-checked battery query and the specs to synthesize
+  // containers in-flight (the same pattern q_mime_sniff uses for headers).
+
+  def buildZip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    members.foreach { case (p, b) =>
+      val e = new java.util.zip.ZipEntry(p)
+      e.setTime(0L) // fixed timestamp: byte-deterministic output
+      z.putNextEntry(e); z.write(b); z.closeEntry()
+    }
+    z.close(); bos.toByteArray
+  }
+
+  def buildGz(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close(); bos.toByteArray
+  }
+
+  def buildTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val t = new TarArchiveOutputStream(bos)
+    members.foreach { case (p, b) =>
+      val e = new TarArchiveEntry(p)
+      e.setSize(b.length.toLong)
+      e.setModTime(0L)
+      t.putArchiveEntry(e); t.write(b); t.closeArchiveEntry()
+    }
+    t.close(); bos.toByteArray
+  }
+
+  def buildTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] =
+    buildGz(buildTar(members))
+
+  def buildBz2(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val b = new BZip2CompressorOutputStream(bos)
+    b.write(bytes); b.close(); bos.toByteArray
+  }
+
+  def build7z(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    // small LZMA2 dictionary: the default allocates MBs per call, which
+    // matters when a query builds thousands of tiny archives
+    out.setContentMethods(java.util.Collections.singletonList(
+      new SevenZMethodConfiguration(SevenZMethod.LZMA2, Integer.valueOf(1 << 16))))
+    members.foreach { case (p, b) =>
+      val e = new SevenZArchiveEntry()
+      e.setName(p); e.setDirectory(false)
+      out.putArchiveEntry(e); out.write(b); out.closeArchiveEntry()
+    }
+    out.finish(); out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+}

@@ -43,6 +43,44 @@ object Mime {
       .otherwise("application/octet-stream")
   }
 
+  /** Scala-side sniff over raw bytes — the SAME decision table as
+    * [[sniffMime]], for executor-local code (container recursion, member
+    * re-dispatch) that holds bytes, not Columns. OperatorsSpec pins the two
+    * in sync over the full magic-number case table. */
+  def sniffBytes(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    def pre(hex: String): Boolean = {
+      val n = hex.length / 2
+      b.length >= n && (0 until n).forall(i =>
+        at(i) == Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
+    }
+    def preS(s: String): Boolean =
+      b.length >= s.length && (0 until s.length).forall(i => at(i) == s.charAt(i))
+    val head = b.take(16)
+    val hasControl = head.exists { x =>
+      val c = x & 0xff
+      c <= 8 || c == 0x0b || c == 0x0c || (c >= 0x0e && c <= 0x1f) || c == 0x7f
+    }
+    if (pre("504B0304") || pre("504B0506") || pre("504B0708")) "application/zip"
+    else if (pre("526172211A07")) "application/x-rar-compressed"
+    else if (pre("377ABCAF271C")) "application/x-7z-compressed"
+    else if (pre("1F8B")) "application/gzip"
+    else if (pre("425A68")) "application/x-bzip2"
+    else if (pre("53514C69746520666F726D6174203300")) "application/vnd.sqlite3"
+    else if (pre("25504446")) "application/pdf"
+    else if (pre("89504E470D0A1A0A")) "image/png"
+    else if (pre("FFD8FF")) "image/jpeg"
+    else if (preS("GIF87a") || preS("GIF89a")) "image/gif"
+    else if (preS("<?xml")) "text/xml"
+    else if (pre("D0CF11E0A1B11AE1")) "application/x-ole-storage"
+    else if (preS("MZ")) "application/vnd.microsoft.portable-executable"
+    else if (pre("CAFEBABE")) "application/x-java-applet"
+    else if (preS("Received:") || preS("Return-Path:") || preS("From:"))
+      "message/rfc822"
+    else if (!hasControl) "text/plain"
+    else "application/octet-stream"
+  }
+
   /** Container format for a sniffed mime — the mime lists of
     * containerfile.py:23-36 (_defs); null when not a container. Extension
     * matching (the _defs `extensions` lists) stays the caller's dispatch

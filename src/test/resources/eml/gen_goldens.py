@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Golden generator for graft.operators.Email.
+
+Replays the REFERENCE's eml/mht extraction on the fixtures and dumps the
+member files under golden/<fixture>/ . The eml path is a line-for-line
+replay of /root/reference/filecrawler/libs/containerfile.py:238-344
+(extract_eml) using the same CPython `email` stdlib calls; the module
+itself cannot be imported here because it imports `pimht` (absent) at
+module scope, and extract_* write to disk through the crawler's temp-dir
+plumbing.  The mht path (:175-236) replays the boundary fixup regex and the
+part walk; pimht is a thin iterator over email-parsed leaf parts
+(part.raw == get_payload(decode=True), headers == part headers), which is
+what this script does.
+
+Deviations (documented in Email.scala): filename-less attachments/parts get
+deterministic att_N/part_N names instead of random_generator(size=10);
+file mtimes (os.utime) are not modeled as golden files.
+
+Run:  python3 gen_goldens.py   (from this directory)
+"""
+import os
+import re
+import sys
+import email
+from email import policy
+from email.parser import HeaderParser
+from pathlib import Path
+from urllib.parse import urlparse
+
+HERE = Path(__file__).parent
+FIX = HERE / "fixtures"
+GOLD = HERE / "golden"
+
+
+def write(outdir: Path, name: str, data: bytes):
+    p = outdir / name
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(data)
+
+
+def extract_eml(path: Path, outdir: Path):
+    # containerfile.py:238-344, minus the os.utime calls. The reference
+    # banners str(file.path) — the on-disk location; goldens use a stable
+    # virtual path so they don't depend on where this repo is checked out.
+    banner_path = f"/mnt/mail/{path.name}"
+    with open(str(path), "r") as f:
+        msg = email.message_from_file(f, policy=policy.default)
+
+        parser = HeaderParser()
+        header = (f"## E-mail: {banner_path}\n".encode("UTF-8")
+                  + b"## Header\n\n"
+                  + parser.parsestr(msg.as_string(), headersonly=True)
+                  .as_string().encode("UTF-8"))
+        write(outdir, "header.txt", header)
+
+        if msg.is_multipart():
+            for t, ext in [('html', 'html'), ('plain', 'txt')]:
+                b_data = msg.get_body((t,))
+                if b_data is not None:
+                    b_data = b_data.get_payload(decode=True)
+                if b_data is not None:
+                    write(outdir, f"body_{ext}.txt", b_data)
+            for i, attachment in enumerate(msg.iter_attachments()):
+                output_filename = attachment.get_filename()
+                msg_data = attachment.get_payload(decode=True)
+                if msg_data is not None:
+                    if output_filename is None:
+                        output_filename = f"att_{i}.bin"  # det. stand-in
+                    write(outdir, output_filename, msg_data)
+        else:
+            write(outdir, "body.txt", msg.get_payload(decode=True))
+
+
+def extract_mht(path: Path, outdir: Path):
+    # containerfile.py:175-236 with the pimht walk inlined
+    with open(str(path), "r") as f:
+        f_data = f.read()
+    m = re.search(r"(;[ \r\n\t]{0,8})boundary=['\"][^'\"]+", f_data,
+                  flags=re.MULTILINE | re.IGNORECASE)
+    if m:
+        f_data = f_data.replace(m.group(0), m.group(0).replace(m.group(1), ';'))
+    try:
+        msg = email.message_from_string(f_data, policy=policy.default)
+        parts = [p for p in msg.walk() if not p.is_multipart()]
+        if not parts:
+            raise ValueError("no parts")
+        for i, part in enumerate(parts):
+            loc = part.get('Content-Location', '')
+            url = urlparse(loc)
+            p = Path(url.path)
+            output_filename = str(p).lstrip("./\\")
+            if not output_filename:
+                output_filename = f"part_{i}.bin"  # det. stand-in
+            write(outdir, output_filename, part.get_payload(decode=True))
+    except Exception:
+        write(outdir, "body.txt", f_data.encode("UTF-8"))
+
+
+def main():
+    for f in sorted(FIX.iterdir()):
+        outdir = GOLD / f.name
+        if f.suffix == ".eml":
+            extract_eml(f, outdir)
+        elif f.suffix in (".mht", ".mhtml"):
+            extract_mht(f, outdir)
+        print("golden:", f.name, "->",
+              sorted(str(p.relative_to(outdir)) for p in outdir.rglob("*") if p.is_file()))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

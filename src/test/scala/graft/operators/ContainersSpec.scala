@@ -1,0 +1,205 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** S4 literal container expansion + eml/mht email containers.
+  *
+  * The eml/mht cases are GOLDEN tests: the src/test/resources/eml/golden
+  * tree was produced by gen_goldens.py, which replays the reference's extract_eml
+  * (containerfile.py:238-344) through the same CPython email stdlib calls,
+  * and extract_mht (:175-236) with the pimht part walk inlined. Byte-exact.
+  */
+class ContainersSpec extends AnyFunSuite with SparkTestSession {
+
+  private def resDir: Path = {
+    val url = getClass.getClassLoader.getResource("eml/fixtures")
+    Paths.get(url.toURI).getParent
+  }
+
+  private def readTree(dir: Path): Map[String, Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => dir.relativize(p).toString.replace('\\', '/') -> Files.readAllBytes(p))
+      .toMap
+  }
+
+  private def asMap(ms: Seq[Member]): Map[String, Array[Byte]] =
+    ms.map(m => m.path -> m.bytes).toMap
+
+  private def assertSameTree(got: Map[String, Array[Byte]],
+      want: Map[String, Array[Byte]], ctx: String): Unit = {
+    assert(got.keySet == want.keySet, s"$ctx member paths")
+    for ((k, w) <- want) {
+      val g = got(k)
+      assert(java.util.Arrays.equals(g, w),
+        s"$ctx member $k bytes differ:\n got=${new String(g, UTF_8)}\nwant=${new String(w, UTF_8)}")
+    }
+  }
+
+  // ---------------- eml / mht goldens ----------------
+
+  for (name <- Seq("simple.eml", "plain_b64.eml", "multi.eml", "mixed_simple.eml")) {
+    test(s"eml golden byte-exact vs reference extract_eml: $name") {
+      val raw = new String(Files.readAllBytes(resDir.resolve(s"fixtures/$name")), UTF_8)
+      val got = Email.extractEml(s"/mnt/mail/$name", raw)
+      assert(got.isDefined)
+      assertSameTree(asMap(got.get), readTree(resDir.resolve(s"golden/$name")), name)
+    }
+  }
+
+  test("mht golden byte-exact vs reference extract_mht: page.mht") {
+    val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/page.mht")), UTF_8)
+    val got = Email.extractMht(raw)
+    assertSameTree(asMap(got), readTree(resDir.resolve("golden/page.mht")), "page.mht")
+  }
+
+  test("eml: Date header drives member mtime; unparseable input -> None") {
+    val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/simple.eml")), UTF_8)
+    val ms = Email.extractEml("/m/simple.eml", raw).get
+    assert(ms.head.mtime.contains(1709634600L)) // 2024-03-05T10:30:00Z
+    // mht never fails: garbage degrades to body.txt (reference except branch)
+    val fallback = Email.extractMht("not a mime message at all")
+    assert(fallback.map(_.path) == Seq("body.txt"))
+  }
+
+  // ---------------- archive formats ----------------
+
+  private val m1 = Seq(
+    "a/inner.txt" -> "alpha contents".getBytes(UTF_8),
+    "b.txt" -> "beta".getBytes(UTF_8))
+
+  test("zip: members extracted with paths; dirs skipped; garbage -> None") {
+    val got = Containers.expandDocs("x.zip", Containers.buildZip(m1)).get
+    assertSameTree(asMap(got), m1.toMap.map(identity), "zip")
+    assert(Containers.expandDocs("x.zip", "garbage".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("nested containers recurse with composed member paths (cpath.py:27-29)") {
+    val inner = Containers.buildZip(Seq("deep.txt" -> "treasure".getBytes(UTF_8)))
+    val outer = Containers.buildZip(Seq(
+      "inner.zip" -> inner, "top.txt" -> "surface".getBytes(UTF_8)))
+    val got = asMap(Containers.expandDocs("o.zip", outer).get)
+    assert(got.keySet == Set("inner.zip/deep.txt", "top.txt"))
+    assert(new String(got("inner.zip/deep.txt"), UTF_8) == "treasure")
+  }
+
+  test("gz: single member KEEPS the original name (no-op suffix-strip quirk, containerfile.py:411)") {
+    val got = Containers.expandDocs("notes.txt.gz",
+      Containers.buildGz("hello gz".getBytes(UTF_8))).get
+    assert(got.map(_.path) == Seq("notes.txt.gz"))
+    assert(new String(got.head.bytes, UTF_8) == "hello gz")
+  }
+
+  test("tgz / tar.gz names route to tar member extraction (containerfile.py:407-408)") {
+    val got = asMap(Containers.expandDocs("arc.tar.gz", Containers.buildTarGz(m1)).get)
+    assertSameTree(got, m1.toMap.map(identity), "tgz")
+    val got2 = asMap(Containers.expandDocs("arc.tgz", Containers.buildTarGz(m1)).get)
+    assert(got2.keySet == m1.map(_._1).toSet)
+  }
+
+  test("gz whose payload sniffs as tar is re-extracted as tar (containerfile.py:421-424)") {
+    // name carries NO tar hint — the detection is the ustar magic sniff
+    val got = asMap(Containers.expandDocs("blob.gz",
+      Containers.buildGz(Containers.buildTar(m1))).get)
+    assert(got.keySet == m1.map(_._1).toSet)
+  }
+
+  test("bz2: single member keeps name; NO tar sniff — tar payload stays a leaf with tar bytes") {
+    val got = Containers.expandDocs("log.txt.bz2",
+      Containers.buildBz2("bz payload".getBytes(UTF_8))).get
+    assert(got.map(_.path) == Seq("log.txt.bz2"))
+    assert(new String(got.head.bytes, UTF_8) == "bz payload")
+    // d.tar.bz2 decompresses to TAR bytes under the quirk name d.tar.bz2;
+    // re-dispatch (ext bz2) fails on tar bytes -> kept as leaf (documented
+    // deviation: the reference DROPS it, crawlerbase.py:557-568)
+    val tar = Containers.buildTar(m1)
+    val got2 = Containers.expandDocs("d.tar.bz2", Containers.buildBz2(tar)).get
+    assert(got2.map(_.path) == Seq("d.tar.bz2"))
+    assert(java.util.Arrays.equals(got2.head.bytes, tar))
+  }
+
+  test("7z: members extracted (containerfile.py:346-358)") {
+    val got = asMap(Containers.expandDocs("arc.7z", Containers.build7z(m1)).get)
+    assertSameTree(got, m1.toMap.map(identity), "7z")
+  }
+
+  test("bare .tar is NOT a container (tar is commented out of _defs, containerfile.py:32)") {
+    assert(Containers.expandDocs("plain.tar", Containers.buildTar(m1)).isEmpty)
+    assert(!Containers.isContainer("plain.tar", "application/x-tar"))
+  }
+
+  test("office zip formats are container false-positives (containerfile.py:37-39)") {
+    val zipBytes = Containers.buildZip(m1)
+    assert(Containers.expandDocs("report.docx", zipBytes).isEmpty)
+    assert(!Containers.isContainer("report.xlsx", "application/zip"))
+  }
+
+  test("jar/war/apk fall back to zip member extraction; class members reach Javap") {
+    val classBytes = Files.readAllBytes(
+      Paths.get("target/scala-2.13/classes/graft/operators/Parsers$.class"))
+    val jar = Containers.buildZip(Seq(
+      "META-INF/MANIFEST.MF" -> "Manifest-Version: 1.0\n".getBytes(UTF_8),
+      "graft/operators/Parsers$.class" -> classBytes.clone()))
+    val got = asMap(Containers.expandDocs("lib.jar", jar).get)
+    assert(got.keySet == Set("META-INF/MANIFEST.MF", "graft/operators/Parsers$.class"))
+    // the extracted class member routes through the existing javap parser
+    val content = Javap.decompile(got("graft/operators/Parsers$.class"))
+    assert(content.exists(_.contains("graft.operators.Parsers")))
+    // apk: same fallback (jadx/apktool absent -> ZipFile, containerfile.py:480-489)
+    assert(Containers.expandDocs("app.apk", jar).isDefined)
+  }
+
+  test("eml dispatched as container via expandDocs; rar honestly unsupported") {
+    val raw = Files.readAllBytes(resDir.resolve("fixtures/mixed_simple.eml"))
+    val got = Containers.expandDocs("m.eml", raw, virtualPath = "/in/m.eml").get
+    assert(got.map(_.path).toSet == Set("header.txt", "body_txt.txt", "ci.log"))
+    assert(new String(asMap(got)("header.txt"), UTF_8).startsWith("## E-mail: /in/m.eml\n"))
+    val rarMagic = Array[Byte](0x52, 0x61, 0x72, 0x21, 0x1A, 0x07, 0x00, 1, 2)
+    assert(Containers.expandDocs("x.rar", rarMagic).isEmpty)
+  }
+
+  test("duplicate member paths: last write wins (extractall-to-disk semantics)") {
+    val dups = Seq(
+      Member("d.txt", "first".getBytes(UTF_8)),
+      Member("e.txt", "other".getBytes(UTF_8)),
+      Member("d.txt", "second".getBytes(UTF_8)))
+    val got = Containers.lastWins(dups)
+    assert(got.map(_.path) == Seq("d.txt", "e.txt"))
+    assert(new String(got.head.bytes, UTF_8) == "second")
+  }
+
+  test("extension semantics match pathlib (file.py:97-101)") {
+    assert(Containers.extensionOf("a/b/x.TAR.GZ") == "gz")
+    assert(Containers.extensionOf(".bashrc") == "")
+    assert(Containers.extensionOf("noext") == "")
+    assert(Containers.pathSuffix("x.tar.gz") == ".gz")
+    assert(Containers.kindOf("x.jar", "application/zip").contains("jar")) // ext wins
+    assert(Containers.kindOf("blob", "application/zip").contains("zip")) // mime fallback
+  }
+
+  test("Mime.sniffBytes agrees with the Column sniffer over the magic table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def b(hexHead: String, tail: String = "rest of file"): Array[Byte] = {
+      val head = hexHead.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      head ++ tail.getBytes(UTF_8)
+    }
+    val cases: Seq[Array[Byte]] = Seq(
+      b("504B0304"), b("504B0506"), b("526172211A07"), b("377ABCAF271C"),
+      b("1F8B08"), b("425A68"), b("53514C69746520666F726D6174203300"),
+      b("25504446"), b("89504E470D0A1A0A"), b("FFD8FFE0"), b("474946383961"),
+      b("3C3F786D6C"), b("D0CF11E0A1B11AE1"), b("4D5A"), b("CAFEBABE"),
+      "Received: by mail".getBytes(UTF_8), "From: x@y".getBytes(UTF_8),
+      "just plain text".getBytes(UTF_8), b("00FF00FF"), Array[Byte]())
+    val viaCol = cases.toDF("bin")
+      .select(Mime.sniffMime(col("bin"))).as[String].collect().toSeq
+    val viaScala = cases.map(Mime.sniffBytes)
+    assert(viaScala == viaCol)
+  }
+}
