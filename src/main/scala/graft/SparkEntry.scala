@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Dedup, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Containers, Dedup, Email, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -125,6 +125,90 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), Mime.sniffMime(blob).as("mime"))
         .withColumn("container", Mime.containerKind(col("mime")))
+    }),
+
+    // S4 literal: archive-member container expansion — zip, gz (with its
+    // no-op name-strip quirk), tar.gz, nested zip-in-zip, bz2, 7z. Archives
+    // are synthesized deterministically per doc (the q_mime_sniff pattern),
+    // expanded recursively via commons-compress, and the leaf members are
+    // DuckDB-checked against the construction rule. Per-row build+expand is
+    // inherently imperative binary work (same as the reference's extractall)
+    // and runs as a typed flatMap; everything around it stays relational.
+    "q_container_expand" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, text, lang, source) =>
+          val u = java.nio.charset.StandardCharsets.UTF_8 // not Serializable: bind in-task
+          def sub(n: Int) = text.substring(0, math.min(n, text.length))
+          val (name, bytes) = (id % 6) match {
+            case 0 => (s"$source.zip", Containers.buildZip(Seq(
+              "a/inner.txt" -> sub(20).getBytes(u), "b.txt" -> lang.getBytes(u))))
+            case 1 => (s"$source.txt.gz", Containers.buildGz(sub(30).getBytes(u)))
+            case 2 => (s"$source.tar.gz", Containers.buildTarGz(Seq(
+              "m/a.txt" -> sub(15).getBytes(u), "m/b.txt" -> source.getBytes(u))))
+            case 3 => ("bundle.zip", Containers.buildZip(Seq(
+              "inner.zip" -> Containers.buildZip(Seq(
+                "deep.txt" -> s"$lang:$source".getBytes(u))),
+              "top.txt" -> sub(10).getBytes(u))))
+            case 4 => (s"$source.log.bz2", Containers.buildBz2(sub(25).getBytes(u)))
+            case _ => (s"$source.7z", Containers.build7z(Seq(
+              "s.txt" -> sub(12).getBytes(u))))
+          }
+          Containers.expandDocs(name, bytes).getOrElse(Seq.empty)
+            .map(m => (id, m.path, new String(m.bytes, u)))
+        }
+        .toDF("doc_id", "member_path", "content")
+    }),
+
+    // S2.1: eml email containers — per-doc emails built from the SAME
+    // concatenation rule the oracle replays (multipart with base64
+    // attachment for even ids, quoted-printable plain body for odd),
+    // expanded by the golden-pinned MIME parser into header/body/attachment
+    // member docs.
+    "q_email_parts" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, text, lang, source) =>
+          val u = java.nio.charset.StandardCharsets.UTF_8 // not Serializable: bind in-task
+          def sub(from: Int, n: Int) =
+            if (text.length < from) ""
+            else text.substring(from - 1, math.min(from - 1 + n, text.length))
+          val raw =
+            if (id % 2 == 0)
+              s"""From: $lang@example.com
+                 |To: audit@example.org
+                 |Subject: doc $id
+                 |Date: Fri, 8 Mar 2024 09:00:00 +0000
+                 |MIME-Version: 1.0
+                 |Content-Type: multipart/mixed; boundary="bb"
+                 |
+                 |--bb
+                 |Content-Type: text/plain
+                 |
+                 |${sub(1, 40)}
+                 |--bb
+                 |Content-Type: text/plain; name="data.txt"
+                 |Content-Transfer-Encoding: base64
+                 |Content-Disposition: attachment; filename="data.txt"
+                 |
+                 |${java.util.Base64.getEncoder.encodeToString(sub(41, 24).getBytes(u))}
+                 |--bb--
+                 |""".stripMargin
+            else
+              s"""From: $source@example.com
+                 |Subject: note $id
+                 |Date: Tue, 5 Mar 2024 10:30:00 +0000
+                 |Content-Type: text/plain
+                 |Content-Transfer-Encoding: quoted-printable
+                 |
+                 |value =3D ${sub(1, 30)}
+                 |""".stripMargin
+          Email.extractEml(s"/mail/$id.eml", raw).getOrElse(Seq.empty)
+            .map(m => (id, m.path, new String(m.bytes, u)))
+        }
+        .toDF("doc_id", "member_path", "content")
     }),
 
     // S3: git-history source — commits table (pre-materialized shape)
@@ -558,6 +642,64 @@ object SparkEntry {
         |    WHEN 3 THEN 'sqlite3'
         |    ELSE NULL END AS container
         |FROM documents""".stripMargin,
+
+    "q_container_expand" ->
+      """SELECT doc_id, 'a/inner.txt' AS member_path, substr(text,1,20) AS content
+        |FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL SELECT doc_id, 'b.txt', lang FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL SELECT doc_id, source || '.txt.gz', substr(text,1,30)
+        |FROM documents WHERE doc_id % 6 = 1
+        |UNION ALL SELECT doc_id, 'm/a.txt', substr(text,1,15)
+        |FROM documents WHERE doc_id % 6 = 2
+        |UNION ALL SELECT doc_id, 'm/b.txt', source FROM documents WHERE doc_id % 6 = 2
+        |UNION ALL SELECT doc_id, 'inner.zip/deep.txt', lang || ':' || source
+        |FROM documents WHERE doc_id % 6 = 3
+        |UNION ALL SELECT doc_id, 'top.txt', substr(text,1,10)
+        |FROM documents WHERE doc_id % 6 = 3
+        |UNION ALL SELECT doc_id, source || '.log.bz2', substr(text,1,25)
+        |FROM documents WHERE doc_id % 6 = 4
+        |UNION ALL SELECT doc_id, 's.txt', substr(text,1,12)
+        |FROM documents WHERE doc_id % 6 = 5""".stripMargin,
+
+    "q_email_parts" ->
+      """WITH even AS (
+        |  SELECT doc_id,
+        |    'From: ' || lang || '@example.com' || chr(10) ||
+        |    'To: audit@example.org' || chr(10) ||
+        |    'Subject: doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Date: Fri, 8 Mar 2024 09:00:00 +0000' || chr(10) ||
+        |    'MIME-Version: 1.0' || chr(10) ||
+        |    'Content-Type: multipart/mixed; boundary="bb"' || chr(10) ||
+        |    chr(10) || '--bb' || chr(10) ||
+        |    'Content-Type: text/plain' || chr(10) ||
+        |    chr(10) || substr(text,1,40) || chr(10) ||
+        |    '--bb' || chr(10) ||
+        |    'Content-Type: text/plain; name="data.txt"' || chr(10) ||
+        |    'Content-Transfer-Encoding: base64' || chr(10) ||
+        |    'Content-Disposition: attachment; filename="data.txt"' || chr(10) ||
+        |    chr(10) || base64(encode(substr(text,41,24))) || chr(10) ||
+        |    '--bb--' || chr(10) AS raw,
+        |    substr(text,1,40) AS body, substr(text,41,24) AS att
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |odd AS (
+        |  SELECT doc_id,
+        |    'From: ' || source || '@example.com' || chr(10) ||
+        |    'Subject: note ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Date: Tue, 5 Mar 2024 10:30:00 +0000' || chr(10) ||
+        |    'Content-Type: text/plain' || chr(10) ||
+        |    'Content-Transfer-Encoding: quoted-printable' || chr(10) ||
+        |    chr(10) || 'value =3D ' || substr(text,1,30) || chr(10) AS raw,
+        |    'value = ' || substr(text,1,30) || chr(10) AS body
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'header.txt' AS member_path,
+        |  '## E-mail: /mail/' || CAST(doc_id AS VARCHAR) || '.eml' || chr(10) ||
+        |  '## Header' || chr(10) || chr(10) || raw AS content FROM even
+        |UNION ALL SELECT doc_id, 'body_txt.txt', body FROM even
+        |UNION ALL SELECT doc_id, 'data.txt', att FROM even
+        |UNION ALL SELECT doc_id, 'header.txt',
+        |  '## E-mail: /mail/' || CAST(doc_id AS VARCHAR) || '.eml' || chr(10) ||
+        |  '## Header' || chr(10) || chr(10) || raw FROM odd
+        |UNION ALL SELECT doc_id, 'body.txt', body FROM odd""".stripMargin,
 
     "q_git_diffs" ->
       """WITH c AS (
