@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Containers, Dedup, Email, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -335,12 +335,13 @@ object SparkEntry {
         .select(col("event_id"), col("ts"))
     }),
 
-    // A4 chunking: fixed-size chunks over a total order
+    // A4 chunking: fixed-size chunks over a total order — two-pass global
+    // row numbering (range repartition + per-partition offsets), NOT a
+    // global window: Window.orderBy with no partition key funnels the whole
+    // table through one reducer and cannot survive a 10^9-row input.
     "q_chunking" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      s.read.parquet(t(dir, "orders"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("chunk", floor((col("rn") - 1) / 1000))
+      Chunking.withChunkIds(s.read.parquet(t(dir, "orders")),
+        col("o_orderkey"), 1000)
         .groupBy(col("chunk"))
         .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))

@@ -25,6 +25,16 @@ final case class CrawlConfig(
       * count across waves; size it to the crawl's URL budget (10^10 keys /
       * 1024 shards ≈ 10^7 per shard ≈ 12 MB per filter at 1% fpp). */
     bloomExpectedKeys: Long = 1L << 21,
+    /** Frontier size below which a wave SKIPS the bloom path (exact
+      * anti-join only): at toy scale the per-task shard serialization in
+      * the delta build plus the probe broadcast cost more than the exact
+      * join they pre-filter — the same size-gating the ranking stage
+      * applies via SaltThreshold. Waves under the gate leave the shards
+      * stale; they are rebuilt from the committed deltas (one O(total)
+      * pass) when a wave crosses back over. Semantics are identical either
+      * side of the gate (CrawlerSpec pins equality across a mid-crawl
+      * flip). */
+    bloomMinFrontier: Long = 65536,
     /** Fetch-stage tasks per core: >1 so the scheduler absorbs per-doc
       * work-size jitter (straggler tail) instead of one task pinning the
       * wave's wall clock. */
@@ -79,6 +89,9 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       Array.tabulate(cfg.bloomShards)(_ =>
         SeenSet.createShard(cfg.bloomExpectedPerShard))
     else null
+  // true when under-gate waves (or a resume) skipped delta merges — the
+  // next bloom wave must rebuild from the committed deltas first
+  private var shardsStale: Boolean = false
 
   /** Seed frontier: depth 0, seed priority. Generated DISTRIBUTED
     * (spark.range → map), never as a driver-side collection — a 10^10-URL
@@ -110,9 +123,8 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     var wave = store.latestWave.map(_ + 1).getOrElse(0)
     var frontier = if (wave == 0) seedFrontier()
       else store.read(spark, wave - 1, "frontier")
-    if (cfg.useBloom && wave > 0) // resume: rebuild from committed deltas
-      shards = SeenSet.merge(shards, SeenSet.buildShards(
-        seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+    if (cfg.useBloom && wave > 0) // resume: rebuild lazily on first bloom wave
+      shardsStale = true
     val metrics = scala.collection.mutable.ArrayBuffer.empty[WaveMetrics]
     // wave 0: nSeeds is a valid UPPER BOUND for the rank-strategy choice
     // and loop gate (dedup/null-filter only shrink it) — skipping the
@@ -143,6 +155,22 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
   def step(wave: Int, frontier: DataFrame,
       frontierSizeHint: Option[Long] = None): WaveMetrics = {
     val corpus = cfg.corpus
+
+    // bloom gate: tiny waves pay more in shard serialization + probe
+    // broadcast than the exact anti-join costs — skip, marking the shards
+    // stale; an over-gate wave rebuilds them from the committed deltas
+    // (no hint = assume big: the production path)
+    val bloomWave = cfg.useBloom &&
+      frontierSizeHint.forall(_ >= cfg.bloomMinFrontier)
+    if (bloomWave && shardsStale) {
+      shards = Array.tabulate(cfg.bloomShards)(_ =>
+        SeenSet.createShard(cfg.bloomExpectedPerShard))
+      if (wave > 0)
+        shards = SeenSet.merge(shards, SeenSet.buildShards(
+          seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+      shardsStale = false
+    }
+    if (cfg.useBloom && !bloomWave) shardsStale = true
 
     // 1. politeness + priority: per-host budget, salted two-phase top-k.
     // The ranked frontier is persisted once; "remaining" is a filter on it
@@ -257,7 +285,7 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val obsCore = new Observation(s"wavecore-$wave")
     val coreMetrics: Seq[Column] =
       Seq(count(lit(1)).as("fetched"), sum(size($"findings")).as("n_findings")) ++
-        (if (cfg.useBloom)
+        (if (bloomWave)
           SeenSet.shardAggColumns($"url_hash", cfg.bloomShards, cfg.bloomExpectedPerShard)
         else Nil)
     val wavecoreOut = wavecore.observe(obsCore, coreMetrics.head, coreMetrics.tail: _*)
@@ -265,11 +293,11 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
 
     // merge the delta into the running shards BEFORE building the frontier
     // plan (the probe broadcasts the current shard bytes)
-    if (cfg.useBloom)
+    if (bloomWave)
       shards = SeenSet.merge(shards, SeenSet.shardsFromMetrics(
         (0 until cfg.bloomShards).map(i => obsCore.get(s"bloom_$i"))))
     val newLinksRaw =
-      if (cfg.useBloom) SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
+      if (bloomWave) SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
       else SeenSet.filterUnseenExact(candidates, seenAfter)
     // new_links counts unseen link INSTANCES (pre-merge; candidate dedup
     // happens in the frontier groupBy) — a dedup-pressure metric

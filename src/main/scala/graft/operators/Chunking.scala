@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering (A4 chunking's total order — reference:
+  * containerfile.py:109-173 chunks each table sequentially).
+  *
+  * `Window.orderBy(key)` with no partition key moves the ENTIRE input to a
+  * single reducer — fine at sf0.1, fatal on a 10^9-row table. This is the
+  * classic two-pass shape instead:
+  *   1. range-repartition by the key and sort within partitions — the range
+  *      exchange is the ONLY full shuffle, and partition i's keys all
+  *      precede partition i+1's;
+  *   2. per-partition row indexes come FREE from
+  *      monotonically_increasing_id() (bits 0-32 are the record number
+  *      within the partition — no window, no extra shuffle);
+  *   3. per-partition counts (a tiny job over the cached input: one row per
+  *      partition) prefix-sum into start offsets on the driver and
+  *      broadcast-join back on partition id.
+  * global row number = partition offset + local index + 1. Equal to the
+  * single-reducer window whenever `orderCol` is a unique key (ties may
+  * land in either partition at a range boundary, exactly as a global
+  * window's tie order is arbitrary).
+  *
+  * The repartitioned input stays persisted for the final job (both passes
+  * must see identical partitioning); callers running inside a larger
+  * pipeline can unpersist after their action.
+  */
+object Chunking {
+
+  private val LocalIdBits = (1L << 33) - 1 // mono-id: low 33 bits = row-in-partition
+
+  def withGlobalRowNumber(df: DataFrame, orderCol: Column,
+      out: String = "rn", nParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    val p = df.repartitionByRange(parts, orderCol)
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", monotonically_increasing_id().bitwiseAND(lit(LocalIdBits)))
+      .persist()
+    val counts = p.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    p.join(offDf, Seq("__pid"))
+      .withColumn(out, col("__off") + col("__local") + lit(1L))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Fixed-size chunk ids over a total order (chunk = floor(rank/size)). */
+  def withChunkIds(df: DataFrame, orderCol: Column, chunkRows: Int,
+      out: String = "chunk"): DataFrame =
+    withGlobalRowNumber(df, orderCol, "__rn")
+      .withColumn(out, floor((col("__rn") - 1) / chunkRows))
+      .drop("__rn")
+}

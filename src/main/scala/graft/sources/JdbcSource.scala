@@ -47,16 +47,34 @@ object JdbcSource {
   /** Chunk one table's rows into (filename, json) docs. Values render with
     * CPython spellings (ints bare, floats via repr, booleans true/false,
     * NULL as null); the size estimate uses Python str() lengths ("None" is
-    * charged a flat 10, bools cost len("True")/len("False")). */
+    * charged a flat 10, bools cost len("True")/len("False")).
+    *
+    * DRIVER-MEMORY CONTRACT: the reference holds the whole table in memory
+    * (db.select), which is a driver OOM at 100x scale. Chunking is
+    * greedy-SEQUENTIAL, so streaming the rows in order preserves byte-exact
+    * chunk boundaries while bounding driver memory to one chunk + one
+    * Spark partition in flight: one count() job for `total`, then
+    * toLocalIterator (fetches one partition at a time), then the lazy
+    * [[chunkStream]]. Consume the returned iterator doc-by-doc into a sink;
+    * nothing is materialized ahead of the consumer. */
   def tableDocs(rows: DataFrame, table: String,
-      chunkBytes: Long = 1073741824L): Seq[(String, String)] = {
+      chunkBytes: Long = 1073741824L): Iterator[(String, String)] = {
     val cols = rows.schema.fieldNames.toVector
+    val total = rows.count() // the reference's len(rows) — one cheap job
+    val pyIt = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      rows.toLocalIterator()).asScala
+      .map(r => PyObj(cols.zipWithIndex.map { case (c, i) => c -> toPy(r.get(i)) }))
+    chunkStream(pyIt, total, cols, table, chunkBytes)
+  }
+
+  /** The pure greedy-sequential chunker (reference loop shape,
+    * containerfile.py:120-141): rows are admitted while the running size
+    * estimate is still <= chunkBytes at admission time — the reference
+    * checks BEFORE adding, so every chunk overshoots by one row. Lazy: each
+    * doc pulls exactly its own rows from `rows` when requested. */
+  def chunkStream(rows: Iterator[PyObj], total: Long, cols: Vector[String],
+      table: String, chunkBytes: Long): Iterator[(String, String)] = {
     val headerSize = cols.map(_.length).sum
-    val all = rows.collect().toVector // the reference's db.select loads all
-    val total = all.length
-    val pyRows: Vector[PyObj] = all.map { r =>
-      PyObj(cols.zipWithIndex.map { case (c, i) => c -> toPy(r.get(i)) })
-    }
     def strLen(v: PyVal): Int = v match {
       case PyNull     => 10 // reference: `else 10` for None
       case PyStr(s)   => s.length
@@ -65,34 +83,36 @@ object JdbcSource {
       case PyBool(b)  => if (b) 4 else 5 // len("True") / len("False")
       case other      => PyJson.dumps(other).length
     }
-    val docs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var offset = 0
-    var rc = 0
-    while (offset < total) {
-      var pSize = 0L
-      val chunk = scala.collection.mutable.ArrayBuffer.empty[PyObj]
-      var i = offset
-      var open = true
-      while (i < total && open) {
-        if (pSize <= chunkBytes) { // checked BEFORE adding: overshoots by one
-          pSize += headerSize
-          pSize += pyRows(i).v.map { case (_, v) => strLen(v) }.sum
-          chunk += pyRows(i)
-          i += 1
-        } else open = false
+    new Iterator[(String, String)] {
+      private var offset = 0L
+      private var rc = 0
+      def hasNext: Boolean = offset < total
+      def next(): (String, String) = {
+        var pSize = 0L
+        val chunk = scala.collection.mutable.ArrayBuffer.empty[PyObj]
+        var open = true
+        while (open && offset + chunk.length < total && rows.hasNext) {
+          if (pSize <= chunkBytes) { // checked BEFORE adding: overshoots by one
+            val r = rows.next()
+            pSize += headerSize
+            pSize += r.v.map { case (_, v) => strLen(v) }.sum
+            chunk += r
+          } else open = false
+        }
+        val doc = PyObj(Vector(
+          "table" -> PyStr(table),
+          "offset" -> PyInt(offset),
+          "total" -> PyInt(total),
+          "count" -> PyInt(chunk.length),
+          "data" -> PyArr(chunk.toVector)))
+        val out = (f"${sanitizeFilename(table)}_$rc%06d.json",
+          PyJson.dumpsPretty(doc, 2))
+        // defensive: a source that under-delivers vs `total` must not spin
+        offset = if (chunk.isEmpty) total else offset + chunk.length
+        rc += 1
+        out
       }
-      val doc = PyObj(Vector(
-        "table" -> PyStr(table),
-        "offset" -> PyInt(offset),
-        "total" -> PyInt(total),
-        "count" -> PyInt(chunk.length),
-        "data" -> PyArr(chunk.toVector)))
-      docs += ((f"${sanitizeFilename(table)}_$rc%06d.json",
-        PyJson.dumpsPretty(doc, 2)))
-      offset += chunk.length
-      rc += 1
     }
-    docs.toSeq
   }
 
   private def toPy(v: Any): PyVal = v match {

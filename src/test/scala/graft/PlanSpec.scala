@@ -63,6 +63,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), "query side should broadcast")
   }
 
+  test("q_chunking: no single-reducer window — global row numbers come from the two-pass offset shape") {
+    val p = plan("q_chunking")
+    assert(!p.contains("Window ["),
+      "global-window row_number funnels the table to one reducer:\n" + p.take(2000))
+    assert(p.contains("InMemoryTableScan"),
+      "range-partitioned input must be cached so both passes share one partitioning")
+  }
+
   test("q_upsert_merge: exactly one join, full-outer") {
     val p = plan("q_upsert_merge")
     assert(p.contains("FullOuter"), p.take(2000))

@@ -21,6 +21,7 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     budgetPerHost = 3,
     maxWaves = 4,
     salts = 4,
+    bloomMinFrontier = 0, // keep the bloom path EXERCISED at toy scale
     corpus = SyntheticCorpus.Config(hosts = 10, pathBits = 6, maxOutlinks = 5,
       secretRate = 0.25))
 
@@ -101,6 +102,27 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
       .select("canonical").collect().map(_.getString(0)).toSet
     assert(seenB == oracle.seen)
     assert(m0.map(_.fetched) == mB.map(_.fetched))
+  }
+
+  test("bloom size-gate: mid-crawl off->on flip (stale-shard rebuild) matches the oracle") {
+    // frontier sizes for this cfg: wave0 = 12 seeds, later waves tens of
+    // URLs — a threshold of 20 makes wave 0 run EXACT (shards stale) and
+    // every later wave run BLOOM after the rebuild-from-committed-deltas
+    // path, which is exactly the production transition at the gate
+    val (crawlerG, _, mG) = runEngine(cfg.copy(bloomMinFrontier = 20))
+    val got = crawlerG.crawlLog(mG.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracle.crawlOrder)
+    val seenG = crawlerG.seenUpTo(mG.last.wave)
+      .select("canonical").collect().map(_.getString(0)).toSet
+    assert(seenG == oracle.seen)
+    // gate fully closed (threshold above every frontier) also matches
+    val (crawlerN, _, mN) = runEngine(cfg.copy(bloomMinFrontier = Long.MaxValue))
+    val gotN = crawlerN.crawlLog(mN.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(gotN == oracle.crawlOrder)
   }
 
   test("resume from snapshot: crash after wave 1 == uninterrupted run") {

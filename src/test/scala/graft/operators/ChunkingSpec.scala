@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class ChunkingSpec extends AnyFunSuite with SparkTestSession {
+
+  test("two-pass global row number equals the (single-reducer) window result") {
+    import spark.implicits._
+    // non-contiguous, shuffled keys across many input partitions
+    val df = spark.range(0, 5000).repartition(16)
+      .select((col("id") * 37 % 9973).as("k"), col("id"))
+      .distinct()
+    val got = Chunking.withGlobalRowNumber(df, col("k"), "rn")
+      .select(col("k"), col("rn")).as[(Long, Long)].collect().sortBy(_._1)
+    val want = got.map(_._1).sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("chunk ids: fixed-size blocks in key order, last block ragged") {
+    import spark.implicits._
+    val df = spark.range(0, 2501).repartition(8).select(col("id").as("k"))
+    val counts = Chunking.withChunkIds(df, col("k"), 1000)
+      .groupBy("chunk").agg(count(lit(1)).as("c"), min("k").as("lo"), max("k").as("hi"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(counts.toSeq == Seq((0L, 1000L, 0L, 999L), (1L, 1000L, 1000L, 1999L),
+      (2L, 501L, 2000L, 2500L)))
+  }
+}

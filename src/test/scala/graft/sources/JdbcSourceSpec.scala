@@ -34,7 +34,7 @@ class JdbcSourceSpec extends AnyFunSuite with SparkTestSession {
   test("chunk docs: reference JSON shape, offsets, overshoot-by-one") {
     val df = JdbcSource.readTable(spark, url, "creds").orderBy("ID")
     // tiny budget: the <=-before-add check still admits one row per chunk
-    val docs = JdbcSource.tableDocs(df, "creds", chunkBytes = 1)
+    val docs = JdbcSource.tableDocs(df, "creds", chunkBytes = 1).toSeq
     assert(docs.map(_._1) ==
       Seq("creds_000000.json", "creds_000001.json", "creds_000002.json"))
     val d0 = PyJson.loads(docs.head._2).asInstanceOf[PyObj]
@@ -47,10 +47,35 @@ class JdbcSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(row0.get("ID").contains(PyInt(1)))
     assert(row0.get("LOGIN").contains(PyStr("admin")))
     // one doc when everything fits; NULL pw serializes as JSON null
-    val one = JdbcSource.tableDocs(df, "creds")
+    val one = JdbcSource.tableDocs(df, "creds").toSeq
     assert(one.size == 1)
     assert(one.head._2.contains("\"PW\": null"))
     assert(one.head._2.startsWith("{\n  \"table\": \"creds\","))
+  }
+
+  test("chunker streams: emitting a doc pulls ONLY that chunk's rows (bounded driver memory)") {
+    import graft.rules.PyVal._
+    var pulled = 0
+    val cols = Vector("id", "payload")
+    val rows = Iterator.tabulate(10000) { i =>
+      pulled += 1
+      PyObj(Vector("id" -> PyInt(i.toLong), "payload" -> PyStr("x" * 100)))
+    }
+    // budget ~ 50 rows/chunk (102 data chars + 9 header chars per row)
+    val docs = JdbcSource.chunkStream(rows, 10000L, cols, "t", chunkBytes = 5000L)
+    assert(pulled == 0, "no rows may be pulled before the first doc is requested")
+    val first = docs.next()
+    assert(pulled < 100,
+      s"first doc pulled $pulled rows — the old collect() shape materialized all 10000")
+    assert(first._1 == "t_000000.json")
+    // full drain still covers every row exactly once across docs
+    var rowsSeen = 0L
+    var n = 1
+    docs.foreach { d => n += 1
+      rowsSeen += """"count": (\d+)""".r.findFirstMatchIn(d._2).get.group(1).toLong }
+    rowsSeen += """"count": (\d+)""".r.findFirstMatchIn(first._2).get.group(1).toLong
+    assert(rowsSeen == 10000L && pulled == 10000)
+    assert(n > 100, "tiny budget must yield many chunks")
   }
 
   test("filename sanitization matches Tools.sanitize_filename") {
