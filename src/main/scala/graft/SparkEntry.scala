@@ -506,10 +506,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
     }),
 
-    // ANN scale path: IVF bucket probe
+    // ANN scale path: IVF bucket probe with TRAINED centroids — two Lloyd
+    // iterations (DataFrame aggs; centroids become data, so the oracle
+    // unrolls the identical training in SQL) seeded from vec_id < 8
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), col("vec_id") % 97 === 0, 3)
+      val cents = Similarity.lloyd(e, e.filter(col("vec_id") < 8), 2)
+        .select(col("centroid_id").as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(e, cents, col("vec_id") % 97 === 0, 3)
     }),
 
     // ANN scale path without training: random-hyperplane (sign) LSH bands
@@ -1030,14 +1034,29 @@ object SparkEntry {
          |  WHERE q.vec_id < 10 AND v.vec_id != q.vec_id)
          |WHERE rank <= 5""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
-         |    FROM embeddings v, embeddings c WHERE c.vec_id < 8)
-         |  WHERE rn = 1),
+    "q_ann_ivf" -> {
+      // the same two Lloyd iterations the Spark side runs, unrolled:
+      // assign -> per-dim mean (round 9) -> assign -> mean -> final assign
+      def assign(cents: String) =
+        s"""SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
+           |    FROM embeddings v, $cents c)
+           |  WHERE rn = 1""".stripMargin
+      def mean(a: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
+           |    SELECT centroid_id, i AS pos,
+           |      round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+           |    FROM $a, unnest(range(1,65)) AS t(i) GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding
+         |            FROM embeddings WHERE vec_id < 8),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${mean("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${mean("a2")}),
+         |assigned AS (${assign("c2")}),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
          |      FROM assigned WHERE vec_id % 97 = 0)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
@@ -1047,7 +1066,8 @@ object SparkEntry {
          |      ORDER BY ${cosineSql("q.q_emb", "a.embedding")} DESC, a.vec_id ASC) AS rank
          |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
          |  WHERE a.vec_id != q.query_id)
-         |WHERE rank <= 3""".stripMargin,
+         |WHERE rank <= 3""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

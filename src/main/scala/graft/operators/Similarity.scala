@@ -99,6 +99,38 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Lloyd k-means iterations as pure DataFrame aggregations — the IVF
+    * training step (replaces sampled centroids). Deterministic and
+    * engine-replayable BY CONSTRUCTION: fixed iteration count, caller-given
+    * init, per-dimension means rounded to 9 dp after every step, ties in
+    * assignment broken by centroid id — so the oracle can unroll the same
+    * two iterations in SQL and land on identical centroids (they are data,
+    * not model state).
+    *
+    * Shape per iteration: one broadcast-join assignment pass (map-side
+    * combined argmax, see [[ivfAssign]]) + one posexplode to (centroid,
+    * dim) rows + two map-side-combinable groupBys. Everything is linear in
+    * n·dim; at 100-TB scale you train on a sample and only the final
+    * assignment sees the full table. A centroid that captures no vectors
+    * drops out (both engines agree). */
+  def lloyd(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init.select(col("vec_id").as("centroid_id"), col("embedding"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vectors,
+        cents.select(col("centroid_id").as("vec_id"), col("embedding")))
+      cents = assigned
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 9).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), x => x.getField("m")).as("embedding"))
+    }
+    cents
+  }
+
   // ---------------- random-hyperplane LSH ----------------
 
   /** Deterministic ±1 (Rademacher) hyperplane weights for hyperplane `h`:

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** IVF training (Lloyd) quality: on well-separated clusters the trained
+  * centroids must (a) move off their init points, (b) partition vectors
+  * into the true clusters, and (c) give bucket-probe ANN full recall vs
+  * brute force — the property sampled "centroids" cannot guarantee. */
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private val dim = 64
+
+  // 4 well-separated clusters: cluster c lives on dims [16c, 16c+16) with
+  // small deterministic jitter; vec i belongs to cluster i % 4
+  private lazy val vecs = {
+    import spark.implicits._
+    (0 until 100).map { i =>
+      val c = i % 4
+      val e = Array.tabulate(dim) { d =>
+        val base = if (d >= 16 * c && d < 16 * (c + 1)) 1.0 else 0.0
+        base + 0.01 * ((i * 31 + d * 7) % 11)
+      }
+      (i.toLong, e.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("lloyd centroids move off init and induce the true cluster partition") {
+    import spark.implicits._
+    val init = vecs.filter(col("vec_id") < 4) // one seed per true cluster
+    val trained = Similarity.lloyd(vecs, init, 2)
+    val tc = trained.select(col("centroid_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(tc.keySet == Set(0L, 1L, 2L, 3L))
+    val ic = init.as[(Long, Seq[Double])].collect().toMap
+    assert(tc.forall { case (k, e) => e != ic(k) }, "training must move centroids")
+    // assignment under trained centroids == true clusters (init c came from
+    // cluster c, so no relabeling is needed)
+    val assigned = Similarity.ivfAssign(vecs,
+      trained.select(col("centroid_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect()
+    assert(assigned.forall { case (v, c) => c == v % 4 })
+  }
+
+  test("trained-IVF bucket probe reaches brute-force recall on clustered data") {
+    import spark.implicits._
+    val init = vecs.filter(col("vec_id") < 4)
+    val cents = Similarity.lloyd(vecs, init, 2)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val qPred = col("vec_id") < 8
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val ivf = pairs(Similarity.ivfTopK(vecs, cents, qPred, 5))
+    val brute = pairs(Similarity.bruteForceTopK(vecs, vecs.filter(qPred), 5))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall == 1.0, s"recall $recall — nearest neighbors live in-cluster here")
+  }
+}
