@@ -116,26 +116,35 @@ object Bench {
     // bandwidth; measured, see BENCH.md) while 16c throughput ≈ 24c
     // throughput, so 4→16 is the honest contention-free pairing. The host
     // also swings ~1.5x on tens-of-minutes timescales, so the two core
-    // counts are interleaved and each takes its best of 2 — all raw runs
-    // reported alongside.
-    // Three interleaved (16c, 4c) PAIRS; the efficiency estimate is the
-    // MEDIAN of the per-pair ratios. Pairs are adjacent in time, so a slow
-    // host window hits both sides of a ratio and largely cancels; taking
-    // independent best-of per side instead would bias the ratio by whichever
-    // side's variance is larger (the 4c runs swing ~1.5× between windows).
-    val pairs = (1 to 3).map { _ =>
-      val a16 = crawlSubprocess(16, "steady", scale)
-      val a4 = crawlSubprocess(4, "steady", scale)
+    // counts run as time-ADJACENT pairs: a slow window hits both sides of a
+    // ratio and largely cancels (independent best-of per side would bias
+    // the ratio toward whichever side's variance is larger).
+    // FIVE pairs (round 2 ran three and the median flipped on one bad
+    // window: raw 16c spread was 2.1x for identical work), and every run
+    // carries /proc/stat-delta host telemetry — steal%, busy%, iowait% over
+    // exactly the run's window — so a sub-0.8 median can be adjudicated
+    // against measured hypervisor steal instead of asserted.
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    val pairs = (1 to nPairs).map { _ =>
+      val a16 = measured(crawlSubprocess(16, "steady", scale))
+      val a4 = measured(crawlSubprocess(4, "steady", scale))
       (a16, a4)
     }
     def tput(r: (Long, Double)) = r._1 / r._2
-    val pairEffs = pairs.map { case (a16, a4) => tput(a16) / (4.0 * tput(a4)) }
+    val pairEffs = pairs
+      .map { case ((a16, _), (a4, _)) => tput(a16) / (4.0 * tput(a4)) }
       .filterNot(_.isNaN).sorted
     val effSteady =
       if (pairEffs.isEmpty) Double.NaN else pairEffs(pairEffs.size / 2)
-    val s16 = pairs.map(_._1).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
-    val s4 = pairs.map(_._2).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
-    val allRuns = pairs.flatMap { case (a, b) => Seq(a._2, b._2) }
+    val s16 = pairs.map(_._1._1).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
+    val s4 = pairs.map(_._2._1).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
+    val allRuns = pairs.flatMap { case (a, b) => Seq(a._1._2, b._1._2) }
+    val allHost = pairs.flatMap { case (a, b) => Seq(a._2, b._2) }
+    def fmtSeries(f: HostWindow => Double) =
+      allHost.map { h =>
+        val v = f(h)
+        if (v.isNaN) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
@@ -143,11 +152,47 @@ object Bench {
       s""""crawl":{"full_urls":$urlsF,"full_sec_${cpus}c":$secF,"full_urls_per_sec_${cpus}c":${urlsF / secF},""" +
       s""""steady_urls":${s16._1},"steady_sec_16c":${s16._2},"steady_urls_per_sec_16c":${tput(s16)},""" +
       s""""steady_sec_4c":${s4._2},"steady_urls_per_sec_4c":${tput(s4)},""" +
-      s""""steady_all_runs_sec_16_4_x3":[${allRuns.mkString(",")}],""" +
+      s""""steady_all_runs_sec_16_4_x$nPairs":[${allRuns.mkString(",")}],""" +
+      s""""host_steal_pct_per_run":${fmtSeries(_.stealPct)},""" +
+      s""""host_busy_pct_per_run":${fmtSeries(_.busyPct)},""" +
+      s""""host_iowait_pct_per_run":${fmtSeries(_.iowaitPct)},""" +
       s""""pairwise_efficiencies":[${pairEffs.mkString(",")}],""" +
       s""""scaling_efficiency_steady_4c_to_16c":$effSteady,""" +
       s""""scaling_efficiency":$effSteady,""" +
       s""""warmup_urls":${warm._1 + warmF._1}}}""")
+  }
+
+  /** Host CPU accounting over one measurement window (/proc/stat deltas):
+    * steal = cycles the hypervisor withheld from this VM — the direct
+    * signal for "the host was slow, not the engine"; busy = non-idle share
+    * of all cpus; iowait separates disk stalls from compute. */
+  final case class HostWindow(stealPct: Double, busyPct: Double, iowaitPct: Double)
+
+  private def cpuTimes(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+").drop(1).map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Run `f` and attach the host-CPU window around it. */
+  def measured[T](f: => T): (T, HostWindow) = {
+    val before = cpuTimes()
+    val r = f
+    val after = cpuTimes()
+    val w = (before, after) match {
+      case (Some(a), Some(b)) if a.length >= 8 && b.length >= 8 =>
+        val d = b.zip(a).map { case (x, y) => x - y }
+        val total = math.max(1L, d.sum).toDouble
+        // fields: user nice system idle iowait irq softirq steal [guest...]
+        HostWindow(
+          stealPct = 100.0 * d(7) / total,
+          busyPct = 100.0 * (total - d(3) - d(4)) / total,
+          iowaitPct = 100.0 * d(4) / total)
+      case _ => HostWindow(Double.NaN, Double.NaN, Double.NaN)
+    }
+    (r, w)
   }
 
   /** Launch a measurement main in a dedicated heap-pinned child JVM (the

@@ -32,8 +32,10 @@ object CrawlOnce {
     spark.sparkContext.setLogLevel("ERROR")
     def cfg(s: Double) =
       if (mode == "steady") Bench.steadyConfig(s) else Bench.benchConfig(s)
-    // warm-up (not measured)
-    Bench.crawlRun(spark, cfg(scale * 0.3))
+    // warm-up (not measured): 0.15 scale = ~30k URLs, comfortably past the
+    // C2 compile thresholds (trimmed from 0.3 to fund five scaling pairs
+    // instead of three inside the same bench wall-clock budget)
+    Bench.crawlRun(spark, cfg(scale * 0.15))
     val (urls, sec) = Bench.crawlRun(spark, cfg(scale))
     println(s"RESULT urls=$urls sec=$sec")
     spark.stop()

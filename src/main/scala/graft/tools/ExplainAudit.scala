@@ -20,7 +20,8 @@ object ExplainAudit {
       "q_scan_gate", "q_agg_pricing", "q_join_nations", "q_topk_order",
       "q_antijoin_unindexed", "q_priority_topk", "q_detect_secrets",
       "q_dedup_minhash", "q_ann_ivf", "q_ann_lsh", "q_intelx_join",
-      "q_upsert_merge", "q_mime_sniff", "q_git_diffs")
+      "q_upsert_merge", "q_mime_sniff", "q_git_diffs",
+      "q_chunking", "q_container_expand", "q_email_parts")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")
