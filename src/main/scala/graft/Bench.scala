@@ -125,8 +125,10 @@ object Bench {
     // exactly the run's window — so a sub-0.8 median can be adjudicated
     // against measured hypervisor steal instead of asserted.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
+    // the 16c side runs its wave TWICE (same input, consecutive, summed):
+    // window symmetry with the ~2.5x-longer 4c run — see CrawlOnce
     val pairs = (1 to nPairs).map { _ =>
-      val a16 = measured(crawlSubprocess(16, "steady", scale))
+      val a16 = measured(crawlSubprocess(16, "steady", scale, reps = 2))
       val a4 = measured(crawlSubprocess(4, "steady", scale))
       (a16, a4)
     }
@@ -239,9 +241,11 @@ object Bench {
   }
 
   /** Run one crawl measurement in a dedicated child JVM; parse its RESULT. */
-  def crawlSubprocess(cores: Int, mode: String, scale: Double): (Long, Double) = {
+  def crawlSubprocess(cores: Int, mode: String, scale: Double,
+      reps: Int = 1): (Long, Double) = {
     val out = childJvmOutput(
-      Seq("graft.tools.CrawlOnce", cores.toString, mode, scale.toString))
+      Seq("graft.tools.CrawlOnce", cores.toString, mode, scale.toString,
+        reps.toString))
     val R = """RESULT urls=(\d+) sec=([\d.]+)""".r
     R.findFirstMatchIn(out) match {
       case Some(m) => (m.group(1).toLong, m.group(2).toDouble)

@@ -491,6 +491,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jac"))
     }),
 
+    // the dedup pipeline END TO END at its scale-correct shape: Jaccard
+    // verify consumes the LSH candidate pairs (linear-ish in n), never a
+    // column-blocked self-join (quadratic within blocks) — the composition
+    // a 100-TB corpus actually runs
+    "q_dedup_verify" -> ((s, dir) =>
+      Dedup.verifiedNearDups(docs(s, dir), col("doc_id"), col("text"))),
+
     // embedding near-dup, scale-safe shape: nearest neighbor within the
     // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
     // centroids are the vec_id % 97 == 0 rows). All-pairs-within-group is
@@ -974,6 +981,33 @@ object SparkEntry {
          |WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.05""".stripMargin,
+
+    "q_dedup_verify" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+         |sh3 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM d),
+         |sigs AS (SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig0,
+         |  list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig1,
+         |  list_min(list_transform(shingles, s -> md5('2|' || s))) AS sig2,
+         |  list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig3
+         |  FROM sh3),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sh2 AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM d)
+         |SELECT id_a, id_b, jac FROM (
+         |  SELECT cand.id_a, cand.id_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac,
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS un
+         |  FROM cand JOIN sh2 a ON cand.id_a = a.doc_id
+         |            JOIN sh2 b ON cand.id_b = b.doc_id)
+         |WHERE un > 0 AND jac >= 0.05""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

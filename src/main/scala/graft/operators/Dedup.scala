@@ -86,6 +86,31 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The scale-correct dedup pipeline end to end: LSH candidate pairs →
+    * exact n-gram Jaccard computed ONLY on those pairs. This is the shape
+    * that survives 100 TB — the candidate set is ~linear in n (bucket
+    * collisions), where any column-blocked self-join is quadratic within
+    * blocks. Shingle sets are staged once per doc and persisted: the pair
+    * join references them on both sides, and the verify shingles (vw) are
+    * independent of the banding shingles (w). Returns (id_a, id_b, jac)
+    * for pairs at or above `threshold` (jac rounded to 4dp). */
+  def verifiedNearDups(df: DataFrame, id: Column, text: Column,
+      w: Int = 3, k: Int = 4, bandsOf: Int = 2, vw: Int = 2,
+      threshold: Double = 0.05): DataFrame = {
+    val cands = lshCandidatePairs(df, id, text, w, k, bandsOf)
+    val sh = df.select(id.as("id"), array_distinct(shingles(text, vw)).as("sh"))
+      .persist()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jac",
+        round(when(union > 0, inter / union).otherwise(lit(0.0)), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
   /** n-gram Jaccard similarity over distinct word w-shingle sets:
     * |A∩B| / (|A|+|B|-|A∩B|) — the verify stage behind LSH candidates. */
   def shingleJaccard(a: Column, b: Column, w: Int): Column = {

@@ -91,6 +91,24 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("url_hash")
 
+  final case class BlobDoc(name: String, ts: Timestamp, bytes: Array[Byte])
+  final case class MemberRow(container: String, member_path: String,
+      member_size: Long, ts: Timestamp)
+
+  /** S4 member expansion as a stream stage: archive blobs arriving on the
+    * feed emit one row per LEAF member (recursive, same semantics as the
+    * batch operator — graft.operators.Containers). Stateless typed flatMap,
+    * safe under any trigger; non-containers and failed extractions emit
+    * nothing, exactly like the batch path's None. */
+  def expandContainers(blobs: Dataset[BlobDoc]): Dataset[MemberRow] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { b =>
+      graft.operators.Containers.expandDocs(b.name, b.bytes)
+        .getOrElse(Seq.empty)
+        .map(m => MemberRow(b.name, m.path, m.bytes.length.toLong, b.ts))
+    }
+  }
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

@@ -20,6 +20,7 @@ object CrawlOnce {
     val cores = args(0).toInt
     val mode = args(1)
     val scale = args(2).toDouble
+    val reps = if (args.length > 3) args(3).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-crawl-once-$cores-$mode")
@@ -34,9 +35,22 @@ object CrawlOnce {
       if (mode == "steady") Bench.steadyConfig(s) else Bench.benchConfig(s)
     // warm-up (not measured): 0.15 scale = ~30k URLs, comfortably past the
     // C2 compile thresholds (trimmed from 0.3 to fund five scaling pairs
-    // instead of three inside the same bench wall-clock budget)
-    Bench.crawlRun(spark, cfg(scale * 0.15))
-    val (urls, sec) = Bench.crawlRun(spark, cfg(scale))
+    // instead of three inside the same bench wall-clock budget). The warm
+    // config FORCES the bloom path open: 30k seeds sit under the
+    // production bloomMinFrontier gate, and an ungated warm would leave
+    // the shard-aggregate + probe code JIT-cold in the measured run.
+    Bench.crawlRun(spark, cfg(scale * 0.15).copy(bloomMinFrontier = 0))
+    // `reps` consecutive measured runs, summed: the 16c side runs twice so
+    // its measurement window (~4 min) matches the 4c side's (~5 min) and
+    // both average over the same amount of host weather — with a 2-min
+    // window against a 5-min window, time-adjacent pairing under-cancels
+    // (measured: 16c raw swung 81-134 s while 4c held ±5%)
+    var urls = 0L
+    var sec = 0.0
+    for (_ <- 0 until reps) {
+      val (u, s) = Bench.crawlRun(spark, cfg(scale))
+      urls += u; sec += s
+    }
     println(s"RESULT urls=$urls sec=$sec")
     spark.stop()
   }

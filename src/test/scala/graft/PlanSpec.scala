@@ -57,6 +57,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "signature pipeline would recompute per join side:\n" + p.take(3000))
   }
 
+  test("q_dedup_verify: bands AND shingle sets cached; all four join references hit cache") {
+    val p = plan("q_dedup_verify")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "LSH bands (2 sides) + verify shingles (2 sides) must come from cache:\n" + p.take(3000))
+  }
+
   test("q_ann_ivf: assignment persisted, probe sides read cache") {
     val p = plan("q_ann_ivf")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))

@@ -174,6 +174,34 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     assert(new String(got.head.bytes, UTF_8) == "second")
   }
 
+  test("property: zip/tar.gz/7z round-trip random member trees byte-exactly (seeded)") {
+    val rnd = new scala.util.Random(42) // deterministic corpus
+    for (it <- 0 until 30) {
+      val n = 1 + rnd.nextInt(6)
+      val ms: Seq[(String, Array[Byte])] = (0 until n).map { i =>
+        val depth = 1 + rnd.nextInt(3)
+        val segs = (0 until depth).map(_ =>
+          (0 until (1 + rnd.nextInt(8))).map(_ =>
+            ('a' + rnd.nextInt(26)).toChar).mkString)
+        // unique paths; .txt so members are never re-dispatched as containers
+        val p = segs.mkString("/") + s"_$i.txt"
+        val b = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+        p -> b
+      }
+      def roundtrips(kind: String, name: String, bytes: Array[Byte]): Unit = {
+        val got = Containers.expandDocs(name, bytes)
+        assert(got.isDefined, s"$kind iter $it failed to expand")
+        val g = asMap(got.get)
+        assert(g.keySet == ms.map(_._1).toSet, s"$kind iter $it paths")
+        ms.foreach { case (p, b) =>
+          assert(java.util.Arrays.equals(g(p), b), s"$kind iter $it bytes @$p") }
+      }
+      roundtrips("zip", "a.zip", Containers.buildZip(ms))
+      roundtrips("tgz", "a.tar.gz", Containers.buildTarGz(ms))
+      roundtrips("7z", "a.7z", Containers.build7z(ms))
+    }
+  }
+
   test("extension semantics match pathlib (file.py:97-101)") {
     assert(Containers.extensionOf("a/b/x.TAR.GZ") == "gz")
     assert(Containers.extensionOf(".bashrc") == "")

@@ -100,4 +100,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.sorted == List(11L, 22L, 33L), s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming container expansion emits leaf members per arriving archive") {
+    import graft.operators.Containers
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.BlobDoc]
+    val q = Streams.expandContainers(in.toDS()).writeStream
+      .format("memory").queryName("expand_mem").outputMode(OutputMode.Append()).start()
+    try {
+      val zip = Containers.buildZip(Seq(
+        "a.txt" -> "alpha".getBytes("UTF-8"),
+        "inner.zip" -> Containers.buildZip(Seq("deep.txt" -> "d".getBytes("UTF-8")))))
+      in.addData(Streams.BlobDoc("batch1.zip", ts(0), zip))
+      q.processAllAvailable()
+      in.addData(
+        Streams.BlobDoc("notes.txt.gz", ts(1), Containers.buildGz("n".getBytes("UTF-8"))),
+        Streams.BlobDoc("junk.zip", ts(1), "not an archive".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.sql("select container, member_path from expand_mem").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        ("batch1.zip", "a.txt"), ("batch1.zip", "inner.zip/deep.txt"),
+        ("notes.txt.gz", "notes.txt.gz"))) // junk.zip expands to nothing
+    } finally q.stop()
+  }
 }
