@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -209,6 +209,34 @@ object SparkEntry {
             .map(m => (id, m.path, new String(m.bytes, u)))
         }
         .toDF("doc_id", "member_path", "content")
+    }),
+
+    // P2 PDF half: native text-layer extraction (no Tika). Per-doc PDFs
+    // are synthesized from the construction rule (FlateDecode multi-line,
+    // TJ-kerned words, uncompressed hex+escaped literals) and extracted
+    // back by the content-stream interpreter; the oracle replays the rule
+    // plus the reference's strip cleanup (parserbase.py:176-182).
+    "q_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          def sub(n: Int) = text.substring(0, math.min(n, text.length))
+          val pdf = (id % 3) match {
+            case 0 => Pdf.buildPdf(Seq(Seq(sub(24), s"lang: $lang")))
+            case 1 => Pdf.buildPdfRaw(Seq(
+              s"BT /F1 12 Tf 72 720 Td [(${Pdf.escapeLiteral(sub(10))}) -250 " +
+                s"(${Pdf.escapeLiteral(source)})] TJ ET"))
+            case _ =>
+              val hex = source.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                .map(b => f"${b & 0xff}%02X").mkString
+              Pdf.buildPdfRaw(Seq(
+                s"BT /F1 12 Tf 72 720 Td <$hex> Tj T* (\\($lang\\)) Tj ET"),
+                compress = false)
+          }
+          (id, Pdf.extractText(pdf).getOrElse(""))
+        }
+        .toDF("doc_id", "content")
     }),
 
     // S3: git-history source — commits table (pre-materialized shape)
@@ -712,6 +740,18 @@ object SparkEntry {
         |  '## E-mail: /mail/' || CAST(doc_id AS VARCHAR) || '.eml' || chr(10) ||
         |  '## Header' || chr(10) || chr(10) || raw FROM odd
         |UNION ALL SELECT doc_id, 'body.txt', body FROM odd""".stripMargin,
+
+    "q_pdf_text" ->
+      """SELECT doc_id,
+        |  trim(substr(text,1,24) || chr(10) || 'lang: ' || lang,
+        |       ' ' || chr(10) || chr(13)) AS content
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL SELECT doc_id,
+        |  trim(substr(text,1,10) || ' ' || source, ' ' || chr(10) || chr(13))
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL SELECT doc_id,
+        |  trim(source || chr(10) || '(' || lang || ')', ' ' || chr(10) || chr(13))
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q_git_diffs" ->
       """WITH c AS (

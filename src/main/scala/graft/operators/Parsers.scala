@@ -15,9 +15,10 @@ import graft.rules.{PyJson, PyVal}
   *  - P6 Certificates: X.509 text+PEM dump via JDK crypto (Certs)
   *  - P7 Java classes: `javap -p` subprocess, the reference's own model (Javap)
   *  - P2 Office: OOXML (docx/xlsx/pptx) text layer via java.util.zip (Office);
-  *    PDF/image OCR and OLE legacy formats remain Tika-blocked — dispatch
-  *    resolves their names, content passes through like P1 (media payloads
-  *    flow as media_ref per the north rule)
+  *    PDF text layer via zlib + content-stream interpretation (Pdf);
+  *    image OCR, scanned-PDF OCR and OLE legacy formats remain Tika-blocked
+  *    — dispatch resolves their names, content passes through like P1
+  *    (media payloads flow as media_ref per the north rule)
   *  - P8 PCAP/VDisk/WindowsBin: stubs -> empty content (parity)
   * Pure functions, usable in Dataset.map or wrapped as expressions.
   */
@@ -43,7 +44,7 @@ object Parsers {
       "office"),
     ParserSpec("PCAP Parser", Seq("pcap", "pcapx"),
       Seq("application/vnd.tcpdump.pcap"), "stub"),
-    ParserSpec("PDF Parser", Seq("pdf"), Nil, "passthrough"),
+    ParserSpec("PDF Parser", Seq("pdf"), Nil, "pdf"),
     ParserSpec("VDisk Parser", Seq("vmdk", "vhd", "vhdx"), Nil, "stub"),
     ParserSpec("Windows Binary Parser", Seq("exe", "dll", "ocx"),
       Seq("application/vnd.microsoft.portable-executable"), "stub"),
@@ -122,6 +123,11 @@ object Parsers {
         // the plain decoded content like the reference's OCR-off path
         val content = readableData(bytes, indexedChars)
         (Office.extractText(bytes).getOrElse(content), spec.name)
+      case "pdf" =>
+        // PDF text layer without Tika (see Pdf); image-only/encrypted PDFs
+        // keep the plain decoded content like the reference's OCR-off path
+        val content = readableData(bytes, indexedChars)
+        (Pdf.extractText(bytes).getOrElse(content), spec.name)
       case "json" =>
         val content = readableData(bytes, indexedChars)
         val out = if (jsonSupport) {

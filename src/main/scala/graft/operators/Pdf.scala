@@ -1,0 +1,595 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** Native PDF text-layer extraction (P2's PDF half, without Tika).
+  *
+  * The reference routes PDFs through a Tika server with OCR
+  * (parsers/pdfparser.py:6-14 -> parserbase.py:144-186); no Tika jar or
+  * OCR binary exists in this sandbox, so the reference's *scanned-image*
+  * path stays honestly blocked (media spans flow as media_ref per the
+  * north rule). But most real-world PDFs carry a text layer, and Tika's
+  * default PDF strategy extracts exactly that layer — which needs nothing
+  * beyond zlib (java.util.zip) and the documented content-stream syntax.
+  * This extractor covers that majority case:
+  *
+  *  - object scan (no xref needed): every `stream ... endstream` whose
+  *    object dict is uncompressed or /FlateDecode is inflated; image/font
+  *    and unsupported-filter streams are skipped
+  *  - content-stream tokenizer: literal strings with the full escape set
+  *    (octal, line continuations, nested parens), hex strings, arrays,
+  *    inline-image skipping (BI..EI)
+  *  - text assembly: Tj / ' / " / TJ show text; TJ kerning <= -180/1000 em
+  *    becomes a space (Tika's word-gap heuristic, fixed deterministically);
+  *    T* / ' / " / Td / TD with a vertical move / ET emit one newline
+  *    (consecutive newline ops collapse)
+  *  - the reference's post-OCR cleanup chain is applied byte-for-byte
+  *    (parserbase.py:176-182): strip('\r\n '), tab -> two spaces,
+  *    collapse runs of 3+ newlines to 2
+  *
+  *  - font-aware decoding: the object graph is parsed (obj/endobj scan,
+  *    indirect refs resolved), each page's /Resources /Font entries are
+  *    mapped to their /ToUnicode CMaps (bfchar + bfrange, including array
+  *    form), and Tf switches the active decoder — so subset-embedded
+  *    TrueType/Type0 fonts (the modern-writer default, where string bytes
+  *    are glyph codes, not characters) extract real text; 2-byte codes for
+  *    Identity-H/Type0 fonts, 1-byte otherwise, Latin-1 fallback when a
+  *    font has no CMap
+  *
+  * Out of scope (falls back to Latin-1 per byte, or None when no text ops
+  * decode): encrypted PDFs, predictor-coded streams, /Differences custom
+  * simple-font encodings. Deterministic: same bytes -> same text.
+  */
+object Pdf {
+
+  private val L1 = StandardCharsets.ISO_8859_1
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** Extract the text layer. None when not a PDF or no show-text operator
+    * was found in any decodable content stream. */
+  def extractText(bytes: Array[Byte]): Option[String] = {
+    if (!isPdf(bytes)) return None
+    val s = new String(bytes, L1) // 1:1 byte <-> char
+    val objs = parseObjects(bytes, s)
+    val consumed = scala.collection.mutable.Set.empty[Int] // non-content streams
+    val fontCache = scala.collection.mutable.Map.empty[Int, FontDec]
+    def fontFor(num: Int): FontDec = fontCache.getOrElseUpdate(num, {
+      val dict = objs.get(num).map(_.dict).getOrElse("")
+      val twoByte = dict.contains("/Identity-H") || dict.contains("/Type0")
+      val tu = dict.indexOf("/ToUnicode")
+      val cmap = (if (tu < 0) None
+        else RefPat.findFirstMatchIn(
+          dict.substring(tu, math.min(dict.length, tu + 40))).map(_.group(1).toInt))
+        .flatMap { ref =>
+          consumed += ref
+          objs.get(ref).flatMap(_.payload).map(p => parseCMap(new String(p, L1)))
+        }
+        .getOrElse(Map.empty[Int, String])
+      FontDec(twoByte, cmap)
+    })
+
+    // pages in file order (≈ page order for common writers); each content
+    // stream interpreted under its page's /Resources /Font decoders
+    val pages = objs.values.toSeq.filter(o =>
+      o.dict.contains("/Page") && !o.dict.contains("/Pages")).sortBy(_.offset)
+    val pageStreams: Seq[(Int, Map[String, FontDec])] = pages.flatMap { page =>
+      val fonts = pageFonts(page, objs).map { case (n, ref) => n -> fontFor(ref) }
+      contentRefs(page.dict).map(ref => ref -> fonts)
+    }
+    // orphan BT-carrying streams (form XObjects, broken page trees) run
+    // after the pages, best-effort under the union of all named fonts
+    val unionFonts: Map[String, FontDec] =
+      pages.flatMap(p => pageFonts(p, objs)).toMap.map { case (n, r) => n -> fontFor(r) }
+
+    val sb = new StringBuilder
+    var sawText = false
+    val usedStreams = pageStreams.map(_._1).toSet
+    pageStreams.foreach { case (ref, fonts) =>
+      objs.get(ref).flatMap(_.payload).foreach { p =>
+        sawText |= appendStreamText(new String(p, L1), sb, fonts)
+      }
+    }
+    objs.values.toSeq.sortBy(_.offset).foreach { o =>
+      if (!usedStreams.contains(o.num) && !consumed.contains(o.num) &&
+          o.payload.isDefined) {
+        val cs = new String(o.payload.get, L1)
+        if (cs.contains(" Tj") || cs.contains(" TJ") || cs.contains("BT"))
+          sawText |= appendStreamText(cs, sb, unionFonts)
+      }
+    }
+    if (sawText) Some(cleanup(sb.toString)) else None
+  }
+
+  /** parserbase.py:176-182 — the cleanup the reference applies to every
+    * OCR/Tika content string. */
+  def cleanup(raw: String): String = {
+    var c = raw
+    var i = 0
+    while (i < c.length && (c(i) == '\r' || c(i) == '\n' || c(i) == ' ')) i += 1
+    var j = c.length
+    while (j > i && (c(j - 1) == '\r' || c(j - 1) == '\n' || c(j - 1) == ' ')) j -= 1
+    c = c.substring(i, j)
+    c = c.replace("\t", "  ")
+    while (c.contains("\n\n\n")) c = c.replace("\n\n\n", "\n\n")
+    c
+  }
+
+  // ---- object graph ---------------------------------------------------
+
+  /** One indirect object: dict text (Latin-1), decoded stream payload for
+    * uncompressed / FlateDecode non-image streams, None otherwise. */
+  private final case class PdfObj(num: Int, offset: Int, dict: String,
+      payload: Option[Array[Byte]])
+
+  private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+  private val RefPat = """(\d+)\s+\d+\s+R""".r
+
+  /** Raw `N G obj .. endobj` scan instead of the xref table: tolerant of
+    * the incremental-update and broken-xref files endemic in crawled data
+    * (the xref is only an index; the objects are self-delimiting). Later
+    * duplicates win, matching incremental-update semantics. */
+  private def parseObjects(bytes: Array[Byte], s: String): Map[Int, PdfObj] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, PdfObj]
+    val m = ObjPat.matcher(s)
+    var from = 0
+    while (from < s.length && m.find(from)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamKw = s.indexOf("stream", bodyStart)
+      var endobj = s.indexOf("endobj", bodyStart)
+      if (endobj < 0) endobj = s.length
+      if (streamKw >= 0 && streamKw < endobj &&
+          !Character.isLetterOrDigit(s.charAt(math.max(0, streamKw - 1)))) {
+        val dict = s.substring(bodyStart, streamKw)
+        var dataStart = streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val end = s.indexOf("endstream", dataStart)
+        if (end < 0) { from = s.length }
+        else {
+          var dataEnd = end
+          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          val isImage = dict.contains("/Subtype") && dict.contains("/Image")
+          val hasFilter = dict.contains("/Filter")
+          val isFlate = dict.contains("/FlateDecode")
+          val payload =
+            if (isImage) None
+            else if (!hasFilter)
+              Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+            else if (isFlate)
+              inflate(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+            else None // other filters (DCT, LZW, ASCII85, ...): stay honest
+          out(num) = PdfObj(num, m.start, dict, payload)
+          from = end + "endstream".length
+        }
+      } else {
+        out(num) = PdfObj(num, m.start, s.substring(bodyStart, endobj), None)
+        from = endobj + "endobj".length
+      }
+    }
+    out.toMap
+  }
+
+  /** Balanced `<< .. >>` slice starting at the first `<<` at/after `from`;
+    * empty when absent. */
+  private def dictSlice(s: String, from: Int): String = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return ""
+    var depth = 0
+    var i = start
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      } else i += 1
+    }
+    s.substring(start)
+  }
+
+  /** The page's /Resources /Font entries: font name -> font object number.
+    * /Resources may be inline, an indirect ref, or inherited via /Parent. */
+  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
+      depth: Int = 0): Map[String, Int] = {
+    val d = page.dict
+    val rIdx = d.indexOf("/Resources")
+    if (rIdx < 0) {
+      if (depth >= 5) return Map.empty
+      // inheritable attribute: climb the /Parent chain
+      val pIdx = d.indexOf("/Parent")
+      return (if (pIdx < 0) None
+        else RefPat.findFirstMatchIn(d.substring(pIdx, math.min(d.length, pIdx + 40)))
+          .map(_.group(1).toInt).flatMap(objs.get))
+        .map(pageFonts(_, objs, depth + 1)).getOrElse(Map.empty)
+    }
+    val after = d.substring(rIdx + "/Resources".length)
+    val res =
+      if (after.dropWhile(c => c == ' ' || c == '\r' || c == '\n').startsWith("<<"))
+        dictSlice(after, 0)
+      else RefPat.findFirstMatchIn(after.take(40)).map(_.group(1).toInt)
+        .flatMap(objs.get).map(_.dict).getOrElse("")
+    val fIdx = res.indexOf("/Font")
+    if (fIdx < 0) return Map.empty
+    val fAfter = res.substring(fIdx + "/Font".length)
+    val fontDict =
+      if (fAfter.dropWhile(c => c == ' ' || c == '\r' || c == '\n').startsWith("<<"))
+        dictSlice(fAfter, 0)
+      else RefPat.findFirstMatchIn(fAfter.take(40)).map(_.group(1).toInt)
+        .flatMap(objs.get).map(_.dict).getOrElse("")
+    val NamedRef = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+    NamedRef.findAllMatchIn(fontDict).map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  /** /Contents refs of a page, single or array form, in order. */
+  private def contentRefs(pageDict: String): Seq[Int] = {
+    val cIdx = pageDict.indexOf("/Contents")
+    if (cIdx < 0) return Seq.empty
+    val after = pageDict.substring(cIdx + "/Contents".length)
+    val trimmed = after.dropWhile(c => c == ' ' || c == '\r' || c == '\n')
+    if (trimmed.startsWith("[")) {
+      val end = trimmed.indexOf(']')
+      val arr = if (end < 0) trimmed else trimmed.substring(0, end)
+      RefPat.findAllMatchIn(arr).map(_.group(1).toInt).toSeq
+    } else RefPat.findFirstMatchIn(trimmed.take(40)).map(_.group(1).toInt).toSeq
+  }
+
+  // ---- ToUnicode CMaps ------------------------------------------------
+
+  /** Per-font decoder: 2-byte codes for Type0/Identity-H, else 1-byte;
+    * `cmap` maps code -> unicode string (possibly multi-char). */
+  private final case class FontDec(twoByte: Boolean, cmap: Map[Int, String]) {
+    def decode(raw: String): String =
+      if (twoByte) {
+        val out = new StringBuilder
+        var i = 0
+        while (i + 1 < raw.length) {
+          val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+          cmap.get(code).foreach(out.append) // unmapped glyph: no text known
+          i += 2
+        }
+        out.toString
+      } else if (cmap.isEmpty) raw
+      else raw.map(c => cmap.getOrElse(c & 0xff, c.toString)).mkString
+  }
+
+  private val DefaultFont = FontDec(twoByte = false, Map.empty)
+
+  /** Parse a /ToUnicode CMap stream: all bfchar pairs and bfrange triples
+    * (both `<lo> <hi> <dstStart>` and `<lo> <hi> [<d0> <d1> ..]` forms).
+    * Hex destinations are UTF-16BE. */
+  private[operators] def parseCMap(cs: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def hexTokens(block: String): Seq[String] = {
+      val H = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
+      H.findAllMatchIn(block).map(m =>
+        if (m.group(1) != null) m.group(1) else if (m.group(2) != null) "[" else "]").toSeq
+    }
+    def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    def hexToStr(h: String): String = {
+      val padded = if (h.length % 2 == 1) h + "0" else h
+      val bs = padded.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray
+      new String(bs, StandardCharsets.UTF_16BE)
+    }
+    def incr(s: String, k: Int): String =
+      if (s.isEmpty) s
+      else s.substring(0, s.length - 1) + (s.charAt(s.length - 1) + k).toChar
+
+    var i = 0
+    while ({ i = cs.indexOf("beginbfchar", i); i >= 0 }) {
+      val end = cs.indexOf("endbfchar", i)
+      if (end < 0) i = cs.length
+      else {
+        hexTokens(cs.substring(i, end)).grouped(2).foreach {
+          case Seq(src, dst) if src != "[" && dst != "[" =>
+            out += hexToInt(src) -> hexToStr(dst)
+          case _ =>
+        }
+        i = end + "endbfchar".length
+      }
+    }
+    i = 0
+    while ({ i = cs.indexOf("beginbfrange", i); i >= 0 }) {
+      val end = cs.indexOf("endbfrange", i)
+      if (end < 0) i = cs.length
+      else {
+        val toks = hexTokens(cs.substring(i, end))
+        var j = 0
+        while (j + 1 < toks.length) {
+          if (toks(j) == "[" || toks(j) == "]") j += 1
+          else if (j + 2 < toks.length && toks(j + 2) == "[") {
+            // <lo> <hi> [ <d0> <d1> .. ]
+            val lo = hexToInt(toks(j)); val hi = hexToInt(toks(j + 1))
+            var k = j + 3
+            var code = lo
+            while (k < toks.length && toks(k) != "]" && code <= hi) {
+              out += code -> hexToStr(toks(k)); code += 1; k += 1
+            }
+            while (k < toks.length && toks(k) != "]") k += 1
+            j = k + 1
+          } else if (j + 2 < toks.length) {
+            // <lo> <hi> <dstStart>
+            val lo = hexToInt(toks(j)); val hi = hexToInt(toks(j + 1))
+            val dst = hexToStr(toks(j + 2))
+            var code = lo
+            while (code <= hi && code - lo < 65536) {
+              out += code -> incr(dst, code - lo); code += 1
+            }
+            j += 3
+          } else j = toks.length
+        }
+        i = end + "endbfrange".length
+      }
+    }
+    out.result()
+  }
+
+  /** zlib-inflate with a raw-deflate fallback (some writers omit the zlib
+    * header); None on corrupt data. Decoded size capped at 64 MiB. */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(data)
+        val buf = new Array[Byte](65536)
+        val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+        var n = inf.inflate(buf)
+        while (n > 0 && out.size < (64 << 20)) {
+          out.write(buf, 0, n)
+          n = inf.inflate(buf)
+        }
+        if (out.size == 0) None else Some(out.toByteArray)
+      } catch { case _: Throwable => None } finally inf.end()
+    }
+    run(false).orElse(run(true))
+  }
+
+  // ---- content-stream interpretation ---------------------------------
+
+  /** TJ kerning gap (thousandths of an em, negative = widen) at or below
+    * which a word space is emitted — fixed so extraction is deterministic
+    * and oracle-replayable. */
+  private val WordGap = -180
+
+  /** Tokenize one content stream, appending shown text to `sb`, decoding
+    * strings through the font selected by the latest Tf.
+    * Returns true if any show-text operator was executed. */
+  private def appendStreamText(cs: String, sb: StringBuilder,
+      fonts: Map[String, FontDec]): Boolean = {
+    var sawText = false
+    val n = cs.length
+    var i = 0
+    // operand stack: latest string/name + latest two numbers are all we need
+    var cur: FontDec = DefaultFont
+    var lastName: String = null
+    var lastStr: String = null
+    var num1, num2 = 0.0 // num2 = most recent
+    var numCount = 0
+    var inArray = false
+    val arrayText = new StringBuilder
+
+    def emitNewline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def clearOperands(): Unit = { lastStr = null; numCount = 0 }
+
+    def parseLiteral(): String = {
+      // i is at '('
+      i += 1
+      val out = new StringBuilder
+      var depth = 1
+      while (i < n && depth > 0) {
+        val c = cs.charAt(i)
+        c match {
+          case '\\' if i + 1 < n =>
+            val e = cs.charAt(i + 1)
+            i += 2
+            e match {
+              case 'n' => out.append('\n')
+              case 'r' => out.append('\r')
+              case 't' => out.append('\t')
+              case 'b' => out.append('\b')
+              case 'f' => out.append('\f')
+              case '(' => out.append('(')
+              case ')' => out.append(')')
+              case '\\' => out.append('\\')
+              case '\r' => if (i < n && cs.charAt(i) == '\n') i += 1 // line continuation
+              case '\n' => // line continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && i < n && cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
+                  v = v * 8 + (cs.charAt(i) - '0'); i += 1; k += 1
+                }
+                out.append((v & 0xff).toChar)
+              case other => out.append(other)
+            }
+          case '(' => depth += 1; out.append('('); i += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) out.append(')'); i += 1
+          case '\r' =>
+            out.append('\n'); i += 1
+            if (i < n && cs.charAt(i) == '\n') i += 1
+          case other => out.append(other); i += 1
+        }
+      }
+      out.toString
+    }
+
+    def parseHex(): String = {
+      // i is at '<' (not '<<')
+      i += 1
+      val out = new StringBuilder
+      var hi = -1
+      while (i < n && cs.charAt(i) != '>') {
+        val c = cs.charAt(i)
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.append(((hi << 4) | v).toChar); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.append((hi << 4).toChar) // odd digit: implicit 0
+      if (i < n) i += 1 // '>'
+      out.toString
+    }
+
+    def pushString(raw: String): Unit = {
+      val v = cur.decode(raw)
+      if (inArray) arrayText.append(v) else lastStr = v
+    }
+    def pushNumber(v: Double): Unit =
+      if (inArray) { if (v <= WordGap) arrayText.append(' ') }
+      else { num1 = num2; num2 = v; numCount += 1 }
+
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) i += 1
+      else if (c == '%') { while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1 }
+      else if (c == '(') pushString(parseLiteral())
+      else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') i += 2
+      else if (c == '>' && i + 1 < n && cs.charAt(i + 1) == '>') i += 2
+      else if (c == '<') pushString(parseHex())
+      else if (c == '[') { inArray = true; arrayText.setLength(0); i += 1 }
+      else if (c == ']') { inArray = false; lastStr = arrayText.toString; i += 1 }
+      else if (c == '/') {
+        val st = i + 1
+        i += 1
+        while (i < n && !delim(cs.charAt(i))) i += 1
+        lastName = cs.substring(st, i)
+      }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val st = i
+        i += 1
+        while (i < n && !delim(cs.charAt(i))) i += 1
+        try pushNumber(cs.substring(st, i).toDouble) catch { case _: NumberFormatException => }
+      } else {
+        val st = i
+        i += 1
+        while (i < n && !delim(cs.charAt(i))) i += 1
+        val op = cs.substring(st, i)
+        op match {
+          case "Tj" =>
+            if (lastStr != null) { sb.append(lastStr); sawText = true }
+            clearOperands()
+          case "TJ" =>
+            if (lastStr != null) { sb.append(lastStr); sawText = true }
+            clearOperands()
+          case "'" =>
+            emitNewline()
+            if (lastStr != null) { sb.append(lastStr); sawText = true }
+            clearOperands()
+          case "\"" =>
+            emitNewline()
+            if (lastStr != null) { sb.append(lastStr); sawText = true }
+            clearOperands()
+          case "Tf" =>
+            if (lastName != null) cur = fonts.getOrElse(lastName, DefaultFont)
+            clearOperands()
+          case "Td" | "TD" =>
+            if (numCount >= 2 && num2 != 0.0) emitNewline()
+            clearOperands()
+          case "T*" => emitNewline(); clearOperands()
+          case "ET" => emitNewline(); clearOperands()
+          case "BI" =>
+            // inline image: skip to the EI token past the binary payload
+            var k = cs.indexOf(" EI", i)
+            if (k < 0) k = cs.indexOf("\nEI", i)
+            i = if (k < 0) n else k + 3
+            clearOperands()
+          case _ => clearOperands()
+        }
+      }
+    }
+    sawText
+  }
+
+  private def delim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0 ||
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  // ---- deterministic fixture builder ---------------------------------
+
+  /** Escape a string for a PDF literal. */
+  def escapeLiteral(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  /** A minimal single-font PDF: one page per element of `pages`, each page
+    * a sequence of text lines (Tj separated by T*). Structurally complete
+    * (catalog, page tree, font, xref, trailer) so external tools parse it
+    * too; `compress` Flate-encodes the content streams. */
+  def buildPdf(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    val streams = pages.map { lines =>
+      lines.map(l => s"(${escapeLiteral(l)}) Tj").mkString(
+        "BT /F1 12 Tf 72 720 Td ", " T* ", " ET")
+    }
+    buildPdfRaw(streams, compress)
+  }
+
+  /** Same structure with caller-supplied raw content streams (for TJ / hex
+    * / escape fixtures). */
+  def buildPdfRaw(streams: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val nPages = streams.size
+    val fontNum = 3 + 2 * nPages
+    val objs = Vector.newBuilder[(Int, Array[Byte])]
+    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(L1)
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>".getBytes(L1)
+    streams.zipWithIndex.foreach { case (cs, i) =>
+      val pageNum = 3 + 2 * i
+      objs += pageNum -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${pageNum + 1} 0 R >>").getBytes(L1)
+      val raw = cs.getBytes(L1)
+      val (payload, filter) =
+        if (compress) (deflate(raw), "/Filter /FlateDecode ") else (raw, "")
+      val head = s"<< ${filter}/Length ${payload.length} >>\nstream\n".getBytes(L1)
+      objs += (pageNum + 1) -> (head ++ payload ++ "\nendstream".getBytes(L1))
+    }
+    objs += fontNum ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(L1)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(L1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.result().foreach { case (num, body) =>
+      offsets(num) = out.size
+      out.write(s"$num 0 obj\n".getBytes(L1))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(L1))
+    }
+    val xrefPos = out.size
+    val maxObj = fontNum
+    out.write(s"xref\n0 ${maxObj + 1}\n".getBytes(L1))
+    out.write("0000000000 65535 f \n".getBytes(L1))
+    (1 to maxObj).foreach { num =>
+      out.write("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT,
+        offsets.getOrElse(num, 0)).getBytes(L1))
+    }
+    out.write((s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefPos\n%%EOF\n").getBytes(L1))
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(data)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+}
