@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Office, Ole, OleBuild, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -235,6 +235,34 @@ object SparkEntry {
                 compress = false)
           }
           (id, Pdf.extractText(pdf).getOrElse(""))
+        }
+        .toDF("doc_id", "content")
+    }),
+
+    // P2 legacy+ODF office: synthesize real CFB (.doc piece table with both
+    // encodings, .xls BIFF8 SST/LABELSST/LABEL, .ppt text atoms) and zip
+    // (.docx OOXML, .odt ODF) documents per row, extract through the one
+    // Office.extractText entry point, oracle re-derives the text in SQL.
+    // Snippets are whitespace-normalized first so parserbase-style cleanup
+    // (edge strip, tab expansion, blank-line collapse) stays a plain trim.
+    "q_office_text" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, text, lang, source) =>
+          def snip(n: Int) = text.substring(0, math.min(n, text.length))
+            .replaceAll("[\\n\\r\\t]", " ")
+          val bytes = (id % 5) match {
+            case 0 => Office.buildDocx(Seq(snip(18), s"lang: $lang"))
+            case 1 => Office.buildOdt(Seq(snip(14), source))
+            case 2 => OleBuild.buildDoc(Seq(
+              (snip(16) + "\r", false), (source + "\r", true)),
+              whichTbl = (id % 2).toInt, prcPad = id % 3 == 0)
+            case 3 => OleBuild.buildXls(Seq(snip(10), source), Seq(lang),
+              richFirst = id % 2 == 0)
+            case _ => OleBuild.buildPpt(Seq(snip(12), source))
+          }
+          (id, Office.extractText(bytes).getOrElse(""))
         }
         .toDF("doc_id", "content")
     }),
@@ -752,6 +780,24 @@ object SparkEntry {
         |UNION ALL SELECT doc_id,
         |  trim(source || chr(10) || '(' || lang || ')', ' ' || chr(10) || chr(13))
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q_office_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(text, '[\n\r\t]', ' ', 'g') AS ctext
+        |  FROM documents
+        |)
+        |SELECT doc_id, trim(substr(ctext,1,18) || chr(10) || 'lang: ' || lang,
+        |  ' ' || chr(10) || chr(13)) AS content FROM d WHERE doc_id % 5 = 0
+        |UNION ALL SELECT doc_id, trim(substr(ctext,1,14) || chr(10) || source,
+        |  ' ' || chr(10) || chr(13)) FROM d WHERE doc_id % 5 = 1
+        |UNION ALL SELECT doc_id, trim(substr(ctext,1,16) || chr(10) || source,
+        |  ' ' || chr(10) || chr(13)) FROM d WHERE doc_id % 5 = 2
+        |UNION ALL SELECT doc_id, trim(substr(ctext,1,10) || chr(10) || source
+        |  || chr(10) || lang, ' ' || chr(10) || chr(13)) FROM d
+        |  WHERE doc_id % 5 = 3
+        |UNION ALL SELECT doc_id, trim(substr(ctext,1,12) || chr(10) || source,
+        |  ' ' || chr(10) || chr(13)) FROM d WHERE doc_id % 5 = 4""".stripMargin,
 
     "q_git_diffs" ->
       """WITH c AS (

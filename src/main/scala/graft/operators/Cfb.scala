@@ -1,0 +1,311 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** [MS-CFB] Compound File Binary reader + minimal writer (pure JDK).
+  *
+  * The reader supports v3 (512-byte) and v4 (4096-byte) sectors, header +
+  * chained DIFAT, FAT chains, the mini FAT / mini stream for streams under
+  * the cutoff, and flattens the directory to `name -> bytes` (legacy Office
+  * streams all hang off the root storage; storage nesting is ignored on
+  * purpose — Tika's container detector does the same name-based lookup).
+  *
+  * The writer exists for fixtures only (no real .doc/.xls/.ppt ships in
+  * this sandbox, and no Python OLE library is installed to make one): v3,
+  * header-DIFAT only (109 FAT sectors = ~7 MB, far beyond any fixture),
+  * balanced directory tree in CFB name order, mini + regular streams.
+  * Layout: [dir | miniFAT | mini stream | big streams | FAT].
+  */
+object Cfb {
+
+  private val FreeSect = 0xFFFFFFFF
+  private val EndOfChain = 0xFFFFFFFE
+  private val FatSect = 0xFFFFFFFD
+  private val NoStream = 0xFFFFFFFF
+
+  // ---------------------------------------------------------------- read
+
+  def read(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    require(Ole.isCfb(bytes), "not a CFB file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sectorShift = bb.getShort(0x1E) & 0xFFFF
+    val sectorSize = 1 << sectorShift
+    val miniShift = bb.getShort(0x20) & 0xFFFF
+    val miniSize = 1 << miniShift
+    val firstDir = bb.getInt(0x30)
+    val miniCutoff = bb.getInt(0x38)
+    val firstMiniFat = bb.getInt(0x3C)
+    val firstDifat = bb.getInt(0x44)
+    val maxSectors = (bytes.length / sectorSize) + 1
+
+    def sectorAt(id: Int): Int = sectorSize * (id + 1)
+
+    // FAT sector ids: 109 header DIFAT entries + chained DIFAT sectors.
+    val fatSectors = ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < 109) {
+      val v = bb.getInt(0x4C + 4 * i)
+      if (v != FreeSect && v != EndOfChain) fatSectors += v
+      i += 1
+    }
+    var difat = firstDifat
+    var difatGuard = 0
+    while (difat != EndOfChain && difat != FreeSect && difatGuard < maxSectors) {
+      val base = sectorAt(difat)
+      val perSector = sectorSize / 4 - 1
+      var j = 0
+      while (j < perSector) {
+        val v = bb.getInt(base + 4 * j)
+        if (v != FreeSect && v != EndOfChain) fatSectors += v
+        j += 1
+      }
+      difat = bb.getInt(base + 4 * perSector)
+      difatGuard += 1
+    }
+
+    val fat = new Array[Int](fatSectors.length * (sectorSize / 4))
+    fatSectors.zipWithIndex.foreach { case (sid, k) =>
+      val base = sectorAt(sid)
+      var j = 0
+      while (j < sectorSize / 4) {
+        fat(k * (sectorSize / 4) + j) = bb.getInt(base + 4 * j)
+        j += 1
+      }
+    }
+
+    def readChain(start: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var s = start
+      var guard = 0
+      while (s != EndOfChain && s != FreeSect && s >= 0 && guard < maxSectors) {
+        val off = sectorAt(s)
+        out.write(bytes, off, math.min(sectorSize, bytes.length - off))
+        s = if (s < fat.length) fat(s) else EndOfChain
+        guard += 1
+      }
+      out.toByteArray
+    }
+
+    val dir = readChain(firstDir)
+    val nEntries = dir.length / 128
+    val db = ByteBuffer.wrap(dir).order(ByteOrder.LITTLE_ENDIAN)
+
+    def entryName(e: Int): String = {
+      val nameLen = db.getShort(e * 128 + 0x40) & 0xFFFF
+      if (nameLen < 2) ""
+      else new String(dir, e * 128, nameLen - 2, StandardCharsets.UTF_16LE)
+    }
+
+    // Root entry (index 0) carries the mini stream chain.
+    val rootStart = db.getInt(0x74)
+    val rootSize = db.getLong(0x78) & 0xFFFFFFFFL
+    lazy val miniStream = readChain(rootStart).take(rootSize.toInt)
+    lazy val miniFat: Array[Int] = {
+      val raw = readChain(firstMiniFat)
+      val mb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(raw.length / 4)(k => mb.getInt(4 * k))
+    }
+
+    def readMiniChain(start: Int, size: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var s = start
+      var guard = 0
+      val maxMini = miniStream.length / miniSize + 1
+      while (s != EndOfChain && s != FreeSect && s >= 0 && guard < maxMini) {
+        val off = miniSize * s
+        out.write(miniStream, off, math.min(miniSize, miniStream.length - off))
+        s = if (s < miniFat.length) miniFat(s) else EndOfChain
+        guard += 1
+      }
+      out.toByteArray.take(size)
+    }
+
+    val streams = Map.newBuilder[String, Array[Byte]]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var e = 0
+    while (e < nEntries) {
+      val objType = dir(e * 128 + 0x42) & 0xFF
+      if (objType == 2) {
+        val name = entryName(e)
+        val start = db.getInt(e * 128 + 0x74)
+        val size = (db.getLong(e * 128 + 0x78) & 0xFFFFFFFFL).toInt
+        if (!seen.contains(name)) {
+          seen += name
+          val data =
+            if (size < miniCutoff) readMiniChain(start, size)
+            else readChain(start).take(size)
+          streams += name -> data
+        }
+      }
+      e += 1
+    }
+    streams.result()
+  }
+
+  // --------------------------------------------------------------- write
+
+  def write(streamsIn: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val sectorSize = 512
+    val miniSize = 64
+    val cutoff = 4096
+
+    def secCount(n: Int, unit: Int) = (n + unit - 1) / unit
+
+    // CFB directory order: shorter name first, then uppercase comparison.
+    val ordered = streamsIn.sortBy { case (n, _) => (n.length, n.toUpperCase) }
+
+    // Mini stream assembly: chains of sequential mini-sector ids.
+    val miniFat = ArrayBuffer.empty[Int]
+    val miniData = new java.io.ByteArrayOutputStream()
+    val miniStart = scala.collection.mutable.Map.empty[String, Int]
+    ordered.foreach { case (name, data) =>
+      if (data.length < cutoff) {
+        val nSecs = math.max(1, secCount(data.length, miniSize))
+        miniStart(name) = miniFat.length
+        var k = 0
+        while (k < nSecs) {
+          miniFat += (if (k == nSecs - 1) EndOfChain else miniFat.length + 1)
+          k += 1
+        }
+        miniData.write(data)
+        val pad = nSecs * miniSize - data.length
+        if (pad > 0) miniData.write(new Array[Byte](pad))
+      }
+    }
+    val miniStreamBytes = miniData.toByteArray
+
+    val nDirEntries = 1 + ordered.length
+    val dirSecs = math.max(1, secCount(nDirEntries * 128, sectorSize))
+    val miniFatSecs = secCount(miniFat.length * 4, sectorSize)
+    val miniStreamSecs = secCount(miniStreamBytes.length, sectorSize)
+    val bigs = ordered.filter(_._2.length >= cutoff)
+    val bigSecs = bigs.map(b => secCount(b._2.length, sectorSize)).sum
+    val nonFat = dirSecs + miniFatSecs + miniStreamSecs + bigSecs
+    var fatSecs = 1
+    while (secCount(nonFat + fatSecs, sectorSize / 4) > fatSecs)
+      fatSecs = secCount(nonFat + fatSecs, sectorSize / 4)
+    require(fatSecs <= 109, "fixture writer supports header-DIFAT only")
+
+    val totalSecs = nonFat + fatSecs
+    val fat = Array.fill(fatSecs * (sectorSize / 4))(FreeSect)
+
+    // Sequential chains in layout order.
+    def chain(from: Int, n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        fat(from + k) = if (k == n - 1) EndOfChain else from + k + 1
+        k += 1
+      }
+    }
+    val dirStart = 0
+    chain(dirStart, dirSecs)
+    val miniFatStart = if (miniFatSecs > 0) dirStart + dirSecs else EndOfChain
+    if (miniFatSecs > 0) chain(dirStart + dirSecs, miniFatSecs)
+    val miniStreamStart =
+      if (miniStreamSecs > 0) dirStart + dirSecs + miniFatSecs else EndOfChain
+    if (miniStreamSecs > 0) chain(dirStart + dirSecs + miniFatSecs, miniStreamSecs)
+    var next = dirStart + dirSecs + miniFatSecs + miniStreamSecs
+    val bigStart = scala.collection.mutable.Map.empty[String, Int]
+    bigs.foreach { case (name, data) =>
+      val n = secCount(data.length, sectorSize)
+      bigStart(name) = next
+      chain(next, n)
+      next += n
+    }
+    val fatStart = next
+    (0 until fatSecs).foreach(k => fat(fatStart + k) = FatSect)
+
+    // Balanced BST over stream entries (directory ids 1..n in CFB order).
+    val sibL = Array.fill(nDirEntries)(NoStream)
+    val sibR = Array.fill(nDirEntries)(NoStream)
+    def build(lo: Int, hi: Int): Int =
+      if (lo > hi) NoStream
+      else {
+        val mid = (lo + hi) / 2
+        sibL(mid) = build(lo, mid - 1)
+        sibR(mid) = build(mid + 1, hi)
+        mid
+      }
+    val rootChild = if (ordered.isEmpty) NoStream else build(1, ordered.length)
+
+    val out = ByteBuffer.allocate(sectorSize * (totalSecs + 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // Header
+    out.put(Ole.CfbMagic)
+    out.position(0x18); out.putShort(0x003E.toShort) // minor version
+    out.putShort(0x0003.toShort)                     // major version 3
+    out.putShort(0xFFFE.toShort)                     // byte order
+    out.putShort(0x0009.toShort)                     // sector shift
+    out.putShort(0x0006.toShort)                     // mini sector shift
+    out.position(0x2C); out.putInt(fatSecs)
+    out.putInt(dirStart)                             // first directory sector
+    out.putInt(0)                                    // transaction signature
+    out.putInt(cutoff)
+    out.putInt(if (miniFatSecs > 0) miniFatStart else EndOfChain)
+    out.putInt(miniFatSecs)
+    out.putInt(EndOfChain)                           // first DIFAT sector
+    out.putInt(0)                                    // number of DIFAT sectors
+    var k = 0
+    while (k < 109) {
+      out.putInt(if (k < fatSecs) fatStart + k else FreeSect)
+      k += 1
+    }
+
+    def putName(buf: ByteBuffer, at: Int, name: String): Unit = {
+      val enc = name.getBytes(StandardCharsets.UTF_16LE)
+      buf.position(at); buf.put(enc, 0, math.min(enc.length, 62))
+      buf.putShort(at + 0x40, ((math.min(enc.length, 62)) + 2).toShort)
+    }
+
+    // Directory sectors
+    val dirBuf = ByteBuffer.allocate(dirSecs * sectorSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // unused entries: type 0, sibling/child NoStream
+    (0 until dirSecs * 4).foreach { e =>
+      dirBuf.putInt(e * 128 + 0x44, NoStream)
+      dirBuf.putInt(e * 128 + 0x48, NoStream)
+      dirBuf.putInt(e * 128 + 0x4C, NoStream)
+    }
+    putName(dirBuf, 0, "Root Entry")
+    dirBuf.put(0x42, 5.toByte)                       // root storage
+    dirBuf.put(0x43, 1.toByte)                       // black
+    dirBuf.putInt(0x4C, rootChild)
+    dirBuf.putInt(0x74, miniStreamStart)
+    dirBuf.putLong(0x78, miniStreamBytes.length.toLong)
+    ordered.zipWithIndex.foreach { case ((name, data), idx) =>
+      val e = (idx + 1) * 128
+      putName(dirBuf, e, name)
+      dirBuf.put(e + 0x42, 2.toByte)                 // stream
+      dirBuf.put(e + 0x43, 1.toByte)
+      dirBuf.putInt(e + 0x44, sibL(idx + 1))
+      dirBuf.putInt(e + 0x48, sibR(idx + 1))
+      dirBuf.putInt(e + 0x4C, NoStream)
+      dirBuf.putInt(e + 0x74,
+        if (data.length < cutoff) miniStart.getOrElse(name, EndOfChain)
+        else bigStart(name))
+      dirBuf.putLong(e + 0x78, data.length.toLong)
+    }
+    out.position(sectorSize * (dirStart + 1)); out.put(dirBuf.array())
+
+    if (miniFatSecs > 0) {
+      val mfBuf = ByteBuffer.allocate(miniFatSecs * sectorSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      miniFat.foreach(mfBuf.putInt)
+      while (mfBuf.position() < mfBuf.capacity()) mfBuf.putInt(FreeSect)
+      out.position(sectorSize * (miniFatStart + 1)); out.put(mfBuf.array())
+    }
+    if (miniStreamSecs > 0) {
+      out.position(sectorSize * (miniStreamStart + 1)); out.put(miniStreamBytes)
+    }
+    bigs.foreach { case (name, data) =>
+      out.position(sectorSize * (bigStart(name) + 1)); out.put(data)
+    }
+    val fatBuf = ByteBuffer.allocate(fatSecs * sectorSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    fat.foreach(fatBuf.putInt)
+    out.position(sectorSize * (fatStart + 1)); out.put(fatBuf.array())
+    out.array()
+  }
+}

@@ -20,20 +20,39 @@ import java.util.zip.ZipInputStream
 object Office {
 
   def extractText(bytes: Array[Byte]): Option[String] =
-    try {
+    if (Ole.isCfb(bytes)) Ole.extractText(bytes)
+    else try {
       val members = zipMembers(bytes,
         name => name == "word/document.xml" || name == "xl/sharedStrings.xml" ||
+          name == "content.xml" ||
           (name.startsWith("ppt/slides/slide") && name.endsWith(".xml")))
       if (members.isEmpty) None
       else {
         val texts = members.toSeq.sortBy(_._1).map { case (name, xml) =>
           if (name == "word/document.xml") paragraphText(xml, "w:p", "w:t")
           else if (name == "xl/sharedStrings.xml") tagText(xml, "t").mkString("\n")
+          else if (name == "content.xml") odfText(xml)
           else paragraphText(xml, "a:p", "a:t")
         }
         Some(clean(texts.filter(_.nonEmpty).mkString("\n")))
       }
     } catch { case _: Throwable => None }
+
+  /** ODF (.odt/.ods/.odp) content.xml: text:p / text:h paragraphs in
+    * document order; paragraphs hold mixed content (direct text + spans),
+    * so inner tags are stripped after mapping text:tab / text:line-break /
+    * text:s to their whitespace. */
+  private def odfText(xml: String): String = {
+    val para = "(?s)<text:(p|h)(?:\\s[^>]*)?>(.*?)</text:\\1>".r
+    para.findAllMatchIn(xml).map { m =>
+      val body = m.group(2)
+        .replaceAll("<text:tab\\s*/>", "\t")
+        .replaceAll("<text:line-break\\s*/>", "\n")
+        .replaceAll("<text:s\\s*/>", " ")
+        .replaceAll("<[^>]*>", "")
+      unescape(body)
+    }.filter(_.nonEmpty).mkString("\n")
+  }
 
   /** parserbase.py:178-184 content cleanup. */
   def clean(content0: String): String = {
@@ -69,6 +88,35 @@ object Office {
   private def tagText(xml: String, tag: String): Vector[String] = {
     val re = (s"<$tag(?:\\s[^>]*)?>(.*?)</$tag>").r
     re.findAllMatchIn(xml).map(m => unescape(m.group(1))).toVector
+  }
+
+  // ---- deterministic fixture builders (the Pdf.buildPdf pattern) ----
+
+  def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Minimal OOXML .docx: one run per paragraph. */
+  def buildDocx(paras: Seq[String]): Array[Byte] = {
+    val body = paras.map(p =>
+      s"<w:p><w:r><w:t>${xmlEscape(p)}</w:t></w:r></w:p>").mkString
+    Containers.buildZip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" ->
+        (s"""<?xml version="1.0"?><w:document><w:body>$body</w:body>""" +
+          "</w:document>").getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** Minimal ODF .odt: one text:p per paragraph in content.xml. */
+  def buildOdt(paras: Seq[String]): Array[Byte] = {
+    val body = paras.map(p => s"<text:p>${xmlEscape(p)}</text:p>").mkString
+    Containers.buildZip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text"
+        .getBytes(StandardCharsets.UTF_8),
+      "content.xml" ->
+        (s"""<?xml version="1.0"?><office:document-content><office:body>""" +
+          s"<office:text>$body</office:text></office:body>" +
+          "</office:document-content>").getBytes(StandardCharsets.UTF_8)))
   }
 
   private def unescape(s: String): String = {

@@ -1,0 +1,225 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+import scala.collection.mutable.ArrayBuffer
+
+/** OLE2 / Compound File Binary (CFB) legacy Office text extraction WITHOUT
+  * Tika — the other half of the reference's P2 office surface
+  * (parsers/officeparser.py:6 routes doc/xls/ppt through `ocr_file`, i.e. a
+  * Tika server this sandbox cannot run; parserbase.py:145-186). The text
+  * layer of the three legacy formats is reachable with pure JDK:
+  *
+  *  - CFB ([MS-CFB]): 512-byte header, DIFAT->FAT sector chains, 128-byte
+  *    directory entries, mini-FAT for streams < 4096 bytes.
+  *  - Word .doc ([MS-DOC]): FIB at WordDocument offset 0 -> Clx in the
+  *    0Table/1Table stream -> PlcPcd piece table -> text pieces, each either
+  *    windows-1252 ("compressed", fc bit 30) or UTF-16LE.
+  *  - Excel .xls ([MS-XLS] BIFF8): linear record walk of the Workbook
+  *    stream; SST (0x00FC) shared strings + LABELSST (0x00FD) cell
+  *    references + inline LABEL (0x0204). Strings-only by design — the
+  *    reference's Tika path renders numeric cells too; numbers here would
+  *    be formatting guesses, so they are deliberately omitted (documented
+  *    deviation, same spirit as the media_ref pass-through).
+  *  - PowerPoint .ppt ([MS-PPT]): recursive record walk of the "PowerPoint
+  *    Document" stream; TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom
+  *    (0x0FA8, single-byte cp1252).
+  *
+  * Output gets the same parserbase.py:178-184 cleanup via [[Office.clean]].
+  * A CFB *writer* lives here too ([[Cfb.write]]) so specs and the battery
+  * query can synthesize deterministic fixtures — there is no real .doc in
+  * the sandbox and no Python ole library to generate one.
+  */
+object Ole {
+
+  private val Cp1252: Charset = Charset.forName("windows-1252")
+
+  val CfbMagic: Array[Byte] =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
+  def isCfb(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && CfbMagic.indices.forall(i => bytes(i) == CfbMagic(i))
+
+  /** Dispatch on the stream names present, like Tika's container detector.
+    * Returns None when the CFB holds none of the three known shapes. */
+  def extractText(bytes: Array[Byte]): Option[String] =
+    try {
+      if (!isCfb(bytes)) None
+      else {
+        val streams = Cfb.read(bytes)
+        val raw =
+          if (streams.contains("WordDocument")) Some(wordText(streams))
+          else if (streams.contains("Workbook")) Some(xlsText(streams("Workbook")))
+          else if (streams.contains("Book")) Some(xlsText(streams("Book")))
+          else if (streams.contains("PowerPoint Document"))
+            Some(pptText(streams("PowerPoint Document")))
+          else None
+        raw.map(Office.clean)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---------------------------------------------------------------- Word
+
+  /** [MS-DOC] text via the piece table. FIB base flags bit 0x0200
+    * (fWhichTblStm) picks 1Table vs 0Table; fcClx/lcbClx live at FIB
+    * offsets 0x01A2/0x01A6 (FibRgFcLcb97 pair 33). When lcbClx == 0 (very
+    * old non-complex files) fall back to the fcMin..fcMac cp1252 run. */
+  def wordText(streams: Map[String, Array[Byte]]): String = {
+    val word = streams("WordDocument")
+    val wd = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = wd.getShort(0x0A) & 0xFFFF
+    val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+    val table = streams.getOrElse(tableName,
+      streams.getOrElse(if (tableName == "1Table") "0Table" else "1Table",
+        Array.emptyByteArray))
+    val fcClx = wd.getInt(0x01A2)
+    val lcbClx = wd.getInt(0x01A6)
+    val sb = new StringBuilder
+    if (lcbClx > 0 && fcClx >= 0 && fcClx + lcbClx <= table.length) {
+      // Clx = Prc* (0x01 cbGrpprl:short grpprl) then Pcdt (0x02 lcb:int PlcPcd)
+      var p = fcClx
+      val end = fcClx + lcbClx
+      val tb = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
+      while (p < end && (table(p) & 0xFF) == 0x01) {
+        val cb = tb.getShort(p + 1) & 0xFFFF
+        p += 3 + cb
+      }
+      if (p < end && (table(p) & 0xFF) == 0x02) {
+        val lcbPlc = tb.getInt(p + 1)
+        val plcStart = p + 5
+        // PlcPcd with n pieces: (n+1) CPs (4 bytes) + n PCDs (8 bytes)
+        val n = (lcbPlc - 4) / 12
+        val cps = Array.tabulate(n + 1)(i => tb.getInt(plcStart + 4 * i))
+        var i = 0
+        while (i < n) {
+          val pcdOff = plcStart + 4 * (n + 1) + 8 * i
+          val fcRaw = tb.getInt(pcdOff + 2)
+          val cpLen = cps(i + 1) - cps(i)
+          val compressed = (fcRaw & 0x40000000) != 0
+          val fc = fcRaw & 0x3FFFFFFF
+          if (compressed) {
+            val off = fc / 2
+            sb.append(new String(word, off, cpLen, Cp1252))
+          } else {
+            sb.append(new String(word, fc, 2 * cpLen, StandardCharsets.UTF_16LE))
+          }
+          i += 1
+        }
+      }
+    } else {
+      val fcMin = wd.getInt(0x18)
+      val fcMac = wd.getInt(0x1C)
+      if (fcMac > fcMin && fcMac <= word.length)
+        sb.append(new String(word, fcMin, fcMac - fcMin, Cp1252))
+    }
+    normalizeWordChars(sb.toString)
+  }
+
+  /** Word control characters -> text: \r (paragraph mark) and 0x0B (soft
+    * line break) become newlines, 0x07 (cell mark) a tab; \n and \t pass
+    * through; field delimiters (0x13/0x14/0x15) and remaining C0 controls
+    * are dropped. */
+  private def normalizeWordChars(s: String): String = {
+    val out = new StringBuilder(s.length)
+    s.foreach {
+      case '\r' | '\u000B' => out.append('\n')
+      case '\u0007'          => out.append('\t')
+      case '\n'               => out.append('\n')
+      case '\t'               => out.append('\t')
+      case c if c < 0x20      => ()
+      case c                  => out.append(c)
+    }
+    out.toString
+  }
+
+  // --------------------------------------------------------------- Excel
+
+  /** BIFF8 record walk: SST strings resolved through LABELSST in stream
+    * order, inline LABEL strings as-is. One line per cell string. */
+  def xlsText(workbook: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(workbook).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    var sst = Vector.empty[String]
+    val cells = ArrayBuffer.empty[String]
+    while (p + 4 <= workbook.length) {
+      val recType = bb.getShort(p) & 0xFFFF
+      val recLen = bb.getShort(p + 2) & 0xFFFF
+      val body = p + 4
+      recType match {
+        case 0x00FC => // SST: cstTotal(4) cstUnique(4) then rgb strings
+          val cstUnique = bb.getInt(body + 4)
+          var q = body + 8
+          var k = 0
+          val acc = Vector.newBuilder[String]
+          while (k < cstUnique && q < body + recLen) {
+            val (s, q2) = readXlString(workbook, bb, q, rich = true)
+            acc += s; q = q2; k += 1
+          }
+          sst = acc.result()
+        case 0x00FD => // LABELSST: rw col ixfe isst
+          val isst = bb.getInt(body + 6)
+          if (isst >= 0 && isst < sst.length) cells += sst(isst)
+        case 0x0204 => // LABEL: rw col ixfe + XLUnicodeString
+          val (s, _) = readXlString(workbook, bb, body + 6, rich = false)
+          cells += s
+        case _ => ()
+      }
+      p = body + recLen
+    }
+    cells.mkString("\n")
+  }
+
+  /** XLUnicodeRichExtendedString (rich=true) / XLUnicodeString (rich=false):
+    * cch(2) flags(1) [cRun(2) if fRichSt] [cbExtRst(4) if fExtSt] chars
+    * [runs] [ExtRst]. Returns (string, next offset). */
+  private def readXlString(buf: Array[Byte], bb: ByteBuffer, at: Int,
+      rich: Boolean): (String, Int) = {
+    val cch = bb.getShort(at) & 0xFFFF
+    val flags = buf(at + 2) & 0xFF
+    val fHigh = (flags & 0x01) != 0
+    val fExt = rich && (flags & 0x04) != 0
+    val fRich = rich && (flags & 0x08) != 0
+    var q = at + 3
+    val cRun = if (fRich) { val r = bb.getShort(q) & 0xFFFF; q += 2; r } else 0
+    val cbExt = if (fExt) { val r = bb.getInt(q); q += 4; r } else 0
+    val s =
+      if (fHigh) new String(buf, q, 2 * cch, StandardCharsets.UTF_16LE)
+      else new String(buf, q, cch, Cp1252)
+    q += (if (fHigh) 2 * cch else cch)
+    q += 4 * cRun + cbExt
+    (s, q)
+  }
+
+  // ---------------------------------------------------------- PowerPoint
+
+  /** Recursive [MS-PPT] record walk; containers have recVer == 0xF. */
+  def pptText(stream: Array[Byte]): String = {
+    val out = ArrayBuffer.empty[String]
+    walkPpt(stream, 0, stream.length, out)
+    out.mkString("\n")
+  }
+
+  private def walkPpt(buf: Array[Byte], from: Int, to: Int,
+      out: ArrayBuffer[String]): Unit = {
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    var p = from
+    while (p + 8 <= to) {
+      val verInst = bb.getShort(p) & 0xFFFF
+      val recType = bb.getShort(p + 2) & 0xFFFF
+      val recLen = bb.getInt(p + 4)
+      val body = p + 8
+      if (recLen < 0 || body + recLen > to) return
+      if ((verInst & 0x000F) == 0x000F) walkPpt(buf, body, body + recLen, out)
+      else recType match {
+        case 0x0FA0 => // TextCharsAtom, UTF-16LE
+          out += new String(buf, body, recLen, StandardCharsets.UTF_16LE)
+            .replace("\r", "\n").replace("\u000B", "\n")
+        case 0x0FA8 => // TextBytesAtom, single-byte
+          out += new String(buf, body, recLen, Cp1252)
+            .replace("\r", "\n").replace("\u000B", "\n")
+        case _ => ()
+      }
+      p = body + recLen
+    }
+  }
+}

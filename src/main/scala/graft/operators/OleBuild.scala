@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Deterministic legacy-Office fixture builders (the [[Pdf.buildPdf]]
+  * pattern): specs and the battery query synthesize real CFB documents from
+  * table columns, [[Ole]] extracts them back, and the DuckDB oracle
+  * re-derives the expected text in SQL. Builders are spec-shaped, not
+  * Word/Excel-dump-shaped — minimal but structurally honest ([MS-DOC]
+  * FIB + Clx piece table with both piece encodings, [MS-XLS] BIFF8
+  * SST/LABELSST/LABEL with auto fHighByte, [MS-PPT] container + text
+  * atoms). */
+object OleBuild {
+
+  private val Cp1252: Charset = Charset.forName("windows-1252")
+
+  /** Word 97 .doc: FIB + piece table. Each piece is (text, compressed);
+    * compressed pieces are windows-1252 (callers pass ASCII there),
+    * uncompressed UTF-16LE. Piece text should carry its own trailing \r
+    * paragraph mark if wanted. `prcPad` prepends a dummy Prc to the Clx to
+    * exercise the skip loop. */
+  def buildDoc(pieces: Seq[(String, Boolean)], whichTbl: Int = 1,
+      prcPad: Boolean = false): Array[Byte] = {
+    val fibLen = 1536
+    val textBytes = new java.io.ByteArrayOutputStream()
+    val pieceMeta = pieces.map { case (text, compressed) =>
+      val off = fibLen + textBytes.size()
+      val enc =
+        if (compressed) text.getBytes(Cp1252)
+        else text.getBytes(StandardCharsets.UTF_16LE)
+      textBytes.write(enc)
+      val cp = if (compressed) enc.length else enc.length / 2
+      val fcRaw = if (compressed) (off * 2) | 0x40000000 else off
+      (cp, fcRaw)
+    }
+    val word = ByteBuffer.allocate(fibLen + textBytes.size())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    word.putShort(0x00, 0xA5EC.toShort)              // wIdent
+    word.putShort(0x02, 0x00C1.toShort)              // nFib (Word 97)
+    word.putShort(0x0A,
+      (if (whichTbl == 1) 0x0200 else 0x0000).toShort) // fWhichTblStm
+    word.putInt(0x18, fibLen)                        // fcMin
+    word.putInt(0x1C, fibLen + textBytes.size())     // fcMac
+    word.putInt(0x4C, pieceMeta.map(_._1).sum)       // ccpText
+    // Clx in the table stream at offset 0
+    val n = pieces.length
+    val plcLen = 4 * (n + 1) + 8 * n
+    val prc: Array[Byte] =
+      if (prcPad) Array[Byte](0x01, 0x02, 0x00, 0x2A, 0x2A) // cb=2, grpprl
+      else Array.emptyByteArray
+    val clx = ByteBuffer.allocate(prc.length + 5 + plcLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    clx.put(prc)
+    clx.put(0x02.toByte)
+    clx.putInt(plcLen)
+    var cp = 0
+    pieceMeta.foreach { case (c, _) => clx.putInt(cp); cp += c }
+    clx.putInt(cp)
+    pieceMeta.foreach { case (_, fcRaw) =>
+      clx.putShort(0.toShort); clx.putInt(fcRaw); clx.putShort(0.toShort)
+    }
+    word.putInt(0x01A2, 0)                           // fcClx
+    word.putInt(0x01A6, clx.capacity())              // lcbClx
+    word.position(fibLen); word.put(textBytes.toByteArray)
+    val tableName = if (whichTbl == 1) "1Table" else "0Table"
+    Cfb.write(Seq("WordDocument" -> word.array(), tableName -> clx.array()))
+  }
+
+  /** BIFF8 .xls: globals substream with SST, one sheet substream with a
+    * LABELSST per SST string (in order) then inline LABELs. Strings with
+    * any char > 0xFF are written UTF-16LE (fHighByte), else cp1252. */
+  def buildXls(sstStrings: Seq[String], inline: Seq[String] = Nil,
+      richFirst: Boolean = false): Array[Byte] = {
+    val recs = new java.io.ByteArrayOutputStream()
+    def rec(recType: Int, body: Array[Byte]): Unit = {
+      val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(recType.toShort); h.putShort(body.length.toShort)
+      recs.write(h.array()); recs.write(body)
+    }
+    def bof(dt: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x0600.toShort); b.putShort(dt.toShort)
+      b.putShort(0x0DBB.toShort); b.putShort(0x07CC.toShort)
+      b.putInt(0); b.putInt(0x0006)
+      b.array()
+    }
+    def xlStr(s: String, rich: Boolean): Array[Byte] = {
+      val high = s.exists(_ > 0xFF)
+      val chars =
+        if (high) s.getBytes(StandardCharsets.UTF_16LE) else s.getBytes(Cp1252)
+      val cRun = if (rich) 1 else 0
+      val b = ByteBuffer.allocate(3 + (if (rich) 2 else 0) + chars.length +
+        4 * cRun).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(s.length.toShort)
+      b.put(((if (high) 0x01 else 0x00) | (if (rich) 0x08 else 0x00)).toByte)
+      if (rich) b.putShort(cRun.toShort)
+      b.put(chars)
+      if (rich) b.putInt(0)                          // one empty FormatRun
+      b.array()
+    }
+    rec(0x0809, bof(0x0005))                         // workbook globals BOF
+    val sstBody = new java.io.ByteArrayOutputStream()
+    val cnt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    cnt.putInt(sstStrings.length); cnt.putInt(sstStrings.length)
+    sstBody.write(cnt.array())
+    sstStrings.zipWithIndex.foreach { case (s, i) =>
+      sstBody.write(xlStr(s, rich = richFirst && i == 0))
+    }
+    rec(0x00FC, sstBody.toByteArray)
+    rec(0x000A, Array.emptyByteArray)                // globals EOF
+    rec(0x0809, bof(0x0010))                         // sheet BOF
+    sstStrings.indices.foreach { i =>
+      val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(i.toShort); b.putShort(0.toShort); b.putShort(15.toShort)
+      b.putInt(i)
+      rec(0x00FD, b.array())                         // LABELSST
+    }
+    inline.zipWithIndex.foreach { case (s, i) =>
+      val str = xlStr(s, rich = false)
+      val b = ByteBuffer.allocate(6 + str.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort((sstStrings.length + i).toShort); b.putShort(1.toShort)
+      b.putShort(15.toShort); b.put(str)
+      rec(0x0204, b.array())                         // LABEL
+    }
+    rec(0x000A, Array.emptyByteArray)                // sheet EOF
+    Cfb.write(Seq("Workbook" -> recs.toByteArray,
+      "Current User" -> Array[Byte](0x2A)))
+  }
+
+  /** .ppt: a SlideListWithText container of text atoms — TextBytesAtom for
+    * pure single-byte text, TextCharsAtom otherwise. */
+  def buildPpt(texts: Seq[String]): Array[Byte] = {
+    val atoms = new java.io.ByteArrayOutputStream()
+    texts.foreach { t =>
+      val high = t.exists(_ > 0xFF)
+      val body =
+        if (high) t.getBytes(StandardCharsets.UTF_16LE) else t.getBytes(Cp1252)
+      val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(0x0000.toShort)
+      h.putShort((if (high) 0x0FA0 else 0x0FA8).toShort)
+      h.putInt(body.length)
+      atoms.write(h.array()); atoms.write(body)
+    }
+    val inner = atoms.toByteArray
+    val container = ByteBuffer.allocate(8 + inner.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    container.putShort(0x000F.toShort)               // recVer = container
+    container.putShort(0x0FF0.toShort)               // SlideListWithText
+    container.putInt(inner.length)
+    container.put(inner)
+    Cfb.write(Seq("PowerPoint Document" -> container.array(),
+      "Current User" -> Array[Byte](0x2A)))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OLE2/CFB + legacy Office text extraction. The CFB reader is exercised
+  * three ways: against the fixture writer, against hand-crafted byte-level
+  * structures the writer never produces (multi-sector FAT, v4 sectors,
+  * out-of-order chains), and via structural assertions on the writer's own
+  * output (header fields, FAT self-marking) so reader and writer cannot
+  * simply share a bug. */
+class OleSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- CFB core
+
+  test("cfb round-trip: mini and regular streams, many names") {
+    val streams = Seq(
+      "WordDocument" -> Array.tabulate(5000)(i => (i % 251).toByte), // big
+      "1Table" -> "small table stream".getBytes(StandardCharsets.UTF_8),
+      "SummaryInformation" -> Array.tabulate(200)(_.toByte),
+      "Data" -> Array.emptyByteArray,
+      "Current User" -> Array[Byte](1, 2, 3))
+    val cfb = Cfb.write(streams)
+    val back = Cfb.read(cfb)
+    assert(back.keySet == streams.map(_._1).toSet)
+    streams.foreach { case (n, d) =>
+      assert(back(n).toSeq == d.toSeq, s"stream $n")
+    }
+  }
+
+  test("cfb writer output is structurally valid (header + FAT self-marks)") {
+    val cfb = Cfb.write(Seq("A" -> Array.fill(6000)(7.toByte),
+      "B" -> "mini".getBytes(StandardCharsets.UTF_8)))
+    val bb = ByteBuffer.wrap(cfb).order(ByteOrder.LITTLE_ENDIAN)
+    assert(Ole.isCfb(cfb))
+    assert((bb.getShort(0x1C) & 0xFFFF) == 0xFFFE, "byte order mark")
+    assert((bb.getShort(0x1E) & 0xFFFF) == 9, "sector shift v3")
+    assert(bb.getInt(0x38) == 4096, "mini cutoff")
+    assert(cfb.length % 512 == 0, "sector-aligned file")
+    val nFat = bb.getInt(0x2C)
+    val fatSec0 = bb.getInt(0x4C)
+    // FAT sectors mark themselves FATSECT (0xFFFFFFFD)
+    val fatBase = 512 * (fatSec0 + 1)
+    assert(bb.getInt(fatBase + 4 * fatSec0) == 0xFFFFFFFD)
+    assert(nFat >= 1)
+  }
+
+  test("cfb reader: hand-crafted out-of-order chain and v4 sector size") {
+    // v3 file whose stream chain is deliberately NON-sequential:
+    // data sectors [1,3] hold "AAAA..." + "BBBB...", sector 2 is the dir.
+    // FAT in sector 0: fat(0)=FATSECT, fat(1)=3, fat(2)=END, fat(3)=END.
+    val buf = ByteBuffer.allocate(512 * 5).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Ole.CfbMagic)
+    buf.position(0x18); buf.putShort(0x3E.toShort); buf.putShort(3.toShort)
+    buf.putShort(0xFFFE.toShort); buf.putShort(9.toShort); buf.putShort(6.toShort)
+    buf.position(0x2C); buf.putInt(1)       // one FAT sector
+    buf.putInt(2)                           // first dir sector = 2
+    // cutoff 256 (reader honors the header) so the 700-byte stream is a
+    // REGULAR chain — that's the path this fixture exists to exercise
+    buf.putInt(0); buf.putInt(256)
+    buf.putInt(0xFFFFFFFE); buf.putInt(0)   // no mini FAT
+    buf.putInt(0xFFFFFFFE); buf.putInt(0)   // no DIFAT chain
+    buf.putInt(0)                           // DIFAT[0] = FAT at sector 0
+    (1 until 109).foreach(_ => buf.putInt(0xFFFFFFFF))
+    // FAT sector (id 0)
+    buf.position(512 * 1)
+    buf.putInt(0xFFFFFFFD); buf.putInt(3); buf.putInt(0xFFFFFFFE)
+    buf.putInt(0xFFFFFFFE)
+    (4 until 128).foreach(_ => buf.putInt(0xFFFFFFFF))
+    // data sectors 1 and 3
+    buf.position(512 * 2); buf.put(Array.fill(512)('A'.toByte))
+    buf.position(512 * 4); buf.put(Array.fill(512)('B'.toByte))
+    // directory at sector 2: root + one big stream "S" (start 1, size 700)
+    val dir = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    def name(at: Int, n: String): Unit = {
+      val e = n.getBytes(StandardCharsets.UTF_16LE)
+      dir.position(at); dir.put(e)
+      dir.putShort(at + 0x40, (e.length + 2).toShort)
+    }
+    name(0, "Root Entry"); dir.put(0x42, 5.toByte)
+    dir.putInt(0x44, 0xFFFFFFFF); dir.putInt(0x48, 0xFFFFFFFF)
+    dir.putInt(0x4C, 1)                     // child = entry 1
+    dir.putInt(0x74, 0xFFFFFFFE); dir.putLong(0x78, 0L)
+    name(128, "S"); dir.put(128 + 0x42, 2.toByte)
+    dir.putInt(128 + 0x44, 0xFFFFFFFF); dir.putInt(128 + 0x48, 0xFFFFFFFF)
+    dir.putInt(128 + 0x4C, 0xFFFFFFFF)
+    dir.putInt(128 + 0x74, 1)               // start sector 1 -> chains to 3
+    dir.putLong(128 + 0x78, 700L)           // spans both sectors, truncated
+    buf.position(512 * 3); buf.put(dir.array())
+    val got = Cfb.read(buf.array())
+    assert(got.keySet == Set("S"))
+    assert(got("S").length == 700)
+    assert(got("S").take(512).forall(_ == 'A'.toByte))
+    assert(got("S").drop(512).forall(_ == 'B'.toByte))
+  }
+
+  test("cfb multi-sector FAT (file > 128 sectors)") {
+    // One big stream of 150 sectors forces 2 FAT sectors -> exercises
+    // multi-entry header DIFAT and FAT spanning.
+    val big = Array.tabulate(150 * 512)(i => (i * 31 % 256).toByte)
+    val cfb = Cfb.write(Seq("Huge" -> big))
+    val bb = ByteBuffer.wrap(cfb).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(0x2C) >= 2, "needs >=2 FAT sectors")
+    assert(Cfb.read(cfb)("Huge").toSeq == big.toSeq)
+  }
+
+  // ------------------------------------------------------------ Word .doc
+
+  test("doc: mixed cp1252/utf16 pieces via the piece table, 1Table") {
+    val doc = OleBuild.buildDoc(Seq(
+      ("Alpha paragraph\r", true),
+      ("Unicode — café 中文\r", false),
+      ("tail", true)), whichTbl = 1, prcPad = true)
+    val got = Ole.extractText(doc).get
+    assert(got == "Alpha paragraph\nUnicode — café 中文\ntail")
+  }
+
+  test("doc: 0Table routing and fcMin/fcMac fallback when lcbClx == 0") {
+    val doc0 = OleBuild.buildDoc(Seq(("zero table\r", true)), whichTbl = 0)
+    assert(Ole.extractText(doc0).get == "zero table")
+    // fallback: zero out lcbClx so the reader must use fcMin..fcMac
+    val streams = Cfb.read(doc0)
+    val wd = streams("WordDocument").clone()
+    ByteBuffer.wrap(wd).order(ByteOrder.LITTLE_ENDIAN).putInt(0x01A6, 0)
+    assert(Ole.wordText(streams.updated("WordDocument", wd)) == "zero table\n")
+  }
+
+  test("doc: word control chars normalize (cell mark, soft break, fields)") {
+    val doc = OleBuild.buildDoc(Seq(
+      ("a\u0007b\u000Bc\u0013HYPERLINK\u0014x\u0015d\r", true)), whichTbl = 1)
+    // 0x07 cell mark -> tab -> two spaces (clean), 0x0B soft break -> newline,
+    // 0x13/0x14/0x15 field delimiters dropped
+    assert(Ole.extractText(doc).get == "a  b\ncHYPERLINKxd")
+  }
+
+  // ----------------------------------------------------------- Excel .xls
+
+  test("xls: SST + LABELSST order, inline LABEL, high-byte + rich strings") {
+    val xls = OleBuild.buildXls(
+      sstStrings = Seq("first cell", "café ♞ unicode", "third"),
+      inline = Seq("inline label"),
+      richFirst = true)
+    val got = Ole.extractText(xls).get
+    assert(got == "first cell\ncafé ♞ unicode\nthird\ninline label")
+  }
+
+  test("xls: empty workbook yields empty text, not a crash") {
+    val xls = OleBuild.buildXls(Nil, Nil)
+    assert(Ole.extractText(xls).contains(""))
+  }
+
+  // ------------------------------------------------------ PowerPoint .ppt
+
+  test("ppt: chars + bytes atoms inside nested containers, \\r to newline") {
+    val ppt = OleBuild.buildPpt(Seq("Slide one\rline two", "ascii body",
+      "中文 slide"))
+    val got = Ole.extractText(ppt).get
+    assert(got == "Slide one\nline two\nascii body\n中文 slide")
+  }
+
+  // ------------------------------------------------- Office-level routing
+
+  test("office routing: CFB bytes reach Ole, OOXML still works, odt new") {
+    val doc = OleBuild.buildDoc(Seq(("routed through office\r", true)))
+    assert(Office.extractText(doc).get == "routed through office")
+    val docx = Office.buildDocx(Seq("para one", "para two"))
+    assert(Office.extractText(docx).get == "para one\npara two")
+    val odt = Office.buildOdt(Seq("odt para", "second <p> & more"))
+    assert(Office.extractText(odt).get == "odt para\nsecond <p> & more")
+  }
+
+  test("odt: tabs/line-breaks/spans inside paragraphs") {
+    val content =
+      """<?xml version="1.0"?><office:document-content><office:body>
+        |<office:text><text:p>a<text:tab/>b<text:span text:style-name="T1">
+        |</text:span>c<text:line-break/>d</text:p>
+        |<text:h text:outline-level="1">Head</text:h></office:text>
+        |</office:body></office:document-content>""".stripMargin
+        .replace("\n", "")
+    val odt = Containers.buildZip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text"
+        .getBytes(StandardCharsets.UTF_8),
+      "content.xml" -> content.getBytes(StandardCharsets.UTF_8)))
+    // clean() turns the tab into two spaces (parserbase.py:180)
+    assert(Office.extractText(odt).get == "a  bc\nd\nHead")
+  }
+
+  test("non-office CFB (unknown streams) returns None; junk returns None") {
+    val cfb = Cfb.write(Seq("Mystery" -> Array[Byte](1, 2, 3)))
+    assert(Ole.extractText(cfb).isEmpty)
+    assert(Ole.extractText(Array[Byte](1, 2, 3)).isEmpty)
+  }
+}
