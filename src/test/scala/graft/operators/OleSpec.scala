@@ -186,6 +186,29 @@ class OleSpec extends AnyFunSuite {
     assert(Office.extractText(odt).get == "a  bc\nd\nHead")
   }
 
+  test("fuzz: mutated/truncated CFB never throws (task-safety at scale)") {
+    // A corrupt archive on a 1000-executor crawl must degrade to None/"",
+    // never kill the task. Deterministic seed; 600 mutants + 60 truncations
+    // across all three formats.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val bases = Seq(
+      OleBuild.buildDoc(Seq(("fuzz base doc\r", true), ("utf16 piece\r", false))),
+      OleBuild.buildXls(Seq("fuzz", "cells"), Seq("inline")),
+      OleBuild.buildPpt(Seq("fuzz slide")))
+    bases.foreach { base =>
+      (1 to 200).foreach { _ =>
+        val m = base.clone()
+        (1 to 1 + rnd.nextInt(8)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        Office.extractText(m) // must not throw
+      }
+      (1 to 20).foreach { _ =>
+        Office.extractText(base.take(rnd.nextInt(base.length))) // must not throw
+      }
+    }
+  }
+
   test("non-office CFB (unknown streams) returns None; junk returns None") {
     val cfb = Cfb.write(Seq("Mystery" -> Array[Byte](1, 2, 3)))
     assert(Ole.extractText(cfb).isEmpty)
