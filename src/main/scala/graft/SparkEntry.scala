@@ -245,6 +245,10 @@ object SparkEntry {
     // Office.extractText entry point, oracle re-derives the text in SQL.
     // Snippets are whitespace-normalized first so parserbase-style cleanup
     // (edge strip, tab expansion, blank-line collapse) stays a plain trim.
+    // ORACLE ASSUMPTION (holds for the ASCII SyntheticCorpus words pool;
+    // revisit if documents.text ever gains non-ASCII): JVM substring counts
+    // UTF-16 units vs DuckDB substr code points, and the .doc compressed
+    // piece + .xls/.ppt single-byte paths are lossy outside cp1252.
     "q_office_text" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))

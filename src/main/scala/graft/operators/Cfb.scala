@@ -122,24 +122,35 @@ object Cfb {
       out.toByteArray.take(size)
     }
 
+    // Only ROOT-LEVEL streams: walk the root storage's red-black sibling
+    // tree from the root entry's child pointer, not the flat entry array.
+    // Nested storages (embedded OLE objects, e.g. a Word object in an
+    // .xls ObjectPool) must not flatten in and shadow/hijack the host
+    // document's streams — so child pointers of non-root entries are NOT
+    // followed. Iterative with a visited set: corrupt sibling cycles or
+    // degenerate chains must neither loop nor blow the stack.
     val streams = Map.newBuilder[String, Array[Byte]]
     val seen = scala.collection.mutable.Set.empty[String]
-    var e = 0
-    while (e < nEntries) {
-      val objType = dir(e * 128 + 0x42) & 0xFF
-      if (objType == 2) {
-        val name = entryName(e)
-        val start = db.getInt(e * 128 + 0x74)
-        val size = (db.getLong(e * 128 + 0x78) & 0xFFFFFFFFL).toInt
-        if (!seen.contains(name)) {
-          seen += name
-          val data =
-            if (size < miniCutoff) readMiniChain(start, size)
-            else readChain(start).take(size)
-          streams += name -> data
+    val visited = scala.collection.mutable.Set.empty[Int]
+    val stack = scala.collection.mutable.ArrayDeque[Int](db.getInt(0x4C))
+    while (stack.nonEmpty) {
+      val e = stack.removeLast()
+      if (e >= 0 && e < nEntries && visited.add(e)) {
+        val objType = dir(e * 128 + 0x42) & 0xFF
+        stack.append(db.getInt(e * 128 + 0x44)) // left sibling
+        stack.append(db.getInt(e * 128 + 0x48)) // right sibling
+        if (objType == 2) {
+          val name = entryName(e)
+          val start = db.getInt(e * 128 + 0x74)
+          val size = (db.getLong(e * 128 + 0x78) & 0xFFFFFFFFL).toInt
+          if (seen.add(name)) {
+            val data =
+              if (size < miniCutoff) readMiniChain(start, size)
+              else readChain(start).take(size)
+            streams += name -> data
+          }
         }
       }
-      e += 1
     }
     streams.result()
   }

@@ -44,11 +44,18 @@ object Office {
     * text:s to their whitespace. */
   private def odfText(xml: String): String = {
     val para = "(?s)<text:(p|h)(?:\\s[^>]*)?>(.*?)</text:\\1>".r
+    // <text:s text:c="N"/> is an N-space run; all three whitespace
+    // elements may carry attributes.
+    val spaceRun = "<text:s(\\s[^>]*)?/>".r
+    val cAttr = "text:c=\"(\\d{1,4})\"".r // bounded: absurd counts -> 1 space
     para.findAllMatchIn(xml).map { m =>
-      val body = m.group(2)
-        .replaceAll("<text:tab\\s*/>", "\t")
-        .replaceAll("<text:line-break\\s*/>", "\n")
-        .replaceAll("<text:s\\s*/>", " ")
+      val withSpaces = spaceRun.replaceAllIn(m.group(2), sm =>
+        " " * math.min(1000, Option(sm.group(1))
+          .flatMap(a => cAttr.findFirstMatchIn(a).map(_.group(1).toInt))
+          .getOrElse(1)))
+      val body = withSpaces
+        .replaceAll("<text:tab(?:\\s[^>]*)?/>", "\t")
+        .replaceAll("<text:line-break(?:\\s[^>]*)?/>", "\n")
         .replaceAll("<[^>]*>", "")
       unescape(body)
     }.filter(_.nonEmpty).mkString("\n")

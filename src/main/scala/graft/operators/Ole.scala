@@ -33,6 +33,8 @@ import scala.collection.mutable.ArrayBuffer
 object Ole {
 
   private val Cp1252: Charset = Charset.forName("windows-1252")
+  private lazy val Cp1252Chars: Array[Char] =
+    Array.tabulate(256)(b => new String(Array(b.toByte), Cp1252).charAt(0))
 
   val CfbMagic: Array[Byte] =
     Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
@@ -40,8 +42,15 @@ object Ole {
   def isCfb(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && CfbMagic.indices.forall(i => bytes(i) == CfbMagic(i))
 
-  /** Dispatch on the stream names present, like Tika's container detector.
-    * Returns None when the CFB holds none of the three known shapes. */
+  /** Dispatch on the ROOT-LEVEL stream names (like Tika's container
+    * detector): embedded OLE objects (e.g. a Word object inside an .xls
+    * ObjectPool storage) live in nested storages and must not hijack the
+    * host document's format. "Book" (BIFF5/Excel 95) is refused rather
+    * than fed to the BIFF8 string reader, whose layout differs — silently
+    * garbled text is worse than the default parser's fallback. Returns
+    * None when the CFB holds none of the known shapes. StackOverflowError
+    * is caught deliberately: a crafted nested-container file must degrade,
+    * not kill the task (recursion is also depth-capped in walkPpt). */
   def extractText(bytes: Array[Byte]): Option[String] =
     try {
       if (!isCfb(bytes)) None
@@ -50,13 +59,15 @@ object Ole {
         val raw =
           if (streams.contains("WordDocument")) Some(wordText(streams))
           else if (streams.contains("Workbook")) Some(xlsText(streams("Workbook")))
-          else if (streams.contains("Book")) Some(xlsText(streams("Book")))
           else if (streams.contains("PowerPoint Document"))
             Some(pptText(streams("PowerPoint Document")))
           else None
         raw.map(Office.clean)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+      case _: StackOverflowError => None
+    }
 
   // ---------------------------------------------------------------- Word
 
@@ -135,27 +146,38 @@ object Ole {
   // --------------------------------------------------------------- Excel
 
   /** BIFF8 record walk: SST strings resolved through LABELSST in stream
-    * order, inline LABEL strings as-is. One line per cell string. */
+    * order, inline LABEL strings as-is. One line per cell string. The SST
+    * may span CONTINUE (0x003C) records — any workbook with more than
+    * ~8 KB of shared strings does — so its body is parsed through a
+    * segment-aware cursor ([MS-XLS] 2.5.293: character data that crosses
+    * into a CONTINUE re-reads a fresh grbit byte, and fHighByte may flip
+    * mid-string; headers/FormatRuns/ExtRst cross without one). */
   def xlsText(workbook: Array[Byte]): String = {
     val bb = ByteBuffer.wrap(workbook).order(ByteOrder.LITTLE_ENDIAN)
+    // record index: (type, bodyStart, bodyLen)
+    val recs = ArrayBuffer.empty[(Int, Int, Int)]
     var p = 0
-    var sst = Vector.empty[String]
-    val cells = ArrayBuffer.empty[String]
     while (p + 4 <= workbook.length) {
       val recType = bb.getShort(p) & 0xFFFF
       val recLen = bb.getShort(p + 2) & 0xFFFF
-      val body = p + 4
+      recs += ((recType, p + 4, recLen))
+      p += 4 + recLen
+    }
+    var sst = Vector.empty[String]
+    val cells = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < recs.length) {
+      val (recType, body, recLen) = recs(i)
       recType match {
-        case 0x00FC => // SST: cstTotal(4) cstUnique(4) then rgb strings
-          val cstUnique = bb.getInt(body + 4)
-          var q = body + 8
-          var k = 0
-          val acc = Vector.newBuilder[String]
-          while (k < cstUnique && q < body + recLen) {
-            val (s, q2) = readXlString(workbook, bb, q, rich = true)
-            acc += s; q = q2; k += 1
+        case 0x00FC => // SST (+ its CONTINUE tail)
+          val segs = IndexedSeq.newBuilder[(Int, Int)]
+          segs += ((body, recLen))
+          var j = i + 1
+          while (j < recs.length && recs(j)._1 == 0x003C) {
+            segs += ((recs(j)._2, recs(j)._3)); j += 1
           }
-          sst = acc.result()
+          sst = parseSst(workbook, segs.result())
+          i = j - 1
         case 0x00FD => // LABELSST: rw col ixfe isst
           val isst = bb.getInt(body + 6)
           if (isst >= 0 && isst < sst.length) cells += sst(isst)
@@ -164,9 +186,74 @@ object Ole {
           cells += s
         case _ => ()
       }
-      p = body + recLen
+      i += 1
     }
     cells.mkString("\n")
+  }
+
+  private def parseSst(buf: Array[Byte],
+      segs: IndexedSeq[(Int, Int)]): Vector[String] = {
+    val cur = new SegCursor(buf, segs)
+    cur.skip(4) // cstTotal
+    val cstUnique = cur.u32().toInt
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < cstUnique && !cur.atEnd) {
+      val cch = cur.u16()
+      val flags = cur.u8()
+      val fHigh = (flags & 0x01) != 0
+      val fExt = (flags & 0x04) != 0
+      val fRich = (flags & 0x08) != 0
+      val cRun = if (fRich) cur.u16() else 0
+      val cbExt = if (fExt) cur.u32().toInt else 0
+      out += cur.readChars(cch, fHigh)
+      cur.skip(4 * cRun + cbExt)
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Little-endian cursor over discontiguous byte segments (SST spread
+    * across its CONTINUE records). */
+  private final class SegCursor(buf: Array[Byte], segs: IndexedSeq[(Int, Int)]) {
+    private var si = 0
+    private var off = 0
+    private def norm(): Unit =
+      while (si < segs.length && off >= segs(si)._2) { si += 1; off = 0 }
+    def atEnd: Boolean = { norm(); si >= segs.length }
+    def u8(): Int = {
+      norm()
+      if (si >= segs.length) throw new java.util.NoSuchElementException("sst eof")
+      val b = buf(segs(si)._1 + off) & 0xFF; off += 1; b
+    }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = (u16().toLong) | (u16().toLong << 16)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        norm()
+        if (si >= segs.length) return
+        val take = math.min(left, segs(si)._2 - off)
+        off += take; left -= take
+      }
+    }
+    /** cch characters; at each crossing into a new segment a fresh grbit
+      * byte is read and the character width may change. */
+    def readChars(cch: Int, highInit: Boolean): String = {
+      val sb = new StringBuilder(cch)
+      var high = highInit
+      var lastSi = si // raw: if the header ended the segment, the first
+                      // char crossing still sees si advance and re-flags
+      var left = cch
+      while (left > 0 && !atEnd) {
+        norm()
+        if (si != lastSi) { high = (u8() & 0x01) != 0; lastSi = si }
+        if (high) sb.append(u16().toChar)
+        else sb.append(Cp1252Chars(u8()))
+        left -= 1
+      }
+      sb.toString
+    }
   }
 
   /** XLUnicodeRichExtendedString (rich=true) / XLUnicodeString (rich=false):
@@ -192,15 +279,18 @@ object Ole {
 
   // ---------------------------------------------------------- PowerPoint
 
-  /** Recursive [MS-PPT] record walk; containers have recVer == 0xF. */
+  /** Recursive [MS-PPT] record walk; containers have recVer == 0xF.
+    * Depth-capped at 64: real decks nest ~4 levels; a crafted stream of
+    * nested container headers must not blow the task's stack. */
   def pptText(stream: Array[Byte]): String = {
     val out = ArrayBuffer.empty[String]
-    walkPpt(stream, 0, stream.length, out)
+    walkPpt(stream, 0, stream.length, out, depth = 0)
     out.mkString("\n")
   }
 
   private def walkPpt(buf: Array[Byte], from: Int, to: Int,
-      out: ArrayBuffer[String]): Unit = {
+      out: ArrayBuffer[String], depth: Int): Unit = {
+    if (depth > 64) return
     val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
     var p = from
     while (p + 8 <= to) {
@@ -209,7 +299,8 @@ object Ole {
       val recLen = bb.getInt(p + 4)
       val body = p + 8
       if (recLen < 0 || body + recLen > to) return
-      if ((verInst & 0x000F) == 0x000F) walkPpt(buf, body, body + recLen, out)
+      if ((verInst & 0x000F) == 0x000F)
+        walkPpt(buf, body, body + recLen, out, depth + 1)
       else recType match {
         case 0x0FA0 => // TextCharsAtom, UTF-16LE
           out += new String(buf, body, recLen, StandardCharsets.UTF_16LE)

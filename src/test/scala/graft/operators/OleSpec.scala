@@ -145,6 +145,126 @@ class OleSpec extends AnyFunSuite {
     assert(got == "first cell\ncafé ♞ unicode\nthird\ninline label")
   }
 
+  test("xls: SST spanning CONTINUE records, incl. width flip at the break") {
+    // Hand-built record stream ([MS-XLS] 2.5.293): string 1 "HelloWorld"
+    // breaks after "Hello" (stays compressed: fresh grbit 0x00); string 2
+    // "AB" + U+4E2D U+6587 breaks after "AB" and FLIPS to UTF-16
+    // (grbit 0x01). LABELSST resolves both.
+    def rec(t: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(t.toShort); b.putShort(body.length.toShort); b.put(body)
+      b.array()
+    }
+    val cont2 = ByteBuffer.allocate(1 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    cont2.put(0x01.toByte)                                // grbit: now UTF-16
+    cont2.putShort(0x4E2D.toShort); cont2.putShort(0x6587.toShort)
+    // first CONTINUE: s1's tail "World", then s2's header + "AB"
+    val cont1 = ByteBuffer.allocate(1 + 5 + 3 + 2).order(ByteOrder.LITTLE_ENDIAN)
+    cont1.put(0x00.toByte)
+    cont1.put("World".getBytes(StandardCharsets.US_ASCII))
+    cont1.putShort(4.toShort); cont1.put(0x00.toByte)     // s2: cch=4, compressed
+    cont1.put("AB".getBytes(StandardCharsets.US_ASCII))
+    val sst1 = ByteBuffer.allocate(8 + 3 + 5).order(ByteOrder.LITTLE_ENDIAN)
+    sst1.putInt(2); sst1.putInt(2)
+    sst1.putShort(10.toShort); sst1.put(0x00.toByte)
+    sst1.put("Hello".getBytes(StandardCharsets.US_ASCII))
+    def labelSst(isst: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0.toShort); b.putShort(0.toShort); b.putShort(15.toShort)
+      b.putInt(isst); b.array()
+    }
+    val wb = rec(0x00FC, sst1.array()) ++ rec(0x003C, cont1.array()) ++
+      rec(0x003C, cont2.array()) ++ rec(0x00FD, labelSst(0)) ++
+      rec(0x00FD, labelSst(1)) ++ rec(0x000A, Array.emptyByteArray)
+    assert(Ole.xlsText(wb) == "HelloWorld\nAB中文")
+  }
+
+  test("xls: BIFF5 'Book' stream is refused, not garbled") {
+    val cfb = Cfb.write(Seq("Book" -> Array[Byte](0x09, 0x00, 0x00, 0x00)))
+    assert(Ole.extractText(cfb).isEmpty)
+  }
+
+  test("cfb: nested-storage streams do not hijack root-level dispatch") {
+    // Hand-crafted directory: root -> {Workbook(stream), ObjectPool(storage
+    // -> WordDocument(stream))}. Dispatch must see the Workbook, and the
+    // embedded WordDocument must be invisible to Cfb.read.
+    val wbBytes = OleBuild.buildXls(Seq("host cell"), Nil)
+    val wbStream = Cfb.read(wbBytes)("Workbook")
+    // take a valid doc's WordDocument to embed
+    val embedded = Cfb.read(OleBuild.buildDoc(Seq(("embedded\r", true))))("WordDocument")
+    // layout: sectors: 0=FAT 1..2=dir 3..n streams. Build by hand (512b).
+    val dataSecs = Seq(wbStream, embedded).map { d =>
+      val n = math.max(1, (d.length + 511) / 512); (d, n)
+    }
+    val dirEntries = 4 // root, Workbook, ObjectPool, WordDocument
+    val dirSecs = 1
+    val nData = dataSecs.map(_._2).sum
+    val total = 1 + dirSecs + nData
+    val buf = ByteBuffer.allocate(512 * (total + 1)).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Ole.CfbMagic)
+    buf.position(0x18); buf.putShort(0x3E.toShort); buf.putShort(3.toShort)
+    buf.putShort(0xFFFE.toShort); buf.putShort(9.toShort); buf.putShort(6.toShort)
+    buf.position(0x2C); buf.putInt(1)
+    buf.putInt(1)                          // dir at sector 1
+    buf.putInt(0); buf.putInt(64)          // cutoff 64: everything regular
+    buf.putInt(0xFFFFFFFE); buf.putInt(0)
+    buf.putInt(0xFFFFFFFE); buf.putInt(0)
+    buf.putInt(0); (1 until 109).foreach(_ => buf.putInt(0xFFFFFFFF))
+    // FAT sector 0
+    val fat = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    fat.putInt(0xFFFFFFFD)                 // sector 0 = FAT
+    fat.putInt(0xFFFFFFFE)                 // sector 1 = dir (single)
+    var next = 2
+    val starts = dataSecs.map { case (_, n) =>
+      val st = next
+      (0 until n).foreach(k => fat.putInt(if (k == n - 1) 0xFFFFFFFE else next + k + 1))
+      next += n; st
+    }
+    while (fat.position() < 512) fat.putInt(0xFFFFFFFF)
+    buf.position(512 * 1); buf.put(fat.array())
+    // directory
+    val dir = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    def entry(e: Int, nm: String, typ: Int, l: Int, r: Int, child: Int,
+        start: Int, size: Int): Unit = {
+      val enc = nm.getBytes(StandardCharsets.UTF_16LE)
+      dir.position(e * 128); dir.put(enc)
+      dir.putShort(e * 128 + 0x40, (enc.length + 2).toShort)
+      dir.put(e * 128 + 0x42, typ.toByte)
+      dir.putInt(e * 128 + 0x44, l); dir.putInt(e * 128 + 0x48, r)
+      dir.putInt(e * 128 + 0x4C, child)
+      dir.putInt(e * 128 + 0x74, start)
+      dir.putLong(e * 128 + 0x78, size.toLong)
+    }
+    val NS = 0xFFFFFFFF
+    entry(0, "Root Entry", 5, NS, NS, 1, 0xFFFFFFFE, 0)
+    entry(1, "Workbook", 2, NS, 2, NS, starts(0), wbStream.length)
+    entry(2, "ObjectPool", 1, NS, NS, 3, 0xFFFFFFFE, 0) // storage w/ child
+    entry(3, "WordDocument", 2, NS, NS, NS, starts(1), embedded.length)
+    buf.position(512 * 2); buf.put(dir.array())
+    Seq(wbStream, embedded).zip(starts).foreach { case (d, st) =>
+      buf.position(512 * (st + 1)); buf.put(d)
+    }
+    val streams = Cfb.read(buf.array())
+    assert(streams.keySet == Set("Workbook"), "nested WordDocument hidden")
+    assert(Ole.extractText(buf.array()).get == "host cell")
+  }
+
+  test("ppt: pathological nesting depth does not blow the stack") {
+    // 50k nested container headers (recVer=0xF), innermost holds a text
+    // atom beyond the depth cap: must return cleanly, not StackOverflow.
+    val depth = 50000
+    val out = new java.io.ByteArrayOutputStream()
+    val h = ByteBuffer.allocate(8 * depth).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until depth).foreach { i =>
+      h.putShort(0x000F.toShort); h.putShort(0x0FF0.toShort)
+      h.putInt(8 * (depth - 1 - i))
+    }
+    out.write(h.array())
+    val cfb = Cfb.write(Seq("PowerPoint Document" -> out.toByteArray,
+      "Current User" -> Array[Byte](0x2A)))
+    assert(Ole.extractText(cfb).contains(""))
+  }
+
   test("xls: empty workbook yields empty text, not a crash") {
     val xls = OleBuild.buildXls(Nil, Nil)
     assert(Ole.extractText(xls).contains(""))
@@ -175,6 +295,7 @@ class OleSpec extends AnyFunSuite {
       """<?xml version="1.0"?><office:document-content><office:body>
         |<office:text><text:p>a<text:tab/>b<text:span text:style-name="T1">
         |</text:span>c<text:line-break/>d</text:p>
+        |<text:p>x<text:s text:c="3"/>y<text:s/>z</text:p>
         |<text:h text:outline-level="1">Head</text:h></office:text>
         |</office:body></office:document-content>""".stripMargin
         .replace("\n", "")
@@ -182,8 +303,9 @@ class OleSpec extends AnyFunSuite {
       "mimetype" -> "application/vnd.oasis.opendocument.text"
         .getBytes(StandardCharsets.UTF_8),
       "content.xml" -> content.getBytes(StandardCharsets.UTF_8)))
-    // clean() turns the tab into two spaces (parserbase.py:180)
-    assert(Office.extractText(odt).get == "a  bc\nd\nHead")
+    // clean() turns the tab into two spaces (parserbase.py:180);
+    // <text:s text:c="3"/> is a 3-space run, bare <text:s/> one space
+    assert(Office.extractText(odt).get == "a  bc\nd\nx   y z\nHead")
   }
 
   test("fuzz: mutated/truncated CFB never throws (task-safety at scale)") {
