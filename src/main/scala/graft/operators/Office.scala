@@ -24,15 +24,19 @@ object Office {
     else try {
       val members = zipMembers(bytes,
         name => name == "word/document.xml" || name == "xl/sharedStrings.xml" ||
-          name == "content.xml" ||
+          name == "xl/sharedStrings.bin" || name == "content.xml" ||
           (name.startsWith("ppt/slides/slide") && name.endsWith(".xml")))
       if (members.isEmpty) None
       else {
-        val texts = members.toSeq.sortBy(_._1).map { case (name, xml) =>
-          if (name == "word/document.xml") paragraphText(xml, "w:p", "w:t")
-          else if (name == "xl/sharedStrings.xml") tagText(xml, "t").mkString("\n")
-          else if (name == "content.xml") odfText(xml)
-          else paragraphText(xml, "a:p", "a:t")
+        def xml(b: Array[Byte]) = new String(b, StandardCharsets.UTF_8)
+        val texts = members.toSeq.sortBy(_._1).map { case (name, raw) =>
+          if (name == "word/document.xml") paragraphText(xml(raw), "w:p", "w:t")
+          else if (name == "xl/sharedStrings.xml")
+            tagText(xml(raw), "t").mkString("\n")
+          else if (name == "xl/sharedStrings.bin")
+            Ole.xlsbSstStrings(raw).mkString("\n")
+          else if (name == "content.xml") odfText(xml(raw))
+          else paragraphText(xml(raw), "a:p", "a:t")
         }
         Some(clean(texts.filter(_.nonEmpty).mkString("\n")))
       }
@@ -71,13 +75,12 @@ object Office {
   }
 
   private def zipMembers(bytes: Array[Byte],
-      want: String => Boolean): Map[String, String] = {
+      want: String => Boolean): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = scala.collection.mutable.Map.empty[String, String]
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
     var e = zin.getNextEntry
     while (e != null) {
-      if (!e.isDirectory && want(e.getName))
-        out(e.getName) = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+      if (!e.isDirectory && want(e.getName)) out(e.getName) = zin.readAllBytes()
       e = zin.getNextEntry
     }
     out.toMap

@@ -277,6 +277,45 @@ object Ole {
     (s, q)
   }
 
+  // ---------------------------------------------------------------- xlsb
+
+  /** [MS-XLSB] BIFF12 xl/sharedStrings.bin: varint-framed records —
+    * recId is 1-2 bytes (high bit of byte 0 = second byte follows), recLen
+    * 1-4 bytes of 7-bit groups. BrtSSTItem (0x13) = flags(1) cch(4)
+    * UTF-16LE chars, rich/phonetic tails skipped via the record length.
+    * Same extraction contract as the xlsx path (SST dump in table order). */
+  def xlsbSstStrings(bin: Array[Byte]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var p = 0
+    def varId(): Int = {
+      val b0 = bin(p) & 0xFF; p += 1
+      if ((b0 & 0x80) == 0) b0
+      else (b0 & 0x7F) | ((bin({ val q = p; p += 1; q }) & 0x7F) << 7)
+    }
+    def varLen(): Int = {
+      var v = 0; var shift = 0; var more = true
+      while (more && shift < 28) {
+        val b = bin(p) & 0xFF; p += 1
+        v |= (b & 0x7F) << shift; shift += 7; more = (b & 0x80) != 0
+      }
+      v
+    }
+    while (p + 2 <= bin.length) {
+      val id = varId()
+      val len = varLen()
+      val body = p
+      if (len < 0 || body + len > bin.length) return out.result()
+      if (id == 0x13 && len >= 5) { // BrtSSTItem
+        val bb = ByteBuffer.wrap(bin).order(ByteOrder.LITTLE_ENDIAN)
+        val cch = bb.getInt(body + 1)
+        if (cch >= 0 && body + 5 + 2L * cch <= body + len)
+          out += new String(bin, body + 5, 2 * cch, StandardCharsets.UTF_16LE)
+      }
+      p = body + len
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------- PowerPoint
 
   /** Recursive [MS-PPT] record walk; containers have recVer == 0xF.

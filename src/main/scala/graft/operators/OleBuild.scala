@@ -128,6 +128,34 @@ object OleBuild {
       "Current User" -> Array[Byte](0x2A)))
   }
 
+  /** BIFF12 .xlsb: zip with xl/sharedStrings.bin — BrtBeginSst (id 0x9F,
+    * which exercises the two-byte varint id path) then one BrtSSTItem per
+    * string (UTF-16LE, plain flags), closed by BrtEndSst. */
+  def buildXlsb(strings: Seq[String]): Array[Byte] = {
+    val bin = new java.io.ByteArrayOutputStream()
+    def rec(id: Int, body: Array[Byte]): Unit = {
+      if (id < 0x80) bin.write(id)
+      else { bin.write((id & 0x7F) | 0x80); bin.write((id >> 7) & 0x7F) }
+      var len = body.length
+      while (len >= 0x80) { bin.write((len & 0x7F) | 0x80); len >>= 7 }
+      bin.write(len)
+      bin.write(body)
+    }
+    val begin = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    begin.putInt(strings.length); begin.putInt(strings.length)
+    rec(0x9F, begin.array())                         // BrtBeginSst (2-byte id)
+    strings.foreach { s =>
+      val chars = s.getBytes(StandardCharsets.UTF_16LE)
+      val b = ByteBuffer.allocate(5 + chars.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x00.toByte); b.putInt(s.length); b.put(chars)
+      rec(0x13, b.array())                           // BrtSSTItem
+    }
+    rec(0xA0, Array.emptyByteArray)                  // BrtEndSst
+    Containers.buildZip(Seq(
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8),
+      "xl/sharedStrings.bin" -> bin.toByteArray))
+  }
+
   /** .ppt: a SlideListWithText container of text atoms — TextBytesAtom for
     * pure single-byte text, TextCharsAtom otherwise. */
   def buildPpt(texts: Seq[String]): Array[Byte] = {

@@ -265,6 +265,14 @@ class OleSpec extends AnyFunSuite {
     assert(Ole.extractText(cfb).contains(""))
   }
 
+  test("xlsb: BIFF12 shared strings via varint-framed records") {
+    val xlsb = OleBuild.buildXlsb(Seq("binary cell", "unicode 中文", "third"))
+    assert(Office.extractText(xlsb).get == "binary cell\nunicode 中文\nthird")
+    // long string pushes the record length into 2-byte varint territory
+    val long = "x" * 300
+    assert(Office.extractText(OleBuild.buildXlsb(Seq(long))).get == long)
+  }
+
   test("xls: empty workbook yields empty text, not a crash") {
     val xls = OleBuild.buildXls(Nil, Nil)
     assert(Ole.extractText(xls).contains(""))
