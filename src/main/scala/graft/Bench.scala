@@ -128,8 +128,8 @@ object Bench {
     // the 16c side runs its wave TWICE (same input, consecutive, summed):
     // window symmetry with the ~2.5x-longer 4c run — see CrawlOnce
     val pairs = (1 to nPairs).map { _ =>
-      val a16 = measured(crawlSubprocess(16, "steady", scale, reps = 2))
-      val a4 = measured(crawlSubprocess(4, "steady", scale))
+      val a16 = crawlSubprocess(16, "steady", scale, reps = 2)
+      val a4 = crawlSubprocess(4, "steady", scale)
       (a16, a4)
     }
     def tput(r: (Long, Double)) = r._1 / r._2
@@ -183,7 +183,7 @@ object Bench {
     * of all cpus; iowait separates disk stalls from compute. */
   final case class HostWindow(stealPct: Double, busyPct: Double, iowaitPct: Double)
 
-  private def cpuTimes(): Option[Array[Long]] =
+  def cpuSnapshot(): Option[Array[Long]] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu "))
@@ -191,23 +191,25 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => None }
 
+  def windowOf(before: Option[Array[Long]],
+      after: Option[Array[Long]]): HostWindow = (before, after) match {
+    case (Some(a), Some(b)) if a.length >= 8 && b.length >= 8 =>
+      val d = b.zip(a).map { case (x, y) => x - y }
+      val total = math.max(1L, d.sum).toDouble
+      // fields: user nice system idle iowait irq softirq steal [guest...]
+      HostWindow(
+        stealPct = 100.0 * d(7) / total,
+        busyPct = 100.0 * (total - d(3) - d(4)) / total,
+        iowaitPct = 100.0 * d(4) / total)
+    case _ => HostWindow(Double.NaN, Double.NaN, Double.NaN)
+  }
+
   /** Run `f` and attach the host-CPU window around it. */
   def measured[T](f: => T): (T, HostWindow) = {
-    val before = cpuTimes()
+    val before = cpuSnapshot()
     val r = f
-    val after = cpuTimes()
-    val w = (before, after) match {
-      case (Some(a), Some(b)) if a.length >= 8 && b.length >= 8 =>
-        val d = b.zip(a).map { case (x, y) => x - y }
-        val total = math.max(1L, d.sum).toDouble
-        // fields: user nice system idle iowait irq softirq steal [guest...]
-        HostWindow(
-          stealPct = 100.0 * d(7) / total,
-          busyPct = 100.0 * (total - d(3) - d(4)) / total,
-          iowaitPct = 100.0 * d(4) / total)
-      case _ => HostWindow(Double.NaN, Double.NaN, Double.NaN)
-    }
-    (r, w)
+    val after = cpuSnapshot()
+    (r, windowOf(before, after))
   }
 
   /** Launch a measurement main in a dedicated heap-pinned child JVM (the
@@ -253,18 +255,31 @@ object Bench {
     out.toString
   }
 
-  /** Run one crawl measurement in a dedicated child JVM; parse its RESULT. */
+  /** Run one crawl measurement in a dedicated child JVM; parse its RESULT
+    * and its HOSTWIN host-CPU telemetry. The child samples /proc/stat
+    * around ONLY the measured reps — not JVM spawn, Spark init, or the
+    * warm-up crawl — so the published steal/busy series covers exactly the
+    * window the timing covers. Parent-side whole-process sampling remains
+    * as the fallback when the child line is missing. */
   def crawlSubprocess(cores: Int, mode: String, scale: Double,
-      reps: Int = 1): (Long, Double) = {
-    val out = childJvmOutput(
+      reps: Int = 1): ((Long, Double), HostWindow) = {
+    val (out, parentWin) = measured(childJvmOutput(
       Seq("graft.tools.CrawlOnce", cores.toString, mode, scale.toString,
-        reps.toString))
+        reps.toString)))
     val R = """RESULT urls=(\d+) sec=([\d.]+)""".r
+    val W = """HOSTWIN steal=([-\d.NaN]+) busy=([-\d.NaN]+) iowait=([-\d.NaN]+)""".r
+    val win = W.findFirstMatchIn(out) match {
+      case Some(m) =>
+        def p(s: String) = try s.toDouble catch { case _: Throwable => Double.NaN }
+        val w = HostWindow(p(m.group(1)), p(m.group(2)), p(m.group(3)))
+        if (w.stealPct.isNaN) parentWin else w
+      case None => parentWin
+    }
     R.findFirstMatchIn(out) match {
-      case Some(m) => (m.group(1).toLong, m.group(2).toDouble)
+      case Some(m) => ((m.group(1).toLong, m.group(2).toDouble), win)
       case None =>
         System.err.println(s"[bench] child $cores/$mode failed:\n${out.takeRight(2000)}")
-        (0L, Double.NaN)
+        ((0L, Double.NaN), win)
     }
   }
 

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *
   * The repartitioned input stays persisted for the final job (both passes
   * must see identical partitioning); callers running inside a larger
-  * pipeline can unpersist after their action.
+  * pipeline release it via [[OpCaches.drain]] after their action.
   */
 object Chunking {
 
@@ -37,11 +37,11 @@ object Chunking {
     import spark.implicits._
     val parts =
       if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
-    val p = df.repartitionByRange(parts, orderCol)
+    val p0 = df.repartitionByRange(parts, orderCol)
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", monotonically_increasing_id().bitwiseAND(lit(LocalIdBits)))
-      .persist()
+    val p = OpCaches.register(p0.persist())
     val counts = p.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

@@ -75,10 +75,11 @@ object Dedup {
     * measured 2× CPU waste that dominates the dedup battery. The persisted
     * plan is tiny ((id, band, bucket) rows, no text), so at 100-TB input it
     * is the cheap thing to keep and the expensive thing to recompute. The
-    * caller may `unpersist()` the returned plan's source after consuming. */
+    * persist is registered with [[OpCaches]]; harness layers drain it
+    * after their action. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column,
       w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
-    val b = lshBands(df, id, text, w, k, bandsOf).persist()
+    val b = OpCaches.register(lshBands(df, id, text, w, k, bandsOf).persist())
     val l = b.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = b.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -98,8 +99,9 @@ object Dedup {
       w: Int = 3, k: Int = 4, bandsOf: Int = 2, vw: Int = 2,
       threshold: Double = 0.05): DataFrame = {
     val cands = lshCandidatePairs(df, id, text, w, k, bandsOf)
-    val sh = df.select(id.as("id"), array_distinct(shingles(text, vw)).as("sh"))
-      .persist()
+    val sh = OpCaches.register(
+      df.select(id.as("id"), array_distinct(shingles(text, vw)).as("sh"))
+        .persist())
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cands

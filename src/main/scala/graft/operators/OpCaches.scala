@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Session-lifetime registry for operator-internal persists.
+  *
+  * Several operators persist an intermediate that feeds BOTH sides of a
+  * self-join (LSH bands, shingle sets, IVF assignments, chunk offsets) —
+  * without the persist the heavy upstream runs twice (measured 2× CPU in
+  * round 1). But the persist handle is method-local, so callers could
+  * never release it: every call leaked one cached DataFrame for the
+  * session's lifetime. Operators now register those handles here, and
+  * harness layers (Verify per query, BatteryOnce between queries) call
+  * [[drain]] after their action completes — explicit lifecycle instead of
+  * a leak, with zero change to the operators' plans.
+  *
+  * `unpersist(blocking = false)`: eviction proceeds in the background;
+  * plans already executed hold their results. */
+object OpCaches {
+
+  private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Persist-and-register in one step: `OpCaches.register(df.persist())`. */
+  def register[T <: Dataset[_]](ds: T): T = synchronized { live += ds; ds }
+
+  /** Unpersist everything registered since the last drain; returns the
+    * number of handles released. */
+  def drain(): Int = synchronized {
+    val n = live.size
+    live.foreach(_.unpersist(false))
+    live.clear()
+    n
+  }
+}

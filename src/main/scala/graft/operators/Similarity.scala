@@ -61,7 +61,7 @@ object Similarity {
     * persisted before being used on both sides of the probe join — without
     * it the n×|centroids| scoring pass would run twice. */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, centroids).persist()
+    val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"))
@@ -85,7 +85,7 @@ object Similarity {
     * and cannot survive 100-TB inputs; bucket count should grow ~√n so bucket
     * population stays bounded. Vectors alone in their bucket yield no row. */
   def ivfNearestNeighbor(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = ivfAssign(vectors, centroids).persist()
+    val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
     val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"))
@@ -179,7 +179,8 @@ object Similarity {
     * all nbits dot products over every vector per side. */
   def lshTopK(vectors: DataFrame, queryPred: Column, k: Int,
       nbits: Int = 8, bandBits: Int = 4, dim: Int = 64): DataFrame = {
-    val bands = lshHyperplaneBands(vectors, nbits, bandBits, dim).persist()
+    val bands = OpCaches.register(
+      lshHyperplaneBands(vectors, nbits, bandBits, dim).persist())
     val q = bands.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("band"), col("bucket"))

@@ -56,15 +56,32 @@ object JdbcSource {
     * Spark partition in flight: one count() job for `total`, then
     * toLocalIterator (fetches one partition at a time), then the lazy
     * [[chunkStream]]. Consume the returned iterator doc-by-doc into a sink;
-    * nothing is materialized ahead of the consumer. */
+    * nothing is materialized ahead of the consumer.
+    *
+    * SNAPSHOT CONSISTENCY: count() and toLocalIterator() are two separate
+    * executions of the plan — against a live database they could see
+    * different row sets, silently dropping (or padding) the tail where the
+    * iterator disagrees with the count. The input is therefore persisted
+    * first, so both jobs read the one materialized snapshot (the
+    * distributed analog of the reference's single db.select), and released
+    * when the iterator is exhausted. */
   def tableDocs(rows: DataFrame, table: String,
       chunkBytes: Long = 1073741824L): Iterator[(String, String)] = {
     val cols = rows.schema.fieldNames.toVector
-    val total = rows.count() // the reference's len(rows) — one cheap job
+    val snap = rows.persist()
+    val total = snap.count() // materializes the snapshot; reference's len(rows)
     val pyIt = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      rows.toLocalIterator()).asScala
+      snap.toLocalIterator()).asScala
       .map(r => PyObj(cols.zipWithIndex.map { case (c, i) => c -> toPy(r.get(i)) }))
-    chunkStream(pyIt, total, cols, table, chunkBytes)
+    val docs = chunkStream(pyIt, total, cols, table, chunkBytes)
+    new Iterator[(String, String)] {
+      def hasNext: Boolean = {
+        val h = docs.hasNext
+        if (!h) snap.unpersist(false)
+        h
+      }
+      def next(): (String, String) = docs.next()
+    }
   }
 
   /** The pure greedy-sequential chunker (reference loop shape,

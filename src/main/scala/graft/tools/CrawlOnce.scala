@@ -47,11 +47,15 @@ object CrawlOnce {
     // (measured: 16c raw swung 81-134 s while 4c held ±5%)
     var urls = 0L
     var sec = 0.0
-    for (_ <- 0 until reps) {
+    val w0 = Bench.cpuSnapshot() // /proc/stat window over the reps ONLY —
+    for (_ <- 0 until reps) {    // warm-up/startup stay outside the sample
       val (u, s) = Bench.crawlRun(spark, cfg(scale))
       urls += u; sec += s
     }
+    val win = Bench.windowOf(w0, Bench.cpuSnapshot())
     println(s"RESULT urls=$urls sec=$sec")
+    println("HOSTWIN steal=%.2f busy=%.2f iowait=%.2f".formatLocal(
+      java.util.Locale.ROOT, win.stealPct, win.busyPct, win.iowaitPct))
     spark.stop()
   }
 }

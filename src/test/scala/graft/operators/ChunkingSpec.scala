@@ -28,4 +28,16 @@ class ChunkingSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.toSeq == Seq((0L, 1000L, 0L, 999L), (1L, 1000L, 1000L, 1999L),
       (2L, 501L, 2000L, 2500L)))
   }
+
+  test("operator-internal persists are registered and released by OpCaches.drain") {
+    OpCaches.drain() // clean slate: other specs may have registered handles
+    val df = spark.range(0, 1000).select(col("id").as("k"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Chunking.withChunkIds(df, col("k"), 100).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the two-pass persist exists while the caller's action runs")
+    assert(OpCaches.drain() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "drain releases the method-local persist the caller never could")
+  }
 }

@@ -96,6 +96,21 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     assert(new String(got.head.bytes, UTF_8) == "hello gz")
   }
 
+  test("gz nested in zip: doubled path segment + payload kept (quirk chain pin)") {
+    // The reference's quirk chain for a gz INSIDE an archive: the no-op
+    // name strip makes the decompressed child keep the container's own
+    // full name, so cpath composition doubles the segment
+    // (dir/data.csv.gz/data.csv.gz); re-dispatch on the .gz-named child
+    // then fails (bytes already decompressed) — the reference would DROP
+    // the payload there, this engine keeps it as a leaf (documented
+    // deviation; dropping would lose every nested gz payload).
+    val z = Containers.buildZip(Seq(
+      "dir/data.csv.gz" -> Containers.buildGz("a,b\n1,2".getBytes(UTF_8))))
+    val got = asMap(Containers.expandDocs("o.zip", z).get)
+    assert(got.keySet == Set("dir/data.csv.gz/data.csv.gz"))
+    assert(new String(got("dir/data.csv.gz/data.csv.gz"), UTF_8) == "a,b\n1,2")
+  }
+
   test("tgz / tar.gz names route to tar member extraction (containerfile.py:407-408)") {
     val got = asMap(Containers.expandDocs("arc.tar.gz", Containers.buildTarGz(m1)).get)
     assertSameTree(got, m1.toMap.map(identity), "tgz")
