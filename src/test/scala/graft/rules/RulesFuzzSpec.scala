@@ -1,0 +1,42 @@
+package graft.rules
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.PyVal._
+
+/** Large-corpus differential vs the live reference engine: 1,500
+  * seeded-random texts (secret shapes across every rule family,
+  * near-misses, exclusion/fp-regex kills, random unicode noise — generator:
+  * src/test/resources/gen_fuzz_rules.py, seed 0x5EED2026) with the
+  * reference's outputs captured at the fixed clock. 1,999 findings;
+  * Detector must reproduce rule order, finding order, every finding-JSON
+  * byte, and every sha1 fingerprint. Run as ONE batch test — 1,500
+  * individual test registrations would swamp the runner. */
+class RulesFuzzSpec extends AnyFunSuite {
+
+  test("1500-case fuzz corpus: byte-exact parity with the reference") {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_rules.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      val text = o.get("text").collect { case PyStr(s) => s }.get
+      val exp = o.get("expected").collect { case PyArr(xs) => xs }.get.map { e =>
+        val eo = e.asInstanceOf[PyObj]
+        (eo.get("rule").collect { case PyStr(s) => s }.get,
+          eo.get("name").collect { case PyStr(s) => s }.get,
+          eo.get("finding").collect { case PyStr(s) => s }.get)
+      }
+      (text, exp)
+    }
+    assert(cases.size == 1500)
+    assert(cases.map(_._2.size).sum == 1999)
+    val mismatches = cases.zipWithIndex.flatMap { case ((text, expected), i) =>
+      val got = Detector.detect(text, Detector.FixedNowEpochSec)
+        .map(f => (f.rule_id, f.rule_name, f.finding_json))
+      if (got == expected) None
+      else Some(s"case $i: got ${got.map(_._1)} exp ${expected.map(_._1)}" +
+        s"\n text: ${text.take(200)}")
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} mismatches:\n${mismatches.take(5).mkString("\n")}")
+  }
+}
