@@ -44,7 +44,12 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
 
   // ---------------- eml / mht goldens ----------------
 
-  for (name <- Seq("simple.eml", "plain_b64.eml", "multi.eml", "mixed_simple.eml")) {
+  for (name <- Seq("simple.eml", "plain_b64.eml", "multi.eml", "mixed_simple.eml",
+      // fuzz-promoted: policy.default refolding of >78-char headers
+      // (unicode-filename fuzz cases stay OUT of the resource tree — the
+      // driver's sbt runs under a C locale whose file scanner rejects
+      // non-ASCII paths; RFC 2231 decoding is unit-tested inline below)
+      "f001.eml", "f010.eml")) {
     test(s"eml golden byte-exact vs reference extract_eml: $name") {
       val raw = new String(Files.readAllBytes(resDir.resolve(s"fixtures/$name")), UTF_8)
       val got = Email.extractEml(s"/mnt/mail/$name", raw)
@@ -57,6 +62,22 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/page.mht")), UTF_8)
     val got = Email.extractMht(raw)
     assertSameTree(asMap(got), readTree(resDir.resolve("golden/page.mht")), "page.mht")
+  }
+
+  test("eml: RFC 2231 extended filenames decode (single and continuations)") {
+    val raw =
+      "From: a@example.com\n" +
+        "Content-Type: multipart/mixed; boundary=\"B\"\n\n" +
+        "--B\nContent-Type: text/plain\n\nbody\n" +
+        "--B\nContent-Type: application/octet-stream\n" +
+        "Content-Disposition: attachment; filename*=utf-8''%C3%BCn%C3%AFcode.bin\n\n" +
+        "data1\n" +
+        "--B\nContent-Type: application/octet-stream\n" +
+        "Content-Disposition: attachment; filename*0*=utf-8''part%20one;\n" +
+        " filename*1=\"-two.txt\"\n\ndata2\n--B--\n"
+    val got = Email.extractEml("/m/x.eml", raw).get.map(_.path)
+    assert(got.contains("\u00fcn\u00efcode.bin"), got)
+    assert(got.contains("part one-two.txt"), got)
   }
 
   test("eml: Date header drives member mtime; unparseable input -> None") {
