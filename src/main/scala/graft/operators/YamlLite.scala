@@ -73,7 +73,11 @@ object YamlLite {
           if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
           else quote = 0
         } else if (quote == '"' && c == '\\') i += 1
-      } else if (c == '"' || c == '\'') quote = c
+      } else if ((c == '"' || c == '\'') &&
+          (i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'))
+        // a quoted scalar starts only at a token boundary; a quote char
+        // mid-plain-scalar (l"i) is literal and must not mask a comment
+        quote = c
       else if (c == '#' && (i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'))
         return s.substring(0, i).reverse.dropWhile(ch => ch == ' ' || ch == '\t').reverse
       i += 1
@@ -248,6 +252,12 @@ object YamlLite {
     else if (s == ".inf" || s == "+.inf") PyFloat(Double.PositiveInfinity)
     else if (s == "-.inf") PyFloat(Double.NegativeInfinity)
     else if (s == ".nan" || s == ".NaN") PyFloat(Double.NaN)
+    else if (s.contains(": ") || s.endsWith(":"))
+      // PyYAML scanner error ("mapping values are not allowed here"):
+      // a plain scalar cannot contain ': ' or end with ':'. Refusing here
+      // sends the text to SnakeYAML, which raises the same way -> None,
+      // matching the reference's bare except.
+      throw new IllegalArgumentException(s"plain scalar with ': ': $s")
     else PyStr(s)
   }
 
@@ -263,7 +273,7 @@ object YamlLite {
           case 'r'  => sb.append('\r')
           case '"'  => sb.append('"')
           case '\\' => sb.append('\\')
-          case '0'  => sb.append(' ')
+          case '0'  => sb.append('\u0000')
           case o    => sb.append('\\').append(o)
         }
         i += 2

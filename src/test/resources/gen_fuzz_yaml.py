@@ -1,0 +1,82 @@
+import json, random, string, sys
+import yaml
+
+rnd = random.Random(0xFAB1E5)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def scalar():
+    k = rnd.randrange(9)
+    if k == 0: return rnd.randrange(-10**6, 10**6)
+    if k == 1: return round(rnd.uniform(-1000, 1000), rnd.randrange(1, 8))
+    if k == 2: return rnd.choice([True, False])
+    if k == 3: return None
+    if k == 4: return rs(rnd.randrange(1, 15))
+    if k == 5: return rnd.choice(['hello world', 'with: colon?', 'üñíçödé ê',
+                                  '- leading dash', '#not a comment', '{}',
+                                  'sp  aces', 'tab\tchar', 'new\nline'])
+    if k == 6: return rnd.choice(['yes', 'no', 'on', 'off', 'null', '~', 'true'])
+    if k == 7: return rs(rnd.randrange(3, 30), string.printable[:70])
+    return str(rnd.randrange(10**12))
+
+def value(depth):
+    if depth <= 0: return scalar()
+    k = rnd.randrange(6)
+    if k < 2:
+        return {rs(rnd.randrange(1, 10)): value(depth - 1)
+                for _ in range(rnd.randrange(1, 5))}
+    if k < 4:
+        return [value(depth - 1) for _ in range(rnd.randrange(1, 5))]
+    return scalar()
+
+TEMPLATES = [
+  "a: &x {v}\nb: *x\nc: [1, 2]\n",
+  "top:\n  - {k}: {v}\n  - {k2}: [a, b, {v}]\n",
+  "block: |\n  line one\n  line two {k}\nplain: {v}\n",
+  "folded: >\n  some folded\n  text {k}\nnum: 0x1F\noct: 0o17\n",
+  "# comment line\nkey: {v} # trailing\nquoted: \"d\\\\ne\"\n",
+  "empty:\nnested:\n  deep:\n    deeper: {v}\n",
+  "list:\n- 1\n- {v}\n- ~\ndate: 2024-01-15\n",
+  "a: {v}\nb: !!str 123\nc: !!int '42'\n",
+  "'quoted key': {v}\n? complex\n: mapping\n",
+  "multi: {k}\n---\nsecond: doc\n",
+]
+
+def gen_text():
+    k = rnd.randrange(10)
+    if k < 5:
+        obj = {rs(rnd.randrange(1, 8)): value(rnd.randrange(0, 4))
+               for _ in range(rnd.randrange(1, 6))}
+        return yaml.safe_dump(obj,
+            default_flow_style=rnd.choice([True, False, None]),
+            allow_unicode=rnd.choice([True, False]),
+            width=rnd.choice([40, 80, 1000]))
+    if k < 6:
+        return yaml.safe_dump(value(rnd.randrange(0, 3)))   # non-dict roots too
+    t = rnd.choice(TEMPLATES)
+    return t.replace('{v}', str(scalar()).replace('\n', ' ')) \
+            .replace('{k}', rs(5)).replace('{k2}', rs(4))
+
+N = 400
+out = []
+skipped = 0
+for i in range(N):
+    text = gen_text()
+    # known, documented deviation: signless exponents type differently
+    # (PyYAML 1.1 str vs SnakeYAML float) — keep them out of the corpus
+    import re as _re
+    if _re.search(r'(?<![\w".\'])[-+]?\d*\.\d+e\+?\d', text, _re.I) and '"' not in text:
+        skipped += 1
+        continue
+    try:
+        tmp = dict(yaml.load(text, Loader=yaml.FullLoader))
+        exp = json.dumps(tmp, sort_keys=False, indent=2)
+    except Exception:
+        exp = None
+    out.append({'text': text, 'expected': exp})
+
+with open('/tmp/yaml_fuzz.json', 'w') as fh:
+    json.dump(out, fh)
+n_obj = sum(1 for o in out if o['expected'] is not None)
+print(f"cases: {len(out)} with_object: {n_obj} skipped_deviation: {skipped}")

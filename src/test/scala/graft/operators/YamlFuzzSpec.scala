@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 400-case randomized differential vs live PyYAML 6.0.3 + CPython
+  * json.dumps (generator: src/test/resources/gen_fuzz_yaml.py, seed
+  * 0xFAB1E5): safe_dump round-trips of random nested structures in block
+  * and flow styles plus hand-rolled templates (anchors, block scalars,
+  * tags, comments, multi-doc, dates). `expected` is the reference
+  * yamlparser's object_content (yamlparser.py:22 json.dumps of the
+  * FullLoader dict) or null where the reference's bare except eats the
+  * error (non-dict roots, scanner errors, json-unserializable dates).
+  * Signless-exponent scalars are excluded by the generator — documented
+  * PyYAML/SnakeYAML typing deviation. */
+class YamlFuzzSpec extends AnyFunSuite {
+
+  test("400-case yaml fuzz corpus: object_content parity with PyYAML") {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_yaml.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      val text = o.get("text").collect { case PyStr(s) => s }.get
+      val exp = o.get("expected") match {
+        case Some(PyStr(s)) => Some(s)
+        case _ => None
+      }
+      (text, exp)
+    }
+    assert(cases.size == 400)
+    val mismatches = cases.zipWithIndex.flatMap { case ((text, exp), i) =>
+      val (_, _, got) = Parsers.parseFull("yaml", "",
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (got == exp) None
+      else Some(s"case $i\n text: ${text.replace("\n", "\\n").take(200)}" +
+        s"\n got: ${got.map(_.take(150))}\n exp: ${exp.map(_.take(150))}")
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} mismatches:\n${mismatches.take(4).mkString("\n")}")
+  }
+}
