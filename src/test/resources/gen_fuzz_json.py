@@ -1,0 +1,54 @@
+import json, random, string, math
+rnd = random.Random(0x15050)
+
+def rs(n, pool=string.ascii_letters + string.digits + ' _-'):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def weird_str():
+    k = rnd.randrange(6)
+    if k == 0: return rs(rnd.randrange(0, 20))
+    if k == 1: return 'üñíçödé — 中文 \U0001D11E'
+    if k == 2: return 'esc \\" \\\\ \t \n \r \b \f /'.replace('\\\\','\\')
+    if k == 3: return ''.join(chr(rnd.randrange(0x20, 0x300)) for _ in range(rnd.randrange(1, 15)))
+    if k == 4: return ''.join(chr(rnd.randrange(1, 0x20)) for _ in range(rnd.randrange(1, 5)))
+    return chr(rnd.randrange(0xD800-30, 0xD800-1)) + rs(3)  # near-surrogate BMP
+
+def number():
+    k = rnd.randrange(7)
+    if k == 0: return rnd.randrange(-10**15, 10**15)
+    if k == 1: return rnd.uniform(-1e6, 1e6)
+    if k == 2: return rnd.uniform(-1, 1) * (10 ** rnd.randrange(-20, 20))
+    if k == 3: return round(rnd.uniform(-100, 100), rnd.randrange(0, 12))
+    if k == 4: return rnd.choice([0.1, 1e16, 1e17, -1e-5, 123456789.123456789,
+                                  5e-324, 1.7976931348623157e308])
+    if k == 5: return rnd.randrange(-2**63, 2**63)
+    return rnd.choice([0, -0, 0.0, -0.0, 1, -1])
+
+def value(d):
+    if d <= 0:
+        return rnd.choice([weird_str(), number(), True, False, None])
+    k = rnd.randrange(8)
+    if k < 3: return {weird_str()[:10] or 'k': value(d-1) for _ in range(rnd.randrange(0, 5))}
+    if k < 6: return [value(d-1) for _ in range(rnd.randrange(0, 5))]
+    return rnd.choice([weird_str(), number(), True, False, None])
+
+out = []
+for i in range(500):
+    v = value(rnd.randrange(1, 5))
+    # wire form: vary separators/whitespace/ensure_ascii so the INPUT isn't
+    # already in output form
+    text = json.dumps(v, ensure_ascii=rnd.choice([True, False]),
+                      separators=rnd.choice([(',', ':'), (', ', ': '), (',', ': ')]),
+                      indent=rnd.choice([None, None, 1, 4]))
+    if rnd.random() < 0.1:
+        text = ' ' + text + '\n'     # leading/trailing ws is valid JSON
+    if rnd.random() < 0.07:
+        text = text[:-1] if len(text) > 2 else text  # truncated -> parse error
+    try:
+        exp = json.dumps(json.loads(text), sort_keys=False, indent=2)
+    except Exception:
+        exp = None
+    out.append({'text': text, 'expected': exp})
+
+json.dump(out, open('/tmp/json_fuzz.json', 'w'))
+print('cases:', len(out), 'ok:', sum(1 for o in out if o['expected'] is not None))

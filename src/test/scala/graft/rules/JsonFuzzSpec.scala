@@ -1,0 +1,37 @@
+package graft.rules
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Parsers
+import graft.rules.PyVal._
+
+/** 500-case randomized differential for the jsonparser re-pretty path
+  * (jsonparser.py:20: json.dumps(json.loads(content), sort_keys=False,
+  * indent=2), bare except keeps raw content). Generator:
+  * src/test/resources/gen_fuzz_json.py, seed 0x15050 — random values with
+  * float-repr edge cases (5e-324, 1e16/1e17 positional/exponent boundary,
+  * 64-bit ints), unicode incl. astral + control escapes, varied wire
+  * separators/indent, and ~7% deliberately truncated (parse-error) texts. */
+class JsonFuzzSpec extends AnyFunSuite {
+
+  test("500-case json fuzz corpus: re-pretty parity with CPython") {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_json.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      (o.get("text").collect { case PyStr(s) => s }.get,
+        o.get("expected") match { case Some(PyStr(s)) => Some(s); case _ => None })
+    }
+    assert(cases.size == 500)
+    val mismatches = cases.zipWithIndex.flatMap { case ((text, exp), i) =>
+      val want = exp.getOrElse(text)
+      val (got, _) = Parsers.parse("json", "application/json",
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        jsonSupport = true)
+      if (got == want) None
+      else Some(s"case $i: got ${got.take(120)} exp ${want.take(120)}")
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} mismatches:\n${mismatches.take(5).mkString("\n")}")
+  }
+}
