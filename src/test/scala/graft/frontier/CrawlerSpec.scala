@@ -125,6 +125,36 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     assert(gotN == oracle.crawlOrder)
   }
 
+  test("random-config sweep: crawl order + seen set match the oracle") {
+    // The fixed `cfg` above pins one shape; this sweeps the config space
+    // (seed count, budgets, waves, salting, corpus fan-out, bloom gate)
+    // with a fixed seed so scheduler/merge changes can't overfit to one
+    // configuration. Each config is a full engine-vs-oracle differential.
+    val rnd = new scala.util.Random(0xC4A71)
+    (1 to 4).foreach { k =>
+      val c = CrawlConfig(
+        nSeeds = 6 + rnd.nextInt(20),
+        budgetPerHost = 1 + rnd.nextInt(5),
+        maxWaves = 2 + rnd.nextInt(3),
+        salts = 1 + rnd.nextInt(8),
+        bloomMinFrontier = if (rnd.nextBoolean()) 0 else 1 << 16,
+        corpus = SyntheticCorpus.Config(
+          hosts = 4 + rnd.nextInt(12),
+          pathBits = 5 + rnd.nextInt(3),
+          maxOutlinks = 2 + rnd.nextInt(6),
+          secretRate = 0.05 + rnd.nextDouble() * 0.4))
+      val want = CrawlOracle.run(c)
+      val (crawler, _, metrics) = runEngine(c)
+      val got = crawler.crawlLog(metrics.last.wave)
+        .select("wave", "canonical").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toVector
+      assert(got == want.crawlOrder, s"config $k crawl order ($c)")
+      val gotSeen = crawler.seenUpTo(metrics.last.wave)
+        .select("canonical").collect().map(_.getString(0)).toSet
+      assert(gotSeen == want.seen, s"config $k seen set ($c)")
+    }
+  }
+
   test("resume from snapshot: crash after wave 1 == uninterrupted run") {
     val dir = tmp()
     val storeA = new SnapshotStore(dir)
