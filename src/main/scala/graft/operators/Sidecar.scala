@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Sidecar {
 
-  /** Chars the reference KEEPS when reading Info.csv lines. */
-  private val DisallowedRe = "[^\\p{L}0-9:.,\\-_ ]"
+  /** Chars the reference KEEPS when reading Info.csv lines. ASCII-only:
+    * permited_char (tools.py:44) does accept unicode letters via
+    * str.isalpha, but the file is opened with encoding="ascii",
+    * errors="surrogateescape" (intelxinfo.py:57) — every non-ASCII byte
+    * arrives as a lone surrogate, which is neither alpha nor in the
+    * regex, so accented characters are always dropped. */
+  private val DisallowedRe = "[^A-Za-z0-9:.,\\-_ ]"
 
   /** tools.py permited_char filter + strip, then the comma-in-name fix. */
   def cleanInfoLine(line: Column): Column = {

@@ -1,0 +1,70 @@
+import json, random, string, sys, tempfile, os
+sys.path.insert(0, '/tmp')
+import ref_harness  # stubs + fixed clock, imports filecrawler package
+from filecrawler.parsers.intelxinfo import IntelXInfo
+
+rnd = random.Random(0x171E1)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def rname():
+    k = rnd.randrange(7)
+    if k == 0: return rs(rnd.randrange(3, 15)) + '.' + rnd.choice(['txt','pdf','zip'])
+    if k == 1: return f'report, {rs(4)}, final.docx'        # commas in name
+    if k == 2: return 'Résumé Ação ' + rs(3) + '.pdf'       # accents (kept: isalpha)
+    if k == 3: return rs(4) + '!@#$%^&*()' + rs(3) + '.txt' # forbidden chars
+    if k == 4: return rs(3) + ' with spaces ' + rs(3)
+    if k == 5: return rs(2) + ';' + rs(3) + '|' + rs(2) + '.tar.gz'
+    return rs(8)
+
+def rdate():
+    return f'202{rnd.randrange(0,5)}-{rnd.randrange(1,13):02d}-{rnd.randrange(1,29):02d} ' \
+           f'{rnd.randrange(24):02d}:{rnd.randrange(60):02d}:{rnd.randrange(60):02d}'
+
+def qpath(sid):
+    # paths that should (or should not) stem-match the given system id
+    k = rnd.randrange(6)
+    base = '/mnt/ix/' + rs(4)
+    if k == 0: return f'{base}/{sid}.txt'
+    if k == 1: return f'{base}/{sid.upper()}.PDF'
+    if k == 2: return f'{base}/{sid}.{rs(3)}.{rs(3)}'   # multi-dot: ".ext" removed everywhere
+    if k == 3: return f'{base}/.{sid}'                  # leading dot: pathlib no-suffix quirk
+    if k == 4: return f'{base}/{rs(10)}.txt'            # no match
+    return f'{base}/{sid}'                              # extensionless
+
+cases = []
+skipped = 0
+for ci in range(200):
+    n_rows = rnd.randrange(1, 7)
+    ids = []
+    lines = ['Name,Date,Bucket,Media,Content Type,Size,System ID']
+    for _ in range(n_rows):
+        sid = rs(rnd.randrange(6, 12)) if rnd.random() < 0.8 else rs(8).upper()
+        ids.append(sid)
+        extra = '' if rnd.random() < 0.7 else ',' + rs(3)   # >7 parts sometimes
+        lines.append(f'{rname()},{rdate()},{rs(5)},file,text/plain,{rnd.randrange(10**6)},{sid}{extra}')
+    if rnd.random() < 0.3:
+        lines.append(rs(3))          # short junk line (dropped by both)
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, 'Info.csv'), 'w') as fh:
+            fh.write('\r\n'.join(lines) + '\n')
+        try:
+            info = IntelXInfo(td)
+        except Exception:
+            skipped += 1
+            continue
+        rows = [[fi.name, fi.date.strftime('%Y-%m-%d %H:%M:%S'), fi.bucket, fi.id]
+                for fi in info.info_list]
+        queries = []
+        for _ in range(rnd.randrange(1, 5)):
+            p = qpath(rnd.choice(ids))
+            m = info.get_info(p)
+            queries.append({'path': p, 'id': (m.id if m is not None else None)})
+        cases.append({'lines': lines, 'rows': rows, 'queries': queries})
+
+json.dump(cases, open('/tmp/intelx_fuzz.json', 'w'))
+n_rows = sum(len(c['rows']) for c in cases)
+n_q = sum(len(c['queries']) for c in cases)
+n_hit = sum(1 for c in cases for q in c['queries'] if q['id'] is not None)
+print(f'cases: {len(cases)} rows: {n_rows} queries: {n_q} hits: {n_hit} skipped: {skipped}')

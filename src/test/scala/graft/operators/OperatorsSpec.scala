@@ -161,8 +161,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     val info = Sidecar.parseInfo(lines, col("line")).collect()
     assert(info.length == 2)
     // '#' and '!' and the apostrophe are filtered; the comma inside the
-    // name folds to '_' ("Li, Weis réport" -> "Li_ Weis réport")
-    assert(info.head.getString(0) == "Li_ Weis réport")
+    // permited_char drops the quote/#/!; the accent is dropped TOO — the
+    // reference reads Info.csv as ascii+surrogateescape (intelxinfo.py:57),
+    // so 'é' arrives as surrogates that fail every keep branch (pinned by
+    // SidecarFuzzSpec against the live reference class); commas fold to '_'
+    assert(info.head.getString(0) == "Li_ Weis rport")
     assert(info.head.getString(3) == "AbC")
     val d = Seq(("/x/ABC.dat", 111.0), ("/x/other.dat", 222.0))
       .toDF("path", "created0")

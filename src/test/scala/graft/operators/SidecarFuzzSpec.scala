@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 200-case randomized differential vs the live reference IntelXInfo class
+  * (generator: src/test/resources/gen_fuzz_intelx.py, seed 0x171E1):
+  * Info.csv lines with accented/forbidden chars, comma-in-name folds, CRLF,
+  * junk rows — parsed rows must match FileInfo fields; stem queries
+  * (multi-dot names, leading dots, case folds, extensionless) must match
+  * get_info results. Corpus stays inside the shared valid-input space:
+  * the canonical header layout parseInfo targets (documented adaptation of
+  * the reference's dynamic header discovery), no 6-part rows or invalid
+  * dates (those CRASH the reference's uncaught strptime/IndexError). */
+class SidecarFuzzSpec extends AnyFunSuite with SparkTestSession {
+
+  test("200-case intelx fuzz corpus: rows and stem matches vs reference") {
+    import spark.implicits._
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_intelx.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+    assert(cases.size == 200)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      def strs(k: String) = c.get(k).collect { case PyArr(xs) => xs }.get
+      val lines = strs("lines").collect { case PyStr(s) => s }
+      val wantRows = strs("rows").collect { case PyArr(r) =>
+        r.collect { case PyStr(s) => s } }
+      val got = Sidecar.parseInfo(lines.toDF("line").coalesce(1), col("line"))
+        .select(col("name"), col("date"), col("bucket"), lower(col("system_id")))
+        .collect().map(r => Vector(r.getString(0), r.getString(1),
+          r.getString(2), r.getString(3))).toVector
+      if (got.sortBy(_.mkString(",")) != wantRows.sortBy(_.mkString(",")))
+        problems += s"case $ci rows:\n got ${got}\n exp ${wantRows}"
+      // stem queries: first row (in order) whose lowercased id equals the stem
+      val queries = strs("queries").collect { case q: PyObj =>
+        (q.get("path").collect { case PyStr(s) => s }.get,
+          q.get("id").collect { case PyStr(s) => s })
+      }
+      val stems = spark.createDataset(queries.map(_._1))
+        .select(Sidecar.stemLower(col("value")).as("stem"))
+        .collect().map(_.getString(0))
+      queries.zip(stems).foreach { case ((path, wantId), stem) =>
+        val gotId = wantRows.find(_(3) == stem).map(_(3))
+        if (gotId != wantId)
+          problems += s"case $ci query $path: got $gotId exp $wantId (stem=$stem)"
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} problems:\n${problems.take(5).mkString("\n")}")
+  }
+}
