@@ -1,0 +1,67 @@
+import json, random, string, sys
+sys.path.insert(0, '/tmp')
+import ref_harness
+from filecrawler.util.tools import Tools
+
+rnd = random.Random(0xC0C0A)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def rval():
+    k = rnd.randrange(8)
+    if k == 0: return rnd.randrange(-10**9, 10**9)
+    if k == 1: return round(rnd.uniform(-1e4, 1e4), rnd.randrange(1, 10))
+    if k == 2: return None
+    if k == 3: return rs(rnd.randrange(0, 30))
+    if k == 4: return 'unicode välue 中文 ' + rs(3)
+    if k == 5: return rnd.uniform(-1, 1) * 10 ** rnd.randrange(-15, 16)
+    if k == 6: return rs(rnd.randrange(1, 8), string.printable[:90])
+    return rnd.randrange(0, 2**40)
+
+def table_name():
+    k = rnd.randrange(5)
+    if k == 0: return rs(rnd.randrange(3, 12))
+    if k == 1: return 'user data ' + rs(3)
+    if k == 2: return 'Ação-táble_' + rs(2)
+    if k == 3: return rs(3) + '..' + rs(3)
+    return rs(2) + ' -- ' + rs(2)
+
+# faithful transcription of containerfile.py:118-157 (extract_sqlite3 chunk
+# loop) with the 1073741824 literal parameterized
+def ref_chunks(table, cols, rows_list, chunk_bytes):
+    rows = [dict(zip(cols, r)) for r in rows_list]
+    total = len(rows)
+    rc = 0
+    offset = 0
+    c_size = sum([len(h) for h in rows[0].keys()])
+    out = []
+    while offset < total:
+        p_size = 0
+        d_tmp = {'table': table, 'offset': offset, 'total': total,
+                 'count': 0, 'data': []}
+        for i, r in enumerate(rows):
+            if i >= offset and p_size <= chunk_bytes:
+                p_size += c_size
+                p_size += sum([len(str(d)) if d is not None else 10 for d in r.values()])
+                d_tmp['data'] += [r]
+        d_tmp['count'] = len(d_tmp['data'])
+        offset += d_tmp['count']
+        n1 = Tools.sanitize_filename(table)
+        full_name = f"{n1}_{rc:06}.json"
+        data = json.dumps(d_tmp, default=Tools.json_serial, sort_keys=False, indent=2)
+        out.append([full_name, data])
+        rc += 1
+    return out
+
+cases = []
+for ci in range(150):
+    t = table_name()
+    cols = [rs(rnd.randrange(1, 10)) for _ in range(rnd.randrange(1, 6))]
+    rows = [[rval() for _ in cols] for _ in range(rnd.randrange(1, 40))]
+    cb = rnd.choice([50, 120, 400, 2000, 1073741824])
+    cases.append({'table': t, 'cols': cols, 'rows': rows, 'chunk_bytes': cb,
+                  'expected': ref_chunks(t, cols, rows, cb)})
+
+json.dump(cases, open('/tmp/chunk_fuzz.json', 'w'))
+print('cases:', len(cases), 'docs:', sum(len(c['expected']) for c in cases))

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 150-case randomized differential for the database-chunking doc shape vs
+  * a faithful transcription of the reference's extract_sqlite3 loop
+  * (containerfile.py:118-157) run live at generation time (generator:
+  * src/test/resources/gen_fuzz_chunk.py, seed 0xC0C0A). Stresses the
+  * quirks: overshoot-by-one admission, per-row header-size charge, the
+  * None-costs-10 size estimate, CPython float/unicode str() lengths,
+  * sanitize_filename on hostile table names, and the rc:06 file numbering,
+  * across chunk limits from 50 bytes to the reference's 1 GiB literal.
+  * Out of scope (reference CRASHES or drops the container): empty tables
+  * (rows[0] IndexError), BLOB values (json.dumps TypeError). */
+class ChunkFuzzSpec extends AnyFunSuite {
+
+  test("150-case chunk fuzz corpus: byte-exact docs vs reference loop") {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_chunk.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+    assert(cases.size == 150)
+    val mismatches = cases.zipWithIndex.flatMap { case (c, ci) =>
+      val table = c.get("table").collect { case PyStr(s) => s }.get
+      val cols = c.get("cols").collect { case PyArr(xs) => xs }.get
+        .collect { case PyStr(s) => s }
+      val rows = c.get("rows").collect { case PyArr(xs) => xs }.get
+        .collect { case PyArr(r) => r }
+      val cb = c.get("chunk_bytes").collect { case PyInt(n) => n }.get
+      val exp = c.get("expected").collect { case PyArr(xs) => xs }.get
+        .collect { case PyArr(Vector(PyStr(f), PyStr(j))) => (f, j) }
+      val pyRows = rows.iterator.map(r => PyObj(cols.zip(r)))
+      val got = JdbcSource.chunkStream(pyRows, rows.size.toLong, cols, table, cb)
+        .toVector
+      if (got == exp) None else Some(s"case $ci ($table, cb=$cb)")
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).mkString("\n"))
+  }
+}
