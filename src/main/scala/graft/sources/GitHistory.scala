@@ -3,6 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
 /** Git-history source (reference: gitfinder.py:23-123): every (branch,
   * commit, changed file) becomes up to two synthetic documents — the parent
   * side (`blob_a`, always emitted when present) and the child side
@@ -34,16 +37,6 @@ import org.apache.spark.sql.functions._
   */
 object GitHistory {
 
-  /** json.dumps string escaping for the JSON-safe subset git metadata uses
-    * (backslash, quote, newline; full escaping incl. \uXXXX lives in
-    * rules.PyJson for the rule engine). */
-  private def jsonEsc(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\""),
-      "\n", "\\\\n")
-
   /** gitfinder.py:60-63 message normalization. */
   def messageClean(msg: Column): Column =
     array_join(
@@ -54,21 +47,30 @@ object GitHistory {
   def diffType(renamed: Column, deletedFile: Column, newFile: Column): Column =
     when(renamed, "R").when(deletedFile, "D").when(newFile, "A").otherwise("M")
 
-  /** CPython-ordered, json.dumps-formatted metadata object. */
+  /** CPython-ordered, json.dumps-formatted metadata object
+    * (gitfinder.py:82: json.dumps with default separators and
+    * ensure_ascii=True). A UDF over rules.PyJson deliberately: the
+    * \uXXXX escaping of arbitrary unicode and C0 controls is not
+    * expressible with builtin column functions, byte parity is the
+    * contract (the fingerprint hashes this string), and the git source is
+    * a one-time materialization job, not the crawl hot path. Fuzz-pinned
+    * by GitFuzzSpec against live CPython output. */
+  private val metaDumps = udf((ins: Long, dels: Long, lns: Long,
+      branch: String, commit: String, obj: String, author: String,
+      msg: String, ts: String, dtype: String) =>
+    PyJson.dumps(PyObj(Vector(
+      "insertions" -> PyInt(ins), "deletions" -> PyInt(dels),
+      "lines" -> PyInt(lns), "branch" -> PyStr(branch),
+      "commit" -> PyStr(commit), "object" -> PyStr(obj),
+      "author" -> PyStr(author), "message" -> PyStr(msg),
+      "timestamp" -> PyStr(ts), "type" -> PyStr(dtype)))))
+
   def metadataJson(insertions: Column, deletions: Column, lines: Column,
       branch: Column, commitSha: Column, objPath: Column, author: Column,
       messageCleaned: Column, tsStr: Column, dtype: Column): Column =
-    concat(
-      lit("{\"insertions\": "), insertions.cast("long"),
-      lit(", \"deletions\": "), deletions.cast("long"),
-      lit(", \"lines\": "), lines.cast("long"),
-      lit(", \"branch\": \""), jsonEsc(branch),
-      lit("\", \"commit\": \""), jsonEsc(commitSha),
-      lit("\", \"object\": \""), jsonEsc(objPath),
-      lit("\", \"author\": \""), jsonEsc(author),
-      lit("\", \"message\": \""), jsonEsc(messageCleaned),
-      lit("\", \"timestamp\": \""), jsonEsc(tsStr),
-      lit("\", \"type\": \""), jsonEsc(dtype), lit("\"}"))
+    metaDumps(insertions.cast("long"), deletions.cast("long"),
+      lines.cast("long"), branch, commitSha, objPath, author,
+      messageCleaned, tsStr, dtype)
 
   /** pathlib name/extension of the object path (suffix quirks shared with
     * the sidecar stem logic, but case-preserving). */

@@ -1,0 +1,73 @@
+import json, hashlib, random, string, os, sys
+from pathlib import Path
+rnd = random.Random(0x617EEE)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def rmessage():
+    k = rnd.randrange(7)
+    if k == 0: return f'Fix {rs(6)}\r\n\r\n   \r\nDetails: {rs(4)}'
+    if k == 1: return f'feat: {rs(5)} — ünïcode 中文\n\nbody "quoted" \\ back'
+    if k == 2: return f'{rs(4)}\ttabbed\tcols\n{rs(3)}'
+    if k == 3: return ''
+    if k == 4: return '\n\n\n'
+    if k == 5: return f'single {rs(8)}'
+    return ' lead ws\n  \n trail ws \nlast'
+
+def rpath():
+    k = rnd.randrange(6)
+    if k == 0: return f'src/{rs(4)}/mod.{rnd.choice(["py","rs","go"])}'
+    if k == 1: return f'{rs(3)}/.hidden'
+    if k == 2: return f'a/b/archive.tar.gz'
+    if k == 3: return f'/{rs(4)}/leading.txt/'
+    if k == 4: return rs(6)
+    return f'{rs(2)}/{rs(3)}.{rs(2)}.{rs(3)}'
+
+cases = []
+for ci in range(200):
+    repo = f'/repos/{rs(5)}'
+    branch = rnd.choice(['main', 'dev', f'feature/{rs(4)}', f'bügfix-{rs(2)}'])
+    sha = rs(40, '0123456789abcdef')
+    objpath = rpath()
+    author = rnd.choice([f'{rs(4)}@example.com', f'ünï-{rs(3)}@dev.org', ''])
+    message = rmessage()
+    ts = f'202{rnd.randrange(0,5)}-0{rnd.randrange(1,9)}-1{rnd.randrange(0,9)}T10:30:00+0000'
+    ins, dels = rnd.randrange(0, 500), rnd.randrange(0, 500)
+    renamed, deleted, new = (rnd.random() < .15, rnd.random() < .15, rnd.random() < .2)
+    dtype = 'R' if renamed else 'D' if deleted else 'A' if new else 'M'
+    a_blob = None if rnd.random() < 0.25 else rs(rnd.randrange(1, 40))
+    b_blob = rnd.choice([None, '', rs(rnd.randrange(1, 40))])
+
+    mclean = '\n'.join(m for m in message.strip('').replace('\r', '').split('\n')
+                       if m.strip() != '')
+    stats = {'insertions': ins, 'deletions': dels, 'lines': ins + dels,
+             'branch': branch, 'commit': sha, 'object': objpath,
+             'author': author, 'message': mclean, 'timestamp': ts, 'type': dtype}
+    meta = json.dumps(stats)
+    def fp(salt):
+        h = hashlib.sha1()
+        h.update(f'{repo}_{salt}'.encode('utf-8'))
+        h.update(meta.encode('utf-8'))
+        return h.hexdigest()
+    opath = Path(os.path.join(repo, objpath.strip('/')))
+    sides = []
+    if a_blob is not None:
+        sides.append({'salt': 'a', 'fingerprint': fp('a'),
+                      'path_virtual': f'{repo}/<gitcommit>/{branch}/{sha}/blob_a/{objpath.strip("/")}'})
+    if b_blob is not None and len(b_blob) > 0:
+        sides.append({'salt': 'b', 'fingerprint': fp('b'),
+                      'path_virtual': f'{repo}/<gitcommit>/{branch}/{sha}/blob_b/{objpath.strip("/")}'})
+    cases.append({
+        'repo': repo, 'branch': branch, 'commit_sha': sha, 'obj_path': objpath,
+        'author': author, 'message': message, 'ts_str': ts,
+        'insertions': ins, 'deletions': dels, 'lines': ins + dels,
+        'renamed': renamed, 'deleted_file': deleted, 'new_file': new,
+        'a_blob': a_blob, 'b_blob': b_blob,
+        'expected': {'metadata': meta, 'filename': opath.name,
+                     'extension': opath.suffix.strip('. '), 'dtype': dtype,
+                     'sides': sides}})
+
+json.dump(cases, open('/tmp/git_fuzz.json', 'w'))
+n_sides = sum(len(c['expected']['sides']) for c in cases)
+print('cases:', len(cases), 'sides:', n_sides)

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 200-case randomized differential for the git-history doc derivation vs
+  * CPython semantics computed live at generation time (generator:
+  * src/test/resources/gen_fuzz_git.py, seed 0x617EEE): message cleaning
+  * (CRLF, blank-line drops, the no-op strip('') quirk), CPython-ordered
+  * metadata json.dumps (ensure_ascii escaping of unicode, control chars),
+  * sha1 fingerprints over repo_salt+metadata, pathlib filename/suffix
+  * quirks (leading dot, multi-dot, trailing slash), a/b blob side rules
+  * (a: whenever present; b: only non-empty), and path_virtual composition
+  * (gitfinder.py:60-103). */
+class GitFuzzSpec extends AnyFunSuite with SparkTestSession {
+
+  test("200-case git fuzz corpus: docs byte-exact vs CPython derivation") {
+    import spark.implicits._
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_git.json"), "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+    assert(cases.size == 200)
+    def s(o: PyObj, k: String) = o.get(k).collect { case PyStr(v) => v }.get
+    def oi(o: PyObj, k: String) = o.get(k).collect { case PyInt(v) => v }.get
+    def ob(o: PyObj, k: String) = o.get(k).collect { case PyBool(v) => v }.get
+    val rows = cases.zipWithIndex.map { case (c, i) =>
+      (i.toLong, s(c, "repo"), s(c, "branch"), s(c, "commit_sha"),
+        s(c, "obj_path"), s(c, "author"), s(c, "message"), s(c, "ts_str"),
+        oi(c, "insertions"), oi(c, "deletions"), oi(c, "lines"),
+        ob(c, "renamed"), ob(c, "deleted_file"), ob(c, "new_file"),
+        c.get("a_blob").collect { case PyStr(v) => v }.orNull,
+        c.get("b_blob").collect { case PyStr(v) => v }.orNull)
+    }
+    val df = rows.toDF("case_id", "repo", "branch", "commit_sha", "obj_path",
+      "author", "message", "ts_str", "insertions", "deletions", "lines",
+      "renamed", "deleted_file", "new_file", "a_blob", "b_blob")
+    val got = GitHistory.diffDocs(df.withColumn("a_blob",
+        col("a_blob").cast("binary"))
+        .withColumn("b_blob", col("b_blob").cast("binary")))
+      .select(col("commit_sha"), col("metadata"), col("filename"),
+        col("extension"), col("dtype"), col("fingerprint"), col("path_virtual"))
+      .collect()
+      .groupBy(_.getString(0))
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val exp = c.get("expected").collect { case o: PyObj => o }.get
+      val sides = exp.get("sides").collect { case PyArr(xs) => xs }.get
+        .collect { case o: PyObj => o }
+      val g = got.getOrElse(s(c, "commit_sha"), Array.empty)
+        .sortBy(r => r.getString(6))
+      if (g.length != sides.length) {
+        problems += s"case $i: ${g.length} docs, expected ${sides.length}"
+      } else {
+        sides.sortBy(o => s(o, "path_virtual")).zip(
+            g.sortBy(_.getString(6))).foreach { case (side, row) =>
+          if (row.getString(1) != s(exp, "metadata"))
+            problems += s"case $i metadata:\n got ${row.getString(1)}\n exp ${s(exp, "metadata")}"
+          if (row.getString(2) != s(exp, "filename"))
+            problems += s"case $i filename: got ${row.getString(2)} exp ${s(exp, "filename")}"
+          if (row.getString(3) != s(exp, "extension"))
+            problems += s"case $i extension: got ${row.getString(3)} exp ${s(exp, "extension")}"
+          if (row.getString(5) != s(side, "fingerprint"))
+            problems += s"case $i fp(${s(side, "salt")}): got ${row.getString(5)} exp ${s(side, "fingerprint")}"
+          if (row.getString(6) != s(side, "path_virtual"))
+            problems += s"case $i pv: got ${row.getString(6)} exp ${s(side, "path_virtual")}"
+        }
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} problems:\n${problems.take(6).mkString("\n")}")
+  }
+}
