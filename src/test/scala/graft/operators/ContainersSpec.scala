@@ -58,10 +58,14 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("mht golden byte-exact vs reference extract_mht: page.mht") {
-    val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/page.mht")), UTF_8)
-    val got = Email.extractMht(raw)
-    assertSameTree(asMap(got), readTree(resDir.resolve("golden/page.mht")), "page.mht")
+  // m000.mht is fuzz-promoted: folded boundary param (the fixup regex),
+  // deep Content-Location paths, mixed transfer encodings
+  for (name <- Seq("page.mht", "m000.mht")) {
+    test(s"mht golden byte-exact vs reference extract_mht: $name") {
+      val raw = new String(Files.readAllBytes(resDir.resolve(s"fixtures/$name")), UTF_8)
+      val got = Email.extractMht(raw)
+      assertSameTree(asMap(got), readTree(resDir.resolve(s"golden/$name")), name)
+    }
   }
 
   test("eml: RFC 2231 extended filenames decode (single and continuations)") {
@@ -84,9 +88,13 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/simple.eml")), UTF_8)
     val ms = Email.extractEml("/m/simple.eml", raw).get
     assert(ms.head.mtime.contains(1709634600L)) // 2024-03-05T10:30:00Z
-    // mht never fails: garbage degrades to body.txt (reference except branch)
+    // mht never fails — and headerless junk is NOT the except branch:
+    // CPython parses it with defects into a single non-multipart message,
+    // whose walk() yields itself -> part_0.bin carrying the full text
+    // (pinned by the 120-case mht fuzz differential)
     val fallback = Email.extractMht("not a mime message at all")
-    assert(fallback.map(_.path) == Seq("body.txt"))
+    assert(fallback.map(_.path) == Seq("part_0.bin"))
+    assert(new String(fallback.head.bytes, UTF_8) == "not a mime message at all")
   }
 
   // ---------------- archive formats ----------------
