@@ -286,6 +286,16 @@ object Ole {
     * Same extraction contract as the xlsx path (SST dump in table order). */
   def xlsbSstStrings(bin: Array[Byte]): Vector[String] = {
     val out = Vector.newBuilder[String]
+    try xlsbScan(bin, out)
+    catch { case _: ArrayIndexOutOfBoundsException => () }
+    // a truncated record HEADER mid-varint must not discard the strings
+    // already parsed from valid records (body truncation is bounds-checked
+    // inside the loop; this guards the 1-2 byte header reads)
+    out.result()
+  }
+
+  private def xlsbScan(bin: Array[Byte],
+      out: scala.collection.mutable.Builder[String, Vector[String]]): Unit = {
     var p = 0
     def varId(): Int = {
       val b0 = bin(p) & 0xFF; p += 1
@@ -304,7 +314,7 @@ object Ole {
       val id = varId()
       val len = varLen()
       val body = p
-      if (len < 0 || body + len > bin.length) return out.result()
+      if (len < 0 || body + len > bin.length) return
       if (id == 0x13 && len >= 5) { // BrtSSTItem
         val bb = ByteBuffer.wrap(bin).order(ByteOrder.LITTLE_ENDIAN)
         val cch = bb.getInt(body + 1)
@@ -313,7 +323,6 @@ object Ole {
       }
       p = body + len
     }
-    out.result()
   }
 
   // ---------------------------------------------------------- PowerPoint

@@ -73,16 +73,28 @@ object YamlLite {
           if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
           else quote = 0
         } else if (quote == '"' && c == '\\') i += 1
-      } else if ((c == '"' || c == '\'') &&
-          (i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'))
-        // a quoted scalar starts only at a token boundary; a quote char
-        // mid-plain-scalar (l"i) is literal and must not mask a comment
+      } else if ((c == '"' || c == '\'') && quoteOpensAt(s, i))
+        // a quoted scalar starts only at a SCALAR start (line start, or
+        // whitespace preceded by an indicator ':'/'-'/','/'['/'{'); a
+        // quote after a plain-scalar word (say "hi) is literal and must
+        // not mask a trailing comment — PyYAML-verified
         quote = c
       else if (c == '#' && (i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'))
         return s.substring(0, i).reverse.dropWhile(ch => ch == ' ' || ch == '\t').reverse
       i += 1
     }
     s
+  }
+
+  /** True when a quote char at position i begins a quoted scalar: at line
+    * start, or after whitespace whose preceding non-space char is a YAML
+    * indicator (block/flow value or sequence-entry position). */
+  private def quoteOpensAt(s: String, i: Int): Boolean = {
+    if (i == 0) return true
+    var j = i - 1
+    if (s.charAt(j) != ' ' && s.charAt(j) != '\t') return false
+    while (j >= 0 && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j -= 1
+    j < 0 || ":-,[{".indexOf(s.charAt(j)) >= 0
   }
 
   private def parseBlock(lines: Vector[(Int, String)], start: Int,

@@ -58,7 +58,11 @@ object GitHistory {
   private val metaDumps = udf((ins: Long, dels: Long, lns: Long,
       branch: String, commit: String, obj: String, author: String,
       msg: String, ts: String, dtype: String) =>
-    PyJson.dumps(PyObj(Vector(
+    // null in any field -> null metadata (the old concat behavior; a
+    // pre-materialization artifact, not a reference state)
+    if (branch == null || commit == null || obj == null || author == null ||
+        msg == null || ts == null || dtype == null) null
+    else PyJson.dumps(PyObj(Vector(
       "insertions" -> PyInt(ins), "deletions" -> PyInt(dels),
       "lines" -> PyInt(lns), "branch" -> PyStr(branch),
       "commit" -> PyStr(commit), "object" -> PyStr(obj),

@@ -68,7 +68,10 @@ object JdbcSource {
   def tableDocs(rows: DataFrame, table: String,
       chunkBytes: Long = 1073741824L): Iterator[(String, String)] = {
     val cols = rows.schema.fieldNames.toVector
-    val snap = rows.persist()
+    // OpCaches registration is the backstop for consumers that abandon the
+    // iterator early (error mid-sink, take(n)) — the exhaustion unpersist
+    // below is the eager path; double unpersist is a no-op
+    val snap = graft.operators.OpCaches.register(rows.persist())
     val total = snap.count() // materializes the snapshot; reference's len(rows)
     val pyIt = scala.jdk.CollectionConverters.IteratorHasAsScala(
       snap.toLocalIterator()).asScala

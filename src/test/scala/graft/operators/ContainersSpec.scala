@@ -84,6 +84,41 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     assert(got.contains("part one-two.txt"), got)
   }
 
+  test("eml: RFC 2231 dual forms are order-dependent; bad escapes literal") {
+    // verified against CPython policy.default get_filename
+    def fn(cd: String): Option[String] = {
+      val raw = "Content-Type: multipart/mixed; boundary=\"B\"\n\n" +
+        "--B\nContent-Type: text/plain\n\nbody\n" +
+        "--B\nContent-Type: application/octet-stream\n" + cd + "\n\nd\n--B--\n"
+      Email.extractEml("/m/y.eml", raw).get.map(_.path)
+        .find(p => p != "header.txt" && p != "body_txt.txt")
+    }
+    // plain form first -> plain wins
+    assert(fn("Content-Disposition: attachment; filename=\"fallback.txt\"; " +
+      "filename*=UTF-8''f%C3%AF.txt") == Some("fallback.txt"))
+    // extended form first -> extended wins
+    assert(fn("Content-Disposition: attachment; filename*=UTF-8''f%C3%AF.txt; " +
+      "filename=\"fallback.txt\"") == Some("f\u00ef.txt"))
+    // invalid %xx stays literal, rest decodes (CPython unquote)
+    assert(fn("Content-Disposition: attachment; filename*=utf-8''ok%20name%zz.txt")
+      == Some("ok name%zz.txt"))
+  }
+
+  test("eml/mht: CPython header-defect rules (verified live)") {
+    // first-line continuation is DROPPED, parsing continues
+    val m1 = Email.parseMessage("\tjunk\nContent-Type: text/html\n\nbody")
+    assert(m1.contentType == "text/html" && m1.body == "body")
+    // empty-name ':v' line: kept parsing (header itself unusable)
+    val m2 = Email.parseMessage(":v\nContent-Type: text/html\n\nbody")
+    assert(m2.contentType == "text/html" && m2.body == "body")
+    // first no-colon line: rest (inclusive) is payload
+    val m3 = Email.parseMessage("X: 1\nnot a header\nY: 2")
+    assert(m3.header("X").contains("1") && m3.body == "not a header\nY: 2")
+    // redump drops the defective lines, like the reference's re-emission
+    assert(!Email.refoldLongHeaders("\tjunk\nA: b\n\nx").contains("junk"))
+    assert(Email.refoldLongHeaders(":v\nA: b\n\nx") == "A: b\n\nx")
+  }
+
   test("eml: Date header drives member mtime; unparseable input -> None") {
     val raw = new String(Files.readAllBytes(resDir.resolve("fixtures/simple.eml")), UTF_8)
     val ms = Email.extractEml("/m/simple.eml", raw).get

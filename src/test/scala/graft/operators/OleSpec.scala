@@ -273,6 +273,22 @@ class OleSpec extends AnyFunSuite {
     assert(Office.extractText(OleBuild.buildXlsb(Seq(long))).get == long)
   }
 
+  test("xlsb: truncated record header keeps already-parsed strings") {
+    val good = OleBuild.buildXlsb(Seq("kept string"))
+    // find the sharedStrings.bin inside and truncate mid-header
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(good))
+    var bin: Array[Byte] = null
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/sharedStrings.bin") bin = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    // append a dangling 2-byte header whose varint id promises more bytes
+    val truncated = bin ++ Array[Byte](0x9F.toByte, 0x80.toByte)
+    assert(Ole.xlsbSstStrings(truncated) == Vector("kept string"))
+  }
+
   test("xls: empty workbook yields empty text, not a crash") {
     val xls = OleBuild.buildXls(Nil, Nil)
     assert(Ole.extractText(xls).contains(""))

@@ -40,4 +40,12 @@ class YamlFuzzSpec extends AnyFunSuite {
     assert(mismatches.isEmpty,
       s"${mismatches.size} mismatches:\n${mismatches.take(4).mkString("\n")}")
   }
+
+  test("mid-scalar quotes do not mask comments (PyYAML-verified cases)") {
+    def obj(t: String) = Parsers.parseFull("yaml", "",
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8))._3
+    assert(obj("k: say \"hi # there\"\n") == Some("{\n  \"k\": \"say \\\"hi\"\n}"))
+    assert(obj("k: rock 'n roll # c\n") == Some("{\n  \"k\": \"rock 'n roll\"\n}"))
+    assert(obj("k: \"v\" # c\n") == Some("{\n  \"k\": \"v\"\n}"))
+  }
 }
