@@ -1,0 +1,106 @@
+import importlib.util, random, string, shutil, sys
+from pathlib import Path
+from email.mime.multipart import MIMEMultipart
+from email.mime.text import MIMEText
+from email.mime.application import MIMEApplication
+from email.mime.base import MIMEBase
+from email import encoders
+
+spec = importlib.util.spec_from_file_location(
+    'gen_goldens', '/root/repo/src/test/resources/eml/gen_goldens.py')
+gg = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(gg)
+
+rnd = random.Random(0xE3A11)
+OUT = Path('/tmp/eml_fuzz')
+FIX = OUT / 'fixtures'
+GOLD = OUT / 'golden'
+shutil.rmtree(OUT, ignore_errors=True)
+FIX.mkdir(parents=True)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def rtext(k=None):
+    k = k if k is not None else rnd.randrange(4)
+    if k == 0: return ' '.join(rs(rnd.randrange(2, 9), string.ascii_lowercase)
+                               for _ in range(rnd.randrange(4, 30)))
+    if k == 1: return 'línea única con acentos — çöğüş 中文テキスト ' + rs(8)
+    if k == 2: return '\n'.join('line %d: %s' % (i, rs(20)) for i in range(rnd.randrange(2, 8)))
+    return 'tabs\tand  spaces\nand = signs =3D literal\n' + rs(12)
+
+def enc_of():
+    return rnd.choice(['base64', 'quoted-printable', '7bit'])
+
+def mk_text(sub='plain', k=None):
+    t = MIMEText(rtext(k), sub, 'utf-8')
+    # MIMEText defaults to base64 for utf-8; sometimes re-encode as qp
+    return t
+
+def mk_attach():
+    kind = rnd.randrange(4)
+    name = rnd.choice([
+        f'report {rs(4)}.pdf', f'data_{rs(3)}.csv', f'ünïcode-{rs(3)}.bin',
+        f'{rs(6)}.tar.gz', None])
+    if kind == 0:
+        a = MIMEApplication(bytes(rnd.randrange(256) for _ in range(rnd.randrange(10, 300))))
+    elif kind == 1:
+        a = MIMEText(rtext(), 'plain', 'utf-8')
+    else:
+        a = MIMEBase('application', 'octet-stream')
+        a.set_payload(bytes(rnd.randrange(256) for _ in range(rnd.randrange(5, 120))))
+        encoders.encode_base64(a)
+    if name is not None:
+        a.add_header('Content-Disposition', 'attachment', filename=name)
+    else:
+        a.add_header('Content-Disposition', 'attachment')
+    return a
+
+def headers(msg):
+    msg['From'] = f'{rs(5)}@example.com'
+    msg['To'] = f'{rs(5)}@dest.example.org'
+    msg['Subject'] = rnd.choice([f'Status {rs(6)}', 'Résumé — übersicht ' + rs(3), rs(12)])
+    if rnd.random() < 0.7:
+        day = rnd.randrange(1, 28)
+        msg['Date'] = f'Mon, {day:02d} Jan 2024 10:{rnd.randrange(60):02d}:00 +0000'
+    if rnd.random() < 0.3:
+        msg['X-Custom'] = rs(10)
+
+def build():
+    shape = rnd.randrange(5)
+    if shape == 0:
+        msg = mk_text('plain')
+        headers(msg)
+    elif shape == 1:
+        msg = MIMEMultipart('alternative')
+        headers(msg)
+        msg.attach(mk_text('plain'))
+        msg.attach(mk_text('html'))
+    elif shape == 2:
+        msg = MIMEMultipart('mixed')
+        headers(msg)
+        msg.attach(mk_text('plain'))
+        for _ in range(rnd.randrange(1, 4)):
+            msg.attach(mk_attach())
+    elif shape == 3:
+        msg = MIMEMultipart('mixed')
+        headers(msg)
+        alt = MIMEMultipart('alternative')
+        alt.attach(mk_text('plain'))
+        alt.attach(mk_text('html'))
+        msg.attach(alt)
+        msg.attach(mk_attach())
+    else:
+        msg = mk_text('html')
+        headers(msg)
+    return msg
+
+N = 150
+ok = 0
+for i in range(N):
+    name = f'f{i:03d}.eml'
+    raw = build().as_string()
+    (FIX / name).write_text(raw, encoding='utf-8')
+    gg.extract_eml(FIX / name, GOLD / name)
+    ok += 1
+print('generated', ok, 'fixtures+goldens under', OUT)

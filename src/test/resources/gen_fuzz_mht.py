@@ -1,0 +1,71 @@
+import importlib.util, random, string, shutil, sys
+from pathlib import Path
+
+spec = importlib.util.spec_from_file_location(
+    'gen_goldens', '/root/repo/src/test/resources/eml/gen_goldens.py')
+gg = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(gg)
+
+rnd = random.Random(0x317A7)
+OUT = Path('/tmp/mht_fuzz')
+FIX = OUT / 'fixtures'
+GOLD = OUT / 'golden'
+shutil.rmtree(OUT, ignore_errors=True)
+FIX.mkdir(parents=True)
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+def loc():
+    k = rnd.randrange(7)
+    if k == 0: return f'http://example.com/{rs(4)}/page.html'
+    if k == 1: return f'https://site.test/{rs(3)}/style.css?v={rs(2)}'
+    if k == 2: return f'http://x.y/img/photo {rs(2)}.png'      # space in path
+    if k == 3: return ''                                       # -> part_N.bin
+    if k == 4: return f'file:///C:/docs/{rs(3)}.txt'
+    if k == 5: return f'http://a.b/./{rs(3)}.js'               # dot segment
+    return f'http://c.d/deep/{rs(2)}/{rs(2)}/res.{rs(2)}'
+
+def body(k=None):
+    k = rnd.randrange(3) if k is None else k
+    if k == 0: return f'<html><body>{rs(20)} content</body></html>'
+    if k == 1: return f'.cls{{color:#{rs(6, "0123456789abcdef")}}}'
+    return rs(rnd.randrange(10, 100))
+
+def build_mht():
+    b = f'----=_NextPart_{rs(8)}'
+    parts = []
+    n = rnd.randrange(1, 5)
+    for i in range(n):
+        l = loc()
+        enc = rnd.choice(['base64', 'quoted-printable', '7bit'])
+        pb = body()
+        if enc == 'base64':
+            import base64
+            payload = base64.encodebytes(pb.encode()).decode()
+            cte = 'base64'
+        elif enc == 'quoted-printable':
+            import quopri
+            payload = quopri.encodestring(pb.encode()).decode()
+            cte = 'quoted-printable'
+        else:
+            payload = pb
+            cte = '7bit'
+        hdr = f'Content-Type: text/html\nContent-Transfer-Encoding: {cte}\n'
+        if l:
+            hdr += f'Content-Location: {l}\n'
+        parts.append(f'--{b}\n{hdr}\n{payload}\n')
+    # the boundary-fixup quirk target: FOLDED Content-Type boundary param
+    sep = rnd.choice(['; ', ';\n ', ';\r\n\t', ';  \n '])
+    head = (f'From: <Saved by fuzz>\nSubject: {rs(6)}\nMIME-Version: 1.0\n'
+            f'Content-Type: multipart/related{sep}boundary="{b}";\n'
+            f' type="text/html"\n\n')
+    return head + ''.join(parts) + f'--{b}--\n'
+
+N = 120
+for i in range(N):
+    name = f'm{i:03d}.mht'
+    raw = build_mht() if rnd.random() > 0.08 else 'complete garbage ' + rs(30)
+    (FIX / name).write_text(raw, encoding='utf-8')
+    gg.extract_mht(FIX / name, GOLD / name)
+print('generated', N)

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 150 eml + 120 mht randomized cases vs the reference's extract_eml /
+  * extract_mht replay (generators: src/test/resources/gen_fuzz_eml.py seed
+  * 0xE3A11, gen_fuzz_mht.py seed 0x317A7; goldens computed live via the
+  * CPython email stdlib at generation time). Member bytes ride base64 in
+  * one JSON resource — on-disk golden trees with unicode filenames would
+  * break sbt's C-locale file scanner. Covers: multipart shapes, transfer
+  * encodings, policy.default >78-char header refolds, RFC 2231 filenames,
+  * folded-boundary fixup, Content-Location path naming, headerless-junk
+  * defect handling. */
+class EmailFuzzSpec extends AnyFunSuite {
+
+  private lazy val corpus: PyObj = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_email.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyObj]
+  }
+
+  private def cases(kind: String): Vector[(String, String, Map[String, Array[Byte]])] =
+    corpus.get(kind).collect { case PyArr(xs) => xs }.get.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      val name = o.get("name").collect { case PyStr(s) => s }.get
+      val text = o.get("text").collect { case PyStr(s) => s }.get
+      val members = o.get("members").collect { case m: PyObj => m }.get.v.map {
+        case (k, PyStr(b64)) => k -> java.util.Base64.getDecoder.decode(b64)
+        case other => fail(s"bad member $other")
+      }.toMap
+      (name, text, members)
+    }
+
+  private def diff(name: String,
+      got: Map[String, Array[Byte]], want: Map[String, Array[Byte]]): Option[String] =
+    if (got.keySet != want.keySet)
+      Some(s"$name members: got ${got.keySet.toSeq.sorted} exp ${want.keySet.toSeq.sorted}")
+    else got.collectFirst {
+      case (k, v) if !java.util.Arrays.equals(v, want(k)) =>
+        s"$name member $k bytes differ"
+    }
+
+  test("150-case eml fuzz corpus: member trees byte-exact vs reference") {
+    val problems = cases("eml").flatMap { case (name, text, want) =>
+      val got = Email.extractEml(s"/mnt/mail/$name", text)
+        .map(_.map(m => m.path -> m.bytes).toMap).getOrElse(Map.empty)
+      diff(name, got, want)
+    }
+    assert(problems.isEmpty, problems.take(5).mkString("\n"))
+  }
+
+  test("120-case mht fuzz corpus: member trees byte-exact vs reference") {
+    val problems = cases("mht").flatMap { case (name, text, want) =>
+      val got = Email.extractMht(text).map(m => m.path -> m.bytes).toMap
+      diff(name, got, want)
+    }
+    assert(problems.isEmpty, problems.take(5).mkString("\n"))
+  }
+}
