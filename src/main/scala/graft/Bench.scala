@@ -78,35 +78,125 @@ object Bench {
     (metrics.map(_.fetched).sum, sec)
   }
 
+  /** One (16c, 4c) time-adjacent measurement pair. */
+  final case class Pair(r16: (Long, Double), w16: HostWindow,
+      r4: (Long, Double), w4: HostWindow)
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
 
     val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("crawl")
 
+    // ---- timeout survival (round-3 postmortem: BENCH_r03 rc=124 with
+    // nothing parseable — the single end-of-run JSON line never printed).
+    // Every measurement now emits the moment it finishes, and after each
+    // crawl measurement a full RUNNING SUMMARY line in the driver-contract
+    // schema is (re)printed, so a run killed at any point leaves the most
+    // complete summary so far as the last JSON line on stdout.
+    var batteryResults: Seq[(String, Double)] = Seq.empty
+    var fullLoop: Option[(Long, Double)] = None
+    var warmUrls = 0L
+    val pairsDone = scala.collection.mutable.ArrayBuffer.empty[Pair]
+
+    def tput(r: (Long, Double)) = r._1 / r._2
+    def jnum(v: Double): String =
+      if (v.isNaN || v.isInfinite) "null"
+      else "%.6g".formatLocal(java.util.Locale.ROOT, v)
+
+    /** Driver-contract summary from everything measured so far. */
+    def summaryLine(done: Boolean): String = {
+      val total = batteryResults.map(_._2).sum
+      val qs = batteryResults.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val n = pairsDone.size
+      val crawlFields = new StringBuilder
+      fullLoop.foreach { case (u, s) =>
+        crawlFields ++= s""""full_urls":$u,"full_sec_${cpus}c":$s,""" +
+          s""""full_urls_per_sec_${cpus}c":${jnum(u / s)},"""
+      }
+      if (n > 0) {
+        val pairEffs = pairsDone
+          .map(p => tput(p.r16) / (4.0 * tput(p.r4)))
+          .filterNot(_.isNaN).sorted
+        val effMedianPairwise =
+          if (pairEffs.isEmpty) Double.NaN else pairEffs(pairEffs.size / 2)
+        val s16 = pairsDone.map(_.r16)
+          .minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
+        val s4 = pairsDone.map(_.r4)
+          .minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
+        // Headline estimator: per-side min-time (best-of-n) floor ratio.
+        // The work is deterministic (same seed, same input) so any delta
+        // above the floor is host/JVM weather, which only ADDS time; the
+        // min over interleaved runs is the tightest observable bound on the
+        // engine's throughput at each core count (round-3 distributions:
+        // 4c converged to 0.3% while 16c spanned 1.47x for identical work).
+        // The r2-legacy pairwise-median estimator is emitted under its own
+        // explicit key; `scaling_efficiency` is floor-semantics since r3
+        // and says so via `scaling_efficiency_estimator` (advice r3: the
+        // estimator switch must be visible wherever rounds are compared).
+        val effFloor = tput(s16) / (4.0 * tput(s4))
+        val allRuns = pairsDone.flatMap(p => Seq(p.r16._2, p.r4._2))
+        val allHost = pairsDone.flatMap(p => Seq(p.w16, p.w4))
+        def fmtSeries(f: HostWindow => Double) =
+          allHost.map { h =>
+            val v = f(h)
+            if (v.isNaN) "null"
+            else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+          }.mkString("[", ",", "]")
+        crawlFields ++=
+          s""""steady_urls":${s16._1},"steady_sec_16c":${s16._2},""" +
+          s""""steady_urls_per_sec_16c":${jnum(tput(s16))},""" +
+          s""""steady_sec_4c":${s4._2},"steady_urls_per_sec_4c":${jnum(tput(s4))},""" +
+          s""""steady_all_runs_sec_16_4_x$n":[${allRuns.mkString(",")}],""" +
+          s""""host_steal_pct_per_run":${fmtSeries(_.stealPct)},""" +
+          s""""host_busy_pct_per_run":${fmtSeries(_.busyPct)},""" +
+          s""""host_iowait_pct_per_run":${fmtSeries(_.iowaitPct)},""" +
+          s""""pairwise_efficiencies":[${pairEffs.map(jnum).mkString(",")}],""" +
+          s""""scaling_efficiency_median_pairwise":${jnum(effMedianPairwise)},""" +
+          s""""scaling_efficiency_floor_best_of_$n":${jnum(effFloor)},""" +
+          s""""scaling_pairs_run":$n,""" +
+          s""""scaling_efficiency_estimator":"per-side min-time floor over $n interleaved pairs (r2 used the pairwise median, see scaling_efficiency_median_pairwise)",""" +
+          s""""scaling_efficiency":${jnum(effFloor)},"""
+      }
+      crawlFields ++= s""""warmup_urls":$warmUrls"""
+      s"""{"metric":"query_battery_total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","bench_complete":$done,""" +
+        s""""bench_elapsed_sec":${jnum(elapsedSec)},""" +
+        s""""crawl":{$crawlFields}}"""
+    }
+    def emit(stage: String): Unit = {
+      println(s"""{"metric":"bench_stage","stage":"$stage","elapsed_sec":${jnum(elapsedSec)}}""")
+      println(summaryLine(done = false))
+      System.out.flush()
+    }
+
     // ---- query battery, in its OWN warmed heap-pinned child JVM ----
     // (same discipline as the crawl runs: round-1 measured the battery
     // inside the sbt JVM at 556s vs 100s clean — it was measuring the
     // host's GC state, not the engine)
-    val results: Seq[(String, Double)] =
-      if (crawlOnly) Seq.empty else batterySubprocess(cpus, sfDir)
-    val total = results.map(_._2).sum
+    if (!crawlOnly) {
+      batteryResults = batterySubprocess(cpus, sfDir)
+      emit("battery")
+    }
 
-    var spark = freshSession(cpus)
+    val spark = freshSession(cpus)
 
-    // ---- crawl throughput: north-rule scaling evidence at N=6 vs 4N=24
-    // cores (leaving headroom for the VM's 5-18% hypervisor steal, which
-    // otherwise asymmetrically throttles the saturated side), plus a 32-core
-    // run for peak throughput. Warm-up matters: cold (pre-C2) code allocates
+    // ---- crawl throughput. Warm-up matters: cold (pre-C2) code allocates
     // ~10x more — observed 99s of GC in a first big run vs 0.7s warm. The
     // JIT state survives session swaps (same JVM), so only the first session
     // pays the big warm-up.
     // headline full-loop throughput in THIS JVM (warm), at the session cores
     val warm = crawlRun(spark, steadyConfig(scale * 0.3))
     val warmF = crawlRun(spark, benchConfig(scale * 0.05))
-    val (urlsF, secF) = crawlRun(spark, benchConfig(scale))
+    warmUrls = warm._1 + warmF._1
+    val full = crawlRun(spark, benchConfig(scale))
+    fullLoop = Some(full)
     spark.stop()
+    emit("full_loop")
 
     // N vs 4N scaling at N=4 → 4N=16: each measurement in its OWN child JVM
     // (one spark-submit analog each; restarted in-JVM SparkContexts degrade
@@ -118,63 +208,38 @@ object Bench {
     // also swings ~1.5x on tens-of-minutes timescales, so the two core
     // counts run as time-ADJACENT interleaved pairs: both sides sample the
     // same weather distribution, which supports both the pairwise-median
-    // and the per-side-floor estimators computed below.
-    // FIVE pairs (round 2 ran three and the median flipped on one bad
-    // window: raw 16c spread was 2.1x for identical work), and every run
-    // carries /proc/stat-delta host telemetry — steal%, busy%, iowait% over
-    // exactly the run's window — so a sub-0.8 median can be adjudicated
-    // against measured hypervisor steal instead of asserted.
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
-    // the 16c side runs its wave TWICE (same input, consecutive, summed):
-    // window symmetry with the ~2.5x-longer 4c run — see CrawlOnce
-    val pairs = (1 to nPairs).map { _ =>
-      val a16 = crawlSubprocess(16, "steady", scale, reps = 2)
-      val a4 = crawlSubprocess(4, "steady", scale)
-      (a16, a4)
+    // and the per-side-floor estimators. Every run carries /proc/stat-delta
+    // host telemetry — steal%, busy%, iowait% over exactly the run's window
+    // — so a sub-0.8 reading can be adjudicated against measured hypervisor
+    // steal instead of asserted.
+    //
+    // TIME-BOX (round-3 postmortem): default THREE pairs (3 sufficed for
+    // the floor estimator in every round-3 execution; SPARK_GRAFT_BENCH_PAIRS=5
+    // is the opt-in long form), and the loop stops adding pairs once its
+    // own wall-clock budget (default 25 min) is spent or the next pair is
+    // projected to overrun it — the r3 five-pair protocol outgrew the
+    // driver's budget and rc=124 erased the whole round's perf evidence.
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    val pairBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "1800").toDouble
+    val pairLoopStart = elapsedSec
+    var stop = false
+    while (pairsDone.size < nPairs && !stop) {
+      // the 16c side runs its wave TWICE (same input, consecutive, summed):
+      // window symmetry with the ~2.5x-longer 4c run — see CrawlOnce
+      val (a16, w16) = crawlSubprocess(16, "steady", scale, reps = 2)
+      val (a4, w4) = crawlSubprocess(4, "steady", scale)
+      pairsDone += Pair(a16, w16, a4, w4)
+      emit(s"pair_${pairsDone.size}")
+      val spent = elapsedSec - pairLoopStart
+      val perPair = spent / pairsDone.size
+      if (spent + perPair > pairBudgetSec && pairsDone.size < nPairs) {
+        println(s"""{"metric":"bench_stage","stage":"pair_loop_timeboxed","pairs_run":${pairsDone.size},"budget_sec":$pairBudgetSec,"spent_sec":${jnum(spent)}}""")
+        stop = true
+      }
     }
-    def tput(r: (Long, Double)) = r._1 / r._2
-    val pairEffs = pairs
-      .map { case ((a16, _), (a4, _)) => tput(a16) / (4.0 * tput(a4)) }
-      .filterNot(_.isNaN).sorted
-    val effMedianPairwise =
-      if (pairEffs.isEmpty) Double.NaN else pairEffs(pairEffs.size / 2)
-    val s16 = pairs.map(_._1._1).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
-    val s4 = pairs.map(_._2._1).minBy(r => if (r._2.isNaN) Double.MaxValue else r._2)
-    // Headline estimator: per-side min-time (best-of-nPairs) floor ratio.
-    // The work is deterministic (same seed, same input) so any run-to-run
-    // delta above the floor is host/JVM weather, which only ever ADDS time;
-    // the min over interleaved runs is therefore the tightest observable
-    // bound on the engine's true throughput at each core count. Measured
-    // round-3 distributions justify preferring it over the pairwise median:
-    // the 4c side converged (3/5 runs within 0.3%) while 16c spanned 1.47x
-    // for identical work and within-pair weather was anti-correlated, so
-    // pair ratios carried MORE noise than independent per-side floors. The
-    // median and every raw run + /proc/stat window stay in the JSON.
-    val effFloor = tput(s16) / (4.0 * tput(s4))
-    val allRuns = pairs.flatMap { case (a, b) => Seq(a._1._2, b._1._2) }
-    val allHost = pairs.flatMap { case (a, b) => Seq(a._2, b._2) }
-    def fmtSeries(f: HostWindow => Double) =
-      allHost.map { h =>
-        val v = f(h)
-        if (v.isNaN) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      }.mkString("[", ",", "]")
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"query_battery_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""crawl":{"full_urls":$urlsF,"full_sec_${cpus}c":$secF,"full_urls_per_sec_${cpus}c":${urlsF / secF},""" +
-      s""""steady_urls":${s16._1},"steady_sec_16c":${s16._2},"steady_urls_per_sec_16c":${tput(s16)},""" +
-      s""""steady_sec_4c":${s4._2},"steady_urls_per_sec_4c":${tput(s4)},""" +
-      s""""steady_all_runs_sec_16_4_x$nPairs":[${allRuns.mkString(",")}],""" +
-      s""""host_steal_pct_per_run":${fmtSeries(_.stealPct)},""" +
-      s""""host_busy_pct_per_run":${fmtSeries(_.busyPct)},""" +
-      s""""host_iowait_pct_per_run":${fmtSeries(_.iowaitPct)},""" +
-      s""""pairwise_efficiencies":[${pairEffs.mkString(",")}],""" +
-      s""""scaling_efficiency_median_pairwise":$effMedianPairwise,""" +
-      s""""scaling_efficiency_floor_best_of_$nPairs":$effFloor,""" +
-      s""""scaling_efficiency_steady_4c_to_16c":$effFloor,""" +
-      s""""scaling_efficiency":$effFloor,""" +
-      s""""warmup_urls":${warm._1 + warmF._1}}}""")
+    println(summaryLine(done = true))
   }
 
   /** Host CPU accounting over one measurement window (/proc/stat deltas):
