@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Mime, Multimodal, Office, Ole, OleBuild, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Entities, Mime, Multimodal, Office, Ole, OleBuild, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -209,6 +209,36 @@ object SparkEntry {
             .map(m => (id, m.path, new String(m.bytes, u)))
         }
         .toDF("doc_id", "member_path", "content")
+    }),
+
+    // K1 enrichment: per-finding email/URL entity extraction for the
+    // credentials index (elastic.py get_emailiter/get_urliter incl. the
+    // [@|%40] one-char separator quirk and the urlparse userinfo port
+    // split). Corpus is built deterministically from customer x nation so
+    // every quirk class appears: @ / %40 / | separators, quoted context,
+    // uppercase schemes, explicit ports, params-on-last-segment, userinfo,
+    // and empty-path default ports. Pure per-row string work — no shuffle.
+    "q_credential_entities" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val base = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("doc_id"), col("c_name").as("nm"),
+          lower(regexp_replace(col("n_name"), " ", "-")).as("dom"))
+      val text = concat(
+        lit("contact "), col("nm"), lit("@"), col("dom"), lit(".example.com alt "),
+        col("nm"), lit("%40"), col("dom"), lit(".example.org id "),
+        col("nm"), lit("|mail-"), col("dom"), lit(".example.net \" quoted.user@"),
+        col("dom"), lit(".example.io \" "),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("see http://www."), col("dom"), lit(".example.com/a/b")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("see HTTPS://Portal."), col("dom"),
+              lit(".example.com:8443/Sess;sid=ABC?q=1#frag")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("see http://user:pw@"), col("dom"),
+              lit(".example.com:8080/priv")))
+          .otherwise(concat(lit("see https://"), col("dom"), lit(".example.com"))))
+      Entities.credentialEntities(base.select(col("doc_id"), text.as("text")))
     }),
 
     // P2 PDF half: native text-layer extraction (no Tika). Per-doc PDFs
@@ -772,6 +802,71 @@ object SparkEntry {
         |  '## E-mail: /mail/' || CAST(doc_id AS VARCHAR) || '.eml' || chr(10) ||
         |  '## Header' || chr(10) || chr(10) || raw FROM odd
         |UNION ALL SELECT doc_id, 'body.txt', body FROM odd""".stripMargin,
+
+    "q_credential_entities" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS doc_id, c_name AS nm,
+        |    lower(replace(n_name, ' ', '-')) AS dom
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    'contact ' || nm || '@' || dom || '.example.com alt ' ||
+        |    nm || '%40' || dom || '.example.org id ' ||
+        |    nm || '|mail-' || dom || '.example.net " quoted.user@' ||
+        |    dom || '.example.io " ' ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'see http://www.' || dom || '.example.com/a/b'
+        |      WHEN 1 THEN 'see HTTPS://Portal.' || dom ||
+        |                  '.example.com:8443/Sess;sid=ABC?q=1#frag'
+        |      WHEN 2 THEN 'see http://user:pw@' || dom ||
+        |                  '.example.com:8080/priv'
+        |      ELSE 'see https://' || dom || '.example.com' END AS text
+        |  FROM base),
+        |prepped AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, '"', chr(10)), chr(39), chr(10)) AS tt
+        |  FROM corpus),
+        |emails0 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(tt,
+        |    '(?i)(?:[A-Z0-9!#$%&''*+/=?^_`{|}~-]+(?:\.[A-Z0-9!#$%&''*+/=?^_`{|}~-]+)*|"(?:[\x01-\x08\x0b\x0c\x0e-\x1f\x21\x23-\x5b\x5d-\x7f]|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*")[@|%40][A-Z0-9](?:[A-Z0-9-]*[A-Z0-9])?\.(?:[A-Z0-9](?:[A-Z0-9-]*[A-Z0-9])?)+'
+        |    )) AS m
+        |  FROM prepped),
+        |emails AS (
+        |  SELECT doc_id,
+        |    replace(trim(lower(m), '"'' ()[]{}' || chr(13) || chr(10) || chr(9)),
+        |            '%40', '@') AS email
+        |  FROM emails0),
+        |eout AS (
+        |  SELECT doc_id, 'email' AS kind, email,
+        |    regexp_extract(email, '@([^@]*)$', 1) AS domain,
+        |    '' AS scheme, '' AS host, '' AS port, '' AS path, '' AS url
+        |  FROM emails),
+        |urls0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(tt, '(?i)https?://[^\s]+')) AS m
+        |  FROM prepped),
+        |urls1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(m, '(?i)^(https?)://', 1)) AS scheme,
+        |    regexp_extract(split_part(m, '#', 1),
+        |                   '(?i)^https?://([^/?]*)', 1) AS netloc,
+        |    split_part(regexp_extract(split_part(m, '#', 1),
+        |               '(?i)^https?://[^/?]*(.*)$', 1), '?', 1) AS pathpq
+        |  FROM urls0),
+        |urls2 AS (
+        |  SELECT doc_id, scheme, netloc,
+        |    regexp_replace(pathpq, ';[^/]*$', '') AS path
+        |  FROM urls1),
+        |uout AS (
+        |  SELECT doc_id, 'url' AS kind, '' AS email, '' AS domain, scheme,
+        |    CASE WHEN contains(netloc, ':') THEN split_part(netloc, ':', 1)
+        |         ELSE netloc END AS host,
+        |    CASE WHEN contains(netloc, ':')
+        |           THEN regexp_extract(netloc, '^[^:]*:(.*)$', 1)
+        |         WHEN scheme = 'https' THEN '443' ELSE '80' END AS port,
+        |    path, lower(scheme || '://' || netloc || path) AS url
+        |  FROM urls2)
+        |SELECT * FROM eout UNION ALL SELECT * FROM uout""".stripMargin,
 
     "q_pdf_text" ->
       """SELECT doc_id,

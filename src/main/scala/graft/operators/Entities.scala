@@ -1,0 +1,301 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-finding email/URL entity enrichment for the credentials index.
+  *
+  * Reference: cmd/elastic.py:31-42 (the regexes — including the `[@|%40]`
+  * character-class quirk: the "separator" matches exactly ONE of the five
+  * characters `@ | % 4 0`, not the literal sequence "%40"), :281-296
+  * (get_emailiter/get_urliter: utf-8-encode-with-ignore then
+  * unicode-escape-decode, quotes folded to newlines, non-overlapping regex
+  * walk) and :297-345 (_text_to_emailobj / _text_to_urlobj: lowercase,
+  * strip-set, %40→@ fold, domain after the LAST '@'; urlparse with the
+  * netloc.split(':', 1) port quirk — a userinfo URL yields host='user' and
+  * port='pw@host:8080' — and int default ports 443/80).
+  *
+  * Two layers:
+  *  - pure-Scala parity functions (emailEntities/urlEntities) replicating
+  *    CPython byte-for-byte, pinned by goldens generated from the live
+  *    reference (src/test/resources/entities/gen_goldens.py). One documented
+  *    deviation: a unicode-escape decode ERROR makes the reference's
+  *    iterator raise; a distributed engine instead records zero entities
+  *    for that row (unicodeEscape returns None).
+  *  - a DataFrame pipeline (credentialEntities) over built-in functions
+  *    only (regexp_extract_all + string ops — codegen'd, no UDF), valid on
+  *    the restricted subset where the decode step is the identity (ASCII,
+  *    no backslash, no bracketed IPv6 netloc); EntitiesSpec pins
+  *    DataFrame == pure-Scala on that subset, so the oracle-checked query
+  *    and the CPython-parity layer can never drift apart.
+  */
+object Entities {
+
+  // ---------------------------------------------------------------- decode
+
+  /** CPython `text.encode('utf-8', 'ignore').decode('unicode-escape')`.
+    * None = CPython would raise UnicodeDecodeError (truncated \xXX/\uXXXX,
+    * trailing backslash, \U beyond 0x10FFFF, unknown \N{...} name). The
+    * utf-8 encode makes non-ASCII mojibake by design: each UTF-8 byte comes
+    * back as its latin-1 char — that IS the reference behavior. */
+  def unicodeEscape(s: String): Option[String] = {
+    // encode('utf-8','ignore'): unpaired surrogates are DROPPED (Java's
+    // getBytes would substitute '?', so filter them first)
+    val clean = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        clean.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (Character.isSurrogate(c)) i += 1
+      else { clean.append(c); i += 1 }
+    }
+    val b = clean.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder(b.length)
+    def hex(p: Int, n: Int): Option[Int] = {
+      if (p + n > b.length) return None
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val d = Character.digit(b(p + k) & 0xff, 16)
+        if (d < 0) return None
+        v = (v << 4) | d
+        k += 1
+      }
+      Some(v)
+    }
+    var p = 0
+    while (p < b.length) {
+      val ch = b(p) & 0xff
+      if (ch != '\\') { out.append(ch.toChar); p += 1 } // latin-1 per byte
+      else if (p + 1 >= b.length) return None // "\ at end of string"
+      else {
+        val e = b(p + 1) & 0xff
+        p += 2
+        (e: @annotation.switch) match {
+          case '\n' => () // line continuation
+          case '\\' => out.append('\\')
+          case '\'' => out.append('\'')
+          case '"'  => out.append('"')
+          case 'b'  => out.append('\b')
+          case 'f'  => out.append('\f')
+          case 't'  => out.append('\t')
+          case 'n'  => out.append('\n')
+          case 'r'  => out.append('\r')
+          case 'v'  => out.append('\u000B')
+          case 'a'  => out.append('\u0007')
+          case 'x' =>
+            hex(p, 2) match {
+              case Some(v) => out.append(v.toChar); p += 2
+              case None    => return None // truncated \xXX
+            }
+          case 'u' =>
+            hex(p, 4) match {
+              case Some(v) => out.append(v.toChar); p += 4
+              case None    => return None
+            }
+          case 'U' =>
+            hex(p, 8) match {
+              case Some(v) if v <= 0x10ffff => out.appendCodePoint(v); p += 8
+              case _                        => return None // illegal character
+            }
+          case 'N' =>
+            if (p >= b.length || (b(p) & 0xff) != '{') return None
+            val close = {
+              var q = p + 1
+              while (q < b.length && (b(q) & 0xff) != '}') q += 1
+              if (q >= b.length) return None else q
+            }
+            val name = new String(b, p + 1, close - p - 1, StandardCharsets.ISO_8859_1)
+            // CPython resolves via unicodedata.lookup; Character.codePointOf
+            // covers the canonical name table (alias/named-sequence lookups
+            // may diverge — the golden corpus sticks to canonical names)
+            try { out.appendCodePoint(Character.codePointOf(name)); p = close + 1 }
+            catch { case _: IllegalArgumentException => return None }
+          case d if d >= '0' && d <= '7' =>
+            // up to 3 octal digits; values may exceed 0xFF (\777 = U+01FF)
+            var v = d - '0'
+            var k = 0
+            while (k < 2 && p < b.length && {
+              val o = b(p) & 0xff; o >= '0' && o <= '7'
+            }) { v = (v << 3) | ((b(p) & 0xff) - '0'); p += 1; k += 1 }
+            out.appendCodePoint(v)
+          case other =>
+            out.append('\\').append(other.toChar) // unknown escape: kept
+        }
+      }
+    }
+    Some(out.toString)
+  }
+
+  // ---------------------------------------------------------------- models
+
+  final case class EmailEnt(email: String, domain: String)
+  final case class UrlEnt(scheme: String, host: String, port: String,
+      path: String, url: String)
+
+  /** elastic.py:32 — `(?i)(https?://[^\s]+)`. Python's \s on str patterns is
+    * Unicode-aware, hence UNICODE_CHARACTER_CLASS. */
+  val urlRegex: Pattern = Pattern.compile(
+    """(?i)(https?://[^\s]+)""",
+    Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNICODE_CASE)
+
+  /** elastic.py:33-42 verbatim, including the `[@|%40]` separator class. */
+  val emailRegexStr: String =
+    """(?i)(?:[A-Z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Z0-9!#$%&'*+/=?^_`{|}~-]+)*""" +
+      """|"(?:[\x01-\x08\x0b\x0c\x0e-\x1f\x21\x23-\x5b\x5d-\x7f]""" +
+      """|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*")""" +
+      """[@|%40]""" +
+      """[A-Z0-9](?:[A-Z0-9-]*[A-Z0-9])?""" +
+      """\.(?:[A-Z0-9](?:[A-Z0-9-]*[A-Z0-9])?)+"""
+  val emailRegex: Pattern =
+    Pattern.compile(emailRegexStr, Pattern.UNICODE_CASE)
+
+  private val stripSet = "\"' ()[]{}\r\n\t".toSet
+
+  private def stripBoth(s: String, set: Set[Char]): String = {
+    var a = 0
+    var z = s.length
+    while (a < z && set(s.charAt(a))) a += 1
+    while (z > a && set(s.charAt(z - 1))) z -= 1
+    s.substring(a, z)
+  }
+
+  /** get_emailiter/get_urliter preamble: decode, then quotes → newlines. */
+  private def prepped(text: String): Option[String] =
+    unicodeEscape(text).map(_.replace('"', '\n').replace('\'', '\n'))
+
+  /** elastic.py:297-318 `_text_to_emailobj` on each non-overlapping match. */
+  def emailEntities(text: String): Seq[EmailEnt] = prepped(text) match {
+    case None => Seq.empty
+    case Some(t) =>
+      val m = emailRegex.matcher(t)
+      val out = Seq.newBuilder[EmailEnt]
+      while (m.find()) {
+        val e = stripBoth(m.group(0).toLowerCase(Locale.ROOT), stripSet)
+          .replace("%40", "@")
+        val idx = e.lastIndexOf('@')
+        val domain =
+          if (idx != -1 && idx < e.length) {
+            val h = e.substring(idx + 1)
+            if (h.strip().nonEmpty) h else ""
+          } else ""
+        out += EmailEnt(e, domain)
+      }
+      out.result()
+  }
+
+  /** elastic.py:320-345 `_text_to_urlobj`: CPython 3.11 urlparse subset for
+    * the regex-matched `https?://...` shape (fragment first, netloc to the
+    * first of `/?`, query at `?`, params cut at the first ';' of the LAST
+    * path segment, mismatched-bracket netloc raises → entity skipped). */
+  def urlEntities(text: String): Seq[UrlEnt] = prepped(text) match {
+    case None => Seq.empty
+    case Some(t) =>
+      val m = urlRegex.matcher(t)
+      val out = Seq.newBuilder[UrlEnt]
+      while (m.find()) urlObj(m.group(0)).foreach(out += _)
+      out.result()
+  }
+
+  private[operators] def urlObj(u0: String): Option[UrlEnt] = {
+    // urlsplit removes \t\r\n anywhere (can't survive [^\s]+, kept for
+    // direct callers)
+    val u = u0.replace("\t", "").replace("\r", "").replace("\n", "")
+    val ci = u.indexOf(':')
+    if (ci <= 0) return None
+    val scheme = u.substring(0, ci).toLowerCase(Locale.ROOT)
+    var rest = u.substring(ci + 1)
+    val hi = rest.indexOf('#')
+    if (hi >= 0) rest = rest.substring(0, hi)
+    if (!rest.startsWith("//")) return None
+    val afterSlashes = rest.substring(2)
+    val netEnd = {
+      val i = afterSlashes.indexWhere(c => c == '/' || c == '?')
+      if (i < 0) afterSlashes.length else i
+    }
+    val netloc = afterSlashes.substring(0, netEnd)
+    // CPython 3.11 urlsplit: "Invalid IPv6 URL" → _text_to_urlobj's catch
+    // swallows it and the entity is skipped
+    if ((netloc.contains('[') && !netloc.contains(']')) ||
+        (netloc.contains(']') && !netloc.contains('['))) return None
+    var path = afterSlashes.substring(netEnd)
+    val qi = path.indexOf('?')
+    if (qi >= 0) path = path.substring(0, qi)
+    if (path.contains(';')) {
+      val i =
+        if (path.contains('/')) path.indexOf(';', path.lastIndexOf('/'))
+        else path.indexOf(';')
+      if (i >= 0) path = path.substring(0, i)
+    }
+    val (host, port) = {
+      val c = netloc.indexOf(':')
+      if (c >= 0) (netloc.substring(0, c), netloc.substring(c + 1))
+      else if (scheme == "https") (netloc, "443")
+      else if (scheme == "http") (netloc, "80")
+      else (netloc, null)
+    }
+    val url = {
+      val full = s"$scheme://$netloc$path"
+      full.dropWhile(_ == '/').toLowerCase(Locale.ROOT) // lstrip('/') parity
+    }
+    Some(UrlEnt(scheme, host, if (port == null) "" else port, path, url))
+  }
+
+  // ----------------------------------------------------------- DataFrame
+
+  /** One-char-quirk email separator and the full entity pipeline as
+    * built-in column functions over (doc_id, text). Valid on the restricted
+    * subset (ASCII text, no backslash — the unicode-escape decode is the
+    * identity there; no bracketed netlocs). Produces one row per extracted
+    * entity with a single flat schema; string fields of the other kind are
+    * empty, never null, so DuckDB replays hash-identically.
+    *
+    * Scale shape: pure per-row codegen'd string work — no shuffle at all
+    * until the caller aggregates; at 100 TB this pipelines behind the scan.
+    */
+  def credentialEntities(docs: DataFrame): DataFrame = {
+    val prepped = docs.select(col("doc_id"),
+      translate(col("text"), "\"'", "\n\n").as("t"))
+    val emails = prepped
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t"), lit(emailRegexStr), lit(0))).as("m"))
+      .select(col("doc_id"),
+        regexp_replace(
+          trim(lower(col("m")), "\"' ()[]{}\r\n\t"), lit("%40"), lit("@")).as("email"))
+      .select(col("doc_id"), lit("email").as("kind"), col("email"),
+        regexp_extract(col("email"), "@([^@]*)$", 1).as("domain"),
+        lit("").as("scheme"), lit("").as("host"), lit("").as("port"),
+        lit("").as("path"), lit("").as("url"))
+    val urls = prepped
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t"), lit("(?i)https?://[^\\s]+"), lit(0))).as("m"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("m"), "(?i)^(https?)://", 1)).as("scheme"),
+        regexp_extract(split_part(col("m"), lit("#"), lit(1)),
+          "(?i)^https?://([^/?]*)", 1).as("netloc"),
+        split_part(regexp_extract(split_part(col("m"), lit("#"), lit(1)),
+          "(?i)^https?://[^/?]*(.*)$", 1), lit("?"), lit(1)).as("pathpq"))
+      // params: cut at the first ';' of the last path segment (regex
+      // `;[^/]*$` — leftmost match is exactly that ';')
+      .select(col("doc_id"), col("scheme"), col("netloc"),
+        regexp_replace(col("pathpq"), lit(";[^/]*$"), lit("")).as("path"))
+      .select(col("doc_id"), lit("url").as("kind"), lit("").as("email"),
+        lit("").as("domain"), col("scheme"),
+        when(col("netloc").contains(":"),
+          split_part(col("netloc"), lit(":"), lit(1)))
+          .otherwise(col("netloc")).as("host"),
+        when(col("netloc").contains(":"),
+          regexp_extract(col("netloc"), "^[^:]*:(.*)$", 1))
+          .when(col("scheme") === "https", lit("443"))
+          .otherwise(lit("80")).as("port"),
+        col("path"),
+        lower(concat(col("scheme"), lit("://"), col("netloc"), col("path"))).as("url"))
+    emails.unionByName(urls)
+  }
+}

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Golden generator for graft.operators.Entities — runs the LIVE reference
+Elastic.get_emailiter/get_urliter (cmd/elastic.py) over a seeded corpus of
+nasty texts and records the exact objects yielded (or that the iterator
+raised, which the Scala side maps to zero entities — documented deviation).
+
+Usage: python3 gen_fuzz_entities.py > fuzz_entities.json
+"""
+import sys, types, json, random
+
+sys.path.insert(0, '/root/reference')
+
+
+def stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+stub('tabulate', tabulate=lambda *a, **k: '')
+rq = stub('requests')
+rq.packages = types.SimpleNamespace(
+    urllib3=types.SimpleNamespace(disable_warnings=lambda: None))
+rq.exceptions = types.SimpleNamespace(ConnectionError=Exception)
+stub('elastic_transport', ConnectionError=type('CE', (Exception,), {}))
+stub('elasticsearch', Elasticsearch=object)
+stub('exrex', getone=lambda rx: 'a')
+g = stub('git')
+g.Repo = object
+g.Git = object
+g.exc = types.SimpleNamespace(GitError=Exception,
+                              InvalidGitRepositoryError=Exception,
+                              NoSuchPathError=Exception)
+stub('pimht')
+a2 = stub('ansi2image')
+a2.ansi2image = stub('ansi2image.ansi2image', Ansi2Image=object)
+
+from filecrawler.cmd.elastic import Elastic  # noqa: E402
+
+e = Elastic()
+rng = random.Random(0xE147)
+
+SEPS = ['@', '%40', '|', '4', '0']
+LOCALS = ['user', 'first.last', 'a+b', "o'brien", 'x_y-z', 'UP.Case',
+          'weird#tag', 'a!b', '{brace}', 'café', 'tail~', '1234',
+          'a\\x41b', 'esc\\u0041', 'oct\\101', 'nl\\n']
+DOMS = ['example.com', 'Ex-1.COM', 'sub.dom.example.org', 'a.bc', '0digit.io',
+        'x--y.net', 'café.fr', 'single.c']
+WRAPS = ['%s', '(%s)', '[%s]', '{%s}', '"%s"', "'%s'", ' %s ', '<%s>',
+         '\t%s\r\n', 'mailto:%s!', 'x%sy']
+URLS = ['http://h', 'https://H.Co', 'HTTP://UP.example/Z',
+        'http://h:8080/p', 'https://h.co:', 'http://u:pw@H:8080/x',
+        'http://h/p;a;b', 'http://h/a;b/c;d;e', 'http://h/p;',
+        'http://h;x/p', 'http://;x/p', 'http://h:80;a/p;b;c?q#f',
+        'https://h/p?q=1&r=2#frag#frag2', 'http://[::1]:80/x',
+        'http://[bad/p', 'http://bad]/p', 'http://h/%7Euser/file.txt',
+        'HtTpS://MiXeD.CaSe/PaTh', 'http://h/péq', 'http://h/p\x01ctl',
+        'https://h/very/deep/a/b/c/d;sid=1?x=y', 'http://h/?only=query',
+        'http://h/#only-frag', 'http://', 'http:///path', 'http://:8080/p']
+ERRS = ['bad \\x4 trail a@b.cc', 'trunc \\u12 x@y.zz', 'tail a@b.cc \\',
+        'big \\U00110000 u@v.ww', 'name \\N{NOT A REAL NAME} q@r.ss',
+        'noname \\N q@r.tt']
+MISC = ['plain text no entities', 'a|b.co x40y.net j4k.org q0r.io',
+        'abc14dom.com  x0y.zz  pre40post.example',
+        '"quoted"@example.com and "qp\\"x"@example.org',
+        'a@@b.cc double at', '@leading.sep x@ trailing',
+        'Foo.Bar%40Ex-1.COM', 'a%40b%40c.dd', 'unicode-escape \\u0041t@b.cc',
+        'octal \\101t@b.cc mix', 'known name \\N{LATIN SMALL LETTER A}@b.cc',
+        'surrogatepair \U0001F600 a@b.cc', 'line\\ncont a@b.cc',
+        'quote\'s http://h/p\'q end', 'http://h/p"q doublequote']
+
+
+def one_case(text):
+    # _text_to_urlobj's exception handler print()s to stdout — mute it so
+    # the JSON stream stays clean
+    import io, contextlib
+    rec = {'text': text}
+    with contextlib.redirect_stdout(io.StringIO()):
+        try:
+            rec['emails'] = [dict(d) for d in e.get_emailiter(text)]
+        except Exception:
+            rec['emails'] = None  # reference raised; Scala yields []
+        try:
+            rec['urls'] = [
+                {k: (str(v) if k == 'port' else v) for k, v in d.items()}
+                for d in e.get_urliter(text)]
+        except Exception:
+            rec['urls'] = None
+    return rec
+
+
+cases = []
+for t in MISC + ERRS + URLS:
+    cases.append(one_case(t))
+for i in range(220):
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        kind = rng.random()
+        if kind < 0.45:
+            em = rng.choice(LOCALS) + rng.choice(SEPS) + rng.choice(DOMS)
+            parts.append(rng.choice(WRAPS) % em)
+        elif kind < 0.8:
+            parts.append(rng.choice(WRAPS) % rng.choice(URLS))
+        else:
+            parts.append(rng.choice([
+                'junk', 'a@b', 'http:/half', '\\t\\r', 'x' * rng.randint(1, 9),
+                '\\x41\\u0042', '%40alone', 'ftp://no.pe/x']))
+    cases.append(one_case(' '.join(parts)))
+
+json.dump(cases, sys.stdout, ensure_ascii=True, indent=None,
+          separators=(',', ':'))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 267-case differential vs the LIVE reference Elastic entity extractors
+  * (generator: src/test/resources/gen_fuzz_entities.py, seed 0xE147):
+  * every separator of the `[@|%40]` quirk class, %40 folds, quoted/wrapped
+  * contexts, unicode-escape payloads (\xNN, \uNNNN, octal, \N{...}, line
+  * continuations, mojibake via the utf-8-encode/latin-1-decode round trip),
+  * decode-error texts, and the urlparse quirk surface (userinfo port split,
+  * params-on-last-segment, empty ports, bracket IPv6 ValueError, control
+  * chars in paths). Reference raising mid-iterator (emails/urls = null in
+  * the golden) maps to zero entities here — the one documented deviation.
+  */
+class EntitiesSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_entities.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def str(o: PyObj, k: String): String =
+    o.get(k) match { case Some(PyStr(s)) => s; case other => fail(s"$k: $other") }
+  private def optStr(o: PyObj, k: String): String =
+    o.get(k) match { case Some(PyStr(s)) => s; case _ => "" }
+
+  test("emails match the reference on all golden cases") {
+    assert(cases.size == 267)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val text = str(c, "text")
+      val want = c.get("emails") match {
+        case Some(PyArr(xs)) => xs.map { case o: PyObj =>
+          Entities.EmailEnt(str(o, "email"), optStr(o, "domain"))
+        }
+        case _ => Vector.empty // reference raised -> deviation: empty
+      }
+      val got = Entities.emailEntities(text).toVector
+      if (got != want) problems += s"case $ci ${text.take(60)}:\n got $got\n exp $want"
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(5).mkString("\n")}")
+  }
+
+  test("urls match the reference on all golden cases") {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val text = str(c, "text")
+      val want = c.get("urls") match {
+        case Some(PyArr(xs)) => xs.map { case o: PyObj =>
+          Entities.UrlEnt(str(o, "scheme"), optStr(o, "host"),
+            optStr(o, "port"), optStr(o, "path"), str(o, "url"))
+        }
+        case _ => Vector.empty
+      }
+      val got = Entities.urlEntities(text).toVector
+      if (got != want) problems += s"case $ci ${text.take(60)}:\n got $got\n exp $want"
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(5).mkString("\n")}")
+  }
+
+  test("DataFrame pipeline equals pure-Scala parity layer on the restricted subset") {
+    import spark.implicits._
+    // the subset credentialEntities is specified for: ASCII, no backslash
+    // (decode = identity), no brackets (no IPv6 ValueError path)
+    val subset = cases.map(c => str(c, "text")).filter(t =>
+      t.forall(ch => ch >= 0x20 && ch < 0x7f) &&
+        !t.exists(ch => ch == '\\' || ch == '[' || ch == ']'))
+    assert(subset.size > 100, s"subset too small: ${subset.size}")
+    val df = subset.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Entities.credentialEntities(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getString(7),
+        r.getString(8)))
+      .groupBy(_._1).view.mapValues(_.toVector).toMap
+    subset.zipWithIndex.foreach { case (t, i) =>
+      val rows = got.getOrElse(i.toLong, Vector.empty)
+      val wantE = Entities.emailEntities(t).map(e =>
+        (i.toLong, "email", e.email, e.domain, "", "", "", "", ""))
+      val wantU = Entities.urlEntities(t).map(u =>
+        (i.toLong, "url", "", "", u.scheme, u.host, u.port, u.path, u.url))
+      val want = (wantE ++ wantU).toVector
+      assert(rows.sortBy(_.toString) == want.sortBy(_.toString),
+        s"case $i '$t':\n got $rows\n exp $want")
+    }
+  }
+}
