@@ -77,6 +77,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "range-partitioned input must be cached so both passes share one partitioning")
   }
 
+  test("q_dedup_jaccard: equi-joins only — no column-blocked self-join survives") {
+    val p = plan("q_dedup_jaccard")
+    // the r3 scale-killer was a join keyed on `source` with non-equi
+    // residual filters (O(n^2) within blocks); the re-pointed query must
+    // resolve an explicit candidate-pair list through pure equi-joins
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "block/cartesian join in the verify plan:\n" + p.take(2000))
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toVector
+    assert(joinLines.nonEmpty && joinLines.forall(l =>
+      l.contains("id_a") || l.contains("id_b")),
+      "joins must be keyed on the candidate-pair ids:\n" + joinLines.mkString("\n"))
+  }
+
   test("q_upsert_merge: exactly one join, full-outer") {
     val p = plan("q_upsert_merge")
     assert(p.contains("FullOuter"), p.take(2000))
