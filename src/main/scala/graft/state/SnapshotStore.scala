@@ -71,4 +71,69 @@ final class SnapshotStore(rootDir: String) {
 
   def exists(wave: Int, table: String): Boolean =
     Files.exists(Paths.get(tablePath(wave, table)))
+
+  // ------------------------------------------------------ seen index
+  // A bucketed (CLUSTERED BY url_hash) catalog table holding exactly the
+  // union of the committed wavecore url_hash deltas. Storage-bucketed so
+  // the per-wave seen-membership anti-join exchanges ONLY the candidate
+  // side (O(delta)); the seen side reads its buckets in place — at 10^10
+  // keys the old full-exchange of the cumulative set was the dominant
+  // per-wave cost the bloom prefilter could not remove. This is a DERIVED
+  // index over the deltas (never the source of truth): appends are not
+  // atomic, so any doubt — fresh session, marker behind _LATEST, bucket
+  // geometry change — just drops and rebuilds it from the deltas in one
+  // O(total) bucketed write. Duplicate url_hash rows (possible after a
+  // crash between append and seal) are harmless: membership is a set
+  // predicate. The catalog analog on a real cluster is an Iceberg table
+  // with a bucket(url_hash, N) partition transform (storage-partitioned
+  // join); this is the plain-parquet rendering of the same contract.
+
+  /** Catalog-safe unique table name for this store's index. */
+  def seenIndexTable: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rootDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_seenidx_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  def seenIndexPath: String = root.resolve("seenidx").toString
+  private val seenIdxMarker = root.resolve("_SEENIDX")
+
+  /** (last wave appended, bucket count) recorded AFTER each append. */
+  def seenIndexState: Option[(Int, Int)] =
+    if (Files.exists(seenIdxMarker))
+      Files.readString(seenIdxMarker).trim.split(" ") match {
+        case Array(w, b) => Some((w.toInt, b.toInt))
+        case _           => None
+      }
+    else None
+
+  /** True when the index exists in THIS session's catalog and covers
+    * exactly waves 0..wave with the given bucket count. */
+  def seenIndexValid(spark: SparkSession, wave: Int, buckets: Int): Boolean =
+    spark.catalog.tableExists(seenIndexTable) &&
+      seenIndexState.contains((wave, buckets))
+
+  /** Append one wave's url_hash delta (or a full rebuild batch ending at
+    * `wave`). Creates the external bucketed table on first use. */
+  def appendSeenIndex(wave: Int, buckets: Int, urlHashes: DataFrame): Unit = {
+    urlHashes.write.mode("append").format("parquet")
+      .bucketBy(buckets, "url_hash")
+      .option("path", seenIndexPath)
+      .saveAsTable(seenIndexTable)
+    Files.writeString(seenIdxMarker, s"$wave $buckets")
+  }
+
+  def seenIndex(spark: SparkSession): DataFrame = spark.table(seenIndexTable)
+
+  /** Drop the catalog entry AND the files (DROP TABLE leaves external
+    * locations in place) so a rebuild starts clean. */
+  def resetSeenIndex(spark: SparkSession): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $seenIndexTable")
+    Files.deleteIfExists(seenIdxMarker)
+    val dir = Paths.get(seenIndexPath)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
 }
