@@ -23,6 +23,7 @@ object Verify {
       }
       finally graft.operators.OpCaches.drain() // release operator persists
     }
+    graft.operators.OpCaches.drainAll() // teardown backstop: force-release pins
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

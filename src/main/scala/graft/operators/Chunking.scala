@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * The repartitioned input stays persisted for the final job (both passes
   * must see identical partitioning); callers running inside a larger
   * pipeline release it via [[OpCaches.drain]] after their action.
+  *
+  * REQUIRES a deterministic input: the two passes (offsets collect, final
+  * join) recompute the plan if a cached partition is evicted, and a
+  * nondeterministic upstream would renumber rows silently. The `__local`
+  * index additionally leans on monotonically_increasing_id's layout (low
+  * 33 bits = record index within the partition); the offsets job asserts
+  * count == max(__local)+1 per partition — zero extra jobs, so a Spark
+  * version changing the encoding fails fast instead of corrupting row
+  * numbers (r3 advice).
   */
 object Chunking {
 
@@ -42,8 +51,16 @@ object Chunking {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", monotonically_increasing_id().bitwiseAND(lit(LocalIdBits)))
     val p = OpCaches.register(p0.persist())
-    val counts = p.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val counts = p.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("c"), max(col("__local")).as("mx"))
+      .collect()
+      .map { r =>
+        require(r.getLong(1) == r.getLong(2) + 1,
+          s"monotonically_increasing_id layout changed: partition ${r.getInt(0)} " +
+            s"count=${r.getLong(1)} but max local index=${r.getLong(2)}")
+        (r.getInt(0), r.getLong(1))
+      }
+      .sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))

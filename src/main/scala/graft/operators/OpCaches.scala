@@ -19,16 +19,50 @@ import org.apache.spark.sql.Dataset
 object OpCaches {
 
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val pinned = scala.collection.mutable.ArrayBuffer.empty[Pin]
 
   /** Persist-and-register in one step: `OpCaches.register(df.persist())`. */
   def register[T <: Dataset[_]](ds: T): T = synchronized { live += ds; ds }
 
-  /** Unpersist everything registered since the last drain; returns the
-    * number of handles released. */
+  /** A persist whose lifetime is owned by a live consumer (e.g. a
+    * tableDocs iterator mid-drain): [[drain]] SKIPS it — a drain between
+    * a snapshot's count() and its iterator's exhaustion must not evict the
+    * snapshot, or later partitions silently recompute against the live
+    * source (the r3 advice finding). The owner calls release() when done
+    * (idempotent); releases unpersist immediately. [[drainAll]] is the
+    * teardown backstop for abandoned owners. */
+  final class Pin private[OpCaches] (ds: Dataset[_]) {
+    @volatile private var released = false
+    def release(): Unit = OpCaches.synchronized {
+      if (!released) {
+        released = true
+        ds.unpersist(false)
+        pinned -= this
+      }
+    }
+  }
+
+  /** Persist-and-pin: `val pin = OpCaches.pin(df.persist())`. */
+  def pin(ds: Dataset[_]): Pin = synchronized {
+    val p = new Pin(ds)
+    pinned += p
+    p
+  }
+
+  /** Unpersist everything registered since the last drain (pins are
+    * skipped); returns the number of handles released. */
   def drain(): Int = synchronized {
     val n = live.size
     live.foreach(_.unpersist(false))
     live.clear()
+    n
+  }
+
+  /** drain() plus force-release of all pins — session-teardown backstop
+    * for consumers that abandoned an iterator without releasing. */
+  def drainAll(): Int = synchronized {
+    val n = drain() + pinned.size
+    pinned.toVector.foreach(_.release())
     n
   }
 }

@@ -68,10 +68,15 @@ object JdbcSource {
   def tableDocs(rows: DataFrame, table: String,
       chunkBytes: Long = 1073741824L): Iterator[(String, String)] = {
     val cols = rows.schema.fieldNames.toVector
-    // OpCaches registration is the backstop for consumers that abandon the
-    // iterator early (error mid-sink, take(n)) — the exhaustion unpersist
-    // below is the eager path; double unpersist is a no-op
-    val snap = graft.operators.OpCaches.register(rows.persist())
+    // PINNED (not register()ed): a shared-registry drain() fired by some
+    // other caller while this iterator is live would evict the snapshot
+    // mid-drain, and later toLocalIterator partitions would silently
+    // recompute against the live JDBC source — breaking the count/iterator
+    // consistency this persist exists to guarantee (r3 advice). drain()
+    // skips pins; the pin releases on exhaustion (OpCaches.drainAll() is
+    // the teardown backstop for abandoned iterators).
+    val snap = rows.persist()
+    val pin = graft.operators.OpCaches.pin(snap)
     val total = snap.count() // materializes the snapshot; reference's len(rows)
     val pyIt = scala.jdk.CollectionConverters.IteratorHasAsScala(
       snap.toLocalIterator()).asScala
@@ -80,7 +85,7 @@ object JdbcSource {
     new Iterator[(String, String)] {
       def hasNext: Boolean = {
         val h = docs.hasNext
-        if (!h) snap.unpersist(false)
+        if (!h) pin.release()
         h
       }
       def next(): (String, String) = docs.next()

@@ -40,6 +40,7 @@ object BatteryOnce {
       graft.operators.OpCaches.drain() // after the timer: bookkeeping, not work
       name -> sec
     }
+    graft.operators.OpCaches.drainAll() // teardown backstop: force-release pins
     println("BATTERY " +
       results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     spark.stop()

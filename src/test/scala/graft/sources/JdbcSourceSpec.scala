@@ -78,6 +78,33 @@ class JdbcSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(n > 100, "tiny budget must yield many chunks")
   }
 
+  test("tableDocs snapshot survives a shared-registry drain mid-iteration") {
+    // r3 advice: a drain() fired by any other caller while the iterator is
+    // live must NOT evict the snapshot (later partitions would recompute
+    // against the live source). The pin makes drain() skip it; exhaustion
+    // releases it; drainAll() is the abandoned-iterator backstop.
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    graft.operators.OpCaches.drainAll()
+    val baseline = cached // session is shared across suites
+    val df = JdbcSource.readTable(spark, url, "creds").orderBy("ID")
+    val it = JdbcSource.tableDocs(df, "creds", chunkBytes = 1L)
+    assert(it.hasNext)
+    val first = it.next()
+    graft.operators.OpCaches.drain() // foreign drain mid-iteration
+    assert(cached > baseline, "snapshot was evicted by a foreign drain")
+    val rest = it.toVector // completes off the pinned snapshot
+    assert((first +: rest).size == 3) // 1-byte budget: one row per chunk
+    // exhaustion released the pin
+    assert(cached == baseline)
+    // abandoned iterator: pin stays across drain(), falls to drainAll()
+    val it2 = JdbcSource.tableDocs(df, "creds", chunkBytes = 1L)
+    assert(it2.hasNext)
+    graft.operators.OpCaches.drain()
+    assert(cached > baseline)
+    graft.operators.OpCaches.drainAll()
+    assert(cached == baseline)
+  }
+
   test("filename sanitization matches Tools.sanitize_filename") {
     // expected values generated with the reference's own implementation
     assert(JdbcSource.sanitizeFilename("Crédit  Card Data--x") == "Credit-Card-Data-x")
