@@ -1,0 +1,277 @@
+package graft.operators
+
+/** CPython policy.default MIME-parameter parsing — a faithful reduction of
+  * `email._header_value_parser` (get_parameter / parse_mime_parameters /
+  * the `params` property recovery rules) plus `Message.get_param`'s
+  * first-case-insensitive-match lookup. The reference's extract_eml runs
+  * under policy.default (containerfile.py:253), so boundary/filename/name
+  * resolution must reproduce the MODERN parser, not the legacy
+  * `_parseparam` splitter — observed divergences the r3 regexes could not
+  * express (all CPython-probe-verified, pinned by the adv* fuzz cases):
+  *  - a single-quoted value (`boundary='b'`) parses as an RFC 2231
+  *    charset'lang'value triple and then RAISES (missing value) → the
+  *    whole parameter is dropped, not kept quoted;
+  *  - `a'b` (one apostrophe) raises → dropped; `a'b'c` → charset=a,
+  *    lang=b, value='c';
+  *  - a token value ends at any tspecial (`a/b` → 'a'; `<ang>` dropped —
+  *    '<' cannot start attrtext) with trailing junk consumed but the
+  *    parsed value KEPT ("invalid trailing text" defect);
+  *  - quoted values decode backslash pairs (`"es\"c.txt"` → `es"c.txt`)
+  *    and an UNTERMINATED quote swallows the rest of the header;
+  *  - a name with no '=' yields value '' but `name=` (empty value) raises
+  *    → dropped; parameters that raise never hide later parameters;
+  *  - duplicate names keep first-seen order; a second section-0 part of a
+  *    plain name is dropped; starred sections (*0*, *1…) concatenate with
+  *    percent-decode + first-section charset decode.
+  */
+private[operators] object MimeParams {
+
+  // email._header_value_parser character sets:
+  //   SPECIALS = ()<>@,:;.\"[]   TSPECIALS = SPECIALS|/?= - '.'
+  //   ASPECIALS = TSPECIALS|*'%  ATTRIBUTE_ENDS = ASPECIALS|WSP
+  private val AttributeEnds: Set[Char] = "()<>@,:;\\\"[]/?=*'% \t".toSet
+  private val ExtendedAttributeEnds: Set[Char] = AttributeEnds - '%'
+  private val Wsp: Set[Char] = Set(' ', '\t')
+
+  /** One parsed parameter part (`p`, `p*N`, `p*`, or `p*N*` segment).
+    * `starred` = carries the `*` extended marker (percent-decoding applies);
+    * `charset` = from an RFC 2231 charset'lang' triple on this part. */
+  final case class Part(name: String, section: Int, starred: Boolean,
+      charset: Option[String], value: String, quoted: Boolean)
+
+  private final class Err(msg: String) extends Exception(msg)
+
+  private final class Cursor(val s: String) {
+    var i = 0
+    def atEnd: Boolean = i >= s.length
+    def ch: Char = s.charAt(i)
+    def rest: String = s.substring(i)
+
+    /** CFWS: runs of whitespace and (possibly nested) comments. */
+    def skipCfws(): Unit = {
+      var go = true
+      while (go && !atEnd) {
+        if (Wsp(ch) || ch == '\r' || ch == '\n') i += 1
+        else if (ch == '(') skipComment()
+        else go = false
+      }
+    }
+    private def skipComment(): Unit = {
+      var depth = 0
+      do {
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        else if (ch == '\\' && i + 1 < s.length) i += 1
+        i += 1
+      } while (depth > 0 && !atEnd)
+    }
+
+    /** Longest run of non-`ends` chars; Err when empty. */
+    def attrtext(ends: Set[Char]): String = {
+      val start = i
+      while (!atEnd && !ends(ch)) i += 1
+      if (i == start) throw new Err(s"expected attrtext at ${rest.take(12)}")
+      s.substring(start, i)
+    }
+
+    /** bare-quoted-string: cursor on '"'; content with quoted pairs
+      * decoded; an unterminated quote consumes to end (defect). */
+    def bareQuoted(): String = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (!atEnd && ch != '"') {
+        if (ch == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(ch); i += 1 }
+      }
+      if (!atEnd) i += 1 // closing quote
+      sb.toString
+    }
+
+    /** get_value: quoted-string / extended-attribute (leading CFWS consumed
+      * by caller; trailing CFWS consumed here). (value, quoted) */
+    def value(): (String, Boolean) = {
+      if (atEnd) throw new Err("expected value but found end")
+      val out =
+        if (ch == '"') (bareQuoted(), true)
+        else (attrtext(ExtendedAttributeEnds), false)
+      skipCfws()
+      out
+    }
+
+    /** Consume an invalid parameter: everything to the next ';' that is
+      * not inside a double-quoted string (get_invalid_parameter consumes
+      * phrases, and phrases swallow quoted strings). */
+    def skipInvalid(): Unit = {
+      var inQ = false
+      while (!atEnd && (inQ || ch != ';')) {
+        if (ch == '"') inQ = !inQ
+        else if (ch == '\\' && inQ && i + 1 < s.length) i += 1
+        i += 1
+      }
+    }
+  }
+
+  /** The value with its optional RFC 2231 charset'lang' tail. A leading or
+    * embedded apostrophe routes through the triple parse exactly as
+    * CPython does — raising where it raises. Returns
+    * (charsetOpt, value, quoted). */
+  private def charsetLangValue(c: Cursor): (Option[String], String, Boolean) = {
+    var token: String = null
+    var quoted = false
+    if (!(!c.atEnd && c.ch == '\'')) {
+      val (v, q) = c.value()
+      token = v; quoted = q
+    }
+    if (c.atEnd || c.ch != '\'') {
+      if (token == null) throw new Err("expected value")
+      return (None, token, quoted)
+    }
+    // apparent charset'lang'value (defect when the param wasn't starred)
+    val charset = Option(token).filter(_.nonEmpty)
+    c.i += 1 // first delimiter
+    if (!c.atEnd && c.ch != '\'') {
+      c.attrtext(AttributeEnds) // lang (discarded)
+      if (c.atEnd || c.ch != '\'') throw new Err("expected RFC2231 delimiter")
+    } else if (c.atEnd) throw new Err("expected RFC2231 delimiter")
+    c.i += 1 // second delimiter
+    val (v, q) = c.value()
+    (charset, v, q)
+  }
+
+  /** get_parameter: attribute [section] ["*"] "=" value. Throws Err on the
+    * paths where CPython raises (whole parameter dropped). */
+  private def parameter(c: Cursor): Part = {
+    c.skipCfws()
+    val name = c.attrtext(AttributeEnds)
+    c.skipCfws()
+    if (c.atEnd || c.ch == ';') // name with no '=' → value '' (defect, kept)
+      return Part(name, 0, starred = false, None, value = "", quoted = false)
+    var section = 0
+    var starred = false
+    if (c.ch == '*') {
+      val mark = c.i
+      c.i += 1
+      var sawSection = false
+      if (!c.atEnd && c.ch.isDigit) {
+        val st = c.i
+        while (!c.atEnd && c.ch.isDigit) c.i += 1
+        section = c.s.substring(st, c.i).toInt
+        sawSection = true
+      } else c.i = mark + 1 // get_section failed; '*' alone may be the marker
+      if (c.atEnd) throw new Err("incomplete parameter")
+      if (sawSection) {
+        if (c.ch == '*') { c.i += 1; starred = true }
+      } else starred = true // the lone '*' consumed above IS the marker
+    }
+    if (c.atEnd || c.ch != '=') throw new Err("parameter not followed by =")
+    c.i += 1
+    c.skipCfws()
+    // extended double-quoted hack (get_parameter's "serious hackery"): a
+    // quoted value on a starred param is unwrapped when it looks encoded
+    if (starred && !c.atEnd && c.ch == '"') {
+      val inner = c.bareQuoted()
+      c.skipCfws()
+      val semiValid =
+        if (section == 0) {
+          if (inner.startsWith("'")) true
+          else {
+            val idx = inner.indexWhere(AttributeEnds)
+            idx > 0 && inner.charAt(idx) == '\''
+          }
+        } else inner.nonEmpty && !inner.exists(ExtendedAttributeEnds)
+      if (semiValid) {
+        val ic = new Cursor(inner)
+        val (cs, v, q) = charsetLangValue(ic)
+        return Part(name, section, starred = true, cs, v, quoted = q)
+      }
+      // "marked as extended but quoted non-encoded": quoted literal value
+      return Part(name, section, starred = true, None, inner, quoted = true)
+    }
+    val (cs, v, q) = charsetLangValue(c)
+    Part(name, section, starred, cs, v, q)
+  }
+
+  /** parse_mime_parameters over the text AFTER the first ';' of the header
+    * value. Raising parameters are consumed and dropped; valid-value-then-
+    * junk parameters are consumed and KEPT (CPython's params property
+    * includes 'invalid-parameter' tokens that begin with an attribute). */
+  def parse(paramsPart: String): Vector[Part] = {
+    val c = new Cursor(paramsPart)
+    val out = Vector.newBuilder[Part]
+    while (!c.atEnd) {
+      c.skipCfws()
+      if (!c.atEnd && c.ch == ';') c.i += 1 // empty parameter entry
+      else if (!c.atEnd) {
+        val kept =
+          try Some(parameter(c))
+          catch { case _: Err => c.skipInvalid(); None }
+        kept.foreach { p =>
+          if (!c.atEnd && c.ch != ';') c.skipInvalid() // junk: value kept
+          out += p
+        }
+        if (!c.atEnd && c.ch == ';') c.i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** get_param(name) on a full structured header value: parse everything
+    * after the first ';', apply the params-property recovery rules, decode
+    * starred parts (percent + first-section charset), return the first
+    * name match (case-insensitive over first-seen exact names). */
+  def lookup(headerValue: String, name: String): Option[String] = {
+    val si = headerValue.indexOf(';')
+    if (si < 0) return None
+    val parts = parse(headerValue.substring(si + 1))
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Part]]
+    parts.foreach { p =>
+      val k = p.name.trim
+      order.update(k, order.getOrElse(k, Vector.empty) :+ p)
+    }
+    order.collectFirst {
+      case (n, ps) if n.equalsIgnoreCase(name) => assemble(ps)
+    }
+  }
+
+  private def assemble(ps0: Vector[Part]): String = {
+    var ps = ps0.sortBy(_.section) // stable
+    if (!ps.head.starred && ps.length > 1 && ps(1).section == 0)
+      ps = ps.take(1) // duplicate plain name: first wins
+    if (ps.length == 1 && !ps.head.starred)
+      return ps.head.value // plain (a triple's charset/lang are dropped)
+    // multi-part / starred assembly: percent-decode starred parts, charset
+    // from the first part's triple, gap-positioned plain duplicates ignored
+    val charset = ps.head.charset.getOrElse("us-ascii")
+    val bytes = new java.io.ByteArrayOutputStream()
+    var expect = 0
+    ps.foreach { p =>
+      if (p.section != expect && !p.starred) () // plain dup in a gap: ignored
+      else {
+        expect += 1
+        val v = p.value
+        if (p.starred) {
+          var i = 0
+          while (i < v.length) {
+            val ch = v.charAt(i)
+            val hex =
+              if (ch == '%' && i + 2 < v.length)
+                try Some(Integer.parseInt(v.substring(i + 1, i + 3), 16))
+                catch { case _: NumberFormatException => None }
+              else None
+            hex match {
+              case Some(b) => bytes.write(b); i += 3
+              case None => bytes.write(ch.toInt); i += 1
+            }
+          }
+        } else bytes.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    try new String(bytes.toByteArray, normalizeCharset(charset))
+    catch { case _: Exception =>
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  private def normalizeCharset(cs: String): String =
+    if (cs.equalsIgnoreCase("us-ascii")) "US-ASCII" else cs
+}

@@ -103,4 +103,60 @@ for i in range(N):
     (FIX / name).write_text(raw, encoding='utf-8')
     gg.extract_eml(FIX / name, GOLD / name)
     ok += 1
+
+# ---- phase 2 (round 4): adversarial parameter shapes the MIME generators
+# above can never emit — single-quoted / angle-bracketed / space-containing
+# / escaped-quote / duplicate / empty boundary+filename params (the r3
+# advice flagged the single-quote case as fuzz-blind). Raw text, appended
+# AFTER the seeded phase so its 150 cases stay byte-identical.
+
+
+def raw_case(ct, body):
+    return ("From: adv@example.com\nTo: y@dest.example.org\n"
+            "Subject: adversarial params\n"
+            "Date: Mon, 05 Jan 2024 10:00:00 +0000\nMIME-Version: 1.0\n"
+            f"Content-Type: {ct}\n\n{body}")
+
+
+def mp_body(marker, nameform):
+    return (f"--{marker}\nContent-Type: text/plain\n\npart one text\n"
+            f"--{marker}\nContent-Type: application/octet-stream"
+            + (f"; name={nameform}" if nameform else "") +
+            "\nContent-Transfer-Encoding: base64\n"
+            "Content-Disposition: attachment"
+            + (f"; filename={nameform}" if nameform else "") +
+            f"\n\ncGF5bG9hZA==\n--{marker}--\n")
+
+
+ADV = []
+# filename="" is EXCLUDED: the reference's own write loop raises
+# IsADirectoryError there (uncaught inside the member loop — outside the
+# shared valid-input space, same policy as the r3 crash exclusions)
+for nameform in ["'sq.txt'", '<ang.txt>', 'sp aced.txt', '"es\\"c.txt"',
+                 '"dup1.txt"; filename="dup2.txt"']:
+    ADV.append(raw_case('multipart/mixed; boundary="bb"',
+                        mp_body('bb', nameform)))
+for ct, marker in [
+        ("multipart/mixed; boundary='qb'", 'qb'),
+        ("multipart/mixed; boundary='qb'", "'qb'"),
+        ('multipart/mixed; boundary=<ab>', 'ab'),
+        ('multipart/mixed; boundary=<ab>', '<ab>'),
+        ('multipart/mixed; boundary="a\\"b"', 'a"b'),
+        ('multipart/mixed; boundary=a b', 'a'),
+        ('multipart/mixed; boundary=a b', 'a b'),
+        # boundary="" is EXCLUDED: a falsy boundary makes the generator's
+        # re-dump SYNTHESIZE a random replacement boundary
+        # (email.generator._make_boundary uses random.randrange) — the
+        # golden would be nondeterministic across replays
+        ('multipart/mixed; boundary="b1"; boundary="b2"', 'b1'),
+        ('multipart/mixed; boundary="b1"; boundary="b2"', 'b2'),
+        ('multipart/mixed; boundary=a/b', 'a/b'),
+        ('multipart/mixed; BOUNDARY="cased"', 'cased')]:
+    ADV.append(raw_case(ct, mp_body(marker, '"plain.txt"')))
+
+for j, raw in enumerate(ADV):
+    name = f'adv{j:03d}.eml'
+    (FIX / name).write_text(raw, encoding='utf-8')
+    gg.extract_eml(FIX / name, GOLD / name)
+    ok += 1
 print('generated', ok, 'fixtures+goldens under', OUT)

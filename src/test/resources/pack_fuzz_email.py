@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Pack the eml/mht fuzz trees into the single fuzz_email.json resource
+(member bytes as base64 — on-disk golden trees with unicode filenames break
+sbt's C-locale file scanner).
+
+Reads /tmp/eml_fuzz (gen_fuzz_eml.py) and /tmp/mht_fuzz (gen_fuzz_mht.py);
+a missing tree keeps that section from the existing resource unchanged.
+
+Usage: python3 pack_fuzz_email.py   (run from src/test/resources)
+"""
+import base64, json, sys
+from pathlib import Path
+
+RES = Path(__file__).resolve().parent / 'fuzz_email.json'
+
+
+def pack_tree(root: Path, suffixes):
+    fix, gold = root / 'fixtures', root / 'golden'
+    out = []
+    for f in sorted(fix.iterdir()):
+        if f.suffix not in suffixes:
+            continue
+        gdir = gold / f.name
+        members = {}
+        for p in sorted(gdir.rglob('*')):
+            if p.is_file():
+                members[str(p.relative_to(gdir))] = \
+                    base64.b64encode(p.read_bytes()).decode()
+        out.append({'name': f.name,
+                    'text': f.read_text(encoding='utf-8'),
+                    'members': members})
+    return out
+
+
+existing = json.load(RES.open()) if RES.exists() else {}
+result = {}
+for kind, root, suffixes in [('eml', Path('/tmp/eml_fuzz'), {'.eml'}),
+                             ('mht', Path('/tmp/mht_fuzz'), {'.mht', '.mhtml'})]:
+    if root.exists():
+        result[kind] = pack_tree(root, suffixes)
+        print(f'{kind}: packed {len(result[kind])} cases from {root}')
+    else:
+        result[kind] = existing.get(kind, [])
+        print(f'{kind}: kept {len(result[kind])} cases from existing resource')
+
+json.dump(result, RES.open('w'), ensure_ascii=True, separators=(',', ':'))
+print('wrote', RES)

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 150 eml + 120 mht randomized cases vs the reference's extract_eml /
+/** 150+16 eml + 120 mht randomized cases vs the reference's extract_eml /
   * extract_mht replay (generators: src/test/resources/gen_fuzz_eml.py seed
   * 0xE3A11, gen_fuzz_mht.py seed 0x317A7; goldens computed live via the
   * CPython email stdlib at generation time). Member bytes ride base64 in
@@ -13,7 +13,10 @@ import graft.rules.PyVal._
   * break sbt's C-locale file scanner. Covers: multipart shapes, transfer
   * encodings, policy.default >78-char header refolds, RFC 2231 filenames,
   * folded-boundary fixup, Content-Location path naming, headerless-junk
-  * defect handling. */
+  * defect handling, and (adv* cases, round 4) the policy.default
+  * parameter-parser quirk surface: single-quoted / angle-bracketed /
+  * space-containing / escaped-quote / duplicate boundary+filename values
+  * and the structural-multipart downgrade when no boundary line exists. */
 class EmailFuzzSpec extends AnyFunSuite {
 
   private lazy val corpus: PyObj = {
@@ -43,7 +46,7 @@ class EmailFuzzSpec extends AnyFunSuite {
         s"$name member $k bytes differ"
     }
 
-  test("150-case eml fuzz corpus: member trees byte-exact vs reference") {
+  test("166-case eml fuzz corpus: member trees byte-exact vs reference") {
     val problems = cases("eml").flatMap { case (name, text, want) =>
       val got = Email.extractEml(s"/mnt/mail/$name", text)
         .map(_.map(m => m.path -> m.bytes).toMap).getOrElse(Map.empty)
