@@ -188,18 +188,30 @@ object Containers {
 
   private def unzip(bytes: Array[Byte]): Option[Seq[Member]] =
     try {
-      // ZipInputStream yields nothing (no error) on garbage; Python's
-      // ZipFile raises BadZipFile -> extract()=False. Gate on the magic so
-      // non-zips report failure rather than a silently-empty archive.
-      if (bytes.length < 4 || bytes(0) != 'P' || bytes(1) != 'K') return None
-      val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
-      val out = Vector.newBuilder[Member]
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory) out += Member(cleanPath(e.getName), readAll(zin))
-        e = zin.getNextEntry
-      }
-      Some(out.result())
+      // Central-directory-driven read (commons-compress ZipFile over an
+      // in-memory channel) — the same access path CPython's ZipFile uses
+      // (EOCD search from the tail), so zips with prepended data extract
+      // and garbage raises (-> None, the reference's BadZipFile ->
+      // extract()=False). The old ZipInputStream walk read sequential
+      // local headers instead: silent empty results on garbage, missed
+      // central-directory-only entries, divergent member sets on
+      // mismatched local headers (r3 advice). No streaming fallback on
+      // purpose: where the central directory is broken the reference
+      // FAILS, so succeeding via local headers would diverge.
+      val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
+        .setSeekableByteChannel(
+          new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes))
+        .get()
+      try {
+        val out = Vector.newBuilder[Member]
+        val en = zf.getEntries // central-directory order = infolist() order
+        while (en.hasMoreElements) {
+          val e = en.nextElement()
+          if (!e.isDirectory)
+            out += Member(cleanPath(e.getName), readAll(zf.getInputStream(e)))
+        }
+        Some(out.result())
+      } finally zf.close()
     } catch { case _: Throwable => None }
 
   private def untar(bytes: Array[Byte]): Option[Seq[Member]] =

@@ -144,6 +144,15 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     assert(Containers.expandDocs("x.zip", "garbage".getBytes(UTF_8)).isEmpty)
   }
 
+  test("zip with prepended data extracts via the central directory (CPython parity)") {
+    // CPython's ZipFile locates the EOCD from the tail and adjusts member
+    // offsets, so a self-extractor-style zip behind junk bytes extracts;
+    // the old sequential local-header walk could not see it (r3 advice)
+    val prefixed = "JUNKPREFIX--".getBytes(UTF_8) ++ Containers.buildZip(m1)
+    val got = Containers.expandDocs("x.zip", prefixed).get
+    assertSameTree(asMap(got), m1.toMap.map(identity), "prefixed-zip")
+  }
+
   test("nested containers recurse with composed member paths (cpath.py:27-29)") {
     val inner = Containers.buildZip(Seq("deep.txt" -> "treasure".getBytes(UTF_8)))
     val outer = Containers.buildZip(Seq(
