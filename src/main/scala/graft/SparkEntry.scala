@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Entities, Mime, Multimodal, Office, Ole, OleBuild, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Entities, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -239,6 +239,112 @@ object SparkEntry {
               lit(".example.com:8080/priv")))
           .otherwise(concat(lit("see https://"), col("dom"), lit(".example.com"))))
       Entities.credentialEntities(base.select(col("doc_id"), text.as("text")))
+    }),
+
+    // The reference's WHOLE per-file dataflow as ONE DAG
+    // (crawlerbase.py:548-682): scan gates → must_index anti-join →
+    // container/email expansion → parser dispatch → secret detection →
+    // evidence slicing → merge-upsert sink. Every stage reuses the
+    // operator the per-stage queries verify; the mixed corpus (zip,
+    // tar.gz, eml, plain) is built by the same construction rules their
+    // oracles replay, so the composed oracle is exact. The expansion+parse
+    // pass and the detect pass are each persisted (OpCaches) so the
+    // fan-out into findings/evidence/rollup reads each doc's text exactly
+    // once (PlanSpec-pinned).
+    "q_pipeline_e2e" -> ((s, dir) => {
+      import s.implicits._
+      // 1. scan + gates (F1/F2/F3)
+      val scanned = docs(s, dir)
+        .filter(col("n_chars") >= 40)
+        .filter(!col("source").rlike("^src1[0-9]$"))
+        .filter(length(trim(col("text"))) > 0)
+      // 2. must_index (F4): already-indexed ids skip the pipeline
+      val indexed = docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      val toIndex = scanned.join(indexed, Seq("doc_id"), "left_anti")
+      // 3+4. expand (S4/S4.1) + parser dispatch (P1/P3), fused in one pass
+      val parsed0 = toIndex
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, text, lang, source) =>
+          val u = java.nio.charset.StandardCharsets.UTF_8
+          def sub(n: Int) = text.substring(0, math.min(n, text.length))
+          val members: Seq[(String, Array[Byte])] = (id % 4) match {
+            case 0 => Containers.expandDocs(s"$source.zip", Containers.buildZip(Seq(
+                "data/a.txt" -> sub(40).getBytes(u),
+                "meta.json" -> s"""{"lang": "$lang", "source": "$source"}""".getBytes(u))))
+              .getOrElse(Seq.empty).map(m => m.path -> m.bytes)
+            case 1 => Containers.expandDocs(s"$source.tar.gz",
+                Containers.buildTarGz(Seq("d/a.txt" -> sub(30).getBytes(u))))
+              .getOrElse(Seq.empty).map(m => m.path -> m.bytes)
+            case 2 =>
+              val raw = s"From: $lang@example.com\n" +
+                s"Subject: doc $id\n" +
+                "Date: Tue, 5 Mar 2024 10:30:00 +0000\n" +
+                "Content-Type: text/plain\n\n" + sub(35) + "\n"
+              Email.extractEml(s"/m/$id.eml", raw).getOrElse(Seq.empty)
+                .map(m => m.path -> m.bytes)
+            case _ => Seq("plain.txt" -> sub(45).getBytes(u))
+          }
+          members.map { case (p, b) =>
+            val ext = p.substring(p.lastIndexOf('.') + 1)
+            val (content, parser) = Parsers.parse(ext, "", b, jsonSupport = true)
+            (id, p, content, parser)
+          }
+        }
+        .toDF("doc_id", "member_path", "content", "parser")
+      // 5. detect (§2.5) on planted member content — the ONE detect pass
+      val planted = operators.OpCaches.register(parsed0
+        .withColumn("content2", plantedText(col("content"), col("doc_id")))
+        .persist())
+      val findings = operators.OpCaches.register(planted
+        .select(col("doc_id"), col("member_path"),
+          explode(detect_secrets(col("content2"))).as("f"))
+        .select(col("doc_id"), col("member_path"), col("f.rule_id"),
+          col("f.match").as("matched"), col("f.severity"))
+        .persist())
+      // 6. evidence (§2.8): ±2-token window around each finding's match
+      val tokens = planted.select(col("doc_id"), col("member_path"),
+        posexplode(split(col("content2"), " ")).as(Seq("idx", "tok")))
+      val hits = tokens.join(
+        findings.select(col("doc_id"), col("member_path"),
+          col("matched")).distinct(),
+        Seq("doc_id", "member_path"))
+        .filter(col("tok") === col("matched"))
+        .select(col("doc_id"), col("member_path"), col("idx").as("hit_idx"))
+      val evidence = tokens.join(hits, Seq("doc_id", "member_path"))
+        .filter(abs(col("idx") - col("hit_idx")) <= 2)
+        .select(col("doc_id"), col("member_path"), col("idx"), col("tok"))
+        .distinct()
+        .groupBy(col("doc_id"), col("member_path"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("ev"))
+      // 7. sink (K1): per-doc rollup, merge-upserted over a prior index
+      // snapshot with first_seen excluded on update
+      val rollup = planted
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("member_path")).as("n_members"))
+        .join(findings.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_findings"),
+            max(col("severity")).cast("long").as("max_sev")),
+          Seq("doc_id"), "left")
+        .join(evidence.groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("member_path"), col("ev")))),
+            x => x.getField("ev")), " | ").as("evidence")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_members"),
+          coalesce(col("n_findings"), lit(0L)).as("n_findings"),
+          coalesce(col("max_sev"), lit(0L)).as("max_sev"),
+          coalesce(col("evidence"), lit("")).as("evidence"),
+          lit("wave-0").as("first_seen"))
+      val existing = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(0L).as("n_members"), lit(0L).as("n_findings"),
+          lit(0L).as("max_sev"), lit("").as("evidence"),
+          lit("prior").as("first_seen"))
+      Sinks.mergeUpsert(existing, rollup, Seq("doc_id"), Seq("first_seen"),
+        col("doc_id"))
     }),
 
     // P2 PDF half: native text-layer extraction (no Tika). Per-doc PDFs
@@ -872,6 +978,112 @@ object SparkEntry {
         |    path, lower(scheme || '://' || netloc || path) AS url
         |  FROM urls2)
         |SELECT * FROM eout UNION ALL SELECT * FROM uout""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH scanned AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE n_chars >= 40 AND NOT regexp_matches(source, '^src1[0-9]$')
+        |    AND length(trim(text)) > 0 AND doc_id % 7 != 0),
+        |raw_eml AS (
+        |  SELECT doc_id,
+        |    'From: ' || lang || '@example.com' || chr(10) ||
+        |    'Subject: doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Date: Tue, 5 Mar 2024 10:30:00 +0000' || chr(10) ||
+        |    'Content-Type: text/plain' || chr(10) || chr(10) ||
+        |    substr(text, 1, 35) || chr(10) AS raw
+        |  FROM scanned WHERE doc_id % 4 = 2),
+        |members AS (
+        |  SELECT doc_id, 'data/a.txt' AS member_path,
+        |    substr(text, 1, 40) AS content
+        |  FROM scanned WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 'meta.json',
+        |    '{' || chr(10) || '  "lang": "' || lang || '",' || chr(10) ||
+        |    '  "source": "' || source || '"' || chr(10) || '}'
+        |  FROM scanned WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 'd/a.txt', substr(text, 1, 30)
+        |  FROM scanned WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT s.doc_id, 'header.txt',
+        |    '## E-mail: /m/' || CAST(s.doc_id AS VARCHAR) || '.eml' || chr(10) ||
+        |    '## Header' || chr(10) || chr(10) || r.raw
+        |  FROM scanned s JOIN raw_eml r ON s.doc_id = r.doc_id
+        |  UNION ALL SELECT doc_id, 'body.txt', substr(text, 1, 35) || chr(10)
+        |  FROM scanned WHERE doc_id % 4 = 2
+        |  UNION ALL SELECT doc_id, 'plain.txt', substr(text, 1, 45)
+        |  FROM scanned WHERE doc_id % 4 = 3),
+        |planted AS (
+        |  SELECT doc_id, member_path,
+        |    content ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' AKIA' || upper(substr(md5(content), 1, 16)) || ' '
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' ghp_' || substr(md5(content), 17, 16) ||
+        |           upper(substr(md5(content), 1, 16)) || 'WXYZ '
+        |      ELSE '' END AS content2
+        |  FROM members),
+        |findings AS (
+        |  SELECT doc_id, member_path,
+        |    'AKIA' || upper(substr(md5(content), 1, 16)) AS matched,
+        |    30 AS severity
+        |  FROM members WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, member_path,
+        |    'ghp_' || substr(md5(content), 17, 16) ||
+        |    upper(substr(md5(content), 1, 16)) || 'WXYZ', 70
+        |  FROM members WHERE doc_id % 5 = 0),
+        |toks0 AS (SELECT doc_id, member_path, string_split(content2, ' ') AS l
+        |          FROM planted),
+        |toks AS (SELECT doc_id, member_path, CAST(i - 1 AS BIGINT) AS idx,
+        |           l[i] AS tok
+        |         FROM toks0, unnest(range(1, len(l) + 1)) AS t(i)),
+        |hits AS (SELECT DISTINCT t.doc_id, t.member_path, t.idx AS hit_idx
+        |         FROM toks t
+        |         JOIN (SELECT DISTINCT doc_id, member_path, matched
+        |               FROM findings) f
+        |           ON t.doc_id = f.doc_id AND t.member_path = f.member_path
+        |          AND t.tok = f.matched),
+        |evtoks AS (SELECT DISTINCT t.doc_id, t.member_path, t.idx, t.tok
+        |           FROM toks t
+        |           JOIN hits h ON t.doc_id = h.doc_id
+        |            AND t.member_path = h.member_path
+        |           WHERE abs(t.idx - h.hit_idx) <= 2),
+        |ev AS (SELECT doc_id, member_path,
+        |         string_agg(tok, ' ' ORDER BY idx) AS ev
+        |       FROM evtoks GROUP BY 1, 2),
+        |rollup AS (
+        |  SELECT m.doc_id,
+        |    count(DISTINCT m.member_path) AS n_members,
+        |    CAST(coalesce(f.n_findings, 0) AS BIGINT) AS n_findings,
+        |    CAST(coalesce(f.max_sev, 0) AS BIGINT) AS max_sev,
+        |    coalesce(e.evidence, '') AS evidence,
+        |    'wave-0' AS first_seen
+        |  FROM members m
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n_findings,
+        |               max(severity) AS max_sev
+        |             FROM findings GROUP BY 1) f ON m.doc_id = f.doc_id
+        |  LEFT JOIN (SELECT doc_id,
+        |               string_agg(ev, ' | ' ORDER BY member_path) AS evidence
+        |             FROM ev GROUP BY 1) e ON m.doc_id = e.doc_id
+        |  GROUP BY m.doc_id, f.n_findings, f.max_sev, e.evidence),
+        |existing AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS n_members,
+        |    CAST(0 AS BIGINT) AS n_findings, CAST(0 AS BIGINT) AS max_sev,
+        |    '' AS evidence, 'prior' AS first_seen
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT coalesce(e.doc_id, i.doc_id) AS doc_id,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.n_members
+        |       ELSE e.n_members END AS n_members,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.n_findings
+        |       ELSE e.n_findings END AS n_findings,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.max_sev
+        |       ELSE e.max_sev END AS max_sev,
+        |  CASE WHEN i.doc_id IS NOT NULL THEN i.evidence
+        |       ELSE e.evidence END AS evidence,
+        |  CASE WHEN e.doc_id IS NOT NULL THEN e.first_seen
+        |       ELSE i.first_seen END AS first_seen,
+        |  CASE WHEN e.doc_id IS NULL THEN 'inserted'
+        |       WHEN i.doc_id IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS __action
+        |FROM existing e FULL OUTER JOIN rollup i ON e.doc_id = i.doc_id""".stripMargin,
 
     "q_pdf_text" ->
       """SELECT doc_id,

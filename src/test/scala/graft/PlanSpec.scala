@@ -90,6 +90,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "joins must be keyed on the candidate-pair ids:\n" + joinLines.mkString("\n"))
   }
 
+  test("q_pipeline_e2e: expansion and detect each cached — every doc text read once") {
+    val p = plan("q_pipeline_e2e")
+    // The plan STRING inlines each cached relation's child plan under its
+    // InMemoryTableScan, so the one real detect pass renders twice (the
+    // findings cache is scanned by two branches) and the one expansion
+    // flatMap renders once per cache copy. Without the two persists the
+    // fan-out (findings agg + evidence join + rollup) would re-plan
+    // detect/expansion per branch and these counts jump well past the
+    // bounds; with them the heavy passes execute once.
+    assert(p.contains("InMemoryTableScan"), "pipeline stages must be cached")
+    val detects = "detect_secrets".r.findAllIn(p).length
+    assert(detects <= 2, s"detect planned $detects times — findings cache lost:\n" +
+      p.take(1500))
+    val maps = "MapPartitions".r.findAllIn(p).length
+    assert(maps <= 5, s"expansion flatMap planned $maps times — planted cache lost")
+  }
+
   test("q_upsert_merge: exactly one join, full-outer") {
     val p = plan("q_upsert_merge")
     assert(p.contains("FullOuter"), p.take(2000))
