@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
 import graft.operators.{Chunking, Containers, Dedup, Email, Entities, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
-import graft.sources.{GitHistory, SyntheticCorpus}
+import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
 /** Driver contract: `entry` (flagship, rows>0 smoke), `queries` (one per
@@ -345,6 +345,49 @@ object SparkEntry {
           lit("prior").as("first_seen"))
       Sinks.mergeUpsert(existing, rollup, Seq("doc_id"), Seq("first_seen"),
         col("doc_id"))
+    }),
+
+    // S5 end-to-end in the battery: a live JDBC database (embedded Derby,
+    // the driver Spark ships) loaded deterministically from the documents
+    // table, streamed through tableDocs (count + toLocalIterator over one
+    // pinned snapshot — bounded driver memory, byte-exact greedy chunk
+    // boundaries incl. the overshoot-by-one and None-costs-10 quirks) into
+    // the reference's chunked JSON docs, then parser-dispatched (JSON
+    // re-pretty, idempotent). The oracle replays the greedy chunker with a
+    // recursive CTE and rebuilds the CPython indent-2 JSON byte-for-byte.
+    "q_db_source" -> ((s, dir) => {
+      import s.implicits._
+      val rows = docs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("int").as("id"), col("source").as("src"),
+          col("n_chars").cast("int").as("nc"),
+          when(col("doc_id") % 20 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("doc_id"))).as("note"))
+        .orderBy("id").collect() // tiny fixture load, not the operator
+      val url = s"jdbc:derby:memory:graft_${Integer.toHexString(dir.hashCode)};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE docsrc")
+        catch { case _: java.sql.SQLException => () }
+        st.execute("CREATE TABLE docsrc (id INT, src VARCHAR(40), nc INT, note VARCHAR(40))")
+        val ps = conn.prepareStatement("INSERT INTO docsrc VALUES (?,?,?,?)")
+        rows.foreach { r =>
+          ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2))
+          if (r.isNullAt(3)) ps.setNull(4, java.sql.Types.VARCHAR)
+          else ps.setString(4, r.getString(3))
+          ps.executeUpdate()
+        }
+        ps.close(); st.close()
+      } finally conn.close()
+      val tbl = JdbcSource.readTable(s, url, "docsrc").orderBy("ID")
+      JdbcSource.tableDocs(tbl, "docsrc", chunkBytes = 60).toVector
+        .map { case (name, json) =>
+          val (content, parser) = Parsers.parse("json", "",
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            jsonSupport = true)
+          (name, parser, content)
+        }.toDF("filename", "parser", "content")
     }),
 
     // P2 PDF half: native text-layer extraction (no Tika). Per-doc PDFs
@@ -1084,6 +1127,61 @@ object SparkEntry {
         |       WHEN i.doc_id IS NULL THEN 'kept'
         |       ELSE 'updated' END AS __action
         |FROM existing e FULL OUTER JOIN rollup i ON e.doc_id = i.doc_id""".stripMargin,
+
+    "q_db_source" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS INT) AS id, source AS src,
+        |    CAST(n_chars AS INT) AS nc,
+        |    CASE WHEN doc_id % 20 = 0 THEN NULL
+        |         ELSE 'n' || CAST(doc_id AS VARCHAR) END AS note
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ordered AS (SELECT *, row_number() OVER (ORDER BY id) AS rn FROM base),
+        |costed AS (
+        |  SELECT rn, id, src, nc, note,
+        |    11 + length(CAST(id AS VARCHAR)) + length(src)
+        |       + length(CAST(nc AS VARCHAR))
+        |       + CASE WHEN note IS NULL THEN 10 ELSE length(note) END AS cost
+        |  FROM ordered),
+        |walk AS (
+        |  -- the reference's greedy chunker (containerfile.py:120-141):
+        |  -- a row joins the open chunk iff the running size BEFORE it is
+        |  -- still <= budget (so every chunk overshoots by one row)
+        |  WITH RECURSIVE w AS (
+        |    SELECT rn, cost, 0 AS chunk, cost AS running
+        |    FROM costed WHERE rn = 1
+        |    UNION ALL
+        |    SELECT c.rn, c.cost,
+        |      CASE WHEN w.running <= 60 THEN w.chunk ELSE w.chunk + 1 END,
+        |      CASE WHEN w.running <= 60 THEN w.running + c.cost ELSE c.cost END
+        |    FROM costed c JOIN w ON c.rn = w.rn + 1)
+        |  SELECT rn, chunk FROM w),
+        |tot AS (SELECT count(*) AS total FROM base),
+        |rowjson AS (
+        |  SELECT w.chunk, c.rn,
+        |    '    {' || chr(10) ||
+        |    '      "ID": ' || CAST(c.id AS VARCHAR) || ',' || chr(10) ||
+        |    '      "SRC": "' || c.src || '",' || chr(10) ||
+        |    '      "NC": ' || CAST(c.nc AS VARCHAR) || ',' || chr(10) ||
+        |    '      "NOTE": ' ||
+        |      CASE WHEN c.note IS NULL THEN 'null'
+        |           ELSE '"' || c.note || '"' END || chr(10) ||
+        |    '    }' AS rj
+        |  FROM walk w JOIN costed c USING (rn)),
+        |chunks AS (
+        |  SELECT chunk, min(rn) - 1 AS offset0, count(*) AS cnt,
+        |    string_agg(rj, ',' || chr(10) ORDER BY rn) AS datastr
+        |  FROM rowjson GROUP BY chunk)
+        |SELECT
+        |  'docsrc_' || lpad(CAST(chunk AS VARCHAR), 6, '0') || '.json' AS filename,
+        |  'JSON Parser' AS parser,
+        |  '{' || chr(10) ||
+        |  '  "table": "docsrc",' || chr(10) ||
+        |  '  "offset": ' || CAST(offset0 AS VARCHAR) || ',' || chr(10) ||
+        |  '  "total": ' || CAST(total AS VARCHAR) || ',' || chr(10) ||
+        |  '  "count": ' || CAST(cnt AS VARCHAR) || ',' || chr(10) ||
+        |  '  "data": [' || chr(10) || datastr || chr(10) ||
+        |  '  ]' || chr(10) || '}' AS content
+        |FROM chunks, tot""".stripMargin,
 
     "q_pdf_text" ->
       """SELECT doc_id,
