@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Entities, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -772,9 +772,34 @@ object SparkEntry {
       Similarity.lshTopK(emb(s, dir), col("vec_id") < 10, 3)),
 
     // multimodal: opaque binary payload + typed metadata
+    // multimodal metadata: opaque binary payload columns plus REAL image
+    // header metadata (ImageMeta, round 4): per-doc PNG/GIF/JPEG bytes are
+    // synthesized with dimensions/EXIF derived from table columns, then
+    // parsed back by the pure-JDK header reader — the construction rule is
+    // what the oracle replays, the parse is what the spec pins.
     "q_multimodal_meta" -> ((s, dir) => {
-      Multimodal.asMediaTable(docs(s, dir))
+      import s.implicits._
+      val media = Multimodal.asMediaTable(docs(s, dir))
         .select(col("doc_id"), col("media_len"), col("media_digest"))
+      val imgMeta = docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = (nc % 500 + 1).toInt
+          val h = (nc * 7 % 300 + 1).toInt
+          val bytes = (id % 3) match {
+            case 0 => ImageMeta.buildPng(w, h)
+            case 1 => ImageMeta.buildGif(w, h)
+            case _ => ImageMeta.buildJpeg(w, h, (id % 8 + 1).toInt,
+              f"2024:01:${id % 27 + 1}%02d 10:30:00")
+          }
+          val info = ImageMeta.parse(bytes).get
+          (id, info.format, info.width, info.height,
+            info.orientation.getOrElse(0), info.timestamp.getOrElse(""))
+        }
+        .toDF("doc_id", "img_format", "img_w", "img_h",
+          "img_orientation", "img_ts")
+      media.join(imgMeta, Seq("doc_id"))
     }),
 
     // multimodal: batched frame-sampling stub (mapInPandas-shaped)
@@ -1609,7 +1634,17 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS media_len,
-        |  md5(substr(text, 1, 64)) AS media_digest
+        |  md5(substr(text, 1, 64)) AS media_digest,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'jpeg' END AS img_format,
+        |  CAST(n_chars % 500 + 1 AS INT) AS img_w,
+        |  CAST(n_chars * 7 % 300 + 1 AS INT) AS img_h,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 8 + 1 ELSE 0 END AS INT)
+        |    AS img_orientation,
+        |  CASE WHEN doc_id % 3 = 2
+        |    THEN '2024:01:' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+        |         || ' 10:30:00'
+        |    ELSE '' END AS img_ts
         |FROM documents""".stripMargin,
 
     "q_multimodal_frames" ->

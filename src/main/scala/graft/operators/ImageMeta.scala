@@ -1,0 +1,205 @@
+package graft.operators
+
+/** Image metadata WITHOUT OCR — the useful half of the reference's image
+  * handling (parsers/imageparser.py covers png/jpg/jpeg/gif but only OCRs
+  * them; tesseract doesn't exist on a Spark executor). Pure-JDK byte
+  * parsing in the Mime pattern: PNG/GIF/JPEG dimensions plus EXIF
+  * orientation and DateTime from the JPEG APP1 segment. Media payloads
+  * stay opaque binary columns (north rule: media_ref passthrough) — this
+  * reads only headers, never decodes pixels.
+  *
+  * Format references (public specs): PNG (ISO 15948 §11.2.2 IHDR layout),
+  * GIF89a (logical screen descriptor), JPEG/JFIF (ITU T.81 segment
+  * markers, SOFn frame header), EXIF 2.x (TIFF 6.0 IFD layout, tags
+  * 0x0112 Orientation and 0x0132 DateTime).
+  */
+object ImageMeta {
+
+  final case class Info(format: String, width: Int, height: Int,
+      orientation: Option[Int], timestamp: Option[String])
+
+  def parse(bytes: Array[Byte]): Option[Info] =
+    png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes))
+
+  // ------------------------------------------------------------------ PNG
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def png(b: Array[Byte]): Option[Info] = {
+    if (b.length < 24 || !b.take(8).sameElements(PngSig)) return None
+    // first chunk must be IHDR: length(4) 'IHDR' width(4) height(4) ...
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return None
+    Some(Info("png", be32(b, 16).toInt, be32(b, 20).toInt, None, None))
+  }
+
+  // ------------------------------------------------------------------ GIF
+
+  private def gif(b: Array[Byte]): Option[Info] = {
+    if (b.length < 10) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8) // little-endian
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    Some(Info("gif", w, h, None, None))
+  }
+
+  // ----------------------------------------------------------------- JPEG
+
+  private def jpeg(b: Array[Byte]): Option[Info] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var dims: Option[(Int, Int)] = None
+    var orient: Option[Int] = None
+    var ts: Option[String] = None
+    while (i + 3 < b.length && (dims.isEmpty || orient.isEmpty)) {
+      if ((b(i) & 0xff) != 0xff) return dims.map(d =>
+        Info("jpeg", d._1, d._2, orient, ts)) // lost sync: keep what we have
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else if (marker == 0xd9 || marker == 0xda) i = b.length // EOI / scan
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val seg = i + 4
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof && seg + 4 < b.length) {
+          val h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+          val w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+          dims = Some((w, h))
+        } else if (marker == 0xe1 && seg + 6 <= b.length &&
+          b(seg) == 'E' && b(seg + 1) == 'x' && b(seg + 2) == 'i' &&
+          b(seg + 3) == 'f' && b(seg + 4) == 0 && b(seg + 5) == 0) {
+          val (o, t) = exifIfd0(b, seg + 6, i + 2 + len)
+          orient = orient.orElse(o)
+          ts = ts.orElse(t)
+        }
+        i += 2 + len
+      }
+    }
+    dims.map(d => Info("jpeg", d._1, d._2, orient, ts))
+  }
+
+  /** TIFF IFD0 scan for Orientation (0x0112, SHORT) and DateTime (0x0132,
+    * ASCII[20]); `tiff` is the byte offset of the TIFF header. */
+  private def exifIfd0(b: Array[Byte], tiff: Int,
+      end: Int): (Option[Int], Option[String]) = {
+    if (tiff + 8 > end) return (None, None)
+    val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
+    val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
+    if (!le && !be) return (None, None)
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return (None, None)
+    val ifd = tiff + u32(tiff + 4).toInt
+    if (ifd + 2 > end) return (None, None)
+    val n = u16(ifd)
+    var orient: Option[Int] = None
+    var ts: Option[String] = None
+    var k = 0
+    while (k < n && ifd + 2 + 12 * (k + 1) <= end) {
+      val e = ifd + 2 + 12 * k
+      val tag = u16(e)
+      if (tag == 0x0112 && u16(e + 2) == 3) orient = Some(u16(e + 8))
+      else if (tag == 0x0132 && u16(e + 2) == 2) {
+        val cnt = u32(e + 4).toInt
+        val off = tiff + u32(e + 8).toInt
+        if (cnt >= 1 && off + cnt <= end) {
+          val raw = new String(b, off, cnt,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          ts = Some(raw.takeWhile(_ != '\u0000'))
+        }
+      }
+      k += 1
+    }
+    (orient, ts)
+  }
+
+  // ------------------------------------------- deterministic test builders
+
+  /** A fully valid minimal PNG: IHDR (8-bit grayscale) + one-pixel-row
+    * IDAT (zlib) + IEND, with correct CRCs. */
+  def buildPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val body = kind.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    val rawRow = new Array[Byte](1 + w) // filter byte + pixels, one row
+    val deflater = new java.util.zip.Deflater()
+    val rows = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach(_ => rows.write(rawRow))
+    deflater.setInput(rows.toByteArray); deflater.finish()
+    val buf = new Array[Byte](256)
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  def buildGif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array(
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      0.toByte, 0.toByte, 0.toByte, 0x3b.toByte)
+
+  /** Structurally valid JPEG header stream: SOI + APP1(Exif, big-endian
+    * TIFF with Orientation + DateTime) + SOF0 + EOI. */
+  def buildJpeg(w: Int, h: Int, orientation: Int,
+      dateTime: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff.toByte, 0xd8.toByte))
+    // TIFF (big-endian): header + IFD0 with 2 entries + DateTime payload
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { tiff.write(v >>> 8); tiff.write(v & 0xff) }
+    def w32(v: Int): Unit = { w16(v >>> 16); w16(v & 0xffff) }
+    tiff.write('M'); tiff.write('M'); w16(42); w32(8) // IFD0 at offset 8
+    w16(2) // entries
+    w16(0x0112); w16(3); w32(1); w16(orientation); w16(0) // SHORT padded
+    val dtOff = 8 + 2 + 2 * 12 + 4 // after entry table + next-IFD pointer
+    w16(0x0132); w16(2); w32(20); w32(dtOff)
+    w32(0) // next IFD
+    val dt = (dateTime + "\u0000").getBytes("US-ASCII").padTo(20, 0.toByte)
+    tiff.write(dt)
+    val exif = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.toByteArray
+    out.write(Array(0xff.toByte, 0xe1.toByte))
+    val app1Len = exif.length + 2
+    out.write(app1Len >>> 8); out.write(app1Len & 0xff)
+    out.write(exif)
+    // SOF0: len=11, precision 8, height, width, 1 component
+    out.write(Array(0xff.toByte, 0xc0.toByte, 0.toByte, 11.toByte, 8.toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1.toByte, 1.toByte, 0x11.toByte, 0.toByte))
+    // SOS (header-only readers — incl. the JDK's — require its presence)
+    out.write(Array(0xff.toByte, 0xda.toByte, 0.toByte, 8.toByte, 1.toByte,
+      1.toByte, 0.toByte, 0.toByte, 63.toByte, 0.toByte))
+    out.write(Array(0xff.toByte, 0xd9.toByte))
+    out.toByteArray
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JDK image header metadata (no OCR, no pixel decode). The builders
+  * emit real format structures; the JDK's own ImageIO readers provide an
+  * INDEPENDENT oracle for the dimension fields (header-only getWidth/
+  * getHeight — no scan data needed), so builder and parser can't share a
+  * bug. EXIF is covered in both endiannesses. */
+class ImageMetaSpec extends AnyFunSuite {
+
+  private def imageIoDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        r.setInput(in)
+        try Some((r.getWidth(0), r.getHeight(0)))
+        finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  test("png/gif/jpeg round-trip over a sweep of dimensions") {
+    for ((w, h) <- Seq((1, 1), (7, 3), (255, 256), (499, 300), (65535, 2))) {
+      assert(ImageMeta.parse(ImageMeta.buildPng(w, h))
+        .contains(ImageMeta.Info("png", w, h, None, None)))
+      assert(ImageMeta.parse(ImageMeta.buildGif(w, h))
+        .contains(ImageMeta.Info("gif", w, h, None, None)))
+      val j = ImageMeta.parse(ImageMeta.buildJpeg(w, h, 6, "2024:01:05 10:30:00"))
+      assert(j.contains(ImageMeta.Info("jpeg", w, h, Some(6),
+        Some("2024:01:05 10:30:00"))))
+    }
+  }
+
+  test("JDK ImageIO agrees on dimensions (independent oracle)") {
+    for ((w, h) <- Seq((3, 5), (128, 64), (499, 300))) {
+      assert(imageIoDims(ImageMeta.buildPng(w, h)).contains((w, h)))
+      assert(imageIoDims(ImageMeta.buildJpeg(w, h, 1, "2024:01:05 10:30:00"))
+        .contains((w, h)))
+    }
+    // the PNG is fully decodable too (valid zlib IDAT + CRCs)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageMeta.buildPng(17, 9)))
+    assert(img.getWidth == 17 && img.getHeight == 9)
+  }
+
+  test("EXIF little-endian (II) TIFF parses like big-endian") {
+    // hand-built II TIFF: orientation=8, DateTime at offset 38
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { tiff.write(v & 0xff); tiff.write(v >>> 8) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    tiff.write('I'); tiff.write('I'); w16(42); w32(8)
+    w16(2)
+    w16(0x0112); w16(3); w32(1); w16(8); w16(0)
+    w16(0x0132); w16(2); w32(20); w32(8 + 2 + 24 + 4)
+    w32(0)
+    tiff.write("2023:12:31 23:59:59".getBytes("US-ASCII").padTo(20, 0.toByte))
+    val exif = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff.toByte, 0xd8.toByte))
+    out.write(Array(0xff.toByte, 0xe1.toByte))
+    val len = exif.length + 2
+    out.write(len >>> 8); out.write(len & 0xff); out.write(exif)
+    out.write(Array(0xff.toByte, 0xc0.toByte, 0.toByte, 11.toByte, 8.toByte,
+      0.toByte, 10.toByte, 0.toByte, 20.toByte, 1.toByte, 1.toByte,
+      0x11.toByte, 0.toByte))
+    out.write(Array(0xff.toByte, 0xd9.toByte))
+    val info = ImageMeta.parse(out.toByteArray)
+    assert(info.contains(ImageMeta.Info("jpeg", 20, 10, Some(8),
+      Some("2023:12:31 23:59:59"))))
+  }
+
+  test("garbage, truncation, and non-images return None") {
+    assert(ImageMeta.parse(Array.empty[Byte]).isEmpty)
+    assert(ImageMeta.parse("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageMeta.parse(ImageMeta.buildPng(9, 9).take(12)).isEmpty)
+    // JPEG SOI alone: no SOF -> no dims -> None
+    assert(ImageMeta.parse(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xd9.toByte)).isEmpty)
+  }
+}
