@@ -114,9 +114,16 @@ final class SnapshotStore(rootDir: String) {
       seenIndexState.contains((wave, buckets))
 
   /** Append one wave's url_hash delta (or a full rebuild batch ending at
-    * `wave`). Creates the external bucketed table on first use. */
+    * `wave`). Creates the external bucketed table on first use. The delta
+    * is repartitioned on url_hash with the SAME HashPartitioning the
+    * bucket spec uses, so every task holds exactly one bucket's rows and
+    * each wave adds `buckets` files — an unaligned bucketed write would
+    * emit one file per (input task × bucket): thousands of small files
+    * per wave at fetch parallelism. */
   def appendSeenIndex(wave: Int, buckets: Int, urlHashes: DataFrame): Unit = {
-    urlHashes.write.mode("append").format("parquet")
+    urlHashes
+      .repartition(buckets, org.apache.spark.sql.functions.col("url_hash"))
+      .write.mode("append").format("parquet")
       .bucketBy(buckets, "url_hash")
       .option("path", seenIndexPath)
       .saveAsTable(seenIndexTable)
