@@ -115,7 +115,10 @@ private[operators] object MimeParams {
     * embedded apostrophe routes through the triple parse exactly as
     * CPython does — raising where it raises. Returns
     * (charsetOpt, value, quoted). */
-  private def charsetLangValue(c: Cursor): (Option[String], String, Boolean) = {
+  private final case class CLV(charset: Option[String], value: String,
+      quoted: Boolean, sawTriple: Boolean)
+
+  private def charsetLangValue(c: Cursor): CLV = {
     var token: String = null
     var quoted = false
     if (!(!c.atEnd && c.ch == '\'')) {
@@ -124,7 +127,7 @@ private[operators] object MimeParams {
     }
     if (c.atEnd || c.ch != '\'') {
       if (token == null) throw new Err("expected value")
-      return (None, token, quoted)
+      return CLV(None, token, quoted, sawTriple = false)
     }
     // apparent charset'lang'value (defect when the param wasn't starred)
     val charset = Option(token).filter(_.nonEmpty)
@@ -135,7 +138,7 @@ private[operators] object MimeParams {
     } else if (c.atEnd) throw new Err("expected RFC2231 delimiter")
     c.i += 1 // second delimiter
     val (v, q) = c.value()
-    (charset, v, q)
+    CLV(charset, v, q, sawTriple = true)
   }
 
   /** get_parameter: attribute [section] ["*"] "=" value. Throws Err on the
@@ -167,8 +170,11 @@ private[operators] object MimeParams {
     c.i += 1
     c.skipCfws()
     // extended double-quoted hack (get_parameter's "serious hackery"): a
-    // quoted value on a starred param is unwrapped when it looks encoded
+    // quoted value on a starred param is unwrapped when it LOOKS encoded;
+    // otherwise CPython leaves `value` untouched and re-parses the quoted
+    // string through the normal path (cursor rewind here)
     if (starred && !c.atEnd && c.ch == '"') {
+      val mark = c.i
       val inner = c.bareQuoted()
       c.skipCfws()
       val semiValid =
@@ -181,14 +187,20 @@ private[operators] object MimeParams {
         } else inner.nonEmpty && !inner.exists(ExtendedAttributeEnds)
       if (semiValid) {
         val ic = new Cursor(inner)
-        val (cs, v, q) = charsetLangValue(ic)
-        return Part(name, section, starred = true, cs, v, quoted = q)
+        val r = charsetLangValue(ic)
+        return Part(name, section, starred = true, r.charset, r.value,
+          quoted = r.quoted)
       }
-      // "marked as extended but quoted non-encoded": quoted literal value
-      return Part(name, section, starred = true, None, inner, quoted = true)
+      c.i = mark // non-encoded: defect only; fall through to normal parse
     }
-    val (cs, v, q) = charsetLangValue(c)
-    Part(name, section, starred, cs, v, q)
+    val r = charsetLangValue(c)
+    // extended section-0 without a charset'lang' triple: CPython expects
+    // the RFC 2231 delimiter next and RAISES on ANYTHING but end-of-string
+    // (even a plain `p*0*=v; next` drops p) — only the trailing-position
+    // "charset/lang missing" defect path keeps the bare value
+    if (starred && section == 0 && !r.sawTriple && !c.atEnd)
+      throw new Err("expected RFC2231 delimiter after extended value")
+    Part(name, section, starred, r.charset, r.value, r.quoted)
   }
 
   /** parse_mime_parameters over the text AFTER the first ';' of the header
@@ -233,45 +245,73 @@ private[operators] object MimeParams {
     }
   }
 
+  /** The params-property value_parts loop (CPython lines 743-794): parts
+    * of one name sorted by section (stable); a second plain section-0 part
+    * is dropped ("first wins"); a NON-starred part at the wrong position
+    * is skipped entirely while starred parts are always kept
+    * ("inconsistent RFC2231 numbering" is only a defect); each starred
+    * part percent-decodes over its utf-8 bytes and decodes with the FIRST
+    * part's charset; plain parts ride through as strings. */
   private def assemble(ps0: Vector[Part]): String = {
     var ps = ps0.sortBy(_.section) // stable
     if (!ps.head.starred && ps.length > 1 && ps(1).section == 0)
       ps = ps.take(1) // duplicate plain name: first wins
-    if (ps.length == 1 && !ps.head.starred)
+    if (ps.length == 1 && !ps.head.starred && ps.head.section == 0)
       return ps.head.value // plain (a triple's charset/lang are dropped)
-    // multi-part / starred assembly: percent-decode starred parts, charset
-    // from the first part's triple, gap-positioned plain duplicates ignored
     val charset = ps.head.charset.getOrElse("us-ascii")
-    val bytes = new java.io.ByteArrayOutputStream()
+    val sb = new StringBuilder
     var expect = 0
     ps.foreach { p =>
-      if (p.section != expect && !p.starred) () // plain dup in a gap: ignored
-      else {
+      val skip = p.section != expect && !p.starred
+      if (!skip) {
         expect += 1
-        val v = p.value
-        if (p.starred) {
-          var i = 0
-          while (i < v.length) {
-            val ch = v.charAt(i)
-            val hex =
-              if (ch == '%' && i + 2 < v.length)
-                try Some(Integer.parseInt(v.substring(i + 1, i + 3), 16))
-                catch { case _: NumberFormatException => None }
-              else None
-            hex match {
-              case Some(b) => bytes.write(b); i += 3
-              case None => bytes.write(ch.toInt); i += 1
-            }
-          }
-        } else bytes.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (p.starred) sb.append(decodeExtended(p.value, charset))
+        else sb.append(p.value)
       }
     }
-    try new String(bytes.toByteArray, normalizeCharset(charset))
-    catch { case _: Exception =>
-      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    }
+    sb.toString
   }
 
-  private def normalizeCharset(cs: String): String =
-    if (cs.equalsIgnoreCase("us-ascii")) "US-ASCII" else cs
+  /** urllib.parse.unquote_to_bytes over the utf-8 encoding of `v` (invalid
+    * %xx stays literal), then charset decode — surrogateescape-style:
+    * undecodable bytes map to U+DC80+b like CPython, falling back to
+    * us-ascii semantics on unknown charsets. */
+  private def decodeExtended(v: String, charset: String): String = {
+    val utf8 = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < utf8.length) {
+      val ch = utf8(i) & 0xff
+      val hex =
+        if (ch == '%' && i + 2 < utf8.length)
+          try Some(Integer.parseInt(
+            new String(utf8, i + 1, 2, java.nio.charset.StandardCharsets.US_ASCII), 16))
+          catch { case _: NumberFormatException => None }
+        else None
+      hex match {
+        case Some(b) => bytes.write(b); i += 3
+        case None => bytes.write(ch); i += 1
+      }
+    }
+    val raw = bytes.toByteArray
+    val cs =
+      try Some(java.nio.charset.Charset.forName(charset))
+      catch { case _: Exception => None }
+    cs.flatMap { c =>
+      try {
+        val dec = c.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(raw)).toString)
+      } catch { case _: Exception => None }
+    }.getOrElse {
+      // surrogateescape under us-ascii: ASCII passes, the rest escapes
+      val sb = new StringBuilder(raw.length)
+      raw.foreach { b =>
+        val u = b & 0xff
+        if (u < 0x80) sb.append(u.toChar) else sb.append((0xdc00 | u).toChar)
+      }
+      sb.toString
+    }
+  }
 }

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Randomized differential corpus for graft.operators.MimeParams — the
+policy.default MIME parameter parser. Each case is a full Content-Type (or
+Content-Disposition) header VALUE; goldens record what the live CPython
+email stdlib returns for get_param/get_boundary/get_filename under
+policy.default (message_from_string on a minimal message).
+
+Usage: python3 gen_fuzz_params.py > fuzz_params.json
+"""
+import json, random, sys
+from email import message_from_string, policy
+
+rng = random.Random(0x9A7A)
+
+NAMES = ['boundary', 'filename', 'name', 'charset', 'x-odd']
+TOKENS = ['abc', 'a.b-c_d', 'UP.Case', '0digit', 'x', 'long-token.v2',
+          'tok%20enc', 'pct%ZZ', 'a%b']
+QUOTED = ['"simple"', '"with space"', '"es\\"c"', '"back\\\\slash"',
+          '"semi;colon"', '"untermin', '""', '"tr "', '"(paren)"']
+WEIRD = ["'sq'", "<ang>", "a'b", "a'b'c", "''v", "utf-8'en'val",
+         "utf-8''p%43t", "a b", "a/b", "a(b", "a*b", "a=b", "a,c", "=x",
+         "(cmt)tok", "tok(cmt)", "a\tb", "%41%42", "*", "**", "'",
+         "mixed'one", 'pre"mid"post']
+STARS = ['', '*', '*0', '*0*', '*1', '*1*', '*2*', '*01', '*x']
+
+
+def rand_value():
+    k = rng.random()
+    if k < 0.3:
+        return rng.choice(TOKENS)
+    if k < 0.55:
+        return rng.choice(QUOTED)
+    if k < 0.85:
+        return rng.choice(WEIRD)
+    return rng.choice(TOKENS) + rng.choice(["'", "''", "'x'"]) + \
+        rng.choice(TOKENS + [''])
+
+
+def rand_param():
+    name = rng.choice(NAMES)
+    star = rng.choice(STARS) if rng.random() < 0.35 else ''
+    sep = rng.choice(['=', ' = ', '= ', ' =']) if rng.random() < 0.9 else ''
+    if not sep:
+        return name  # name with no '='
+    pad = ' ' * rng.randrange(2)
+    return f'{name}{star}{sep}{pad}{rand_value()}'
+
+
+def one_case(i):
+    nparams = rng.randrange(1, 5)
+    params = '; '.join(rand_param() for _ in range(nparams))
+    glue = rng.choice(['; ', ';', ' ;  ', ';\n '])
+    if i % 3 == 0:
+        hv = 'multipart/mixed' + glue + params
+        hdr = 'Content-Type'
+    elif i % 3 == 1:
+        hv = 'text/plain' + glue + params
+        hdr = 'Content-Type'
+    else:
+        hv = 'attachment' + glue + params
+        hdr = 'Content-Disposition'
+    raw = f'{hdr}: {hv}\n\nbody'
+    m = message_from_string(raw, policy=policy.default)
+    rec = {'header': hdr, 'value': hv}
+    for p in NAMES:
+        try:
+            v = m.get_param(p, header=hdr.lower())
+            if isinstance(v, tuple):
+                v = '|'.join('' if x is None else str(x) for x in v)
+        except Exception:
+            v = None
+        rec[f'p_{p}'] = v
+    try:
+        rec['boundary'] = m.get_boundary()
+    except Exception:
+        rec['boundary'] = None
+    try:
+        rec['filename'] = m.get_filename()
+    except Exception:
+        rec['filename'] = None
+    return rec
+
+
+cases = [one_case(i) for i in range(400)]
+json.dump(cases, sys.stdout, ensure_ascii=True, separators=(',', ':'))

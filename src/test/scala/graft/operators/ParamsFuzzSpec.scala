@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 400-case randomized differential for the policy.default MIME parameter
+  * parser (generator: src/test/resources/gen_fuzz_params.py, seed 0x9A7A;
+  * goldens from live CPython message_from_string(policy=default)):
+  * random mixes of tokens, quoted strings (escapes, semicolons,
+  * unterminated), apostrophe/charset'lang' triples, starred sections,
+  * name-only params, duplicate names, comments, and junk — checked through
+  * get_param for five names plus get_boundary/get_filename. */
+class ParamsFuzzSpec extends AnyFunSuite {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_params.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def optStr(o: PyObj, k: String): Option[String] =
+    o.get(k) match {
+      case Some(PyStr(s)) => Some(s)
+      case _ => None
+    }
+
+  test("get_param over five names matches CPython on all 400 cases") {
+    assert(cases.size == 400)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val hv = optStr(c, "value").get
+      for (p <- Seq("boundary", "filename", "name", "charset", "x-odd")) {
+        val want = optStr(c, s"p_$p")
+        val got = MimeParams.lookup(hv, p).map(Email.pyUnquote)
+        if (got != want)
+          problems += s"case $ci [$p] '${hv.take(70).replace("\n","\\n")}': got ${got.map(_.replace("\n","\\n"))} exp ${want.map(_.replace("\n","\\n"))}"
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(8).mkString("\n")}")
+  }
+
+  test("get_boundary / get_filename wrappers match CPython") {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val hdr = optStr(c, "header").get
+      val hv = optStr(c, "value").get
+      val part = Email.MimePart(Vector(hdr -> hv), "")
+      if (hdr == "Content-Type") {
+        val got = part.boundary
+        val want = optStr(c, "boundary")
+        if (got != want)
+          problems += s"case $ci boundary '${hv.take(70).replace("\n","\\n")}': got $got exp $want"
+      }
+      val gotF = part.filename
+      val wantF = optStr(c, "filename")
+      if (gotF != wantF)
+        problems += s"case $ci filename '${hv.take(70).replace("\n","\\n")}': got $gotF exp $wantF"
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(8).mkString("\n")}")
+  }
+}
