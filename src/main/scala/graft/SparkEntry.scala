@@ -722,15 +722,24 @@ object SparkEntry {
     // verdict's scale-killer; the LSH-fed composition is q_dedup_verify).
     // PlanSpec pins that no non-equi block join appears in this plan.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      // shingle sets staged ONCE and persisted — the pair join references
+      // them on both sides; computing shingles per pair-side would re-run
+      // the tokenizer ~4x per doc (measured 13.7s vs ~1s at sf0.1)
+      val d = operators.OpCaches.register(docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), 2)).as("sh"))
+        .persist())
       val pairs = docs(s, dir)
         .select(col("doc_id").as("id_a"),
           explode(array(lit(1L), lit(2L))).as("k"))
         .select(col("id_a"), (col("id_a") + col("k")).as("id_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
       pairs
-        .join(d.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
-        .join(d.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
-        .withColumn("jac", round(Dedup.shingleJaccard(col("t_a"), col("t_b"), 2), 4))
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jac",
+          round(when(union > 0, inter / union).otherwise(lit(0.0)), 4))
         .filter(col("jac") >= 0.05)
         .select(col("id_a"), col("id_b"), col("jac"))
     }),
