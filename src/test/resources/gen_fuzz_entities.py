@@ -109,5 +109,18 @@ for i in range(220):
                 '\\x41\\u0042', '%40alone', 'ftp://no.pe/x']))
     cases.append(one_case(' '.join(parts)))
 
+# phase 2 (round 4): pure character soup — no templates, so the regex
+# boundary behavior, escape decoding, and urlparse quirks get hit at
+# positions the structured generator never produces
+SOUP = "abcXYZ019.-_@|%40:/\\'\"(){}[]<>#?;=!~` \té中"
+for i in range(150):
+    n = rng.randint(5, 80)
+    t = ''.join(rng.choice(SOUP) for _ in range(n))
+    if rng.random() < 0.5:  # plant fragments so matches actually occur
+        frag = rng.choice(['http://', 'https://h', '@ex.co', '%40d.io', 'a@'])
+        pos = rng.randrange(len(t) + 1)
+        t = t[:pos] + frag + t[pos:]
+    cases.append(one_case(t))
+
 json.dump(cases, sys.stdout, ensure_ascii=True, indent=None,
           separators=(',', ':'))

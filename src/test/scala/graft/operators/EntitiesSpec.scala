@@ -7,7 +7,7 @@ import graft.SparkTestSession
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 267-case differential vs the LIVE reference Elastic entity extractors
+/** 417-case differential vs the LIVE reference Elastic entity extractors
   * (generator: src/test/resources/gen_fuzz_entities.py, seed 0xE147):
   * every separator of the `[@|%40]` quirk class, %40 folds, quoted/wrapped
   * contexts, unicode-escape payloads (\xNN, \uNNNN, octal, \N{...}, line
@@ -31,7 +31,7 @@ class EntitiesSpec extends AnyFunSuite with SparkTestSession {
     o.get(k) match { case Some(PyStr(s)) => s; case _ => "" }
 
   test("emails match the reference on all golden cases") {
-    assert(cases.size == 267)
+    assert(cases.size == 417)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       val text = str(c, "text")
