@@ -45,6 +45,16 @@ final case class CrawlConfig(
       * Size so one bucket's keys sort in one task comfortably (10^10 keys
       * / 1024 buckets ≈ 10^7 ≈ 80 MB of longs per bucket). */
     seenBuckets: Int = 32,
+    /** Frontier size below which a wave SKIPS the seen-index (anti-join
+      * against the multi-path delta scan instead, no append): at toy
+      * scale the bucketed write + catalog commit (~1-3 s/wave fixed) cost
+      * more than the exchange they remove — measured 2,943 → 2,400 urls/s
+      * on the 3-wave toy full-loop. Same size-gating as bloomMinFrontier;
+      * under-gate waves leave the index stale (marker behind _LATEST) and
+      * the next over-gate wave rebuilds it from the committed deltas.
+      * Semantics are identical either side of the gate (CrawlerSpec pins
+      * equality across a mid-crawl flip). */
+    seenIndexMinFrontier: Long = 65536,
     corpus: SyntheticCorpus.Config = SyntheticCorpus.Config()) {
   def bloomExpectedPerShard: Long = math.max(1024L, bloomExpectedKeys / bloomShards)
 }
@@ -192,9 +202,9 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     if (bloomWave && shardsStale) {
       shards = Array.tabulate(cfg.bloomShards)(_ =>
         SeenSet.createShard(cfg.bloomExpectedPerShard))
-      if (wave > 0)
+      if (wave > 0) // delta scan, not the index: a rebuild is one pass
         shards = SeenSet.merge(shards, SeenSet.buildShards(
-          seenIndexUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+          seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
       shardsStale = false
     }
     if (cfg.useBloom && !bloomWave) shardsStale = true
@@ -317,14 +327,27 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val wavecoreOut = wavecore.observe(obsCore, coreMetrics.head, coreMetrics.tail: _*)
     store.writeTable(wave, "wavecore", wavecoreOut)
 
-    // seen-index append: ensure coverage through wave-1 (no-op when this
-    // session maintained it), then add this wave's url_hash delta off the
-    // cached wavecore — an O(delta) single-column bucketed write. Crash
-    // between this append and seal() only risks duplicate hashes on the
-    // redo, which set-membership semantics absorb.
-    if (wave == 0) store.resetSeenIndex(spark) else seenIndexUpTo(wave - 1)
-    store.appendSeenIndex(wave, cfg.seenBuckets, wavecore.select($"url_hash"))
-    val seenAfter = store.seenIndex(spark)
+    // seen-index append (size-gated like the bloom path): ensure coverage
+    // through wave-1 (no-op when this session maintained it), then add
+    // this wave's url_hash delta off the cached wavecore — an O(delta)
+    // single-column bucketed write. Crash between this append and seal()
+    // only risks duplicate hashes on the redo, which set-membership
+    // semantics absorb. Under-gate waves use the multi-path delta scan
+    // directly (the exchange they'd save is smaller than the append's
+    // fixed cost) and leave the index stale for the next big wave.
+    val indexWave =
+      frontierSizeHint.forall(_ >= cfg.seenIndexMinFrontier)
+    val seenAfter =
+      if (indexWave) {
+        if (wave == 0) store.resetSeenIndex(spark) else seenIndexUpTo(wave - 1)
+        store.appendSeenIndex(wave, cfg.seenBuckets, wavecore.select($"url_hash"))
+        store.seenIndex(spark)
+      } else {
+        if (wave == 0) store.resetSeenIndex(spark) // clear stale leftovers
+        if (wave == 0) wavecore.select($"url_hash")
+        else seenUpTo(wave - 1).select($"url_hash")
+          .unionByName(wavecore.select($"url_hash"))
+      }
 
     // merge the delta into the running shards BEFORE building the frontier
     // plan (the probe broadcasts the current shard bytes)

@@ -22,6 +22,7 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     maxWaves = 4,
     salts = 4,
     bloomMinFrontier = 0, // keep the bloom path EXERCISED at toy scale
+    seenIndexMinFrontier = 0, // keep the bucketed seen-index exercised too
     corpus = SyntheticCorpus.Config(hosts = 10, pathBits = 6, maxOutlinks = 5,
       secretRate = 0.25))
 
@@ -125,6 +126,28 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     assert(gotN == oracle.crawlOrder)
   }
 
+  test("seen-index size-gate: mid-crawl off->on flip (stale-index rebuild) matches the oracle") {
+    // wave 0 = 12 seeds (under a threshold of 20: multi-path scan, index
+    // stale), later waves have tens of URLs (over: rebuild-from-deltas
+    // then O(delta) appends) — the production transition at the gate
+    val (crawlerG, storeG, mG) = runEngine(cfg.copy(seenIndexMinFrontier = 20))
+    val got = crawlerG.crawlLog(mG.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracle.crawlOrder)
+    val seenG = crawlerG.seenUpTo(mG.last.wave)
+      .select("canonical").collect().map(_.getString(0)).toSet
+    assert(seenG == oracle.seen)
+    // gate fully closed: index never engaged, marker never written
+    val (crawlerN, storeN, mN) = runEngine(cfg.copy(seenIndexMinFrontier = Long.MaxValue))
+    val gotN = crawlerN.crawlLog(mN.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(gotN == oracle.crawlOrder)
+    assert(storeN.seenIndexState.isEmpty)
+    storeG.resetSeenIndex(spark); storeN.resetSeenIndex(spark)
+  }
+
   test("random-config sweep: crawl order + seen set match the oracle") {
     // The fixed `cfg` above pins one shape; this sweeps the config space
     // (seed count, budgets, waves, salting, corpus fan-out, bloom gate)
@@ -138,6 +161,7 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
         maxWaves = 2 + rnd.nextInt(3),
         salts = 1 + rnd.nextInt(8),
         bloomMinFrontier = if (rnd.nextBoolean()) 0 else 1 << 16,
+        seenIndexMinFrontier = if (rnd.nextBoolean()) 0 else 1 << 16,
         corpus = SyntheticCorpus.Config(
           hosts = 4 + rnd.nextInt(12),
           pathBits = 5 + rnd.nextInt(3),

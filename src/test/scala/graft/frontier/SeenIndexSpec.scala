@@ -48,7 +48,7 @@ class SeenIndexSpec extends AnyFunSuite with SparkTestSession {
   test("crawler maintains the index; content == committed deltas; rebuild matches") {
     import spark.implicits._
     val cfg = CrawlConfig(nSeeds = 12, budgetPerHost = 3, maxWaves = 3,
-      salts = 4, bloomMinFrontier = 0,
+      salts = 4, bloomMinFrontier = 0, seenIndexMinFrontier = 0,
       corpus = SyntheticCorpus.Config(hosts = 10, pathBits = 6,
         maxOutlinks = 5, secretRate = 0.25))
     val store = new SnapshotStore(Files.createTempDirectory("seenidx-crawl").toString)
