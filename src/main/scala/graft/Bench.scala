@@ -163,7 +163,12 @@ object Bench {
           s""""scaling_efficiency":${jnum(effFloor)},"""
       }
       crawlFields ++= s""""warmup_urls":$warmUrls"""
-      s"""{"metric":"query_battery_total","value":$total,"unit":"sec",""" +
+      // the driver-contract metric name appears only once scaling data
+      // exists: a parser that takes the FIRST contract-shaped line then
+      // always sees a summary carrying scaling_efficiency, while earlier
+      // partial summaries stay parseable under "bench_progress"
+      val metric = if (n > 0) "query_battery_total" else "bench_progress"
+      s"""{"metric":"$metric","value":$total,"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir","bench_complete":$done,""" +
         s""""bench_elapsed_sec":${jnum(elapsedSec)},""" +
         s""""crawl":{$crawlFields}}"""
