@@ -38,7 +38,8 @@ final case class Member(path: String, bytes: Array[Byte],
   *    sniff (parity: the reference never checks)
   *  - 7z (:346-358)
   *  - eml/mht (:175-344) via [[Email]]
-  *  - rar (:373-386) and sqlite3 (:109-173) need jars this sandbox lacks
+  *  - rar (:373-386) needs a jar this sandbox lacks; sqlite3 (:109-173)
+  *    is served by the pure-JDK file-format reader (sources.Sqlite)
   *    (the reference, equally, returns False when its libs are missing)
   *
   * DELIBERATE DEVIATION (documented, judged useful): when a MEMBER is
@@ -131,7 +132,13 @@ object Containers {
     case "mht" =>
       Some(Email.extractMht(
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
-    case _ => None // rar / sqlite3: required lib absent (reference parity)
+    case "sqlite3" =>
+      // pure-JDK file-format reader (no JDBC jar needed): chunked JSON
+      // docs per table, the reference's extract_sqlite3 flow
+      graft.sources.Sqlite.extractSqlite(bytes).map(_.map { case (p, json) =>
+        Member(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+    case _ => None // rar: required lib absent (reference parity)
   }
 
   /** Recursive leaf expansion: the Spark-side analog of process_file's

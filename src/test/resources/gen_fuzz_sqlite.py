@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Differential corpus for graft.sources.Sqlite — random SQLite databases
+built with CPython's sqlite3, goldens recorded through the reference's
+exact access pattern (containerfile.py:109-173 / database.py:138-154):
+`SELECT m.tbl_name FROM sqlite_master` then `SELECT * FROM [t]` per row,
+plus the reference chunk-doc replay (same loop, json.dumps indent=2).
+
+Varied: page sizes (512..4096 — forces interior pages at small sizes),
+row counts, long texts (overflow chains), INTEGER PRIMARY KEY rowid
+aliases, quoted column names, indexes (duplicate tbl_name rows → the
+same table extracted again), NULLs, negative/huge ints, floats.
+Excluded (documented as unsupported in Sqlite.scala): blobs, views,
+WITHOUT ROWID, non-UTF-8 encodings, empty tables (reference raises
+rows[0] IndexError → extraction False; pinned as an error case).
+
+Usage: python3 gen_fuzz_sqlite.py > fuzz_sqlite.json
+"""
+import base64, json, os, random, sqlite3, sys, tempfile
+
+rng = random.Random(0x511E)
+
+WORDS = ['alpha', 'beta', 'gamma', 'delta', 'épsilon', 'zeta_9', 'x',
+         'long-token', 'key=value', 'quoted "text"', "apo'strophe",
+         '中文字符', 'tab\tchar', 'semi;colon']
+
+
+def rand_text():
+    n = rng.choice([1, 2, 3, 8, 40, 200])  # 200 words can exceed a 512B page
+    return ' '.join(rng.choice(WORDS) for _ in range(n))
+
+
+def rand_value(kind):
+    if kind == 'INTEGER':
+        return rng.choice([0, 1, -1, 127, -128, 32767, 2 ** 31, -2 ** 40,
+                           2 ** 62, rng.randrange(-10 ** 6, 10 ** 6)])
+    if kind == 'REAL':
+        return rng.choice([0.5, -2.25, 1e300, 3.141592653589793,
+                           rng.random() * 1000])
+    return rand_text()
+
+
+def build_db(path, i):
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
+    ntables = rng.randint(1, 3)
+    for t in range(ntables):
+        tname = f't{i}_{t}'
+        cols = []
+        if rng.random() < 0.5:
+            cols.append(('id', 'INTEGER PRIMARY KEY'))
+        for c in range(rng.randint(1, 4)):
+            kind = rng.choice(['INTEGER', 'REAL', 'TEXT'])
+            name = rng.choice([f'c{c}', f'"q c{c}"', f'[br c{c}]', f'`bt c{c}`'])
+            cols.append((name, kind))
+        ddl = ', '.join(f'{n} {k}' for n, k in cols)
+        cur.execute(f'CREATE TABLE {tname} ({ddl})')
+        nrows = rng.choice([1, 2, 5, 30, 120])
+        plain = [n for n, k in cols if k != 'INTEGER PRIMARY KEY']
+        for r in range(nrows):
+            vals = []
+            for n, k in cols:
+                if k == 'INTEGER PRIMARY KEY':
+                    continue
+                vals.append(None if rng.random() < 0.15 else rand_value(k))
+            ph = ','.join('?' * len(vals))
+            cur.execute(
+                f'INSERT INTO {tname} ({",".join(plain)}) VALUES ({ph})', vals)
+        if rng.random() < 0.3:
+            first = cols[-1][0]
+            cur.execute(f'CREATE INDEX ix{i}_{t} ON {tname} ({first})')
+    conn.commit()
+    conn.close()
+
+
+def reference_replay(path):
+    """The reference's exact reads + chunk-doc build."""
+    conn = sqlite3.connect(path)
+    cur = conn.execute('SELECT m.tbl_name AS table_name FROM sqlite_master AS m')
+    tbl_names = [r[0] for r in cur.fetchall()]
+    tables = []
+    files = {}
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'tools_like', '/root/reference/filecrawler/util/tools.py')
+    # sanitize_filename without importing the whole package: reimplement is
+    # risky — import Tools with stubs instead
+    sys.path.insert(0, '/root/reference')
+    import types
+    for mod in ['tabulate']:
+        m = types.ModuleType(mod)
+        m.tabulate = lambda *a, **k: ''
+        sys.modules[mod] = m
+    from filecrawler.util.tools import Tools
+    for t in tbl_names:
+        cur = conn.execute(f'SELECT * FROM [{t}]')
+        cols = [d[0] for d in cur.description]
+        rows = [dict(zip(cols, v)) for v in cur.fetchall()]
+        tables.append({'tbl_name': t, 'cols': cols,
+                       'rows': [[v for v in r.values()] for r in rows]})
+        total = len(rows)
+        rc = 0
+        offset = 0
+        c_size = sum(len(h) for h in rows[0].keys())
+        while offset < total:
+            p_size = 0
+            d_tmp = {'table': t, 'offset': offset, 'total': total,
+                     'count': 0, 'data': []}
+            for i, r in enumerate(rows):
+                if i >= offset and p_size <= 1073741824:
+                    p_size += c_size
+                    p_size += sum(len(str(d)) if d is not None else 10
+                                  for d in r.values())
+                    d_tmp['data'] += [r]
+            d_tmp['count'] = len(d_tmp['data'])
+            offset += d_tmp['count']
+            n1 = Tools.sanitize_filename(t)
+            files[f'{n1}_{rc:06}.json'] = json.dumps(
+                d_tmp, sort_keys=False, indent=2)
+            rc += 1
+    conn.close()
+    return tables, files
+
+
+cases = []
+with tempfile.TemporaryDirectory() as td:
+    for i in range(60):
+        path = os.path.join(td, f'db{i}.sqlite')
+        build_db(path, i)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # error case: empty table → reference rows[0] IndexError → False
+    path = os.path.join(td, 'empty.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('CREATE TABLE emptytab (a INTEGER)')
+    conn.commit(); conn.close()
+    with open(path, 'rb') as f:
+        blob = f.read()
+    cases.append({'db': base64.b64encode(blob).decode(),
+                  'tables': None, 'files': None})
+
+json.dump(cases, sys.stdout, ensure_ascii=True, separators=(',', ':'))

@@ -153,6 +153,24 @@ class ContainersSpec extends AnyFunSuite with SparkTestSession {
     assertSameTree(asMap(got), m1.toMap.map(identity), "prefixed-zip")
   }
 
+  test("sqlite database dispatches via magic mime; chunk-doc members extracted") {
+    // a real db from the fuzz corpus: magic-sniffed (no extension route in
+    // the reference either — mime 'application/vnd.sqlite3' only)
+    val corpus = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_sqlite.json"), "UTF-8").mkString
+    import graft.rules.PyVal._
+    val c = graft.rules.PyJson.loads(corpus).asInstanceOf[PyArr]
+      .v.head.asInstanceOf[PyObj]
+    val bytes = java.util.Base64.getDecoder.decode(
+      c.get("db").collect { case PyStr(s) => s }.get)
+    val want = c.get("files").collect { case o: PyObj =>
+      o.v.map { case (k, PyStr(v)) => k -> v; case other => fail(s"$other") }.toMap
+    }.get
+    val got = Containers.expandDocs("dump.db", bytes).get
+      .map(m => m.path -> new String(m.bytes, UTF_8)).toMap
+    assert(got == want)
+  }
+
   test("nested containers recurse with composed member paths (cpath.py:27-29)") {
     val inner = Containers.buildZip(Seq("deep.txt" -> "treasure".getBytes(UTF_8)))
     val outer = Containers.buildZip(Seq(

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 61-database differential for the pure-JDK SQLite reader (generator:
+  * src/test/resources/gen_fuzz_sqlite.py, seed 0x511E; goldens from live
+  * CPython sqlite3 through the reference's exact access pattern and chunk
+  * replay). Covers page sizes 512-4096 (interior pages), overflow chains
+  * (multi-KB texts at 512 B pages), INTEGER PRIMARY KEY rowid aliases,
+  * quoted/bracketed/backticked column names, NULLs, 8-byte ints, floats,
+  * index rows in sqlite_master (duplicate tbl_name → same table extracted
+  * again, last write wins), and the empty-table error case (reference's
+  * rows[0] IndexError → extraction False → None). */
+class SqliteSpec extends AnyFunSuite {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_sqlite.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def db(c: PyObj): Array[Byte] = c.get("db") match {
+    case Some(PyStr(b64)) => java.util.Base64.getDecoder.decode(b64)
+    case other => fail(s"db: $other")
+  }
+
+  test("master order, column names, and row values match CPython sqlite3") {
+    assert(cases.size == 61)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      c.get("tables") match {
+        case Some(PyArr(goldTables)) =>
+          val bytes = db(c)
+          val ms = Sqlite.master(bytes)
+          val gotNames = ms.map(_.tblName)
+          val wantNames = goldTables.map(_.asInstanceOf[PyObj])
+            .map(_.get("tbl_name").collect { case PyStr(s) => s }.get)
+          if (gotNames != wantNames) {
+            problems += s"case $ci tbl_name order: got $gotNames exp $wantNames"
+          } else {
+            val byName = ms.filter(_.typ == "table").map(m => m.name -> m).toMap
+            goldTables.map(_.asInstanceOf[PyObj]).zip(gotNames).foreach {
+              case (g, name) =>
+                val t = Sqlite.readTable(bytes, byName(name))
+                val wantCols = g.get("cols").collect { case PyArr(xs) =>
+                  xs.collect { case PyStr(s) => s } }.get
+                if (t.cols != wantCols)
+                  problems += s"case $ci [$name] cols: got ${t.cols} exp $wantCols"
+                val wantRows = g.get("rows").collect { case PyArr(rs) =>
+                  rs.map { case PyArr(vs) => vs; case other => fail(s"$other") }
+                }.get
+                if (t.rows != wantRows)
+                  problems += s"case $ci [$name] rows differ: " +
+                    s"got ${t.rows.take(2)}... exp ${wantRows.take(2)}..."
+            }
+          }
+        case _ => // error case handled in the extract test
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(6).mkString("\n")}")
+  }
+
+  test("extract_sqlite3 chunk docs byte-exact; empty table fails like the reference") {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val got = Sqlite.extractSqlite(db(c))
+      c.get("files") match {
+        case Some(files: PyObj) =>
+          got match {
+            case None => problems += s"case $ci: extraction failed, expected files"
+            case Some(docs) =>
+              val gotMap = docs.toMap // last write wins, like extractall
+              val wantMap = files.v.map { case (k, PyStr(v)) => k -> v
+                case other => fail(s"$other") }.toMap
+              if (gotMap.keySet != wantMap.keySet)
+                problems += s"case $ci files: got ${gotMap.keySet.toSeq.sorted} " +
+                  s"exp ${wantMap.keySet.toSeq.sorted}"
+              else gotMap.foreach { case (k, v) =>
+                if (v != wantMap(k))
+                  problems += s"case $ci file $k differs:\n got ${v.take(200)}\n exp ${wantMap(k).take(200)}"
+              }
+          }
+        case _ => // reference raised (empty table): must be None
+          if (got.isDefined) problems += s"case $ci: expected None (empty table)"
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(4).mkString("\n")}")
+  }
+
+  test("garbage and truncation refuse cleanly") {
+    assert(Sqlite.extractSqlite("not a database".getBytes("UTF-8")).isEmpty)
+    assert(Sqlite.extractSqlite(Array.empty[Byte]).isEmpty)
+    val real = db(cases.head)
+    assert(Sqlite.extractSqlite(real.take(real.length / 3)).isEmpty)
+  }
+}
