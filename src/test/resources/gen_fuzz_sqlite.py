@@ -48,7 +48,8 @@ def build_db(path, i):
         tname = f't{i}_{t}'
         cols = []
         if rng.random() < 0.5:
-            cols.append(('id', 'INTEGER PRIMARY KEY'))
+            cols.append((rng.choice(['id', '"row id"', '[rk]']),
+                         'INTEGER PRIMARY KEY'))
         for c in range(rng.randint(1, 4)):
             kind = rng.choice(['INTEGER', 'REAL', 'TEXT'])
             name = rng.choice([f'c{c}', f'"q c{c}"', f'[br c{c}]', f'`bt c{c}`'])
