@@ -9,7 +9,7 @@ Varied: page sizes (512..4096 — forces interior pages at small sizes),
 row counts, long texts (overflow chains), INTEGER PRIMARY KEY rowid
 aliases, quoted column names, indexes (duplicate tbl_name rows → the
 same table extracted again), NULLs, negative/huge ints, floats.
-Excluded (documented as unsupported in Sqlite.scala): blobs, views,
+Excluded (documented as unsupported in Sqlite.scala): views,
 WITHOUT ROWID, non-UTF-8 encodings, empty tables (reference raises
 rows[0] IndexError → extraction False; pinned as an error case).
 
@@ -36,6 +36,8 @@ def rand_value(kind):
     if kind == 'REAL':
         return rng.choice([0.5, -2.25, 1e300, 3.141592653589793,
                            rng.random() * 1000])
+    if kind == 'BLOB':
+        return bytes(rng.randrange(256) for _ in range(rng.choice([1, 7, 64, 900])))
     return rand_text()
 
 
@@ -51,7 +53,7 @@ def build_db(path, i):
             cols.append((rng.choice(['id', '"row id"', '[rk]']),
                          'INTEGER PRIMARY KEY'))
         for c in range(rng.randint(1, 4)):
-            kind = rng.choice(['INTEGER', 'REAL', 'TEXT'])
+            kind = rng.choice(['INTEGER', 'REAL', 'TEXT', 'BLOB'])
             name = rng.choice([f'c{c}', f'"q c{c}"', f'[br c{c}]', f'`bt c{c}`'])
             cols.append((name, kind))
         ddl = ', '.join(f'{n} {k}' for n, k in cols)
@@ -97,8 +99,11 @@ def reference_replay(path):
         cur = conn.execute(f'SELECT * FROM [{t}]')
         cols = [d[0] for d in cur.description]
         rows = [dict(zip(cols, v)) for v in cur.fetchall()]
+        import base64 as _b64
         tables.append({'tbl_name': t, 'cols': cols,
-                       'rows': [[v for v in r.values()] for r in rows]})
+                       'rows': [[(_b64.b64encode(v).decode()
+                                  if isinstance(v, bytes) else v)
+                                 for v in r.values()] for r in rows]})
         total = len(rows)
         rc = 0
         offset = 0
@@ -116,8 +121,9 @@ def reference_replay(path):
             d_tmp['count'] = len(d_tmp['data'])
             offset += d_tmp['count']
             n1 = Tools.sanitize_filename(t)
+            from filecrawler.util.tools import Tools as _T
             files[f'{n1}_{rc:06}.json'] = json.dumps(
-                d_tmp, sort_keys=False, indent=2)
+                d_tmp, default=_T.json_serial, sort_keys=False, indent=2)
             rc += 1
     conn.close()
     return tables, files
