@@ -241,7 +241,12 @@ private[operators] object MimeParams {
       order.update(k, order.getOrElse(k, Vector.empty) :+ p)
     }
     order.collectFirst {
-      case (n, ps) if n.equalsIgnoreCase(name) => assemble(ps)
+      case (n, ps) if n.equalsIgnoreCase(name) =>
+        // CPython's get_param reads the value off the RE-SERIALIZED header
+        // string, and str()-ing the parse tree sanitizes the
+        // surrogateescape bytes to U+FFFD (observed: utf-8''caf%C3%A9%FF
+        // → 'café�', not '\uDCFF') — replicate per char
+        assemble(ps).map(c => if (Character.isSurrogate(c)) '�' else c)
     }
   }
 
@@ -294,18 +299,17 @@ private[operators] object MimeParams {
       }
     }
     val raw = bytes.toByteArray
+    // Python codec aliases Java doesn't know (latin-1 etc.)
+    val norm = charset.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "latin-1" | "latin_1" | "latin1" | "l1" | "8859" | "cp819" |
+           "iso8859-1" | "iso8859_1" => "ISO-8859-1"
+      case other => other
+    }
     val cs =
-      try Some(java.nio.charset.Charset.forName(charset))
+      try Some(java.nio.charset.Charset.forName(norm))
       catch { case _: Exception => None }
-    cs.flatMap { c =>
-      try {
-        val dec = c.newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-        Some(dec.decode(java.nio.ByteBuffer.wrap(raw)).toString)
-      } catch { case _: Exception => None }
-    }.getOrElse {
-      // surrogateescape under us-ascii: ASCII passes, the rest escapes
+    cs.map(surrogateEscapeDecode(raw, _)).getOrElse {
+      // LookupError path: decode('us-ascii', 'surrogateescape')
       val sb = new StringBuilder(raw.length)
       raw.foreach { b =>
         val u = b & 0xff
@@ -313,5 +317,35 @@ private[operators] object MimeParams {
       }
       sb.toString
     }
+  }
+
+  /** bytes.decode(charset, 'surrogateescape'): valid sequences decode
+    * normally; each undecodable BYTE maps to U+DC00+b. (CPython only
+    * escapes bytes ≥ 0x80; a sub-0x80 error byte raises there — escaped
+    * here, an unreachable corner for the charsets in the wild.) */
+  private def surrogateEscapeDecode(raw: Array[Byte],
+      cs: java.nio.charset.Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    val cb = java.nio.CharBuffer.allocate(raw.length * 2 + 8)
+    var eof = false
+    while (!eof) {
+      val res = dec.decode(bb, cb, true)
+      if (res.isUnderflow) {
+        dec.flush(cb)
+        eof = true
+      } else if (res.isError) {
+        var k = 0
+        while (k < res.length && bb.hasRemaining) {
+          cb.put((0xdc00 | (bb.get() & 0xff)).toChar)
+          k += 1
+        }
+        dec.reset()
+      } else eof = true // overflow cannot happen at 2 chars/byte
+    }
+    cb.flip()
+    cb.toString
   }
 }

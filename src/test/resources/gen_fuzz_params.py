@@ -20,7 +20,15 @@ QUOTED = ['"simple"', '"with space"', '"es\\"c"', '"back\\\\slash"',
 WEIRD = ["'sq'", "<ang>", "a'b", "a'b'c", "''v", "utf-8'en'val",
          "utf-8''p%43t", "a b", "a/b", "a(b", "a*b", "a=b", "a,c", "=x",
          "(cmt)tok", "tok(cmt)", "a\tb", "%41%42", "*", "**", "'",
-         "mixed'one", 'pre"mid"post']
+         "mixed'one", 'pre"mid"post',
+         # surrogateescape / charset-decode corners (round-4 review):
+         # mixed valid-multibyte + invalid bytes, unknown charsets,
+         # trailing NBSP/NEL percent-escapes that Python str.strip eats
+         # (utf-16''... EXCLUDED: surrogateescape cannot escape sub-0x80
+         # error bytes, so CPython itself raises mid-parse — crash input)
+         "utf-8''caf%C3%A9%FF.txt", "latin-1''%E9xx", "utf-8''%ff%fe",
+         "bogus-cs''%41%FF", "utf-8''tail%C2%A0", "latin-1''tail%A0",
+         "utf-8''nel%C2%85"]
 STARS = ['', '*', '*0', '*0*', '*1', '*1*', '*2*', '*01', '*x']
 
 
