@@ -51,7 +51,12 @@ def build_db(path, i):
         cols = []
         if rng.random() < 0.5:
             cols.append((rng.choice(['id', '"row id"', '[rk]']),
-                         'INTEGER PRIMARY KEY'))
+                         rng.choice(['INTEGER PRIMARY KEY',
+                                     'INTEGER PRIMARY KEY ASC',
+                                     'INTEGER NOT NULL PRIMARY KEY',
+                                     # DESC: NOT a rowid alias (real column,
+                                     # independent rowid) — SQLite quirk
+                                     'INTEGER PRIMARY KEY DESC'])))
         for c in range(rng.randint(1, 4)):
             kind = rng.choice(['INTEGER', 'REAL', 'TEXT', 'BLOB'])
             name = rng.choice([f'c{c}', f'"q c{c}"', f'[br c{c}]', f'`bt c{c}`'])
@@ -59,11 +64,16 @@ def build_db(path, i):
         ddl = ', '.join(f'{n} {k}' for n, k in cols)
         cur.execute(f'CREATE TABLE {tname} ({ddl})')
         nrows = rng.choice([1, 2, 5, 30, 120])
-        plain = [n for n, k in cols if k != 'INTEGER PRIMARY KEY']
+        def is_alias(k):
+            return 'PRIMARY KEY' in k and 'DESC' not in k
+        plain = [n for n, k in cols if not is_alias(k)]
         for r in range(nrows):
             vals = []
             for n, k in cols:
-                if k == 'INTEGER PRIMARY KEY':
+                if is_alias(k):
+                    continue  # rowid alias: let sqlite assign
+                if 'DESC' in k:  # real pk column: needs explicit uniques
+                    vals.append(r + 1)
                     continue
                 vals.append(None if rng.random() < 0.15 else rand_value(k))
             ph = ','.join('?' * len(vals))
