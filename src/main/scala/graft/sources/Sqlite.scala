@@ -59,10 +59,20 @@ object Sqlite {
     private def pageOff(page: Long): Int = ((page - 1) * pageSize).toInt
 
     /** (rowid, record bytes) for every cell of the table b-tree at `root`,
-      * in rowid order. */
+      * in rowid order. Corruption guards: a visited-page budget (cyclic
+      * page references would otherwise recurse to a FATAL StackOverflow
+      * that the extract's NonFatal catch cannot absorb) and payload-length
+      * sanity (a mutated varint must not drive allocation). */
     def walkTable(root: Long): Vector[(Long, Array[Byte])] = {
       val out = Vector.newBuilder[(Long, Array[Byte])]
+      val maxPages = b.length / pageSize + 16
+      var visited = 0
       def visit(page: Long): Unit = {
+        visited += 1
+        if (visited > maxPages)
+          throw new IllegalArgumentException("page budget exceeded (cycle?)")
+        if (page < 1 || (page - 1) * pageSize >= b.length)
+          throw new IllegalArgumentException(s"page $page out of range")
         val off = pageOff(page)
         val hdr = if (page == 1) off + 100 else off
         val typ = u8(hdr)
@@ -92,6 +102,8 @@ object Sqlite {
     /** Local/overflow split per the file-format spec (X = U-35 for table
       * leaves; M = ((U-12)*32/255)-23; K = M + (P-M) % (U-4)). */
     private def payload(at: Int, p: Long): Array[Byte] = {
+      require(p >= 0 && p <= b.length.toLong * 2,
+        s"implausible payload length $p") // corrupted varint guard
       val u = usable
       val x = u - 35
       if (p <= x) return java.util.Arrays.copyOfRange(b, at, at + p.toInt)

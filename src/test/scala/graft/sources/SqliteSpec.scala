@@ -98,4 +98,30 @@ class SqliteSpec extends AnyFunSuite {
     val real = db(cases.head)
     assert(Sqlite.extractSqlite(real.take(real.length / 3)).isEmpty)
   }
+
+  test("mutation storm: corrupted databases never escape the NonFatal catch") {
+    // flipped pointers/varints must yield Some/None, never a FATAL error
+    // (StackOverflow from page cycles, OOM from corrupted lengths) — the
+    // walk has a page budget and payload sanity guards for exactly this
+    val rnd = new scala.util.Random(0x5EED)
+    val base = cases.take(6).map(db)
+    var done = 0
+    base.foreach { orig =>
+      (1 to 40).foreach { _ =>
+        val m = orig.clone()
+        val nFlips = 1 + rnd.nextInt(8)
+        (0 until nFlips).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        Sqlite.extractSqlite(m) // Some or None both fine; throwing is not
+        done += 1
+      }
+      // truncations at awkward offsets
+      Seq(101, 513, orig.length / 2, orig.length - 3).foreach { n =>
+        if (n > 0 && n < orig.length) Sqlite.extractSqlite(orig.take(n))
+        done += 1
+      }
+    }
+    assert(done >= 240)
+  }
 }
