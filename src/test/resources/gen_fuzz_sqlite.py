@@ -82,6 +82,11 @@ def build_db(path, i):
         if rng.random() < 0.3:
             first = cols[-1][0]
             cur.execute(f'CREATE INDEX ix{i}_{t} ON {tname} ({first})')
+        if rng.random() < 0.4:  # deletions: freelist pages, sparse rowids
+            cur.execute(f'DELETE FROM {tname} WHERE rowid % 3 = 0')
+        if rng.random() < 0.3:  # updates can relocate cells/overflow
+            cur.execute(f'UPDATE {tname} SET {plain[-1]} = NULL '
+                        'WHERE rowid % 5 = 1')
     conn.commit()
     conn.close()
 
