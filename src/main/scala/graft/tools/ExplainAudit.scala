@@ -21,11 +21,16 @@ object ExplainAudit {
       "q_antijoin_unindexed", "q_priority_topk", "q_detect_secrets",
       "q_dedup_minhash", "q_ann_ivf", "q_ann_lsh", "q_intelx_join",
       "q_upsert_merge", "q_mime_sniff", "q_git_diffs",
-      "q_chunking", "q_container_expand", "q_email_parts")
+      "q_chunking", "q_container_expand", "q_email_parts",
+      // round 4: pair-table jaccard, entity extraction, composed pipeline,
+      // db source, image metadata
+      "q_dedup_jaccard", "q_credential_entities", "q_pipeline_e2e",
+      "q_db_source", "q_multimodal_meta")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")
       df.explain("formatted")
+      graft.operators.OpCaches.drain()
     }
     spark.stop()
   }
