@@ -21,12 +21,16 @@ import graft.rules.PyVal._
   *
   * Supported: UTF-8 databases, rowid tables (incl. the INTEGER PRIMARY KEY
   * rowid alias, where the column value lives in the rowid and the record
-  * stores NULL), all integer/float/text serial types, overflow-page
-  * chains, interior-page trees, any page size. Not supported (refused →
-  * None, like the reference's catch-all `except: return False`):
-  * non-UTF-8 encodings, WAL databases with unapplied frames (header
-  * read-version > 2 is fine for rollback journals), WITHOUT ROWID tables
-  * (index b-trees as table roots), and VIEWS — the reference's
+  * stores NULL), WITHOUT ROWID tables (content lives in an index b-tree —
+  * keys on BOTH interior and leaf pages, index overflow threshold, record
+  * holds PK columns first in PK-clause order then the rest in declared
+  * order, un-permuted back to SELECT * order here; walk order == storage
+  * order == what an unindexed full scan returns, ASC or DESC alike), all
+  * integer/float/text serial types, overflow-page chains, interior-page
+  * trees, any page size. Not supported (refused → None, like the
+  * reference's catch-all `except: return False`): non-UTF-8 encodings,
+  * WAL databases with unapplied frames (header read-version > 2 is fine
+  * for rollback journals), and VIEWS — the reference's
   * `SELECT * FROM [view]` executes the view's query through sqlite3,
   * which a file-format reader cannot do, so a database containing a view
   * refuses wholesale rather than emit a partial doc set (DOCUMENTED
@@ -99,13 +103,60 @@ object Sqlite {
       out.result()
     }
 
-    /** Local/overflow split per the file-format spec (X = U-35 for table
-      * leaves; M = ((U-12)*32/255)-23; K = M + (P-M) % (U-4)). */
-    private def payload(at: Int, p: Long): Array[Byte] = {
+    /** Record bytes for every entry of the INDEX b-tree at `root`, in key
+      * (= storage) order. WITHOUT ROWID tables store their content here:
+      * unlike table b-trees, interior pages carry real entries — in-order
+      * traversal is left-subtree, own key, ... , rightmost subtree. Same
+      * corruption guards as walkTable. */
+    def walkIndex(root: Long): Vector[Array[Byte]] = {
+      val out = Vector.newBuilder[Array[Byte]]
+      val maxPages = b.length / pageSize + 16
+      var visited = 0
+      def visit(page: Long): Unit = {
+        visited += 1
+        if (visited > maxPages)
+          throw new IllegalArgumentException("page budget exceeded (cycle?)")
+        if (page < 1 || (page - 1) * pageSize >= b.length)
+          throw new IllegalArgumentException(s"page $page out of range")
+        val off = pageOff(page)
+        val hdr = if (page == 1) off + 100 else off
+        val typ = u8(hdr)
+        val nCells = u16(hdr + 3)
+        val cellPtrs = (0 until nCells).map { k =>
+          off + u16(hdr + (if (typ == 2) 12 else 8) + 2 * k)
+        }
+        typ match {
+          case 2 => // index interior: each cell = left child + its own key
+            cellPtrs.foreach { c =>
+              visit(u32(c))
+              val (payloadLen, i1) = varint(c + 4)
+              out += payload(i1, payloadLen, indexLocalMax)
+            }
+            visit(u32(hdr + 8))
+          case 10 => // index leaf
+            cellPtrs.foreach { c =>
+              val (payloadLen, i1) = varint(c)
+              out += payload(i1, payloadLen, indexLocalMax)
+            }
+          case other =>
+            throw new IllegalArgumentException(s"not an index b-tree page: $other")
+        }
+      }
+      visit(root)
+      out.result()
+    }
+
+    /** Max local payload X: U-35 for table leaves, ((U-12)*64/255)-23 for
+      * index pages (the file-format spec's two thresholds). */
+    private def tableLocalMax: Int = usable - 35
+    private def indexLocalMax: Int = ((usable - 12) * 64 / 255) - 23
+
+    /** Local/overflow split per the file-format spec
+      * (M = ((U-12)*32/255)-23; K = M + (P-M) % (U-4)). */
+    private def payload(at: Int, p: Long, x: Int = tableLocalMax): Array[Byte] = {
       require(p >= 0 && p <= b.length.toLong * 2,
         s"implausible payload length $p") // corrupted varint guard
       val u = usable
-      val x = u - 35
       if (p <= x) return java.util.Arrays.copyOfRange(b, at, at + p.toInt)
       val m = ((u - 12) * 32 / 255) - 23
       val k = m + ((p - m) % (u - 4))
@@ -207,14 +258,33 @@ object Sqlite {
     }
   }
 
-  /** Column names from the CREATE TABLE text: defs split on top-level
-    * commas; first identifier token per def ('"', '`', '[' quoting);
-    * table-constraint defs (PRIMARY/UNIQUE/CHECK/FOREIGN/CONSTRAINT)
-    * skipped. Also: is the single-column INTEGER PRIMARY KEY present and
-    * at which index (the rowid alias). */
-  private[sources] def parseColumns(sql: String): (Vector[String], Option[Int]) = {
+  final case class TableDef(cols: Vector[String], ipk: Option[Int],
+      withoutRowid: Boolean, pkCols: Vector[String])
+
+  /** First identifier token of a def/pk-list item: '"', '`', '\'', '['
+    * quoting, else up to whitespace/'('. Returns (name, indexPastName). */
+  private def firstIdent(d: String): (String, Int) = d.charAt(0) match {
+    case q @ ('"' | '`' | '\'') =>
+      val e = d.indexOf(q, 1); (d.substring(1, e), e + 1)
+    case '[' =>
+      val e = d.indexOf(']'); (d.substring(1, e), e + 1)
+    case _ =>
+      val tok = d.takeWhile(c => !c.isWhitespace && c != '(')
+      (tok, tok.length)
+  }
+
+  /** CREATE TABLE text → column names in declared order, the INTEGER
+    * PRIMARY KEY rowid-alias index (rowid tables only), the WITHOUT ROWID
+    * flag (tokens after the closing paren), and the PRIMARY KEY column
+    * order (table-level `PRIMARY KEY(a, b DESC, ...)` constraint, else the
+    * column-level `PRIMARY KEY` column) — the record order of a WITHOUT
+    * ROWID table is pkCols first, remaining declared columns after.
+    * Defs split on top-level commas; first identifier token per def
+    * ('"', '`', '[' quoting); table-constraint defs (PRIMARY/UNIQUE/
+    * CHECK/FOREIGN/CONSTRAINT) are not columns. */
+  private[sources] def parseTableDef(sql: String): TableDef = {
     val open = sql.indexOf('(')
-    if (open < 0) return (Vector.empty, None)
+    if (open < 0) return TableDef(Vector.empty, None, withoutRowid = false, Vector.empty)
     var depth = 0
     var close = -1
     var inQ: Char = 0
@@ -251,30 +321,26 @@ object Sqlite {
     val constraintKw = Set("primary", "unique", "check", "foreign", "constraint")
     val cols = Vector.newBuilder[String]
     var ipk: Option[Int] = None
+    var colPk: Option[String] = None    // column-level PRIMARY KEY column
+    var tablePk: Vector[String] = Vector.empty // PRIMARY KEY(a, b, ...) order
     var idx = 0
     defs.result().map(_.trim).filter(_.nonEmpty).foreach { d =>
       // (name, index just past the name token incl. any closing quote)
-      val (name, nameEnd, isCol) = d.charAt(0) match {
-        case q @ ('"' | '`' | '\'') =>
-          val e = d.indexOf(q, 1)
-          (d.substring(1, e), e + 1, true)
-        case '[' =>
-          val e = d.indexOf(']')
-          (d.substring(1, e), e + 1, true)
-        case _ =>
-          val tok = d.takeWhile(c => !c.isWhitespace && c != '(')
-          (tok, tok.length,
-            !constraintKw.contains(tok.toLowerCase(java.util.Locale.ROOT)))
+      val (name, nameEnd) = firstIdent(d)
+      val isCol = d.charAt(0) match {
+        case '"' | '`' | '\'' | '[' => true
+        case _ => !constraintKw.contains(name.toLowerCase(java.util.Locale.ROOT))
       }
       if (isCol) {
         cols += name
+        val toks = d.substring(math.min(d.length, nameEnd)).trim
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+").toVector
+        val ki = toks.sliding(2).indexWhere(_ == Vector("primary", "key"))
+        if (ki >= 0 && colPk.isEmpty) colPk = Some(name)
         // the rowid alias: type exactly INTEGER with a column-level
         // PRIMARY KEY not ordered DESC ("x INTEGER PRIMARY KEY DESC" is a
         // REAL column with an independent rowid — SQLite's documented
         // quirk); intervening constraints (NOT NULL etc.) don't break it
-        val toks = d.substring(math.min(d.length, nameEnd)).trim
-          .toLowerCase(java.util.Locale.ROOT).split("\\s+").toVector
-        val ki = toks.sliding(2).indexWhere(_ == Vector("primary", "key"))
         if (toks.headOption.contains("integer") && ki >= 0) {
           val after = toks.drop(ki + 2)
           val afterAsc =
@@ -282,23 +348,84 @@ object Sqlite {
           if (!afterAsc.headOption.contains("desc")) ipk = Some(idx)
         }
         idx += 1
+      } else {
+        // table-level PRIMARY KEY (optionally CONSTRAINT-named): the pk
+        // column ORDER comes from this list, not declaration order
+        val lower = d.toLowerCase(java.util.Locale.ROOT)
+        val pkAt = lower.indexOf("primary")
+        val isPk = name.toLowerCase(java.util.Locale.ROOT) match {
+          case "primary" => true
+          case "constraint" => pkAt >= 0 &&
+            lower.substring(pkAt).matches("(?s)primary\\s+key\\s*\\(.*")
+          case _ => false
+        }
+        if (isPk && pkAt >= 0) {
+          val po = d.indexOf('(', pkAt)
+          if (po >= 0) {
+            // matching close paren with quote awareness
+            var dep = 0; var q: Char = 0; var j = po; var pc = -1
+            while (j < d.length && pc < 0) {
+              val c = d.charAt(j)
+              if (q != 0) { if (c == q) q = 0 }
+              else c match {
+                case '\'' | '"' | '`' => q = c
+                case '[' => q = ']'
+                case '(' => dep += 1
+                case ')' => dep -= 1; if (dep == 0) pc = j
+                case _ =>
+              }
+              j += 1
+            }
+            if (pc > po) {
+              tablePk = d.substring(po + 1, pc).split(',').toVector
+                .map(_.trim).filter(_.nonEmpty).map(it => firstIdent(it)._1)
+            }
+          }
+        }
       }
     }
-    (cols.result(), ipk)
+    val tail = sql.substring(math.min(close + 1, sql.length))
+      .toLowerCase(java.util.Locale.ROOT).split("[\\s,]+").filter(_.nonEmpty).toVector
+    val withoutRowid =
+      tail.sliding(2).contains(Vector("without", "rowid"))
+    val pk = if (tablePk.nonEmpty) tablePk else colPk.toVector
+    // WITHOUT ROWID has no rowid: the INTEGER PRIMARY KEY alias is void
+    TableDef(cols.result(), if (withoutRowid) None else ipk, withoutRowid, pk)
   }
 
-  /** SELECT * FROM [name]: column names from the DDL, rows in rowid order,
-    * the INTEGER-PRIMARY-KEY column materialized from the rowid. */
+  /** SELECT * FROM [name]: column names from the DDL, rows in storage
+    * order — rowid order for rowid tables (the INTEGER-PRIMARY-KEY column
+    * materialized from the rowid), key order for WITHOUT ROWID tables
+    * (record = pk columns first, un-permuted to declared order). */
   def readTable(bytes: Array[Byte], m: MasterRow): Table = {
     val db = new Db(bytes)
-    val (cols, ipk) = parseColumns(m.sql)
-    val rows = db.walkTable(m.rootpage).map { case (rowid, rec) =>
+    val td = parseTableDef(m.sql)
+    val cols = td.cols
+    val rows = if (td.withoutRowid) {
+      val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      require(td.pkCols.nonEmpty, "WITHOUT ROWID table with no detectable PK")
+      val pkIdx = td.pkCols.map { p =>
+        val i = cols.indexWhere(c => lower(c) == lower(p))
+        require(i >= 0, s"pk column $p not in declared columns")
+        i
+      }
+      val rest = cols.indices.filterNot(pkIdx.toSet)
+      val recOrder = pkIdx ++ rest // record position k holds declared col recOrder(k)
+      db.walkIndex(m.rootpage).map { rec =>
+        val v = db.record(rec).padTo(cols.length, PyNull: PyVal)
+        val out = Array.fill[PyVal](cols.length)(PyNull)
+        recOrder.zipWithIndex.foreach { case (dIdx, k) =>
+          if (k < v.length) out(dIdx) = v(k)
+        }
+        out.toVector
+      }
+    } else db.walkTable(m.rootpage).map { case (rowid, rec) =>
       val v0 = db.record(rec)
       // a record may have FEWER values than columns (ALTER TABLE ADD
       // COLUMN): missing tail columns read as NULL... or the default —
       // corpus sticks to full records; pad defensively
       val v = v0.padTo(cols.length, PyNull: PyVal)
-      ipk match {
+      td.ipk match {
         case Some(i) if i < v.length => v.updated(i, PyInt(rowid): PyVal)
         case _ => v
       }

@@ -9,9 +9,15 @@ Varied: page sizes (512..4096 — forces interior pages at small sizes),
 row counts, long texts (overflow chains), INTEGER PRIMARY KEY rowid
 aliases, quoted column names, indexes (duplicate tbl_name rows → the
 same table extracted again), NULLs, negative/huge ints, floats.
+WITHOUT ROWID tables (cases 60+): single/composite PKs, table-level vs
+column-level, quoted PK names, DESC storage order, PK at non-first
+declared position, overflow payloads through the INDEX local-max
+threshold, interior index pages, deletes/updates, mixed rowid+WR dbs.
+Secondary indexes stay non-covering (a covering index could make the
+planner return index order for SELECT *).
 Excluded (documented as unsupported in Sqlite.scala): views,
-WITHOUT ROWID, non-UTF-8 encodings, empty tables (reference raises
-rows[0] IndexError → extraction False; pinned as an error case).
+non-UTF-8 encodings, empty tables (reference raises
+rows[0] IndexError → extraction False; pinned as error cases).
 
 Usage: python3 gen_fuzz_sqlite.py > fuzz_sqlite.json
 """
@@ -92,7 +98,9 @@ def build_db(path, i):
 
 
 def reference_replay(path):
-    """The reference's exact reads + chunk-doc build."""
+    """The reference's exact reads + chunk-doc build. (None, None) = a
+    table came up empty → the reference's rows[0] IndexError → except →
+    extraction False (whole-db error case)."""
     conn = sqlite3.connect(path)
     cur = conn.execute('SELECT m.tbl_name AS table_name FROM sqlite_master AS m')
     tbl_names = [r[0] for r in cur.fetchall()]
@@ -122,6 +130,8 @@ def reference_replay(path):
         total = len(rows)
         rc = 0
         offset = 0
+        if not rows:
+            return None, None  # reference: rows[0] IndexError → False
         c_size = sum(len(h) for h in rows[0].keys())
         while offset < total:
             p_size = 0
@@ -144,6 +154,83 @@ def reference_replay(path):
     return tables, files
 
 
+def build_wr_db(path, i):
+    """WITHOUT ROWID-focused database, optionally mixed with rowid tables."""
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
+    ntables = rng.randint(1, 3)
+    for t in range(ntables):
+        tname = f'w{i}_{t}'
+        if rng.random() < 0.25:  # mixed db: a plain rowid table alongside
+            cur.execute(f'CREATE TABLE {tname} (a INTEGER, b TEXT)')
+            for r in range(rng.choice([2, 10, 50])):
+                cur.execute(f'INSERT INTO {tname} VALUES (?, ?)',
+                            (r, rand_text()))
+            continue
+        ncols = rng.randint(2, 5)
+        names = []
+        for c in range(ncols):
+            names.append(rng.choice([f'c{c}', f'"q c{c}"', f'[br c{c}]',
+                                     f'`bt c{c}`']))
+        kinds = [rng.choice(['INTEGER', 'REAL', 'TEXT', 'BLOB'])
+                 for _ in range(ncols)]
+        npk = rng.choice([1, 1, 1, 2, 2, 3])
+        npk = min(npk, ncols)
+        pk_pos = rng.sample(range(ncols), npk)  # PK at any declared position
+        # PK columns must be typed for sane values; force TEXT/INTEGER
+        for p in pk_pos:
+            kinds[p] = rng.choice(['INTEGER', 'TEXT'])
+        col_level = npk == 1 and rng.random() < 0.5
+        defs = []
+        for c in range(ncols):
+            d = f'{names[c]} {kinds[c]}'
+            if col_level and c == pk_pos[0]:
+                d += ' PRIMARY KEY' + rng.choice(['', ' ASC', ' DESC'])
+            defs.append(d)
+        if not col_level:
+            items = ', '.join(
+                names[p] + rng.choice(['', ' ASC', ' DESC'])
+                for p in pk_pos)
+            if rng.random() < 0.3:
+                defs.append(f'CONSTRAINT pk{t} PRIMARY KEY ({items})')
+            else:
+                defs.append(f'PRIMARY KEY ({items})')
+        cur.execute(f'CREATE TABLE {tname} ({", ".join(defs)}) WITHOUT ROWID')
+        nrows = rng.choice([1, 3, 8, 40, 150])
+        for r in range(nrows):
+            vals = []
+            for c in range(ncols):
+                if c in pk_pos:
+                    # unique per row; long texts exercise index overflow
+                    if kinds[c] == 'INTEGER':
+                        vals.append(r * 7 - 3)
+                    else:
+                        pad = rand_text() if rng.random() < 0.3 else ''
+                        vals.append(f'k{r:05}|{pad}')
+                else:
+                    vals.append(None if rng.random() < 0.15
+                                else rand_value(kinds[c]))
+            ph = ','.join('?' * ncols)
+            cur.execute(
+                f'INSERT INTO {tname} ({",".join(names)}) VALUES ({ph})', vals)
+        if rng.random() < 0.3 and ncols - npk >= 2:
+            # non-covering secondary index (indexes one non-pk column and
+            # implicitly the pk; >=1 other non-pk column stays out of it)
+            non_pk = [names[c] for c in range(ncols) if c not in pk_pos]
+            cur.execute(f'CREATE INDEX wix{i}_{t} ON {tname} ({non_pk[0]})')
+        first_pk = names[pk_pos[0]]
+        if rng.random() < 0.4:  # deletions: freelist, interior-page merges
+            cur.execute(f'DELETE FROM {tname} WHERE (length({first_pk}) + 1) % 3 = 0')
+        if rng.random() < 0.3:
+            non_pk = [names[c] for c in range(ncols) if c not in pk_pos]
+            if non_pk:
+                cur.execute(f'UPDATE {tname} SET {non_pk[-1]} = NULL '
+                            f'WHERE (length({first_pk}) + 2) % 5 = 1')
+    conn.commit()
+    conn.close()
+
+
 cases = []
 with tempfile.TemporaryDirectory() as td:
     for i in range(60):
@@ -154,10 +241,28 @@ with tempfile.TemporaryDirectory() as td:
             blob = f.read()
         cases.append({'db': base64.b64encode(blob).decode(),
                       'tables': tables, 'files': files})
+    for i in range(60, 90):
+        path = os.path.join(td, f'db{i}.sqlite')
+        build_wr_db(path, i)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
     # error case: empty table → reference rows[0] IndexError → False
     path = os.path.join(td, 'empty.sqlite')
     conn = sqlite3.connect(path)
     conn.execute('CREATE TABLE emptytab (a INTEGER)')
+    conn.commit(); conn.close()
+    with open(path, 'rb') as f:
+        blob = f.read()
+    cases.append({'db': base64.b64encode(blob).decode(),
+                  'tables': None, 'files': None})
+    # error case: empty WITHOUT ROWID table → same rows[0] IndexError
+    path = os.path.join(td, 'empty_wr.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('CREATE TABLE emptywr (k TEXT PRIMARY KEY, v TEXT) '
+                 'WITHOUT ROWID')
     conn.commit(); conn.close()
     with open(path, 'rb') as f:
         blob = f.read()

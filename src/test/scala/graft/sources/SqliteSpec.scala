@@ -5,15 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 61-database differential for the pure-JDK SQLite reader (generator:
+/** 92-database differential for the pure-JDK SQLite reader (generator:
   * src/test/resources/gen_fuzz_sqlite.py, seed 0x511E; goldens from live
   * CPython sqlite3 through the reference's exact access pattern and chunk
   * replay). Covers page sizes 512-4096 (interior pages), overflow chains
   * (multi-KB texts at 512 B pages), INTEGER PRIMARY KEY rowid aliases,
   * quoted/bracketed/backticked column names, NULLs, 8-byte ints, floats,
   * index rows in sqlite_master (duplicate tbl_name → same table extracted
-  * again, last write wins), and the empty-table error case (reference's
-  * rows[0] IndexError → extraction False → None). */
+  * again, last write wins), WITHOUT ROWID tables (cases 60-89: single/
+  * composite/table-level/column-level PKs, DESC storage order, PK at any
+  * declared position, index-page overflow chains, interior index pages,
+  * mixed rowid+WR dbs), and the empty-table error cases (reference's
+  * rows[0] IndexError → extraction False → None; rowid and WR flavors,
+  * plus a DELETE-emptied WR table mid-corpus). */
 class SqliteSpec extends AnyFunSuite {
 
   private lazy val cases: Vector[PyObj] = {
@@ -28,7 +32,7 @@ class SqliteSpec extends AnyFunSuite {
   }
 
   test("master order, column names, and row values match CPython sqlite3") {
-    assert(cases.size == 61)
+    assert(cases.size == 92)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       c.get("tables") match {
@@ -104,7 +108,7 @@ class SqliteSpec extends AnyFunSuite {
     // (StackOverflow from page cycles, OOM from corrupted lengths) — the
     // walk has a page budget and payload sanity guards for exactly this
     val rnd = new scala.util.Random(0x5EED)
-    val base = cases.take(6).map(db)
+    val base = (cases.take(4) ++ cases.slice(60, 64)).map(db)
     var done = 0
     base.foreach { orig =>
       (1 to 40).foreach { _ =>
