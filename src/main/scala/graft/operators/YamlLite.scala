@@ -26,13 +26,84 @@ object YamlLite {
   /** Full loader: the CPython-exact subset parser first; anything it
     * refuses (flow styles, block scalars, anchors/merge keys,
     * seq-of-maps...) falls back to SnakeYAML (ships with Spark), whose
-    * YAML-1.1 scalar typing matches PyYAML on everything the goldens cover
-    * except signless exponents ("1.5e3": PyYAML string, SnakeYAML float —
-    * documented deviation). Values PyYAML would hand json.dumps that RAISE
-    * there (dates — the reference passes no `default=`) abort to None,
-    * exactly like the reference's bare except. */
+    * resolver is pinned to PyYAML's float regex (see [[YamlSnake]] — the
+    * former signless-exponent deviation is closed). Values PyYAML would
+    * hand json.dumps that RAISE there (dates — the reference passes no
+    * `default=`) abort to None, exactly like the reference's bare except.
+    * The tab gate runs FIRST: PyYAML's scanner refuses a TAB anywhere a
+    * token could start, which both our subset parser and SnakeYAML accept
+    * — so text with an illegal tab must refuse before either parser. */
   def loadDictFull(text: String): Option[PyObj] =
-    loadDict(text).orElse(YamlSnake.loadDict(text))
+    if (hasScannerIllegalTab(text)) None
+    else loadDict(text).orElse(YamlSnake.loadDict(text))
+
+  /** PyYAML's scanner raises ScannerError ("found character '\t' that
+    * cannot start any token") on a TAB everywhere except: inside single/
+    * double-quoted scalars, after a '#' comment start, and in
+    * block-scalar content lines (probed against live PyYAML 6.0.3:
+    * 'a: x\ty' / 'a:\tb' / 'a: 1\t# c' / 'a: [1,\t2]' all raise;
+    * 'a: "q\tq"', "a: 'x\ty'", block content and '# c\tc' parse).
+    * Conservative line scanner: quote state carries across lines; a line
+    * whose last pre-comment token is `|`/`>`(+modifiers) opens a
+    * block-scalar region covering following blank-or-deeper-indented
+    * lines. */
+  private[operators] def hasScannerIllegalTab(text: String): Boolean = {
+    if (!text.contains('\t')) return false
+    val lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n", -1)
+    var inDq = false
+    var inSq = false
+    var blockIndent = -1 // header-line indent of an open block scalar
+    var bad = false
+    var i = 0
+    while (i < lines.length && !bad) {
+      val line = lines(i)
+      val indent = line.takeWhile(_ == ' ').length
+      val blank = line.trim.isEmpty
+      if (blockIndent >= 0 && !inDq && !inSq && !(blank || indent > blockIndent))
+        blockIndent = -1
+      if (blockIndent < 0) {
+        val startedInQuote = inDq || inSq
+        var commentAt = -1
+        var j = 0
+        while (j < line.length && !bad) {
+          val c = line.charAt(j)
+          // quotes open only where a scalar can START (line start, after
+          // a space, or after a flow indicator) — a quote mid-plain-scalar
+          // is content ("dF$ITEL'yqxLv\t": PyYAML still refuses the tab)
+          def tokenStart = j == 0 || {
+            val p = line.charAt(j - 1); p == ' ' || p == '[' || p == '{' || p == ','
+          }
+          if (commentAt >= 0) () // comment body: tabs fine
+          else if (inDq) {
+            if (c == '\\') j += 1
+            else if (c == '"') inDq = false
+          } else if (inSq) {
+            if (c == '\'') {
+              if (j + 1 < line.length && line.charAt(j + 1) == '\'') j += 1 // '' stays inside
+              else inSq = false
+            }
+          } else c match {
+            case '\t' => bad = true
+            case '"' if tokenStart => inDq = true
+            case '\'' if tokenStart => inSq = true
+            case '#' if j == 0 || line.charAt(j - 1) == ' ' => commentAt = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (!bad && !startedInQuote && !inDq && !inSq) {
+          val body = (if (commentAt >= 0) line.substring(0, commentAt) else line).trim
+          val tokStart = math.max(body.lastIndexOf(' '), body.lastIndexOf(':')) + 1
+          val tok = body.substring(tokStart)
+          if ((tok.startsWith("|") || tok.startsWith(">")) &&
+              tok.drop(1).forall(ch => ch == '+' || ch == '-' || ch.isDigit))
+            blockIndent = indent
+        }
+      }
+      i += 1
+    }
+    bad
+  }
 
   /** Load a YAML mapping; None when the root is not a mapping, the text
     * uses unsupported constructs, or parsing fails. */
@@ -204,8 +275,11 @@ object YamlLite {
   private val IntOct = """[-+]?0o?[0-7_]+""".r
   private val IntHex = """[-+]?0x[0-9a-fA-F_]+""".r
   private val IntSex = """[-+]?[1-9][0-9_]*(?::[0-5]?[0-9])+""".r
+  // NOTE the leading-dot alternative demands a DIGIT right after the dot
+  // and carries no sign, exactly like PyYAML 6.0.3 ("._5" and "-.5" are
+  // plain strings there; "\.[0-9_]+" would wrongly float "._5")
   private val FloatRe =
-    """[-+]?[0-9][0-9_]*\.[0-9_]*(?:[eE][-+][0-9]+)?|\.[0-9_]+(?:[eE][-+][0-9]+)?""".r
+    """[-+]?[0-9][0-9_]*\.[0-9_]*(?:[eE][-+][0-9]+)?|\.[0-9][0-9_]*(?:[eE][-+][0-9]+)?""".r
   private val FloatSex = """[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*""".r
   // PyYAML's implicit timestamp resolver: these become datetime objects,
   // which the reference's json.dumps (no default=) RAISES on — refuse so
@@ -261,9 +335,10 @@ object YamlLite {
       throw new IllegalArgumentException("timestamp scalar (json.dumps raises)")
     else if (FloatRe.matches(s))
       PyFloat(java.lang.Double.parseDouble(s.replace("_", "")))
-    else if (s == ".inf" || s == "+.inf") PyFloat(Double.PositiveInfinity)
-    else if (s == "-.inf") PyFloat(Double.NegativeInfinity)
-    else if (s == ".nan" || s == ".NaN") PyFloat(Double.NaN)
+    else if (s.matches("""[-+]?\.(?:inf|Inf|INF)"""))
+      PyFloat(if (s.startsWith("-")) Double.NegativeInfinity
+              else Double.PositiveInfinity)
+    else if (s.matches("""\.(?:nan|NaN|NAN)""")) PyFloat(Double.NaN)
     else if (s.contains(": ") || s.endsWith(":"))
       // PyYAML scanner error ("mapping values are not allowed here"):
       // a plain scalar cannot contain ': ' or end with ':'. Refusing here

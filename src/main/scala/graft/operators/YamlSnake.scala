@@ -9,31 +9,91 @@ import graft.rules.PyVal._
   * structure (flow styles, block scalars, anchors/aliases, merge keys,
   * nested seq-of-maps) behind [[YamlLite]]'s CPython-exact subset.
   *
-  * Scalar typing is SnakeYAML's YAML-1.1 resolver, which agrees with
+  * Scalar typing is SnakeYAML's YAML-1.1 resolver — which agrees with
   * PyYAML's on ints (incl. 0x/leading-zero-octal/sexagesimal), the
-  * yes/no/on/off bool family, nulls, and dotted floats; the one known
-  * deviation is signless exponents ("1.5e3" — PyYAML string, SnakeYAML
-  * float). Values whose CPython json.dumps would RAISE in the reference
-  * (dates, binary — yamlparser.py passes no `default=`) abort the whole
-  * load to None, reproducing the reference's bare `except: pass`.
+  * yes/no/on/off bool family, and nulls — EXCEPT for floats, where
+  * SnakeYAML 2.5's FLOAT regex is looser than PyYAML 6.0.3's: signless
+  * exponents ("1.5e3"), dotless floats ("1e3"), and signed/underscore
+  * leading-dot forms ("-.5", ".5e3", "._5") are floats to Snake but
+  * plain STRINGS to PyYAML (whose regex demands a signed exponent and a
+  * digit right after a leading dot). [[PyFloatResolver]] swaps in
+  * PyYAML's float regex verbatim so the fallback types scalars like the
+  * reference. Values whose CPython json.dumps would RAISE in the
+  * reference (dates, binary — yamlparser.py passes no `default=`) abort
+  * the whole load to None, reproducing the reference's bare
+  * `except: pass`.
   * SafeConstructor only — no arbitrary class instantiation from tags. */
 object YamlSnake {
 
   private final class Unrepresentable extends RuntimeException
 
+  /** PyYAML 6.0.3 resolver.py float regex, verbatim (re.X collapsed). */
+  private val PyFloatRegex = java.util.regex.Pattern.compile(
+    "^(?:[-+]?(?:[0-9][0-9_]*)\\.[0-9_]*(?:[eE][-+][0-9]+)?" +
+      "|\\.[0-9][0-9_]*(?:[eE][-+][0-9]+)?" +
+      "|[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\\.[0-9_]*" +
+      "|[-+]?\\.(?:inf|Inf|INF)" +
+      "|\\.(?:nan|NaN|NAN))$")
+
+  /** SnakeYAML's base resolver set (same tags, same first-chars, same
+    * registration order as Resolver.addImplicitResolvers in 2.5) with
+    * only the FLOAT pattern replaced by PyYAML's. */
+  private final class PyFloatResolver
+      extends org.yaml.snakeyaml.resolver.Resolver {
+    override protected def addImplicitResolvers(): Unit = {
+      import org.yaml.snakeyaml.nodes.Tag
+      import org.yaml.snakeyaml.resolver.Resolver._
+      addImplicitResolver(Tag.BOOL, BOOL, "yYnNtTfFoO")
+      addImplicitResolver(Tag.INT, INT, "-+0123456789")
+      addImplicitResolver(Tag.FLOAT, PyFloatRegex, "-+0123456789.")
+      addImplicitResolver(Tag.MERGE, MERGE, "<")
+      addImplicitResolver(Tag.NULL, NULL, "~nN\u0000")
+      addImplicitResolver(Tag.NULL, EMPTY, null)
+      addImplicitResolver(Tag.TIMESTAMP, TIMESTAMP, "0123456789")
+      addImplicitResolver(Tag.YAML, YAML, "!&*")
+    }
+  }
+
   def loadDict(text: String): Option[PyObj] =
     try {
+      val loaderOpts = new org.yaml.snakeyaml.LoaderOptions()
+      val dumperOpts = new org.yaml.snakeyaml.DumperOptions()
       val yaml = new org.yaml.snakeyaml.Yaml(
-        new org.yaml.snakeyaml.constructor.SafeConstructor(
-          new org.yaml.snakeyaml.LoaderOptions()))
-      yaml.load[Object](text) match {
-        case m: java.util.Map[_, _] => convert(m) match {
-          case o: PyObj => Some(o)
-          case _        => None
-        }
-        case _ => None // dict(<non-mapping>) raises in the reference
-      }
+        new org.yaml.snakeyaml.constructor.SafeConstructor(loaderOpts),
+        new org.yaml.snakeyaml.representer.Representer(dumperOpts),
+        dumperOpts, loaderOpts, new PyFloatResolver)
+      pyDict(convert(yaml.load[Object](text)))
     } catch { case _: Throwable => None }
+
+  /** CPython `dict(root)` semantics (yamlparser.py wraps the load in
+    * dict()): a mapping passes through, but ANY iterable of 2-item
+    * iterables also builds a dict — a list of 2-element lists, of 2-char
+    * strings (dict(['ab']) == {'a':'b'}), even of 2-KEY dicts (iterating
+    * a dict yields its keys, so dict([{'x':1,'y':2}]) == {'x':'y'}).
+    * The empty string and empty list give {}. Everything else raises into
+    * the reference's bare except → None: non-iterables, strings with
+    * content, pair items of the wrong length, unhashable (list/dict)
+    * keys. Duplicate keys: first occurrence keeps its position, last
+    * value wins (CPython dict update order). */
+  private def pyDict(root: PyVal): Option[PyObj] = root match {
+    case o: PyObj => Some(o)
+    case PyStr("") => Some(PyObj(Vector.empty))
+    case PyArr(items) =>
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, PyVal]
+      val ok = items.forall {
+        case PyArr(Vector(k, v)) => k match {
+          case _: PyArr | _: PyObj => false // unhashable key: TypeError
+          case _ => out(jsonKey(k)) = v; true
+        }
+        case PyStr(s) if s.length == 2 =>
+          out(s.substring(0, 1)) = PyStr(s.substring(1)); true
+        case PyObj(kvs) if kvs.length == 2 =>
+          out(kvs(0)._1) = PyStr(kvs(1)._1); true
+        case _ => false // wrong-length pair / non-iterable: ValueError
+      }
+      if (ok) Some(PyObj(out.toVector)) else None
+    case _ => None // dict(<scalar or null>) raises in the reference
+  }
 
   private def convert(v: Any): PyVal = v match {
     case null                   => PyNull

@@ -7,7 +7,7 @@ def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))
 
 def scalar():
-    k = rnd.randrange(9)
+    k = rnd.randrange(10)
     if k == 0: return rnd.randrange(-10**6, 10**6)
     if k == 1: return round(rnd.uniform(-1000, 1000), rnd.randrange(1, 8))
     if k == 2: return rnd.choice([True, False])
@@ -18,6 +18,15 @@ def scalar():
                                   'sp  aces', 'tab\tchar', 'new\nline'])
     if k == 6: return rnd.choice(['yes', 'no', 'on', 'off', 'null', '~', 'true'])
     if k == 7: return rs(rnd.randrange(3, 30), string.printable[:70])
+    if k == 8:
+        # the PyYAML-vs-SnakeYAML float-resolver battleground: signless
+        # exponents, dotless floats, signed/underscore leading-dot forms
+        # (PyYAML strings), plus forms both type as float — the Scala side
+        # pins PyYAML's regex verbatim, so these must round-trip exactly
+        return rnd.choice(['1.5e3', '1e3', '-1e+3', '.5e3', '-.5', '+.5',
+                           '._5', '1_0.5', '12.e+3', '5.', '1.5e+3',
+                           '-3.1E-2', '.inf', '-.INF', '.nan', '1:2.5',
+                           '0.5e6', '2e-2', '+1E5', '9._'])
     return str(rnd.randrange(10**12))
 
 def value(depth):
@@ -41,6 +50,20 @@ TEMPLATES = [
   "a: {v}\nb: !!str 123\nc: !!int '42'\n",
   "'quoted key': {v}\n? complex\n: mapping\n",
   "multi: {k}\n---\nsecond: doc\n",
+  # tab placements: PyYAML's scanner refuses tabs outside quoted scalars,
+  # comments, and block-scalar content — the Scala side gates identically
+  "a: x\ty\nb: {v}\n",
+  "a:\tb\nc: {v}\n",
+  "a: {v}\t\n",
+  "a: \"q\tq\"\nb: {v}\n",
+  "a: 'x\ty'\nb: {v}\n",
+  "a: {v} # c\tc\n",
+  "a: {v}\t# c\n",
+  "b: |\n  t\tb\n  more\nafter: {v}\n",
+  "b: |\n  t\tb\nafter: x\ty\n",
+  "#\tlead comment\na: {v}\n",
+  "f: [1,\t2]\ng: {v}\n",
+  "deep:\n  block: >-\n    fold\ttab\n    more\n  plain: {v}\n",
 ]
 
 def gen_text():
@@ -58,17 +81,13 @@ def gen_text():
     return t.replace('{v}', str(scalar()).replace('\n', ' ')) \
             .replace('{k}', rs(5)).replace('{k2}', rs(4))
 
-N = 400
+N = 700
 out = []
 skipped = 0
 for i in range(N):
     text = gen_text()
-    # known, documented deviation: signless exponents type differently
-    # (PyYAML 1.1 str vs SnakeYAML float) — keep them out of the corpus
-    import re as _re
-    if _re.search(r'(?<![\w".\'])[-+]?\d*\.\d+e\+?\d', text, _re.I) and '"' not in text:
-        skipped += 1
-        continue
+    # (the former signless-exponent exclusion is gone: YamlSnake now pins
+    # PyYAML's float-resolver regex, so the deviation family is IN corpus)
     try:
         tmp = dict(yaml.load(text, Loader=yaml.FullLoader))
         exp = json.dumps(tmp, sort_keys=False, indent=2)

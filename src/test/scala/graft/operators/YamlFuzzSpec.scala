@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 400-case randomized differential vs live PyYAML 6.0.3 + CPython
+/** 700-case randomized differential vs live PyYAML 6.0.3 + CPython
   * json.dumps (generator: src/test/resources/gen_fuzz_yaml.py, seed
   * 0xFAB1E5): safe_dump round-trips of random nested structures in block
   * and flow styles plus hand-rolled templates (anchors, block scalars,
@@ -17,7 +17,7 @@ import graft.rules.PyVal._
   * PyYAML/SnakeYAML typing deviation. */
 class YamlFuzzSpec extends AnyFunSuite {
 
-  test("400-case yaml fuzz corpus: object_content parity with PyYAML") {
+  test("700-case yaml fuzz corpus: object_content parity with PyYAML") {
     val raw = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/fuzz_yaml.json"), "UTF-8").mkString
     val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
@@ -29,7 +29,7 @@ class YamlFuzzSpec extends AnyFunSuite {
       }
       (text, exp)
     }
-    assert(cases.size == 400)
+    assert(cases.size == 700)
     val mismatches = cases.zipWithIndex.flatMap { case ((text, exp), i) =>
       val (_, _, got) = Parsers.parseFull("yaml", "",
         text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
