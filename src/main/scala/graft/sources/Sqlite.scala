@@ -433,24 +433,63 @@ object Sqlite {
     Table(m.name, cols, rows)
   }
 
+  /** database.py:324-336 Database.scrub — the SQL-injection guard the
+    * reference runs EVERY table name through before `SELECT * FROM
+    * [name]`: keep Python-isalnum characters plus '_' and '-'. Python
+    * str.isalnum is Unicode-aware (isalpha or isdecimal/isdigit/
+    * isnumeric), approximated here as isLetter + the Unicode number
+    * categories (covers letters in any script, decimal digits, and
+    * numeric forms like '²'). A name with spaces/dots SHRINKS — the
+    * select then hits a nonexistent table (whole-db failure) or, if the
+    * scrubbed name matches another table, silently reads THAT table
+    * under the original label. */
+  private[sources] def scrub(s: String): String = s.filter { c =>
+    c == '_' || c == '-' || Character.isLetter(c) || {
+      val t = Character.getType(c)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+  }
+
+  /** The reference's effective name resolution for `SELECT * FROM
+    * [scrub(tblName)]`: exact match first, else sqlite's ASCII-only
+    * case-insensitive lookup, over type='table' rows. None → the select
+    * raises OperationalError → whole-db failure. (A scrubbed name that
+    * matches only a VIEW would execute the view in the reference — a
+    * file-format reader cannot; the view refusal below covers it.) */
+  private[sources] def resolve(ms: Vector[MasterRow], tblName: String): Option[MasterRow] = {
+    val tables = ms.filter(_.typ == "table")
+    val want = scrub(tblName)
+    def asciiLower(s: String) =
+      s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    tables.find(_.name == want)
+      .orElse(tables.find(t => asciiLower(t.name) == asciiLower(want)))
+  }
+
   /** containerfile.py:109-173 extract_sqlite3: for every sqlite_master
     * row's tbl_name (indexes re-extract their table — duplicate docs,
-    * last write wins), SELECT * and chunk into the reference JSON docs
-    * via the shared greedy chunker. None = the reference's `except:
-    * return False` (bad file, empty table's rows[0] IndexError, blob in
-    * the unsupported set). */
+    * last write wins), SELECT * FROM [scrub(tbl_name)] and chunk into the
+    * reference JSON docs via the shared greedy chunker — labeled and
+    * filenamed with the UNSCRUBBED tbl_name, exactly like the reference
+    * (d_tmp['table'] = t['table_name'] pre-scrub). None = the reference's
+    * `except: return False` (bad file, scrubbed name resolving to no
+    * table, empty table's rows[0] IndexError, a view). */
   def extractSqlite(bytes: Array[Byte]): Option[Seq[(String, String)]] =
     try {
       if (!isSqlite(bytes)) return None
       val ms = master(bytes)
-      val byName = ms.filter(_.typ == "table").map(m => m.name -> m).toMap
       val out = Seq.newBuilder[(String, String)]
       ms.foreach { row =>
-        val t = readTable(bytes, byName(row.tblName)) // missing -> exception -> None
+        // a view name that scrub-resolves to nothing must refuse the db
+        // (the REFERENCE would execute the view — documented deviation
+        // only when the view name survives scrubbing AND names no table)
+        val m = resolve(ms, row.tblName)
+          .getOrElse(throw new IllegalStateException(s"no such table: ${row.tblName}"))
+        val t = readTable(bytes, m)
         if (t.rows.isEmpty) throw new IllegalStateException("empty table: rows[0] raises")
         val pyRows = t.rows.iterator.map(r => PyObj(t.cols.zip(r)))
         out ++= JdbcSource.chunkStream(pyRows, t.rows.length.toLong, t.cols,
-          t.name, 1073741824L)
+          row.tblName, 1073741824L)
       }
       Some(out.result())
     } catch { case scala.util.control.NonFatal(_) => None }

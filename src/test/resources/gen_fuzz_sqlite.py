@@ -118,8 +118,17 @@ def reference_replay(path):
         m.tabulate = lambda *a, **k: ''
         sys.modules[mod] = m
     from filecrawler.util.tools import Tools
+    # database.py:324-336 Database.scrub, verbatim semantics
+    db_scrub = lambda name: ''.join(k for k in name if k.isalnum() or k in '_-')
     for t in tbl_names:
-        cur = conn.execute(f'SELECT * FROM [{t}]')
+        # database.py:138-154 select(): the table name is SCRUBBED before
+        # interpolation — a shrunk name can miss (OperationalError →
+        # whole-db False) or hit a DIFFERENT table (read under the raw
+        # label). d_tmp['table'] and the filename stay UNSCRUBBED.
+        try:
+            cur = conn.execute(f'SELECT * FROM [{db_scrub(t)}]')
+        except sqlite3.Error:
+            return None, None  # reference except → extraction False
         cols = [d[0] for d in cur.description]
         rows = [dict(zip(cols, v)) for v in cur.fetchall()]
         import base64 as _b64
@@ -244,6 +253,56 @@ with tempfile.TemporaryDirectory() as td:
     for i in range(60, 90):
         path = os.path.join(td, f'db{i}.sqlite')
         build_wr_db(path, i)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # scrub-quirk databases (database.py scrub before SELECT):
+    scrub_ddls = [
+        # "sp ace" → scrub "space" → no such table → whole-db False
+        ['CREATE TABLE [sp ace] (a INTEGER)',
+         "INSERT INTO [sp ace] VALUES (1)"],
+        # "x y" scrubs to existing "xy": xy's DATA under the "x y" LABEL,
+        # then xy again under its own — both dumped, distinct filenames
+        ['CREATE TABLE [x y] (a INTEGER, b TEXT)',
+         "INSERT INTO [x y] VALUES (1, 'own row')",
+         'CREATE TABLE xy (c TEXT)',
+         "INSERT INTO xy VALUES ('other row')",
+         "INSERT INTO xy VALUES ('second')"],
+        # "A B" → "AB" → sqlite ASCII case-insensitive lookup finds "ab"
+        ['CREATE TABLE [A B] (a INTEGER)',
+         'INSERT INTO [A B] VALUES (7)',
+         'CREATE TABLE ab (z TEXT)',
+         "INSERT INTO ab VALUES ('lower')"],
+        # dotted name alone → scrub drops the dot → no such table → False
+        ['CREATE TABLE [v1.t] (a INTEGER)',
+         'INSERT INTO [v1.t] VALUES (3)'],
+        # unicode letters survive scrub (Python isalnum is Unicode-aware);
+        # accents survive scrub but sanitize_filename strips them
+        ['CREATE TABLE [日志表] (a TEXT)',
+         "INSERT INTO [日志表] VALUES ('中文')",
+         'CREATE TABLE [café] (b INTEGER)',
+         'INSERT INTO [café] VALUES (9)'],
+        # kept charset: '_' and '-' pass through scrub untouched
+        ['CREATE TABLE [t-1_ok] (a INTEGER)',
+         'INSERT INTO [t-1_ok] VALUES (5)',
+         'INSERT INTO [t-1_ok] VALUES (6)'],
+        # trailing space scrubs away and FINDS the sibling bare name
+        ['CREATE TABLE [t1 ] (a TEXT)',
+         "INSERT INTO [t1 ] VALUES ('spaced')",
+         'CREATE TABLE t1 (b INTEGER)',
+         'INSERT INTO t1 VALUES (11)'],
+        # numeric-form char '²' is isalnum in Python → survives scrub
+        ['CREATE TABLE [m²] (a INTEGER)',
+         'INSERT INTO [m²] VALUES (4)'],
+    ]
+    for k, ddl in enumerate(scrub_ddls):
+        path = os.path.join(td, f'scrub{k}.sqlite')
+        conn = sqlite3.connect(path)
+        for stmt in ddl:
+            conn.execute(stmt)
+        conn.commit(); conn.close()
         tables, files = reference_replay(path)
         with open(path, 'rb') as f:
             blob = f.read()

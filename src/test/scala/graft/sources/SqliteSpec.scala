@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 92-database differential for the pure-JDK SQLite reader (generator:
+/** 100-database differential for the pure-JDK SQLite reader (generator:
   * src/test/resources/gen_fuzz_sqlite.py, seed 0x511E; goldens from live
   * CPython sqlite3 through the reference's exact access pattern and chunk
   * replay). Covers page sizes 512-4096 (interior pages), overflow chains
@@ -15,9 +15,14 @@ import graft.rules.PyVal._
   * again, last write wins), WITHOUT ROWID tables (cases 60-89: single/
   * composite/table-level/column-level PKs, DESC storage order, PK at any
   * declared position, index-page overflow chains, interior index pages,
-  * mixed rowid+WR dbs), and the empty-table error cases (reference's
-  * rows[0] IndexError → extraction False → None; rowid and WR flavors,
-  * plus a DELETE-emptied WR table mid-corpus). */
+  * mixed rowid+WR dbs), the Database.scrub quirk family (cases 90-97:
+  * the reference SELECTs from the SCRUBBED table name — spaced/dotted
+  * names miss → whole-db False, or hit a DIFFERENT sibling table whose
+  * data dumps under the raw label; ASCII case-insensitive resolution;
+  * unicode/'²' survive scrub; sanitize_filename collisions last-write-
+  * win), and the empty-table error cases (reference's rows[0]
+  * IndexError → extraction False → None; rowid and WR flavors, plus a
+  * DELETE-emptied WR table mid-corpus). */
 class SqliteSpec extends AnyFunSuite {
 
   private lazy val cases: Vector[PyObj] = {
@@ -32,7 +37,7 @@ class SqliteSpec extends AnyFunSuite {
   }
 
   test("master order, column names, and row values match CPython sqlite3") {
-    assert(cases.size == 92)
+    assert(cases.size == 100)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       c.get("tables") match {
@@ -45,10 +50,11 @@ class SqliteSpec extends AnyFunSuite {
           if (gotNames != wantNames) {
             problems += s"case $ci tbl_name order: got $gotNames exp $wantNames"
           } else {
-            val byName = ms.filter(_.typ == "table").map(m => m.name -> m).toMap
             goldTables.map(_.asInstanceOf[PyObj]).zip(gotNames).foreach {
               case (g, name) =>
-                val t = Sqlite.readTable(bytes, byName(name))
+                // the reference SELECTs from the SCRUBBED name (may be a
+                // different table than the label) — resolve like it does
+                val t = Sqlite.readTable(bytes, Sqlite.resolve(ms, name).get)
                 val wantCols = g.get("cols").collect { case PyArr(xs) =>
                   xs.collect { case PyStr(s) => s } }.get
                 if (t.cols != wantCols)
