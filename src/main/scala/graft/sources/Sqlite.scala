@@ -19,7 +19,9 @@ import graft.rules.PyVal._
   * preserved by emitting the duplicate docs in order, Containers'
   * last-write-wins).
   *
-  * Supported: UTF-8 databases, rowid tables (incl. the INTEGER PRIMARY KEY
+  * Supported: UTF-8 and UTF-16le/be databases (header offset 56; text
+  * serial types decode with the database encoding, like sqlite3's own
+  * transparent conversion), rowid tables (incl. the INTEGER PRIMARY KEY
   * rowid alias, where the column value lives in the rowid and the record
   * stores NULL), WITHOUT ROWID tables (content lives in an index b-tree —
   * keys on BOTH interior and leaf pages, index overflow threshold, record
@@ -28,7 +30,7 @@ import graft.rules.PyVal._
   * order == what an unindexed full scan returns, ASC or DESC alike), all
   * integer/float/text serial types, overflow-page chains, interior-page
   * trees, any page size. Not supported (refused → None, like the
-  * reference's catch-all `except: return False`): non-UTF-8 encodings,
+  * reference's catch-all `except: return False`):
   * WAL databases with unapplied frames (header read-version > 2 is fine
   * for rollback journals), and VIEWS — the reference's
   * `SELECT * FROM [view]` executes the view's query through sqlite3,
@@ -58,7 +60,17 @@ object Sqlite {
 
     val pageSize: Int = { val v = u16(16); if (v == 1) 65536 else v }
     val usable: Int = pageSize - u8(20)
-    require(u32(56) == 1, "only UTF-8 text encoding supported")
+    /** Header offset 56: 1=UTF-8, 2=UTF-16le, 3=UTF-16be. sqlite3 (and so
+      * the reference) reads all three transparently — text serial types
+      * decode with the database encoding, everything else is
+      * encoding-independent (sqlite_master's name/sql fields flow through
+      * the same record codec). */
+    private val charset: java.nio.charset.Charset = u32(56) match {
+      case 1 => UTF_8
+      case 2 => java.nio.charset.StandardCharsets.UTF_16LE
+      case 3 => java.nio.charset.StandardCharsets.UTF_16BE
+      case e => throw new IllegalArgumentException(s"invalid text encoding $e")
+    }
 
     private def pageOff(page: Long): Int = ((page - 1) * pageSize).toInt
 
@@ -227,7 +239,7 @@ object Sqlite {
         case 9 => PyInt(1)
         case t if t >= 13 && t % 2 == 1 =>
           val n = ((t - 13) / 2).toInt
-          val s = new String(payload, at, n, UTF_8); at += n
+          val s = new String(payload, at, n, charset); at += n
           PyStr(s)
         case t if t >= 12 =>
           // BLOB: rendered as base64 text — exactly what the extract flow

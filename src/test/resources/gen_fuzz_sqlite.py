@@ -15,9 +15,11 @@ declared position, overflow payloads through the INDEX local-max
 threshold, interior index pages, deletes/updates, mixed rowid+WR dbs.
 Secondary indexes stay non-covering (a covering index could make the
 planner return index order for SELECT *).
-Excluded (documented as unsupported in Sqlite.scala): views,
-non-UTF-8 encodings, empty tables (reference raises
-rows[0] IndexError → extraction False; pinned as error cases).
+UTF-16le/be databases (cases 90+): header offset 56 = 2/3, text decoded
+with the database encoding (surrogate pairs, combining marks).
+Excluded (documented as unsupported in Sqlite.scala): views, empty
+tables (reference raises rows[0] IndexError → extraction False; pinned
+as error cases).
 
 Usage: python3 gen_fuzz_sqlite.py > fuzz_sqlite.json
 """
@@ -27,7 +29,9 @@ rng = random.Random(0x511E)
 
 WORDS = ['alpha', 'beta', 'gamma', 'delta', 'épsilon', 'zeta_9', 'x',
          'long-token', 'key=value', 'quoted "text"', "apo'strophe",
-         '中文字符', 'tab\tchar', 'semi;colon']
+         '中文字符', 'tab\tchar', 'semi;colon',
+         # astral-plane (UTF-16 surrogate pairs) + combining marks
+         '\U0001F600\U0001F680', 'é̂combining']
 
 
 def rand_text():
@@ -47,9 +51,11 @@ def rand_value(kind):
     return rand_text()
 
 
-def build_db(path, i):
+def build_db(path, i, encoding=None):
     conn = sqlite3.connect(path)
     cur = conn.cursor()
+    if encoding:  # must precede the first table creation
+        cur.execute(f"PRAGMA encoding='{encoding}'")
     cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
     ntables = rng.randint(1, 3)
     for t in range(ntables):
@@ -163,10 +169,12 @@ def reference_replay(path):
     return tables, files
 
 
-def build_wr_db(path, i):
+def build_wr_db(path, i, encoding=None):
     """WITHOUT ROWID-focused database, optionally mixed with rowid tables."""
     conn = sqlite3.connect(path)
     cur = conn.cursor()
+    if encoding:
+        cur.execute(f"PRAGMA encoding='{encoding}'")
     cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
     ntables = rng.randint(1, 3)
     for t in range(ntables):
@@ -253,6 +261,21 @@ with tempfile.TemporaryDirectory() as td:
     for i in range(60, 90):
         path = os.path.join(td, f'db{i}.sqlite')
         build_wr_db(path, i)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # UTF-16 databases (header offset 56 = 2/3): sqlite3 — and so the
+    # reference — reads them transparently; text serial types carry
+    # UTF-16le/be bytes incl. surrogate pairs for astral chars
+    for i in range(90, 106):
+        enc = 'UTF-16le' if i % 2 == 0 else 'UTF-16be'
+        path = os.path.join(td, f'db{i}.sqlite')
+        if i % 4 < 2:
+            build_db(path, i, encoding=enc)
+        else:
+            build_wr_db(path, i, encoding=enc)
         tables, files = reference_replay(path)
         with open(path, 'rb') as f:
             blob = f.read()

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 100-database differential for the pure-JDK SQLite reader (generator:
+/** 116-database differential for the pure-JDK SQLite reader (generator:
   * src/test/resources/gen_fuzz_sqlite.py, seed 0x511E; goldens from live
   * CPython sqlite3 through the reference's exact access pattern and chunk
   * replay). Covers page sizes 512-4096 (interior pages), overflow chains
@@ -15,7 +15,10 @@ import graft.rules.PyVal._
   * again, last write wins), WITHOUT ROWID tables (cases 60-89: single/
   * composite/table-level/column-level PKs, DESC storage order, PK at any
   * declared position, index-page overflow chains, interior index pages,
-  * mixed rowid+WR dbs), the Database.scrub quirk family (cases 90-97:
+  * mixed rowid+WR dbs), UTF-16le/be databases (cases 90-105: header
+  * offset 56 = 2/3, text serial types decoded with the database encoding
+  * — surrogate pairs, combining marks, rowid AND WITHOUT ROWID flavors),
+  * the Database.scrub quirk family (cases 106-113:
   * the reference SELECTs from the SCRUBBED table name — spaced/dotted
   * names miss → whole-db False, or hit a DIFFERENT sibling table whose
   * data dumps under the raw label; ASCII case-insensitive resolution;
@@ -37,7 +40,7 @@ class SqliteSpec extends AnyFunSuite {
   }
 
   test("master order, column names, and row values match CPython sqlite3") {
-    assert(cases.size == 100)
+    assert(cases.size == 116)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       c.get("tables") match {
@@ -114,7 +117,7 @@ class SqliteSpec extends AnyFunSuite {
     // (StackOverflow from page cycles, OOM from corrupted lengths) — the
     // walk has a page budget and payload sanity guards for exactly this
     val rnd = new scala.util.Random(0x5EED)
-    val base = (cases.take(4) ++ cases.slice(60, 64)).map(db)
+    val base = (cases.take(4) ++ cases.slice(60, 64) ++ cases.slice(90, 92)).map(db)
     var done = 0
     base.foreach { orig =>
       (1 to 40).foreach { _ =>
