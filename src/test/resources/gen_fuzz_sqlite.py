@@ -66,6 +66,10 @@ def build_db(path, i, encoding=None):
                          rng.choice(['INTEGER PRIMARY KEY',
                                      'INTEGER PRIMARY KEY ASC',
                                      'INTEGER NOT NULL PRIMARY KEY',
+                                     # sqlite_sequence internal table appears
+                                     # in sqlite_master and extracts like any
+                                     # other (untyped-columns DDL)
+                                     'INTEGER PRIMARY KEY AUTOINCREMENT',
                                      # DESC: NOT a rowid alias (real column,
                                      # independent rowid) — SQLite quirk
                                      'INTEGER PRIMARY KEY DESC'])))
@@ -94,6 +98,12 @@ def build_db(path, i, encoding=None):
         if rng.random() < 0.3:
             first = cols[-1][0]
             cur.execute(f'CREATE INDEX ix{i}_{t} ON {tname} ({first})')
+        if rng.random() < 0.25:
+            # trigger row in sqlite_master: tbl_name = base table → the
+            # reference re-extracts that table (same duplicate-doc quirk
+            # as index rows); rootpage 0, never walked
+            cur.execute(f'CREATE TRIGGER trg{i}_{t} AFTER INSERT ON {tname} '
+                        'BEGIN SELECT 1; END')
         if rng.random() < 0.4:  # deletions: freelist pages, sparse rowids
             cur.execute(f'DELETE FROM {tname} WHERE rowid % 3 = 0')
         if rng.random() < 0.3:  # updates can relocate cells/overflow

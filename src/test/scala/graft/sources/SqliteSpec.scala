@@ -11,8 +11,10 @@ import graft.rules.PyVal._
   * replay). Covers page sizes 512-4096 (interior pages), overflow chains
   * (multi-KB texts at 512 B pages), INTEGER PRIMARY KEY rowid aliases,
   * quoted/bracketed/backticked column names, NULLs, 8-byte ints, floats,
-  * index rows in sqlite_master (duplicate tbl_name → same table extracted
-  * again, last write wins), WITHOUT ROWID tables (cases 60-89: single/
+  * index AND trigger rows in sqlite_master (duplicate tbl_name → same
+  * table extracted again, last write wins), AUTOINCREMENT (internal
+  * sqlite_sequence table extracts like any other; untyped-columns DDL),
+  * WITHOUT ROWID tables (cases 60-89: single/
   * composite/table-level/column-level PKs, DESC storage order, PK at any
   * declared position, index-page overflow chains, interior index pages,
   * mixed rowid+WR dbs), UTF-16le/be databases (cases 90-105: header
