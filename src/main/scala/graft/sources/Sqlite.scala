@@ -29,14 +29,18 @@ import graft.rules.PyVal._
   * order, un-permuted back to SELECT * order here; walk order == storage
   * order == what an unindexed full scan returns, ASC or DESC alike), all
   * integer/float/text serial types, overflow-page chains, interior-page
-  * trees, any page size. Not supported (refused → None, like the
-  * reference's catch-all `except: return False`):
-  * WAL databases with unapplied frames (header read-version > 2 is fine
-  * for rollback journals), and VIEWS — the reference's
-  * `SELECT * FROM [view]` executes the view's query through sqlite3,
-  * which a file-format reader cannot do, so a database containing a view
-  * refuses wholesale rather than emit a partial doc set (DOCUMENTED
-  * DEVIATION: the reference would extract the tables and the view).
+  * trees, any page size. VIEWS in the simple-projection subset —
+  * `CREATE VIEW v [(cols)] AS SELECT <idents|*> FROM <one table-or-view>`
+  * — are replayed exactly like sqlite executes them (declared-name
+  * resolution, alias/column-list override, the ':N' duplicate-name
+  * uniquification, nesting, circular-view failure). Not supported
+  * (refused → None, like the reference's catch-all `except: return
+  * False`): WAL databases with unapplied frames (header read-version > 2
+  * is fine for rollback journals), and views BEYOND that subset
+  * (WHERE/JOIN/expressions/DISTINCT/aggregates) — the reference executes
+  * those through sqlite3, which a file-format reader cannot, so such a
+  * database refuses wholesale rather than emit a partial doc set
+  * (DOCUMENTED DEVIATION, now narrowed to complex views only).
   * Blobs ARE supported: base64 text, json_serial parity.
   */
 object Sqlite {
@@ -445,6 +449,228 @@ object Sqlite {
     Table(m.name, cols, rows)
   }
 
+  // ---------------------------------------------------------------- views
+
+  /** SQL token: `q` = 0 for bare words/punctuation, else the quote kind
+    * ('"', '`', '\'', '['). Doubled closing quotes escape ("" inside
+    * "..."); '[' idents close at ']' with no escape (sqlite rules). */
+  private final case class Tok(s: String, q: Char)
+
+  private def tokenize(sql: String): Option[Vector[Tok]] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '`' || c == '\'') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = sql.charAt(j)
+          if (d == c) {
+            if (j + 1 < n && sql.charAt(j + 1) == c) { sb.append(d); j += 2 }
+            else { closed = true; j += 1 }
+          } else { sb.append(d); j += 1 }
+        }
+        if (!closed) return None
+        out += Tok(sb.toString, c)
+        i = j
+      } else if (c == '[') {
+        val e = sql.indexOf(']', i + 1)
+        if (e < 0) return None
+        out += Tok(sql.substring(i + 1, e), '[')
+        i = e + 1
+      } else if ("(),.*;".indexOf(c) >= 0) {
+        out += Tok(c.toString, 0.toChar); i += 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i); i = if (e < 0) n else e + 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2); if (e < 0) return None; i = e + 2
+      } else {
+        val sb = new StringBuilder
+        while (i < n && {
+          val d = sql.charAt(i)
+          !d.isWhitespace && "\"`'[(),.*;".indexOf(d) < 0 && !(d == '-' || d == '/')
+        }) { sb.append(sql.charAt(i)); i += 1 }
+        if (sb.isEmpty) return None // '-'/'/' operator → expression
+        out += Tok(sb.toString, 0.toChar)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** One select item: (qualifier, column — None = '*', alias). */
+  private[sources] final case class ViewSelect(
+      outCols: Option[Vector[String]],
+      items: Vector[(Option[String], Option[String], Option[String])],
+      from: String)
+
+  /** Parse `CREATE [TEMP] VIEW [IF NOT EXISTS] name [(cols)] AS SELECT
+    * <ident-or-star items> FROM <single-table>` — the simple-projection
+    * subset a file-format reader can replay. None = anything beyond it
+    * (WHERE/JOIN/expressions/DISTINCT/subqueries/...) → the caller
+    * refuses the whole db, exactly the pre-existing deviation but now
+    * narrowed to complex views only. */
+  private[sources] def parseViewDef(sql: String): Option[ViewSelect] = {
+    val toks = tokenize(sql).getOrElse(return None)
+    var i = 0
+    def peek: Option[Tok] = toks.lift(i)
+    def word(w: String): Boolean =
+      peek.exists(t => t.q == 0 && t.s.equalsIgnoreCase(w))
+    def punct(p: String): Boolean = peek.exists(t => t.q == 0 && t.s == p)
+    def eat(): Tok = { val t = toks(i); i += 1; t }
+    def isIdent(t: Tok): Boolean =
+      (t.q != 0 && t.q != '\'' && t.s.nonEmpty) || (t.q == 0 && t.s.nonEmpty &&
+        !t.s.head.isDigit && t.s.forall(c => c.isLetterOrDigit || c == '_' || c == '$'))
+    def ident(): Option[String] =
+      peek match { case Some(t) if isIdent(t) => Some(eat().s); case _ => None }
+    if (!word("create")) return None else eat()
+    if (word("temp") || word("temporary")) eat()
+    if (!word("view")) return None else eat()
+    if (word("if")) {
+      eat()
+      if (!word("not")) return None else eat()
+      if (!word("exists")) return None else eat()
+    }
+    if (ident().isEmpty) return None // view name: master row is authoritative
+    if (punct(".")) { eat(); if (ident().isEmpty) return None } // schema.name
+    var outCols: Option[Vector[String]] = None
+    if (punct("(")) {
+      eat()
+      val cs = Vector.newBuilder[String]
+      var done = false
+      while (!done) {
+        cs += ident().getOrElse(return None)
+        if (punct(",")) eat()
+        else if (punct(")")) { eat(); done = true }
+        else return None
+      }
+      outCols = Some(cs.result())
+    }
+    if (!word("as")) return None else eat()
+    if (!word("select")) return None else eat()
+    if (word("distinct") || word("all")) return None
+    val items = Vector.newBuilder[(Option[String], Option[String], Option[String])]
+    var done = false
+    while (!done) {
+      var qual: Option[String] = None
+      var col: Option[String] = None
+      if (punct("*")) { eat() }
+      else {
+        var name = ident().getOrElse(return None)
+        if (punct(".")) {
+          eat()
+          if (punct("*")) { eat(); qual = Some(name) }
+          else { qual = Some(name); name = ident().getOrElse(return None); col = Some(name) }
+        } else col = Some(name)
+      }
+      var alias: Option[String] = None
+      if (col.isDefined) { // '*' takes no alias
+        if (word("as")) { eat(); alias = Some(ident().getOrElse(return None)) }
+        else peek match { // bare alias — but an unquoted FROM ends the list
+          case Some(t) if isIdent(t) && !(t.q == 0 && t.s.equalsIgnoreCase("from")) =>
+            alias = Some(eat().s)
+          case _ =>
+        }
+      }
+      items += ((qual, col, alias))
+      if (punct(",")) eat()
+      else if (word("from")) { eat(); done = true }
+      else return None
+    }
+    var from = ident().getOrElse(return None)
+    if (punct(".")) { // schema-qualified source: only main.x is a file table
+      if (!from.equalsIgnoreCase("main")) return None
+      eat()
+      from = ident().getOrElse(return None)
+    }
+    if (punct(";")) eat()
+    if (i != toks.length) return None
+    Some(ViewSelect(outCols, items.result(), from))
+  }
+
+  private def asciiLower(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
+  /** sqlite select.c sqlite3ColumnsFromExprList name uniquification (the
+    * rule that names a view's columns): collisions are ASCII-case-
+    * insensitive against all prior names; on collision strip one trailing
+    * ':digits' suffix and append ':1', ':2', ... (counter per column);
+    * after a failed ':4' attempt sqlite appends sqlite3_randomness —
+    * nondeterministic, so refused here (the reference's own output would
+    * be nondeterministic too). Probed on sqlite 3.40.1: SELECT a,A,b,B →
+    * a, a:1, B, B:1; SELECT a,a,[a:1] → a, a:1, a:2; six a's →
+    * a, a:1..a:4, a:<random>. */
+  private[sources] def uniquify(names: Vector[String]): Vector[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    names.map { n0 =>
+      var z = n0
+      var cnt = 0
+      while (seen.contains(asciiLower(z))) {
+        require(cnt < 4, "view column rename exhausted (sqlite randomness)")
+        val base = {
+          var j = z.length - 1
+          while (j > 0 && z.charAt(j) >= '0' && z.charAt(j) <= '9') j -= 1
+          if (z.nonEmpty && z.charAt(j) == ':') z.substring(0, j) else z
+        }
+        cnt += 1
+        z = s"$base:$cnt"
+      }
+      seen += asciiLower(z)
+      z
+    }
+  }
+
+  /** sqlite's single namespace for FROM/table resolution: tables and
+    * views, ASCII-case-insensitive (exact-first is cosmetic — the
+    * namespace is ci-unique). */
+  private def lookupNamed(ms: Vector[MasterRow], name: String): Option[MasterRow] = {
+    val objs = ms.filter(m => m.typ == "table" || m.typ == "view")
+    objs.find(_.name == name)
+      .orElse(objs.find(m => asciiLower(m.name) == asciiLower(name)))
+  }
+
+  /** `SELECT * FROM [m]` — table b-tree read or simple-view replay.
+    * Depth cap = sqlite's circular-view error ("view X is circularly
+    * defined" → reference OperationalError → whole-db failure). */
+  def readObject(bytes: Array[Byte], ms: Vector[MasterRow], m: MasterRow,
+      depth: Int = 0): Table = {
+    require(depth < 16, s"view nesting too deep (circular?): ${m.name}")
+    if (m.typ != "view") return readTable(bytes, m)
+    val vd = parseViewDef(m.sql)
+      .getOrElse(throw new IllegalArgumentException(s"unsupported view: ${m.name}"))
+    val base = lookupNamed(ms, vd.from)
+      .getOrElse(throw new IllegalArgumentException(s"no such table: ${vd.from}"))
+    val bt = readObject(bytes, ms, base, depth + 1)
+    // expand items: bare refs resolve ASCII-ci to the DECLARED column name
+    // (probed: SELECT b FROM t with decl 'B' → column named 'B'); aliases
+    // override; '*' (optionally qualified) expands to all base columns
+    val sel = Vector.newBuilder[(String, Int)]
+    vd.items.foreach { case (qual, colOpt, alias) =>
+      qual.foreach { q =>
+        require(asciiLower(q) == asciiLower(vd.from) ||
+          asciiLower(q) == asciiLower(base.name), s"unknown qualifier $q")
+      }
+      colOpt match {
+        case None => bt.cols.zipWithIndex.foreach { case (c, ix) => sel += ((c, ix)) }
+        case Some(c) =>
+          val ix = bt.cols.indexWhere(cc => asciiLower(cc) == asciiLower(c))
+          require(ix >= 0, s"no such column: $c")
+          sel += ((alias.getOrElse(bt.cols(ix)), ix))
+      }
+    }
+    val s = sel.result()
+    val names = vd.outCols match {
+      case Some(oc) =>
+        require(oc.length == s.length, "view column list length mismatch")
+        oc
+      case None => s.map(_._1)
+    }
+    Table(m.name, uniquify(names), bt.rows.map(r => s.map { case (_, ix) => r(ix) }))
+  }
+
   /** database.py:324-336 Database.scrub — the SQL-injection guard the
     * reference runs EVERY table name through before `SELECT * FROM
     * [name]`: keep Python-isalnum characters plus '_' and '-'. Python
@@ -464,19 +690,11 @@ object Sqlite {
   }
 
   /** The reference's effective name resolution for `SELECT * FROM
-    * [scrub(tblName)]`: exact match first, else sqlite's ASCII-only
-    * case-insensitive lookup, over type='table' rows. None → the select
-    * raises OperationalError → whole-db failure. (A scrubbed name that
-    * matches only a VIEW would execute the view in the reference — a
-    * file-format reader cannot; the view refusal below covers it.) */
-  private[sources] def resolve(ms: Vector[MasterRow], tblName: String): Option[MasterRow] = {
-    val tables = ms.filter(_.typ == "table")
-    val want = scrub(tblName)
-    def asciiLower(s: String) =
-      s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-    tables.find(_.name == want)
-      .orElse(tables.find(t => asciiLower(t.name) == asciiLower(want)))
-  }
+    * [scrub(tblName)]`: sqlite's single ASCII-case-insensitive namespace
+    * over tables AND views. None → the select raises OperationalError →
+    * whole-db failure. */
+  private[sources] def resolve(ms: Vector[MasterRow], tblName: String): Option[MasterRow] =
+    lookupNamed(ms, scrub(tblName))
 
   /** containerfile.py:109-173 extract_sqlite3: for every sqlite_master
     * row's tbl_name (indexes re-extract their table — duplicate docs,
@@ -485,19 +703,17 @@ object Sqlite {
     * filenamed with the UNSCRUBBED tbl_name, exactly like the reference
     * (d_tmp['table'] = t['table_name'] pre-scrub). None = the reference's
     * `except: return False` (bad file, scrubbed name resolving to no
-    * table, empty table's rows[0] IndexError, a view). */
+    * table/view, empty result's rows[0] IndexError, a view beyond the
+    * simple-projection subset). */
   def extractSqlite(bytes: Array[Byte]): Option[Seq[(String, String)]] =
     try {
       if (!isSqlite(bytes)) return None
       val ms = master(bytes)
       val out = Seq.newBuilder[(String, String)]
       ms.foreach { row =>
-        // a view name that scrub-resolves to nothing must refuse the db
-        // (the REFERENCE would execute the view — documented deviation
-        // only when the view name survives scrubbing AND names no table)
         val m = resolve(ms, row.tblName)
           .getOrElse(throw new IllegalStateException(s"no such table: ${row.tblName}"))
-        val t = readTable(bytes, m)
+        val t = readObject(bytes, ms, m)
         if (t.rows.isEmpty) throw new IllegalStateException("empty table: rows[0] raises")
         val pyRows = t.rows.iterator.map(r => PyObj(t.cols.zip(r)))
         out ++= JdbcSource.chunkStream(pyRows, t.rows.length.toLong, t.cols,

@@ -258,6 +258,93 @@ def build_wr_db(path, i, encoding=None):
     conn.close()
 
 
+def build_view_db(path, i, encoding=None):
+    """Simple-projection views: the subset Sqlite.scala replays. Base
+    tables carry NO secondary indexes (a covering index could flip the
+    planner to index order for a column subset; the replay walks the
+    table b-tree in rowid order). Exercises: SELECT *, qualified t.* /
+    t.col, case-mangled bare refs (resolve to the DECLARED name), AS /
+    bare / quoted aliases, view column lists, duplicate-name ':N'
+    uniquification (<= 4 dups — beyond that sqlite appends randomness),
+    views over views, colliding decl names like [A:1]."""
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    if encoding:
+        cur.execute(f"PRAGMA encoding='{encoding}'")
+    cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
+    base = {}  # tname -> [(declared name, unquoted ref or None)]
+    for t in range(rng.randint(1, 2)):
+        tname = f'bt{i}_{t}'
+        cols = []
+        if rng.random() < 0.4:
+            cols.append(('id', 'INTEGER PRIMARY KEY'))
+        for cc in range(rng.randint(2, 4)):
+            name = rng.choice([f'c{cc}', f'C{cc}', f'"q c{cc}"', f'[A:{cc}]'])
+            cols.append((name, rng.choice(['INTEGER', 'REAL', 'TEXT', 'BLOB'])))
+        cur.execute(f'CREATE TABLE {tname} '
+                    f'({", ".join(f"{n} {k}" for n, k in cols)})')
+        plain = [(n, k) for n, k in cols if 'PRIMARY KEY' not in k]
+        for r in range(rng.choice([1, 3, 12, 40])):
+            vals = [None if rng.random() < 0.15 else rand_value(k)
+                    for n, k in plain]
+            ph = ','.join('?' * len(vals))
+            cur.execute(f'INSERT INTO {tname} '
+                        f'({",".join(n for n, k in plain)}) VALUES ({ph})', vals)
+        base[tname] = [n for n, k in cols]
+    views = []
+
+    def ref(decl):
+        """A way to reference a declared column in view SQL."""
+        if decl.startswith(('"', '[', '`')):
+            inner = decl[1:-1]
+            return rng.choice([f'"{inner}"', f'[{inner}]', f'`{inner}`'])
+        # bare: mangle case (sqlite resolves ASCII-ci to the declared name)
+        return rng.choice([decl, decl.lower(), decl.upper(),
+                           f'"{decl}"', f'[{decl}]'])
+
+    for v in range(rng.randint(1, 4)):
+        vname = f'vw{i}_{v}'
+        tname = rng.choice(sorted(base))
+        decls = base[tname]
+        form = rng.randrange(6)
+        if form == 0:
+            sql = f'SELECT * FROM {tname}'
+        elif form == 1:
+            n = rng.randint(1, len(decls))
+            picks = rng.sample(decls, n)
+            items = [(f'{tname}.{ref(d)}' if rng.random() < 0.3 else ref(d))
+                     for d in picks]
+            sql = f'SELECT {", ".join(items)} FROM {tname}'
+        elif form == 2:
+            picks = rng.sample(decls, min(2, len(decls)))
+            items = []
+            for k, d in enumerate(picks):
+                a = rng.choice([f'AS al{k}', f'al{k}', f'AS "a l{k}"', f'[al {k}]'])
+                items.append(f'{ref(d)} {a}')
+            sql = f'SELECT {", ".join(items)} FROM {tname}'
+        elif form == 3:
+            n = rng.randint(1, len(decls))
+            picks = rng.sample(decls, n)
+            outs = ', '.join(rng.choice([f'o{k}', f'"o k{k}"'])
+                             for k in range(n))
+            sql = None
+            cur.execute(f'CREATE VIEW {vname} ({outs}) AS '
+                        f'SELECT {", ".join(ref(d) for d in picks)} FROM {tname}')
+        elif form == 4:
+            d = rng.choice(decls)
+            dups = [ref(d)] * rng.randint(2, 4)
+            star = ['*'] if rng.random() < 0.5 else [f'{tname}.*']
+            sql = f'SELECT {", ".join(dups + star)} FROM {tname}'
+        else:
+            src = rng.choice(views) if views and rng.random() < 0.7 else tname
+            sql = f'SELECT * FROM {src}'
+        if sql is not None:
+            cur.execute(f'CREATE VIEW {vname} AS {sql}')
+        views.append(vname)
+    conn.commit()
+    conn.close()
+
+
 cases = []
 with tempfile.TemporaryDirectory() as td:
     for i in range(60):
@@ -341,6 +428,85 @@ with tempfile.TemporaryDirectory() as td:
             blob = f.read()
         cases.append({'db': base64.b64encode(blob).decode(),
                       'tables': tables, 'files': files})
+    # simple-projection view databases (cases 116-135)
+    for i in range(116, 136):
+        path = os.path.join(td, f'db{i}.sqlite')
+        enc = 'UTF-16le' if i % 5 == 0 else None
+        build_view_db(path, i, encoding=enc)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # view error family: sqlite raises at SELECT time → reference
+    # OperationalError → whole-db False (our refusal matches exactly)
+    view_err_ddls = [
+        # view over a missing table (creation succeeds; query raises)
+        ['CREATE TABLE t (a INTEGER)', 'INSERT INTO t VALUES (1)',
+         'CREATE VIEW vm AS SELECT * FROM missing'],
+        # circularly defined view
+        ['CREATE TABLE t (a INTEGER)', 'INSERT INTO t VALUES (1)',
+         'CREATE VIEW vc AS SELECT * FROM vc'],
+        # view over an EMPTY table: 0 rows → reference rows[0] IndexError
+        ['CREATE TABLE emptyb (a INTEGER)',
+         'CREATE VIEW ve AS SELECT a FROM emptyb'],
+        # spaced view name scrubs to nothing → no such table → False
+        ['CREATE TABLE t (a INTEGER)', 'INSERT INTO t VALUES (1)',
+         'CREATE VIEW [v w] AS SELECT * FROM t'],
+    ]
+    for k, ddl in enumerate(view_err_ddls):
+        path = os.path.join(td, f'viewerr{k}.sqlite')
+        conn = sqlite3.connect(path)
+        for stmt in ddl:
+            conn.execute(stmt)
+        conn.commit(); conn.close()
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # scrub-collide view: view "v x" scrubs to "vx" which names a TABLE —
+    # the reference reads THAT table under the raw view label (plus the
+    # view row itself resolving normally); fully supported, not an error
+    path = os.path.join(td, 'viewscrub.sqlite')
+    conn = sqlite3.connect(path)
+    for stmt in ['CREATE TABLE vx (z TEXT)', "INSERT INTO vx VALUES ('tbl')",
+                 'CREATE TABLE t2 (a INTEGER)', 'INSERT INTO t2 VALUES (5)',
+                 'CREATE VIEW [v x] AS SELECT * FROM t2']:
+        conn.execute(stmt)
+    conn.commit(); conn.close()
+    tables, files = reference_replay(path)
+    with open(path, 'rb') as f:
+        blob = f.read()
+    cases.append({'db': base64.b64encode(blob).decode(),
+                  'tables': tables, 'files': files})
+    # DEVIATION cases: views beyond the simple-projection subset — the
+    # REFERENCE executes them through sqlite3 and succeeds; the file-format
+    # reader refuses the whole db (documented deviation, narrowed to
+    # complex views). 'deviation': True → spec asserts extract == None
+    # while keeping the reference goldens on record.
+    dev_ddls = [
+        ['CREATE TABLE t (a INTEGER, b TEXT)', "INSERT INTO t VALUES (1,'x')",
+         'CREATE VIEW dv AS SELECT a FROM t WHERE a > 0'],
+        ['CREATE TABLE t (a INTEGER, b TEXT)', "INSERT INTO t VALUES (2,'y')",
+         'CREATE VIEW dv AS SELECT a + 1 AS n FROM t'],
+        ['CREATE TABLE t (a INTEGER)', 'INSERT INTO t VALUES (3)',
+         'CREATE VIEW dv AS SELECT DISTINCT a FROM t'],
+        ['CREATE TABLE t (a INTEGER)', 'INSERT INTO t VALUES (4)',
+         'CREATE VIEW dv AS SELECT count(*) AS n FROM t'],
+    ]
+    for k, ddl in enumerate(dev_ddls):
+        path = os.path.join(td, f'viewdev{k}.sqlite')
+        conn = sqlite3.connect(path)
+        for stmt in ddl:
+            conn.execute(stmt)
+        conn.commit(); conn.close()
+        tables, files = reference_replay(path)
+        assert files is not None  # the reference DOES extract these
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files, 'deviation': True})
     # error case: empty table → reference rows[0] IndexError → False
     path = os.path.join(td, 'empty.sqlite')
     conn = sqlite3.connect(path)
