@@ -274,8 +274,17 @@ object Sqlite {
     }
   }
 
+  /** Decode-relevant per-column DDL metadata beyond the name: the type
+    * affinity letter ('i'nteger / 't'ext / 'b'lob / 'r'eal / 'n'umeric,
+    * sqlite3AffinityType's substring rules), the DEFAULT literal (needed
+    * when a record predates an ALTER TABLE ADD COLUMN — sqlite backfills
+    * the default, NOT NULL), and the generated-column kind. */
+  private[sources] final case class ColMeta(name: String, affinity: Char,
+      dflt: Option[Dflt], virtualGen: Boolean, storedGen: Boolean)
+
   final case class TableDef(cols: Vector[String], ipk: Option[Int],
-      withoutRowid: Boolean, pkCols: Vector[String])
+      withoutRowid: Boolean, pkCols: Vector[String],
+      meta: Vector[ColMeta] = Vector.empty)
 
   /** First identifier token of a def/pk-list item: '"', '`', '\'', '['
     * quoting, else up to whitespace/'('. Returns (name, indexPastName). */
@@ -287,6 +296,329 @@ object Sqlite {
     case _ =>
       val tok = d.takeWhile(c => !c.isWhitespace && c != '(')
       (tok, tok.length)
+  }
+
+  /** DEFAULT clause literal, parsed from the DDL — exactly the constant
+    * domain `ALTER TABLE ADD COLUMN` accepts (probed on sqlite 3.40.1:
+    * non-constant defaults are rejected, so a SHORT record can only ever
+    * need one of these): NULL / TRUE / FALSE / 'string' / x'blob' /
+    * [+-]numeric, optionally parenthesized. Anything else → Unsupported,
+    * which throws only if a short record actually needs it (a db sqlite
+    * itself wrote never does). */
+  private[sources] sealed trait Dflt
+  private[sources] object Dflt {
+    case object DNull extends Dflt
+    case object DTrue extends Dflt
+    case object DFalse extends Dflt
+    final case class DStr(s: String) extends Dflt
+    final case class DBlob(hex: String) extends Dflt
+    /** Unsigned numeric token text + the unary-minus flag (sqlite keeps
+      * the token and prepends "-" when it doesn't fit int32). */
+    final case class DNum(tok: String, neg: Boolean) extends Dflt
+    case object DUnsupported extends Dflt
+  }
+
+  /** Column-def lexer (comment/quote-aware): bare words, sqlite numeric
+    * tokens (digits[.digits][e[±]digits], 0x hex — kept whole so DEFAULT
+    * literals survive), x'..' blob literals (q='x'), quoted idents,
+    * 'strings' (doubled-quote escape), one-char punctuation. */
+  private def lexDef(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    def isBare(c: Char) = c.isLetterOrDigit || c == '_' || c == '$' || c > 127
+    def quoted(q: Char, close: Char, dbl: Boolean): Unit = {
+      val sb = new StringBuilder
+      var j = i + 1
+      var done = false
+      while (j < n && !done) {
+        val d = s.charAt(j)
+        if (d == close) {
+          if (dbl && j + 1 < n && s.charAt(j + 1) == close) { sb.append(d); j += 2 }
+          else { done = true; j += 1 }
+        } else { sb.append(d); j += 1 }
+      }
+      out += Tok(sb.toString, q)
+      i = j
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') quoted('\'', '\'', dbl = true)
+      else if (c == '"') quoted('"', '"', dbl = true)
+      else if (c == '`') quoted('`', '`', dbl = true)
+      else if (c == '[') quoted('[', ']', dbl = false)
+      else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        val e = s.indexOf('\n', i); i = if (e < 0) n else e + 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2); i = if (e < 0) n else e + 2
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        // numeric token, sqlite tokenizer shape (a trailing 'e' with no
+        // digits is malformed SQL and can't occur in a valid DDL)
+        val sb = new StringBuilder
+        if (c == '0' && i + 1 < n && (s.charAt(i + 1) | 0x20) == 'x') {
+          sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2
+          while (i < n && isHex(s.charAt(i))) { sb.append(s.charAt(i)); i += 1 }
+        } else {
+          while (i < n && s.charAt(i).isDigit) { sb.append(s.charAt(i)); i += 1 }
+          if (i < n && s.charAt(i) == '.') {
+            sb.append('.'); i += 1
+            while (i < n && s.charAt(i).isDigit) { sb.append(s.charAt(i)); i += 1 }
+          }
+          if (i + 1 < n && (s.charAt(i) | 0x20) == 'e' &&
+              (s.charAt(i + 1).isDigit || (i + 2 < n &&
+                (s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-') &&
+                s.charAt(i + 2).isDigit))) {
+            sb.append(s.charAt(i)); i += 1
+            if (s.charAt(i) == '+' || s.charAt(i) == '-') { sb.append(s.charAt(i)); i += 1 }
+            while (i < n && s.charAt(i).isDigit) { sb.append(s.charAt(i)); i += 1 }
+          }
+        }
+        out += Tok(sb.toString, 'n')
+      } else if (isBare(c)) {
+        val sb = new StringBuilder
+        while (i < n && isBare(s.charAt(i))) { sb.append(s.charAt(i)); i += 1 }
+        val w = sb.toString
+        if ((w == "x" || w == "X") && i < n && s.charAt(i) == '\'') {
+          // blob literal x'hex' (no doubling inside: hex digits only)
+          val e = s.indexOf('\'', i + 1)
+          if (e < 0) { out += Tok(w, 0.toChar) }
+          else { out += Tok(s.substring(i + 1, e), 'x'); i = e + 1 }
+        } else out += Tok(w, 0.toChar)
+      } else { out += Tok(c.toString, 0.toChar); i += 1 }
+    }
+    out.result()
+  }
+
+  private def isHex(c: Char): Boolean =
+    c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** sqlite3AffinityType: substring rules over the declared type, in
+    * rule order; empty type → BLOB. */
+  private[sources] def affinityOf(typeName: String): Char = {
+    val t = typeName.toUpperCase(java.util.Locale.ROOT)
+    if (t.contains("INT")) 'i'
+    else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT")) 't'
+    else if (t.isEmpty || t.contains("BLOB")) 'b'
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) 'r'
+    else 'n'
+  }
+
+  /** Everything after the column name in one column def → ColMeta pieces:
+    * declared type (bare/quoted words up to a constraint keyword, plus an
+    * ignored `(args)`), DEFAULT literal, GENERATED ALWAYS AS / AS (expr)
+    * [STORED|VIRTUAL] (default VIRTUAL). */
+  private def colMetaOf(name: String, rest: String): ColMeta = {
+    val toks = lexDef(rest)
+    val stopKw = Set("primary", "not", "null", "unique", "check", "default",
+      "collate", "references", "generated", "as", "constraint")
+    var i = 0
+    val tn = new StringBuilder
+    var typeDone = false
+    while (!typeDone) toks.lift(i) match {
+      case Some(t) if (t.q == 0.toChar && t.s.nonEmpty && !t.s.forall(!_.isLetterOrDigit) &&
+          !stopKw.contains(t.s.toLowerCase(java.util.Locale.ROOT))) ||
+          t.q == '"' || t.q == '`' || t.q == '[' =>
+        if (tn.nonEmpty) tn.append(' ')
+        tn.append(t.s); i += 1
+      case Some(t) if t.q == 0.toChar && t.s == "(" && tn.nonEmpty =>
+        // type args like VARCHAR(10) / DECIMAL(10,5): skip to close
+        var depth = 0
+        var done = false
+        while (i < toks.length && !done) {
+          if (toks(i).q == 0.toChar && toks(i).s == "(") depth += 1
+          else if (toks(i).q == 0.toChar && toks(i).s == ")") { depth -= 1; done = depth == 0 }
+          i += 1
+        }
+        typeDone = true
+      case _ => typeDone = true
+    }
+    var dflt: Option[Dflt] = None
+    var virtualGen = false
+    var storedGen = false
+    def skipParens(): Unit = {
+      var depth = 0
+      var done = false
+      while (i < toks.length && !done) {
+        if (toks(i).q == 0.toChar && toks(i).s == "(") depth += 1
+        else if (toks(i).q == 0.toChar && toks(i).s == ")") { depth -= 1; done = depth == 0 }
+        i += 1
+      }
+    }
+    def bare(k: Int): String = toks.lift(k) match {
+      case Some(t) if t.q == 0.toChar => t.s.toLowerCase(java.util.Locale.ROOT)
+      case _ => ""
+    }
+    def generatedTail(): Unit = {
+      skipParens()
+      bare(i) match {
+        case "stored" => storedGen = true; i += 1
+        case "virtual" => virtualGen = true; i += 1
+        case _ => virtualGen = true // default kind
+      }
+    }
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.q == 0.toChar) t.s.toLowerCase(java.util.Locale.ROOT) match {
+        case "(" => skipParens() // CHECK(...) etc.
+        case "default" =>
+          i += 1
+          val paren = bare(i) == "("
+          if (paren) i += 1
+          var neg = false
+          if (bare(i) == "-") { neg = true; i += 1 }
+          else if (bare(i) == "+") i += 1
+          val lit: Dflt = toks.lift(i) match {
+            case Some(Tok(s, '\'')) => i += 1; Dflt.DStr(s)
+            case Some(Tok(h, 'x')) => i += 1; Dflt.DBlob(h)
+            case Some(Tok(s, 'n')) => i += 1; Dflt.DNum(s, neg)
+            case Some(Tok(s, q)) if q == 0.toChar && !neg =>
+              i += 1
+              s.toLowerCase(java.util.Locale.ROOT) match {
+                case "null" => Dflt.DNull
+                case "true" => Dflt.DTrue
+                case "false" => Dflt.DFalse
+                case _ => Dflt.DUnsupported
+              }
+            case _ => i += 1; Dflt.DUnsupported
+          }
+          dflt = Some(
+            if (paren) {
+              if (bare(i) == ")") { i += 1; lit } else { skipParens(); Dflt.DUnsupported }
+            } else lit)
+        case "generated" =>
+          i += 1
+          if (bare(i) == "always") i += 1
+          if (bare(i) == "as") { i += 1; generatedTail() }
+        case "as" =>
+          i += 1
+          if (bare(i) == "(") generatedTail()
+        case _ => i += 1
+      } else i += 1
+    }
+    ColMeta(name, affinityOf(tn.toString), dflt, virtualGen, storedGen)
+  }
+
+  /** sqlite3GetInt32 (EP_IntValue gate): decimal ≤10 digits after leading
+    * zeros, value ≤ 2147483647 (the sign lives outside the token); hex
+    * 0x…, ≤8 significant digits, high bit clear. */
+  private def getInt32(tok: String): Option[Long] = {
+    if (tok.length > 1 && (tok.charAt(1) | 0x20) == 'x') {
+      val h = tok.substring(2).dropWhile(_ == '0')
+      if (h.isEmpty) Some(0L)
+      else if (h.length > 8 || !h.forall(isHex)) None
+      else {
+        val v = java.lang.Long.parseLong(h, 16)
+        if ((v & 0x80000000L) != 0) None else Some(v)
+      }
+    } else if (tok.nonEmpty && tok.forall(_.isDigit)) {
+      val d = tok.dropWhile(_ == '0')
+      if (d.length > 10) None
+      else {
+        val v = if (d.isEmpty) 0L else d.toLong
+        if (v > 2147483647L) None else Some(v)
+      }
+    } else None
+  }
+
+  /** sqlite's isspace set (space \t \n \v \f \r) — NOT Unicode. */
+  private def sqliteSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  /** sqlite3Atoi64 full-string parse: optional surrounding sqlite-space,
+    * optional sign, ≥1 digit, fits i64. */
+  private def atoi64Full(z: String): Option[Long] = {
+    val s = z.dropWhile(sqliteSpace).reverse.dropWhile(sqliteSpace).reverse
+    if (s.isEmpty) return None
+    val (neg, digits) = s.charAt(0) match {
+      case '-' => (true, s.substring(1))
+      case '+' => (false, s.substring(1))
+      case _ => (false, s)
+    }
+    if (digits.isEmpty || !digits.forall(_.isDigit)) return None
+    try {
+      val v = BigInt(digits)
+      val signed = if (neg) -v else v
+      if (signed >= BigInt(Long.MinValue) && signed <= BigInt(Long.MaxValue))
+        Some(signed.toLong)
+      else None
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** sqlite3AtoF full-string validity + value: optional surrounding
+    * sqlite-space, [+-]? digits [. digits] [e[+-]digits], ≥1 mantissa
+    * digit ('5e' / 'inf' / '0x10' are NOT numeric; '1e999' → Infinity). */
+  private def atofFull(z: String): Option[Double] = {
+    val s = z.dropWhile(sqliteSpace).reverse.dropWhile(sqliteSpace).reverse
+    if (s.isEmpty) return None
+    val body = if (s.charAt(0) == '-' || s.charAt(0) == '+') s.substring(1) else s
+    val m = java.util.regex.Pattern
+      .compile("(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")
+      .matcher(body)
+    if (!m.matches()) return None
+    try Some(java.lang.Double.parseDouble(s))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** applyNumericAffinity + vdbeIntegerAffinity: full-valid integer text
+    * → int (exact, no float round-trip); else full-valid real → int only
+    * if lossless in i64 range (strict 2^63 bounds); not numeric → the
+    * string stays. aff 'r' realifies ints (REAL columns present ints as
+    * reals). */
+  private def numericAffinity(z: String, aff: Char): PyVal =
+    atofFull(z) match {
+      case None => PyStr(z)
+      case Some(r) =>
+        atoi64Full(z) match {
+          case Some(i) => if (aff == 'r') PyFloat(i.toDouble) else PyInt(i)
+          case None =>
+            if (aff != 'r' && r == math.rint(r) &&
+                r > -9223372036854775808.0 && r < 9223372036854775808.0)
+              PyInt(r.toLong)
+            else PyFloat(r)
+        }
+    }
+
+  /** sqlite3ValueFromExpr + applyAffinity for the DEFAULT backfill of a
+    * short record (probed on 3.40.1, see the corpus defaults family):
+    * TRUE/FALSE and x'' blobs skip affinity entirely; int32-fitting
+    * numeric tokens (incl. hex, leading zeros) become ints FIRST, so
+    * TEXT DEFAULT 007 → '7' while TEXT DEFAULT 0x7fffffffffffffff keeps
+    * the raw token; larger tokens live as the "-"-prefixed token STRING
+    * and only then meet the affinity; numeric tokens under BLOB affinity
+    * get NUMERIC affinity instead (DEFAULT 7 on a typeless column → 7). */
+  private[sources] def evalDefault(d: Dflt, aff: Char): PyVal = d match {
+    case Dflt.DNull => PyNull
+    case Dflt.DTrue => PyInt(1)
+    case Dflt.DFalse => PyInt(0)
+    case Dflt.DBlob(hex) =>
+      // blob value, rendered like every other blob here: json_serial
+      // base64 text (valid DDL guarantees an even hex-digit count)
+      val bs = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      PyStr(java.util.Base64.getEncoder.encodeToString(bs))
+    case Dflt.DStr(s) => aff match {
+      case 'n' | 'i' | 'r' => numericAffinity(s, aff)
+      case _ => PyStr(s) // TEXT keeps it; BLOB affinity is a no-op
+    }
+    case Dflt.DNum(tok, neg) =>
+      val a = if (aff == 'b') 'n' else aff
+      getInt32(tok) match {
+        case Some(v0) =>
+          val v = if (neg) -v0 else v0
+          a match {
+            case 't' => PyStr(v.toString)
+            case 'r' => PyFloat(v.toDouble)
+            case _ => PyInt(v)
+          }
+        case None =>
+          val z = (if (neg) "-" else "") + tok
+          a match {
+            case 'n' | 'i' | 'r' => numericAffinity(z, a)
+            case _ => PyStr(z)
+          }
+      }
+    case Dflt.DUnsupported =>
+      throw new IllegalArgumentException("short record needs a non-constant DEFAULT")
   }
 
   /** CREATE TABLE text → column names in declared order, the INTEGER
@@ -336,6 +668,7 @@ object Sqlite {
     if (cur.nonEmpty) defs += cur.toString
     val constraintKw = Set("primary", "unique", "check", "foreign", "constraint")
     val cols = Vector.newBuilder[String]
+    val metaB = Vector.newBuilder[ColMeta]
     var ipk: Option[Int] = None
     var colPk: Option[String] = None    // column-level PRIMARY KEY column
     var tablePk: Vector[String] = Vector.empty // PRIMARY KEY(a, b, ...) order
@@ -349,6 +682,7 @@ object Sqlite {
       }
       if (isCol) {
         cols += name
+        metaB += colMetaOf(name, d.substring(math.min(d.length, nameEnd)))
         val toks = d.substring(math.min(d.length, nameEnd)).trim
           .toLowerCase(java.util.Locale.ROOT).split("\\s+").toVector
         val ki = toks.sliding(2).indexWhere(_ == Vector("primary", "key"))
@@ -406,7 +740,8 @@ object Sqlite {
       tail.sliding(2).contains(Vector("without", "rowid"))
     val pk = if (tablePk.nonEmpty) tablePk else colPk.toVector
     // WITHOUT ROWID has no rowid: the INTEGER PRIMARY KEY alias is void
-    TableDef(cols.result(), if (withoutRowid) None else ipk, withoutRowid, pk)
+    TableDef(cols.result(), if (withoutRowid) None else ipk, withoutRowid, pk,
+      metaB.result())
   }
 
   /** SELECT * FROM [name]: column names from the DDL, rows in storage
@@ -417,6 +752,35 @@ object Sqlite {
     val db = new Db(bytes)
     val td = parseTableDef(m.sql)
     val cols = td.cols
+    // VIRTUAL generated columns are computed by the SELECT, not stored in
+    // the record — the reference gets sqlite to evaluate the expression,
+    // which a file-format reader cannot: refuse the whole db (DOCUMENTED
+    // DEVIATION; silently emitting NULLs — or worse, misaligning the
+    // record — would be wrong data). STORED generated columns ARE in the
+    // record at their declared position and read like any other column.
+    if (td.meta.exists(_.virtualGen))
+      throw new IllegalArgumentException(s"table ${m.name} has VIRTUAL generated columns")
+    // ALTER TABLE ADD COLUMN leaves pre-existing records SHORT: sqlite
+    // backfills the column's DEFAULT (valueFromExpr + affinity), not NULL
+    def backfill(declIdx: Int): PyVal = td.meta.lift(declIdx) match {
+      case Some(cm) => cm.dflt.map(evalDefault(_, cm.affinity)).getOrElse(PyNull)
+      case None => PyNull
+    }
+    // REAL-affinity columns store integral values with INTEGER serial
+    // types (fileformat2 §Record Format) and sqlite presents them back
+    // as floats: SELECT on `c REAL` holding 1.0 returns 1.0, but the
+    // record says int 1 — realify on read
+    val realIdx = td.meta.zipWithIndex.collect {
+      case (cm, k) if cm.affinity == 'r' => k
+    }
+    def realify(row: Vector[PyVal]): Vector[PyVal] =
+      if (realIdx.isEmpty) row
+      else realIdx.foldLeft(row) { (r, k) =>
+        r.lift(k) match {
+          case Some(PyInt(v)) => r.updated(k, PyFloat(v.toDouble): PyVal)
+          case _ => r
+        }
+      }
     val rows = if (td.withoutRowid) {
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
       require(td.pkCols.nonEmpty, "WITHOUT ROWID table with no detectable PK")
@@ -428,19 +792,20 @@ object Sqlite {
       val rest = cols.indices.filterNot(pkIdx.toSet)
       val recOrder = pkIdx ++ rest // record position k holds declared col recOrder(k)
       db.walkIndex(m.rootpage).map { rec =>
-        val v = db.record(rec).padTo(cols.length, PyNull: PyVal)
+        val raw = db.record(rec)
         val out = Array.fill[PyVal](cols.length)(PyNull)
         recOrder.zipWithIndex.foreach { case (dIdx, k) =>
-          if (k < v.length) out(dIdx) = v(k)
+          out(dIdx) = if (k < raw.length) raw(k) else backfill(dIdx)
         }
-        out.toVector
+        realify(out.toVector)
       }
     } else db.walkTable(m.rootpage).map { case (rowid, rec) =>
       val v0 = db.record(rec)
-      // a record may have FEWER values than columns (ALTER TABLE ADD
-      // COLUMN): missing tail columns read as NULL... or the default —
-      // corpus sticks to full records; pad defensively
-      val v = v0.padTo(cols.length, PyNull: PyVal)
+      // short record (predates an ALTER ADD COLUMN): missing tail columns
+      // read as the column DEFAULT, NULL when none
+      val v = realify(
+        if (v0.length >= cols.length) v0
+        else v0 ++ (v0.length until cols.length).map(backfill))
       td.ipk match {
         case Some(i) if i < v.length => v.updated(i, PyInt(rowid): PyVal)
         case _ => v

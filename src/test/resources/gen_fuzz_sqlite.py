@@ -44,7 +44,11 @@ def rand_value(kind):
         return rng.choice([0, 1, -1, 127, -128, 32767, 2 ** 31, -2 ** 40,
                            2 ** 62, rng.randrange(-10 ** 6, 10 ** 6)])
     if kind == 'REAL':
+        # integral doubles exercise the IntReal record representation:
+        # REAL-affinity columns store them with INTEGER serial types and
+        # sqlite realifies on read (1.0 stores as int 1, reads as 1.0)
         return rng.choice([0.5, -2.25, 1e300, 3.141592653589793,
+                           1.0, -3.0, 1e15, 0.0,
                            rng.random() * 1000])
     if kind == 'BLOB':
         return bytes(rng.randrange(256) for _ in range(rng.choice([1, 7, 64, 900])))
@@ -345,6 +349,112 @@ def build_view_db(path, i, encoding=None):
     conn.close()
 
 
+def build_default_db(path, i, encoding=None):
+    """ALTER TABLE ADD COLUMN leaves pre-ALTER rows as SHORT records;
+    sqlite backfills the DEFAULT through valueFromExpr + column affinity.
+    The default pool is the full ALTER-legal constant domain incl. the
+    probed quirks: int32 (EP_IntValue) vs token-string routes, hex,
+    TRUE/FALSE/blob skipping affinity, numeric-token-on-BLOB-affinity →
+    NUMERIC, '1e999' → Infinity, FLOATING POINT's INT-substring affinity.
+    Mix of rowid and WITHOUT ROWID targets; post-ALTER inserts and
+    updates rewrite full records so both shapes coexist per table."""
+    DEFAULTS = [
+        "5", "-7", "+8", "007", "0x10", "-0x10", "0x7fffffffffffffff",
+        "2147483647", "2147483648", "-2147483649", "9223372036854775807",
+        "9223372036854775808", "9999999999999999999999", "2.5", "-2.5",
+        "1e3", "-1e3", ".5", "5.", "1.5e-3",
+        "'txt'", "'it''s'", "'2.5'", "'  5  '", "'5x'", "'0x10'", "'1e2'",
+        "'1e999'", "'-0'", "'+5'", "'9223372036854775808'", "''", "'中文'",
+        "x'00ff41'", "x''", "NULL", "TRUE", "FALSE", "true", "(5)",
+        "( -7 )", "('str')", "(x'ab')", "'\U0001F600'",
+    ]
+    TYPES = ['INTEGER', 'INT', 'TEXT', 'VARCHAR(10)', 'REAL', 'DOUBLE',
+             'BLOB', 'NUMERIC', 'DECIMAL(10,5)', '', 'FLOATING POINT']
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    if encoding:
+        cur.execute(f"PRAGMA encoding='{encoding}'")
+    cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
+    for t in range(rng.randint(1, 2)):
+        tname = f'dt{i}_{t}'
+        wr = rng.random() < 0.3
+        if wr:
+            cur.execute(f'CREATE TABLE {tname} '
+                        f'(k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID')
+            ins = lambda r: cur.execute(
+                f'INSERT INTO {tname} (k, v) VALUES (?, ?)',
+                (f'k{r}{rand_text()[:30]}', r))
+        else:
+            cur.execute(f'CREATE TABLE {tname} (v INTEGER, w TEXT)')
+            ins = lambda r: cur.execute(
+                f'INSERT INTO {tname} (v, w) VALUES (?, ?)',
+                (r, rand_text()[:60]))
+        pre = rng.choice([1, 3, 20])
+        for r in range(pre):
+            ins(r)
+        conn.commit()  # pre-ALTER records are now on disk, short forever
+        added = []
+        for a in range(rng.randint(1, 4)):
+            typ = rng.choice(TYPES)
+            dfl = rng.choice(DEFAULTS)
+            notnull = ''
+            if rng.random() < 0.15 and dfl.upper() not in ('NULL',):
+                notnull = ' NOT NULL'
+            try:
+                cur.execute(f'ALTER TABLE {tname} ADD COLUMN ad{a} {typ}'
+                            f'{notnull} DEFAULT {dfl}')
+                added.append(f'ad{a}')
+            except sqlite3.OperationalError:
+                pass  # e.g. NOT NULL + affinity-NULL default
+        # post-ALTER rows write FULL records
+        for r in range(pre, pre + rng.choice([0, 2, 8])):
+            ins(r)
+        if added and rng.random() < 0.4:
+            # an UPDATE rewrites the touched pre-ALTER record in full,
+            # materializing the defaults — mixed shapes in one table
+            cur.execute(f'UPDATE {tname} SET {added[0]} = {added[0]} '
+                        f'WHERE rowid % 4 = 1' if not wr else
+                        f'UPDATE {tname} SET v = v + 100 WHERE v % 4 = 1')
+    conn.commit()
+    conn.close()
+
+
+def build_stored_gen_db(path, i, encoding=None):
+    """STORED generated columns: the computed value lives in the record at
+    its declared position, so a file-format read returns it like any
+    plain column (sqlite evaluates the expression at WRITE time). Random
+    positions between plain columns; rowid and WITHOUT ROWID flavors;
+    integral REAL results exercise the IntReal record representation."""
+    conn = sqlite3.connect(path)
+    cur = conn.cursor()
+    if encoding:
+        cur.execute(f"PRAGMA encoding='{encoding}'")
+    cur.execute(f'PRAGMA page_size = {rng.choice([512, 1024, 4096])}')
+    for t in range(rng.randint(1, 2)):
+        tname = f'sg{i}_{t}'
+        gens = [
+            ('INTEGER GENERATED ALWAYS AS (a + 1) STORED'),
+            ('TEXT GENERATED ALWAYS AS (b || \'!\') STORED'),
+            ('AS (a * 2) STORED'),
+            ('REAL AS (a * 1.0) STORED'),      # integral real → IntReal
+            ('NUMERIC AS (length(b)) STORED'),
+        ]
+        rng.shuffle(gens)
+        picks = gens[:rng.randint(1, 3)]
+        cols = ['a INTEGER', 'b TEXT']
+        for gi, g in enumerate(picks):
+            cols.insert(rng.randrange(len(cols) + 1), f'g{gi} {g}')
+        wr = rng.random() < 0.3
+        pk = ', PRIMARY KEY (a)' if wr else ''
+        tail = ' WITHOUT ROWID' if wr else ''
+        cur.execute(f'CREATE TABLE {tname} ({", ".join(cols)}{pk}){tail}')
+        for r in range(rng.choice([1, 4, 25])):
+            cur.execute(f'INSERT INTO {tname} (a, b) VALUES (?, ?)',
+                        (r, rand_text()[:40]))
+    conn.commit()
+    conn.close()
+
+
 cases = []
 with tempfile.TemporaryDirectory() as td:
     for i in range(60):
@@ -497,6 +607,56 @@ with tempfile.TemporaryDirectory() as td:
     ]
     for k, ddl in enumerate(dev_ddls):
         path = os.path.join(td, f'viewdev{k}.sqlite')
+        conn = sqlite3.connect(path)
+        for stmt in ddl:
+            conn.execute(stmt)
+        conn.commit(); conn.close()
+        tables, files = reference_replay(path)
+        assert files is not None  # the reference DOES extract these
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files, 'deviation': True})
+    # ALTER-default databases (short records + DEFAULT backfill quirks)
+    for i in range(20):
+        path = os.path.join(td, f'dflt{i}.sqlite')
+        enc = ('UTF-16le' if i % 7 == 0 else
+               'UTF-16be' if i % 7 == 3 else None)
+        build_default_db(path, i, encoding=enc)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # STORED generated columns (values live in the records — supported)
+    for i in range(10):
+        path = os.path.join(td, f'sgen{i}.sqlite')
+        build_stored_gen_db(path, i,
+                            encoding='UTF-16le' if i == 5 else None)
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+    # DEVIATION: VIRTUAL generated columns — computed by the SELECT, not
+    # stored; the reference gets sqlite to evaluate the expression, a
+    # file-format reader cannot → whole-db refusal (silently emitting
+    # NULLs or misaligning the record would be wrong data)
+    vgen_ddls = [
+        ['CREATE TABLE t (a INT, v AS (a * 10) VIRTUAL, b TEXT)',
+         "INSERT INTO t (a, b) VALUES (3, 'x')"],
+        ['CREATE TABLE t (a INT, v INTEGER GENERATED ALWAYS AS (a + 1))',
+         'INSERT INTO t (a) VALUES (1), (2)'],
+        # VIRTUAL before a STORED column: the record skips v, so a naive
+        # DDL-order decode would misalign s — refusal is load-bearing
+        ['CREATE TABLE t (a INT, v AS (a), s INT AS (a * 2) STORED)',
+         'INSERT INTO t (a) VALUES (5)'],
+        # ALTER can add VIRTUAL (not STORED) generated columns
+        ['CREATE TABLE t (a INT)', 'INSERT INTO t VALUES (1)',
+         'ALTER TABLE t ADD COLUMN v INT AS (a + 7)'],
+    ]
+    for k, ddl in enumerate(vgen_ddls):
+        path = os.path.join(td, f'vgen{k}.sqlite')
         conn = sqlite3.connect(path)
         for stmt in ddl:
             conn.execute(stmt)

@@ -50,7 +50,7 @@ class SqliteSpec extends AnyFunSuite {
   }
 
   test("master order, column names, and row values match CPython sqlite3") {
-    assert(cases.size == 145)
+    assert(cases.size == 179)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       c.get("tables") match {
