@@ -73,6 +73,12 @@ object Sqlite {
       case 1 => UTF_8
       case 2 => java.nio.charset.StandardCharsets.UTF_16LE
       case 3 => java.nio.charset.StandardCharsets.UTF_16BE
+      // 0 = uninitialized: a freshly-created main file whose first schema
+      // write still sits in an unapplied -wal (the crawler extracts only
+      // the .db member). sqlite sets the field on first write and reads
+      // such a file as an empty UTF-8 database — so does CPython, so the
+      // master walk must proceed (it finds zero cells).
+      case 0 => UTF_8
       case e => throw new IllegalArgumentException(s"invalid text encoding $e")
     }
 

@@ -687,4 +687,118 @@ with tempfile.TemporaryDirectory() as td:
     cases.append({'db': base64.b64encode(blob).decode(),
                   'tables': None, 'files': None})
 
+    # ---- file-state family: WAL version bytes, auto_vacuum ptrmap pages,
+    # incremental_vacuum page relocation, ignored header fields. CPython
+    # sqlite3 (and so the reference) reads all of these transparently from
+    # the main file; the b-tree walk never touches ptrmap/freelist pages
+    # and the read/write version bytes don't gate a checkpointed file.
+
+    def emit(path):
+        tables, files = reference_replay(path)
+        with open(path, 'rb') as f:
+            blob = f.read()
+        cases.append({'db': base64.b64encode(blob).decode(),
+                      'tables': tables, 'files': files})
+
+    # WAL at rest: closing the connection checkpoints and removes the -wal;
+    # the main file keeps read/write version = 2
+    path = os.path.join(td, 'wal_rowid.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('PRAGMA journal_mode=WAL')
+    conn.execute('PRAGMA page_size=512')
+    conn.execute('CREATE TABLE wt (a INTEGER PRIMARY KEY, b TEXT, c REAL)')
+    conn.executemany('INSERT INTO wt VALUES (?,?,?)',
+                     [(i, rand_text(), i * 0.5) for i in range(1, 120)])
+    conn.commit(); conn.close()
+    assert open(path, 'rb').read(20)[18] == 2  # WAL read version persisted
+    emit(path)
+
+    path = os.path.join(td, 'wal_wr.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('PRAGMA encoding = "UTF-16be"')
+    conn.execute('PRAGMA journal_mode=WAL')
+    conn.execute('CREATE TABLE ww (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID')
+    conn.executemany('INSERT INTO ww VALUES (?,?)',
+                     [('k%03d' % i, rand_text()) for i in range(40)])
+    conn.commit(); conn.close()
+    emit(path)
+
+    # WAL with UNAPPLIED frames: the crawler extracts only the .db member,
+    # so the main file is all either reader sees — here the whole schema
+    # still lives in the -wal, so sqlite_master is EMPTY and the reference
+    # extracts zero chunk docs (extract_sqlite3's loop runs zero times →
+    # True). tables=[] / files={} pins that, NOT an error.
+    path = os.path.join(td, 'wal_unapplied.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('PRAGMA journal_mode=WAL')
+    conn.execute('CREATE TABLE hidden (a INTEGER)')
+    conn.execute('INSERT INTO hidden VALUES (42)')
+    conn.commit()
+    with open(path, 'rb') as f:
+        main_only = f.read()  # snapshot main file while -wal holds the schema
+    conn.close()
+    path2 = os.path.join(td, 'wal_unapplied_copy.sqlite')
+    with open(path2, 'wb') as f:
+        f.write(main_only)
+    emit(path2)
+
+    # auto_vacuum=FULL: ptrmap pages interleave with b-tree pages and the
+    # header's largest-root-btree field goes non-zero; deletes relocate
+    # tail pages into the freed slots (root pages can move)
+    for k, (enc, ps) in enumerate([(None, 512), (None, 1024),
+                                   ('UTF-16le', 512)]):
+        path = os.path.join(td, f'av_full{k}.sqlite')
+        conn = sqlite3.connect(path)
+        cur = conn.cursor()
+        if enc:
+            cur.execute(f'PRAGMA encoding = "{enc}"')
+        cur.execute('PRAGMA auto_vacuum=FULL')
+        cur.execute(f'PRAGMA page_size={ps}')
+        cur.execute('CREATE TABLE a1 (id INTEGER PRIMARY KEY, t TEXT)')
+        cur.execute('CREATE TABLE a2 (k TEXT PRIMARY KEY, n INTEGER) '
+                    'WITHOUT ROWID')
+        cur.executemany('INSERT INTO a1 VALUES (?,?)',
+                        [(i, rand_text()) for i in range(1, 150)])
+        cur.executemany('INSERT INTO a2 VALUES (?,?)',
+                        [('w%04d' % i, i * 7) for i in range(60)])
+        conn.commit()
+        cur.execute('DELETE FROM a1 WHERE id % 3 = 0')
+        cur.execute("DELETE FROM a2 WHERE n % 5 = 0 AND k != 'w0001'")
+        conn.commit(); conn.close()
+        import struct as _st
+        assert _st.unpack('>I', open(path, 'rb').read(56)[52:56])[0] != 0
+        emit(path)
+
+    # auto_vacuum=INCREMENTAL + PRAGMA incremental_vacuum: explicit page
+    # relocation sweep after bulk deletes
+    for k in range(2):
+        path = os.path.join(td, f'av_incr{k}.sqlite')
+        conn = sqlite3.connect(path)
+        cur = conn.cursor()
+        cur.execute('PRAGMA auto_vacuum=INCREMENTAL')
+        cur.execute('PRAGMA page_size=512')
+        cur.execute('CREATE TABLE big (a INTEGER PRIMARY KEY, t TEXT)')
+        cur.execute('CREATE TABLE keep (z TEXT)')
+        cur.executemany('INSERT INTO big VALUES (?,?)',
+                        [(i, 'pad' * (40 + i % 60)) for i in range(1, 200)])
+        cur.executemany('INSERT INTO keep VALUES (?)',
+                        [(rand_text(),) for _ in range(25)])
+        conn.commit()
+        cur.execute(f'DELETE FROM big WHERE a > {30 + 40 * k}')
+        conn.commit()
+        cur.execute('PRAGMA incremental_vacuum')
+        conn.commit(); conn.close()
+        emit(path)
+
+    # ignored header fields: application_id / user_version set
+    path = os.path.join(td, 'hdr_fields.sqlite')
+    conn = sqlite3.connect(path)
+    conn.execute('PRAGMA application_id=305419896')
+    conn.execute('PRAGMA user_version=7')
+    conn.execute('CREATE TABLE h (a TEXT)')
+    conn.executemany('INSERT INTO h VALUES (?)',
+                     [(rand_text(),) for _ in range(12)])
+    conn.commit(); conn.close()
+    emit(path)
+
 json.dump(cases, sys.stdout, ensure_ascii=True, separators=(',', ':'))

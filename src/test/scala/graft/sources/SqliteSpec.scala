@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 145-database differential for the pure-JDK SQLite reader (generator:
+/** 188-database differential for the pure-JDK SQLite reader (generator:
   * src/test/resources/gen_fuzz_sqlite.py, seed 0x511E; goldens from live
   * CPython sqlite3 through the reference's exact access pattern and chunk
   * replay). Covers page sizes 512-4096 (interior pages), overflow chains
@@ -32,10 +32,18 @@ import graft.rules.PyVal._
   * missing-table/circular/empty-base views fail whole-db like the
   * reference's OperationalError; complex views — WHERE/expression/
   * DISTINCT/aggregate — are 'deviation': True cases where the reference
-  * extracts but the file-format reader refuses), and the empty-table
+  * extracts but the file-format reader refuses), the empty-table
   * error cases (reference's rows[0] IndexError → extraction False →
   * None; rowid and WR flavors, plus a DELETE-emptied WR table
-  * mid-corpus). */
+  * mid-corpus), and the file-state family (last 9 cases): WAL databases
+  * at rest (read/write version = 2, checkpointed main file), a WAL main
+  * file copied with UNAPPLIED frames (sqlite_master empty → zero chunk
+  * docs extracted, True like the reference's zero-iteration loop),
+  * auto_vacuum=FULL (ptrmap pages interleaved, non-zero largest-root-
+  * btree header, delete-relocated pages; rowid+WR+UTF-16), auto_vacuum=
+  * INCREMENTAL after `PRAGMA incremental_vacuum` (explicit page
+  * relocation sweep), and set-but-ignored application_id/user_version
+  * header fields. */
 class SqliteSpec extends AnyFunSuite {
 
   private lazy val cases: Vector[PyObj] = {
@@ -50,7 +58,7 @@ class SqliteSpec extends AnyFunSuite {
   }
 
   test("master order, column names, and row values match CPython sqlite3") {
-    assert(cases.size == 179)
+    assert(cases.size == 188)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       c.get("tables") match {
