@@ -1,0 +1,334 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import graft.rules.PyVal
+import graft.rules.PyVal._
+
+/** Byte-exact replica of the reference's evidence renderer
+  * `Slice(...).text` (/root/reference/filecrawler/libs/slice.py:15-231) —
+  * the `filtered_content` string attached to every git-source doc with
+  * credentials (crawlerbase.py:476-480; the regular-file call site is
+  * commented out at crawlerbase.py:624-628 and the alert-path instance at
+  * :704-715 always renders empty because the shadowed `k` in its findings
+  * filter compares a finding fingerprint against a rule id). `filtered_file`
+  * in the credentials index is this text truncated to 50 lines
+  * (cmd/elastic.py:261-263).
+  *
+  * The reference builds an ANSI-colored table and `.text` strips the codes
+  * back out (slice.py:121-123, escape_ansi :225-231) — but the coloring
+  * leaves visible fingerprints, so the replica replays the WHOLE pipeline
+  * and strips at the end, exactly like CPython:
+  *   - finding strings are wrapped in literal `{R}...{GR}` markers BEFORE
+  *     `Color.s` tokenization (slice.py:28-31), so findings matching marker
+  *     fragments (e.g. "R}") or Color tokens in user content ("{W}", "{+}")
+  *     mutate the text in ways that survive the final strip;
+  *   - `format_line` (slice.py:129-188) measures the 200-column wrap
+  *     threshold on the COLORED line (highlight codes shorten the visible
+  *     wrap point), expands chunks by visible length, and snaps chunk ends
+  *     out of ANSI codes; its exception path returns the line without the
+  *     `{GR}`/`{W}` wrap (reached e.g. when a >=200-char line strips to
+  *     whitespace);
+  *   - the context window is asymmetric: `_line_filter` stores 0-based
+  *     `(i-5, i+5)` bounds but `is_valid` compares them against 1-based
+  *     line numbers (slice.py:47-57,190-197) => 6 lines before each hit,
+  *     4 after; `is_dot` emits the "..." row only at exactly
+  *     `line == bs - 1` (slice.py:199-209);
+  *   - `_get_findings` (slice.py:89-119) sorts highlight strings by the
+  *     STRING key `"{0|1}_{i}_{field}"` — match fields last, but finding
+  *     index 10 sorts before 2 — and drops non-str values plus the
+  *     fingerprint/severity/entropy fields.
+  * All lengths/indices are code-point based (CPython str), not UTF-16.
+  */
+object SliceText {
+
+  // ---- Color.s replica (libs/color.py:27-47,84-91): ordered replaces ----
+
+  private val Replacements = Vector(
+    "{+}" -> "{W}{D}[{W}{G}+{W}{D}]{W}",
+    "{!}" -> "{O}[{R}!{O}]{W}",
+    "{?}" -> "{W}{D}[{W}{C}?{W}{D}]{W}",
+    "{*}" -> "{W}[{B}*{W}]")
+
+  private val Colors = Vector(
+    "{W}" -> "\u001b[0m", "{R}" -> "\u001b[31m", "{G}" -> "\u001b[32m",
+    "{O}" -> "\u001b[33m", "{B}" -> "\u001b[34m", "{P}" -> "\u001b[35m",
+    "{C}" -> "\u001b[36m", "{GR}" -> "\u001b[38;5;247m", "{D}" -> "\u001b[2m")
+
+  private[operators] def colorS(t: String): String = {
+    var out = t
+    Replacements.foreach { case (k, v) => out = out.replace(k, v) }
+    Colors.foreach { case (k, v) => out = out.replace(k, v) }
+    out
+  }
+
+  // ---- escape_ansi (slice.py:225-231) ----
+
+  private val AnsiRe =
+    java.util.regex.Pattern.compile("(\u009B|\u001b\\[)[0-?]*[ -/]*[@-~]")
+
+  private[operators] def escapeAnsi(s: String): String =
+    if (s == null) "" else AnsiRe.matcher(s).replaceAll("")
+
+  // ---- CPython str helpers (code-point semantics) ----
+
+  private def pySpace(cp: Int): Boolean =
+    cp <= 0xffff && Email.pySpace(cp.toChar)
+
+  private def cps(s: String): Array[Int] = s.codePoints().toArray
+
+  private def mk(cp: Array[Int], a: Int, b: Int): String =
+    new String(cp, a, b - a)
+
+  /** Python slice s[a:b]: negative indices wrap, bounds clamp. */
+  private def pySlice(cp: Array[Int], a0: Int, b0: Int): String = {
+    val n = cp.length
+    var a = if (a0 < 0) n + a0 else a0
+    var b = if (b0 < 0) n + b0 else b0
+    if (a < 0) a = 0
+    if (b > n) b = n
+    if (a >= n || b <= a) "" else mk(cp, a, b)
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** str.rjust(n) with space fill (code-point width). */
+  private def rjust(s: String, n: Int): String = {
+    val len = cpLen(s)
+    if (len >= n) s else (" " * (n - len)) + s
+  }
+
+  /** Python `sorted` string order = code-point lexicographic. */
+  private def pyLt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  private def pyStripStr(s: String): String = {
+    val cp = cps(s)
+    var a = 0
+    var z = cp.length
+    while (a < z && pySpace(cp(a))) a += 1
+    while (z > a && pySpace(cp(z - 1))) z -= 1
+    mk(cp, a, z)
+  }
+
+  // ---- _get_findings (slice.py:89-119), dict branch ----
+  // The git call site always passes `detect` (a dict); the list branch is
+  // reachable only from the dead alert-path instance.
+
+  private[operators] def getFindings(credentials: PyVal): Vector[String] = {
+    val lst: Vector[PyObj] = credentials match {
+      case PyObj(entries) =>
+        entries.flatMap { case (_, d0) =>
+          d0 match {
+            case o: PyObj =>
+              o.get("findings") match {
+                case Some(PyArr(fs)) =>
+                  // isinstance(l0, dict) guards emission but l0.items() is
+                  // evaluated first — a non-dict finding raises in CPython.
+                  fs.map {
+                    case f: PyObj => f
+                    case other => throw new IllegalArgumentException(
+                      s"reference raises on non-dict finding: $other")
+                  }
+                case None => Vector.empty // .get default [] only when absent
+                case Some(PyStr(_)) => Vector.empty // iterates chars; filtered
+                case Some(_: PyObj) => Vector.empty // iterates keys; filtered
+                case Some(other) => throw new IllegalArgumentException(
+                  s"reference raises iterating findings=$other")
+              }
+            case _ => throw new IllegalArgumentException(
+              "reference raises on non-dict rule value (d0.get)")
+          }
+        }
+      case _ => Vector.empty
+    }
+    val keyed = for {
+      (l0, i) <- lst.zipWithIndex
+      (k, v) <- l0.v
+      if k != "fingerprint" && k != "severity" && k != "entropy"
+      s <- v match { case PyStr(x) => Some(x); case _ => None }
+    } yield (s"${if (k == "match") 1 else 0}_${i}_$k", s)
+    keyed.sortWith((a, b) => pyLt(a._1, b._1)).map(_._2)
+      .filter(s => pyStripStr(s) != "")
+  }
+
+  // ---- format_line_number (slice.py:211-223); only int / "..." reached ----
+
+  private def fmtNumInt(n: Int, mc: Int): String = {
+    val m = if (mc > 3) mc else 3
+    "{O}{D}" + rjust(n.toString, m)
+  }
+
+  private def fmtNumDots(mc: Int): String = {
+    val m = if (mc > 3) mc else 3
+    "{GR}" + rjust("...", m)
+  }
+
+  // ---- format_line (slice.py:129-188) ----
+
+  private[operators] def formatLine(text0: String, numberLine: Int): String = {
+    val tab = 2
+    val text = Email.pyRstrip(text0.replace("\t", "  ")) + " "
+    val maxCols = 200
+    val cp = cps(text)
+    if (cp.length < maxCols) return colorS("{GR}" + text + "{W}")
+    try {
+      val parts = ArrayBuffer[String]()
+      val escCp = cps(escapeAnsi(text))
+      var lead = 0
+      while (lead < escCp.length && pySpace(escCp(lead))) lead += 1
+      val diff = lead // len(escaped) - len(escaped.lstrip())
+      if (lead >= escCp.length)
+        throw new IndexOutOfBoundsException("lstrip()[0] of empty")
+      val firstCh = escCp(lead)
+      val idx = cp.indexOf(firstCh) // text.index: first occurrence anywhere
+      if (idx < 0) throw new IllegalStateException("ValueError")
+      val start = idx - diff
+      if (start > 0) parts += mk(cp, 0, start)
+      // ANSI spans as code-point offsets (UTF-16 offsets mapped through).
+      val u16ToCp = {
+        val m = new java.util.HashMap[Integer, Integer]()
+        var u = 0
+        var c = 0
+        while (u < text.length) {
+          m.put(u, c)
+          val x = text.codePointAt(u)
+          u += Character.charCount(x)
+          c += 1
+        }
+        m.put(text.length, c)
+        m
+      }
+      val ansiCodes = {
+        val buf = ArrayBuffer[(Int, Int)]()
+        val m = AnsiRe.matcher(text)
+        while (m.find()) buf += ((u16ToCp.get(m.start), u16ToCp.get(m.end)))
+        buf.toVector
+      }
+      var c = maxCols
+      var o = start
+      var size = maxCols
+      var firstLine = true
+      while (c <= cp.length) {
+        var p = pySlice(cp, o, c)
+        var brk = false
+        while (!brk && cpLen(escapeAnsi(p)) < size) {
+          c += 1
+          p = pySlice(cp, o, c)
+          if (o + c >= cp.length) brk = true
+        }
+        ansiCodes.find(a => a._1 <= c && c <= a._2).foreach { a => c = a._2 }
+        p = pySlice(cp, o, c)
+        if (firstLine) {
+          size = maxCols - diff - tab
+          firstLine = false
+        } else {
+          parts += (" \n" + (" " * (numberLine + diff + tab)))
+        }
+        o = c
+        c += size
+        parts += p
+      }
+      if (o < cp.length) {
+        parts += (" \n" + (" " * (numberLine + diff + tab)))
+        parts += pySlice(cp, o, cp.length)
+      }
+      colorS("{GR}" + parts.mkString + "{W}")
+    } catch {
+      case NonFatal(_) => text
+    }
+  }
+
+  // ---- is_valid / is_dot (slice.py:190-209); 1-based line numbers ----
+
+  private def isValid(filter: Vector[(Int, Int)], line: Int): Boolean =
+    filter.isEmpty ||
+      filter.exists(x => line >= x._1 && (x._2 == 0 || line <= x._2))
+
+  private def isDot(filter: Vector[(Int, Int)], line: Int): Boolean =
+    filter.nonEmpty && !isValid(filter, line) &&
+      filter.exists(x => x._1 != 0 && line == x._1 - 1)
+
+  private val Arrow =
+    " \u001b[38;5;52m=\u001b[38;5;88m=\u001b[38;5;124m=\u001b[38;5;160m=" +
+      "\u001b[38;5;196m> "
+
+  /** `Slice(file_path, fingerprint, content, credentials).text`.
+    * `credentials` is the dict handed to the constructor (the detect result
+    * holding the 'credentials' key); returns "" where the reference leaves
+    * `_table` empty (no creds / no findings / no highlighted line).
+    */
+  /** The git-doc call site composed end-to-end (crawlerbase.py:472-480):
+    * `lookup_credentials(content)` → `Slice(path_virtual, fingerprint,
+    * content, creds).text`; "" when no credentials detected. */
+  def fromContent(pathVirtual: String, fingerprint: String, content: String,
+      now: Long = graft.rules.Detector.FixedNowEpochSec): String =
+    graft.rules.Detector.lookupCredentials(content, now)
+      .map(c => text(pathVirtual, fingerprint, content, c)).getOrElse("")
+
+  def text(filePath: String, fingerprint: String, content0: String,
+      credentials: PyVal): String = {
+    val credsObj = credentials match {
+      case o: PyObj if o.v.nonEmpty => o
+      case _ => return ""
+    }
+    val inner = credsObj.get("credentials").getOrElse(PyObj.empty)
+    val findings = getFindings(inner)
+    if (findings.isEmpty) return ""
+
+    var content = content0.replace("\r", "")
+    findings.foreach { f => content = content.replace(f, "{R}" + f + "{GR}") }
+    content = colorS(content)
+
+    val lines = content.split("\n", -1)
+    val highlight = lines.indices
+      .filter(i => findings.exists(f => lines(i).contains(f)))
+    if (highlight.isEmpty) return ""
+
+    val nLines = lines.length
+    val filter: Vector[(Int, Int)] = highlight.map { i =>
+      val bs = math.max(i - 5, 0)
+      val ae = if (i + 5 > nLines) nLines else i + 5
+      (bs, ae)
+    }.toVector
+
+    val mc = nLines.toString.length
+    val dotLine = colorS("  {W}" + fmtNumDots(mc) + "{W}  ")
+    val c1Len = cpLen(escapeAnsi(dotLine))
+
+    val data = ArrayBuffer[String]()
+    var i = 0
+    while (i < nLines) {
+      if (isValid(filter, i + 1)) {
+        data += colorS(" {W}{O}{D}" + fmtNumInt(i + 1, mc) + "{GR}:{W}  ") +
+          formatLine(lines(i), c1Len)
+      } else if (isDot(filter, i + 1)) {
+        data += dotLine
+      }
+      i += 1
+    }
+    if (!isValid(filter, nLines)) data += dotLine
+
+    val sb = new StringBuilder
+    sb.append(Arrow).append(colorS("{W}{O}Id   {G}" + fingerprint + "{W}\n"))
+    val p1 = Arrow + colorS("{W}{O}File ")
+    val p2 = formatLine("{G}" + filePath + "{W}", cpLen(escapeAnsi(p1)))
+    sb.append(colorS(p1 + p2 + "\n"))
+    sb.append((255 to 232 by -1).map(k => s"\u001b[38;5;${k}m--").mkString)
+    sb.append(colorS("{W}\n"))
+    sb.append(data.mkString("\n"))
+    sb.append(colorS("\n{W}"))
+    escapeAnsi(sb.toString)
+  }
+}

@@ -570,6 +570,31 @@ object Detector {
     }
   }
 
+  /** ParserBase.lookup_credentials dict shape (parserbase.py:130-142 over
+    * RuleBase.detect, rulebase.py:179-197): rules in registry order,
+    * `{'credentials': {id: {'name': str(rule), 'findings': [finding dicts]}},
+    *  'has_credential': True}`; None when no rule fires. This is the exact
+    * object the reference hands to `Slice(...)` at crawlerbase.py:476. */
+  def lookupCredentials(text: String, now: Long = FixedNowEpochSec): Option[PyObj] = {
+    if (text == null) return None
+    val lText = text.toLowerCase(java.util.Locale.ROOT)
+    val found = kwAC.scan(lText)
+    val entries: Vector[(String, PyVal)] = rules.zipWithIndex.flatMap { case (rule, ri) =>
+      val ids = ruleKwIds(ri)
+      if (ids.isEmpty || !ids.exists(found.get)) None
+      else {
+        val ret = runRuleBody(rule, text, now)
+        if (ret.isEmpty) None
+        else Some(rule.id -> (PyObj(Vector(
+          "name" -> PyStr(rule.ruleName),
+          "findings" -> PyArr(ret.map(f => f: PyVal)))): PyVal))
+      }
+    }
+    if (entries.isEmpty) None
+    else Some(PyObj(Vector(
+      "credentials" -> PyObj(entries), "has_credential" -> PyBool(true))))
+  }
+
   private def optStr(d: PyObj, k: String): Option[String] = d.get(k).collect {
     case PyStr(s) => s
     case PyDate(s) => s

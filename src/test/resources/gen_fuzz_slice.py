@@ -1,0 +1,306 @@
+#!/usr/bin/env python3
+"""Golden generator for graft.operators.SliceText — runs the LIVE reference
+evidence renderer Slice(...).text (libs/slice.py) over a seeded corpus of
+(path, fingerprint, content, credentials) tuples and records the exact text.
+
+The corpus stresses every quirk the replica must keep: the {R}/{GR} marker
+round-trip through Color.s (tokens in user content get eaten, findings that
+look like marker fragments corrupt neighbours), the 6-before/4-after window
+off-by-one, the is_dot placement, the string-sorted finding keys (index 10
+before 2, match fields last), the 200-column ANSI-aware wrap including its
+IndexError fallback, and tab/rstrip/mc-width rendering details.
+
+Usage: python3 gen_fuzz_slice.py > fuzz_slice.json
+"""
+import sys, types, json, random
+
+sys.path.insert(0, '/root/reference')
+
+
+def stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+stub('tabulate', tabulate=lambda *a, **k: '')
+rq = stub('requests')
+rq.packages = types.SimpleNamespace(
+    urllib3=types.SimpleNamespace(disable_warnings=lambda: None))
+rq.exceptions = types.SimpleNamespace(ConnectionError=Exception)
+stub('elastic_transport', ConnectionError=type('CE', (Exception,), {}))
+stub('elasticsearch', Elasticsearch=object)
+stub('exrex', getone=lambda rx: 'a')
+g = stub('git')
+g.Repo = object
+g.Git = object
+g.exc = types.SimpleNamespace(GitError=Exception,
+                              InvalidGitRepositoryError=Exception,
+                              NoSuchPathError=Exception)
+stub('pimht')
+a2 = stub('ansi2image')
+a2.ansi2image = stub('ansi2image.ansi2image', Ansi2Image=object)
+
+from filecrawler.libs.slice import Slice  # noqa: E402
+
+rng = random.Random(0x51C3)
+
+WORDS = ['password', 'secret', 'token', 'config', 'deploy', 'users',
+         'SELECT', 'import', 'return', 'aws_key', 'gh_token', 'prod',
+         'café', 'naïve', '日本語', 'Ωmega', 'data', 'value', 'x']
+TOKENS = ['{W}', '{R}', '{G}', '{GR}', '{D}', '{+}', '{!}', '{?}', '{*}',
+          '{O}', '{Z}', '{', '}', '{{W}}']
+ANSI = ['\x1b[31m', '\x1b[0m', '\x1b[38;5;247m', '\x1b[2m', '\x9b31m']
+
+
+def rand_line(long=False):
+    n = rng.randint(180, 320) if long else rng.randint(0, 9)
+    parts = []
+    budget = n if long else n
+    while (sum(len(p) for p in parts) < budget) if long else (len(parts) < n):
+        r = rng.random()
+        if r < 0.62:
+            parts.append(rng.choice(WORDS))
+        elif r < 0.72:
+            parts.append(rng.choice(TOKENS))
+        elif r < 0.78:
+            parts.append(rng.choice(ANSI))
+        elif r < 0.84:
+            parts.append('\t')
+        elif r < 0.90:
+            parts.append(str(rng.randint(0, 99999)))
+        else:
+            parts.append(rng.choice([' ', '  ', '=', ':', ';', '"', "'"]))
+        if not long:
+            parts.append(' ' if rng.random() < 0.8 else '')
+    line = ''.join(parts)
+    if rng.random() < 0.12:
+        line = ' ' * rng.randint(1, 6) + line
+    if rng.random() < 0.12:
+        line = line + ' ' * rng.randint(1, 5)
+    return line
+
+
+def rand_content():
+    r = rng.random()
+    if r < 0.05:
+        nl = rng.randint(995, 1005)   # mc = 4 boundary
+    else:
+        nl = rng.randint(1, 40)
+    lines = [rand_line(long=(rng.random() < 0.10)) for _ in range(nl)]
+    s = '\n'.join(lines)
+    if rng.random() < 0.25:
+        # sprinkle \r (stripped before split)
+        pos = sorted(rng.sample(range(len(s) + 1), min(3, len(s) + 1)))
+        for p in reversed(pos):
+            s = s[:p] + '\r' + s[p:]
+    return s
+
+
+def pick_substr(content):
+    lines = [l for l in content.replace('\r', '').split('\n') if l.strip()]
+    if not lines:
+        return 'nohit'
+    line = rng.choice(lines)
+    if len(line) < 2:
+        return line
+    a = rng.randint(0, len(line) - 1)
+    b = rng.randint(a + 1, min(len(line), a + rng.randint(1, 24)))
+    return line[a:b]
+
+
+FIELDS = ['username', 'password', 'token', 'host', 'url', 'aws_access_key',
+          'domain', 'header', 'payload', 'zz_wide', 'Aa', '_x']
+
+
+def rand_finding(content):
+    f = {}
+    if rng.random() < 0.9:
+        f['match'] = pick_substr(content) if rng.random() < 0.75 else \
+            rng.choice(['ghp_' + 'a' * 36, 'R}', '{R', 'GR}', '...', 'm',
+                        '\x1b', 'no-such-text', '{W}'])
+    f['fingerprint'] = '%040x' % rng.getrandbits(160)
+    if rng.random() < 0.7:
+        f['severity'] = rng.choice([30, 50, 70, 100])
+    if rng.random() < 0.4:
+        f['entropy'] = round(rng.uniform(0, 5), 6)
+    for k in rng.sample(FIELDS, rng.randint(0, 4)):
+        r = rng.random()
+        if r < 0.55:
+            f[k] = pick_substr(content)
+        elif r < 0.7:
+            f[k] = rng.choice(['', ' ', '  \t ', ' '])
+        elif r < 0.85:
+            f[k] = rng.choice(['literal', 'tok{GR}en', 'user@host',
+                               'x' * rng.randint(1, 30)])
+        else:
+            f[k] = rng.choice([None, 42, 3.14, True, ['a', 'b'], {'n': 1}])
+    return f
+
+
+def rand_creds(content):
+    rules = {}
+    for _ in range(rng.randint(1, 4)):
+        rid = rng.choice(['aws-access-token', 'github-pat', 'url-creds',
+                          'http-auth-header', 'jwt', 'gitlab-pat'])
+        nf = rng.randint(0, 13 if rng.random() < 0.15 else 4)
+        rules[rid] = {
+            'name': 'Rule <%s>' % rid,
+            'findings': [rand_finding(content) for _ in range(nf)],
+        }
+    creds = {'credentials': rules}
+    if rng.random() < 0.9:
+        creds['has_credential'] = True
+    return creds
+
+
+def rand_path():
+    r = rng.random()
+    if r < 0.7:
+        segs = rng.randint(1, 5)
+        return '/'.join(rng.choice(WORDS) for _ in range(segs)) + \
+            rng.choice(['.txt', '.py', '.json', '.env', ''])
+    if r < 0.85:
+        return 'dir/{W}we{GR}ird/' + rng.choice(WORDS)
+    # >200 chars → File line wraps
+    return 'deep/' + '/'.join(rng.choice(WORDS) for _ in range(60))
+
+
+CASES = []
+
+
+def add(path, fp, content, creds):
+    try:
+        s = Slice(path, fp, content, creds)
+        CASES.append({'path': path, 'fp': fp, 'content': content,
+                      'creds': creds, 'text': s.text})
+    except Exception as e:  # record raisers separately (replica throws too)
+        CASES.append({'path': path, 'fp': fp, 'content': content,
+                      'creds': creds, 'raises': type(e).__name__})
+
+
+# ---- adversarial hand cases ----
+
+adv_content = 'line one SECRET here\nplain\n{W}tok SECRET\nx\ny\nz\nq\nw\ne\nr\nt\nSECRET at end'
+add('a/b.txt', 'fp1', adv_content,
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# finding that collides with the {R}/{GR} markers already inserted
+add('a', 'f', 'aaa R} bbb\nR}x\nccc',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'R}'}, {'match': 'bbb'}]}}})
+add('a', 'f', 'xx {R aa {R\nyy',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': '{R'}]}}})
+
+# user content with Color tokens / replacements
+add('p', 'f', '{+} start\nkey SECRET {W}hidden{GR}\n{!} alert {?} {*}',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# ANSI already present in content (escape_ansi measurement + final strip)
+add('p', 'f', 'pre \x1b[31mred\x1b[0m SECRET post\nnext',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# ≥200-char line that escapes to whitespace → format_line IndexError path
+add('p', 'f', 'hit SECRET\n' + '\x1b[31m' * 40 + '   ',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# first visible char also occurs inside an ANSI code ('m')
+add('p', 'f', 'SECRET\n\x1b[32m' + 'm' + 'x' * 250,
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# long wrapped line WITH highlight inside (ANSI-aware wrap)
+long_l = 'A' * 90 + ' SECRET ' + 'B' * 150 + ' SECRET ' + 'C' * 60
+add('p', 'f', long_l + '\ntail',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# tabs + leading whitespace on a long line (diff > 0)
+add('p', 'f', '    \tindent SECRET ' + 'z' * 220,
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# duplicate finding values → double {R} wrap
+add('p', 'f', 'dup SECRET dup\nother',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'SECRET', 'token': 'SECRET'}]}}})
+
+# substring findings, replacement order sensitivity
+add('p', 'f', 'nested SECRETKEY here\nmore SECRET',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'SECRET'}, {'token': 'SECRETKEY'}]}}})
+add('p', 'f', 'nested SECRETKEY here\nmore SECRET',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'SECRETKEY'}, {'token': 'SECRET'}]}}})
+
+# ≥10 findings → '0_10_*' sorts before '0_2_*'
+many = {'credentials': {'r': {'name': 'n', 'findings': [
+    {'match': 'w%d' % i, 'token': 't%d' % i} for i in range(12)]}}}
+add('p', 'f', '\n'.join('line w%d t%d x' % (i, i) for i in range(12)), many)
+
+# finding with newline (replace spans lines → never 'in line')
+add('p', 'f', 'ab\ncd\nef',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'ab\ncd'}, {'token': 'ef'}]}}})
+
+# whitespace-only / empty finding values dropped by strip filter
+add('p', 'f', 'x SECRET y',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'SECRET', 'username': '   ', 'password': ' '}]}}})
+
+# findings present but none occur in content → no table
+add('p', 'f', 'nothing here',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'absent'}]}}})
+
+# empty / missing credentials
+add('p', 'f', 'text', {})
+add('p', 'f', 'text', {'has_credential': False})
+add('p', 'f', 'text', {'credentials': {}})
+add('p', 'f', 'text',
+    {'credentials': {'r': {'name': 'n', 'findings': []}}})
+add('p', 'f', 'text', {'credentials': {'r': {'name': 'n'}}})
+add('p', 'f', 'text', {'credentials': {'r': {'name': 'n', 'findings': None}}})
+
+# fingerprint / path containing Color tokens (eaten by Color.s)
+add('{G}p{W}', '{W}fp{GR}tok', 'hit SECRET',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# very long path → File header line wraps
+add('root/' + 'seg{W}x/' * 40 + 'leaf.txt', 'fp', 'hit SECRET',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# hits on first and last lines (window clamps, trailing-dot suppression)
+add('p', 'f', 'SECRET first\n1\n2\n3\n4\n5\n6\n7\n8\n9\nSECRET last',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+add('p', 'f', '1\n2\n3\n4\n5\n6\n7\nSECRET\n8\n9\n10\n11\n12\n13\n14',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# exactly-6-line gap between hits → dot placement edge
+add('p', 'f', 'SECRET\n' + '\n'.join(str(i) for i in range(1, 12)) + '\nSECRET',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# \r stripping moves hits
+add('p', 'f', 'SEC\rRET on a line\nplain SECRET\r\nwin',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# astral plane content (code-point lengths)
+add('p', 'f', '🎉' * 120 + ' SECRET ' + '🎉' * 120 + '\nnext',
+    {'credentials': {'r': {'name': 'n', 'findings': [{'match': 'SECRET'}]}}})
+
+# non-ASCII field name sort + unicode values
+add('p', 'f', 'héllo wörld SECRET\nnaïve',
+    {'credentials': {'r': {'name': 'n', 'findings': [
+        {'match': 'SECRET', 'ünïcode': 'wörld', 'Zfield': 'héllo'}]}}})
+
+# ---- randomized cases ----
+
+for _ in range(300):
+    content = rand_content()
+    add(rand_path(), '%040x' % rng.getrandbits(160), content,
+        rand_creds(content))
+
+json.dump(CASES, sys.stdout, ensure_ascii=True)
+sys.stderr.write('cases: %d (raises: %d, empty: %d, nonempty: %d)\n' % (
+    len(CASES),
+    sum(1 for c in CASES if 'raises' in c),
+    sum(1 for c in CASES if c.get('text') == ''),
+    sum(1 for c in CASES if c.get('text'))))

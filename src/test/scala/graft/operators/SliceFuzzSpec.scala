@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 330-case differential vs the LIVE reference evidence renderer
+  * `Slice(...).text` (libs/slice.py — generator:
+  * src/test/resources/gen_fuzz_slice.py, seed 0x51C3): the {R}/{GR} marker
+  * round-trip (findings shaped like marker fragments, Color tokens in user
+  * content), the 6-before/4-after window off-by-one, is_dot placement,
+  * string-sorted finding keys (finding 10 before finding 2, match last),
+  * the 200-column ANSI-aware wrap incl. its exception fallback, astral
+  * code-point lengths, \r stripping, mc-width boundaries (1000+ lines),
+  * wrapped >200-char Id/File header paths, and empty/missing credential
+  * shapes. Cases where CPython raises (e.g. findings=None → TypeError on
+  * iteration) must throw here too.
+  */
+class SliceFuzzSpec extends AnyFunSuite {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_slice.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def str(o: PyObj, k: String): String =
+    o.get(k) match { case Some(PyStr(s)) => s; case other => fail(s"$k: $other") }
+
+  test("Slice.text matches the reference on all golden cases") {
+    assert(cases.size == 330)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val path = str(c, "path")
+      val fp = str(c, "fp")
+      val content = str(c, "content")
+      val creds = c.get("creds").getOrElse(fail(s"case $ci: no creds"))
+      c.get("raises") match {
+        case Some(PyStr(exc)) =>
+          try {
+            SliceText.text(path, fp, content, creds)
+            problems += s"case $ci: reference raises $exc, replica returned"
+          } catch { case _: Exception => () }
+        case _ =>
+          val want = str(c, "text")
+          val got =
+            try SliceText.text(path, fp, content, creds)
+            catch {
+              case e: Exception =>
+                problems += s"case $ci: replica threw ${e.getMessage}"
+                want
+            }
+          if (got != want) {
+            val d = (0 until math.min(got.length, want.length))
+              .find(i => got(i) != want(i)).getOrElse(math.min(got.length, want.length))
+            problems += s"case $ci (len got=${got.length} want=${want.length}) first diff @$d:\n" +
+              s" got ...${got.slice(math.max(0, d - 40), d + 40)}...\n" +
+              s" exp ...${want.slice(math.max(0, d - 40), d + 40)}..."
+          }
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(5).mkString("\n")}")
+  }
+
+  test("hand case: header + window + dots render exactly") {
+    val creds = PyObj(Vector("credentials" -> PyObj(Vector(
+      "rule-x" -> PyObj(Vector(
+        "name" -> PyStr("Rule X <rule-x>"),
+        "findings" -> PyArr(Vector(PyObj(Vector(
+          "match" -> PyStr("SECRET"),
+          "severity" -> PyInt(70),
+          "fingerprint" -> PyStr("ff")))))))))))
+    val content = (1 to 20).map(i => s"line $i").mkString("\n")
+      .replace("line 10", "has SECRET inside")
+    val out = SliceText.text("a/b.txt", "fp123", content, creds)
+    assert(out.contains("Id   fp123"))
+    assert(out.contains("File "))
+    assert(out.contains("has SECRET inside"))
+    // 6-before/4-after quirk: line 4 visible, line 3 is the dot row
+    assert(out.contains("   4:"))
+    assert(!out.contains("   3:"))
+    assert(out.contains("   14:") || out.contains("  14:"))
+    assert(!out.contains("  15:"))
+  }
+}

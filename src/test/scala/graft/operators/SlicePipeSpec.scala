@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 150-case differential for the COMPOSED detect→slice path —
+  * `SliceText.fromContent` vs the live reference's
+  * `ParserBase.lookup_credentials` + `Slice(...).text` (the exact
+  * crawlerbase.py:472-480 git-doc call site; generator:
+  * src/test/resources/gen_fuzz_slicepipe.py, seed 0x51CE, frozen
+  * 2026-01-01 clock). Pins the lookup_credentials dict shape (registry
+  * order, name/findings keys, has_credential) feeding the renderer, on
+  * real rule hits: aws (incl. secret+region pairing), github/gitlab
+  * tokens, jwt exp ladder, url-creds, basic-auth, http headers, plus
+  * no-detection → '' cases. */
+class SlicePipeSpec extends AnyFunSuite {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_slicepipe.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def str(o: PyObj, k: String): String =
+    o.get(k) match { case Some(PyStr(s)) => s; case other => fail(s"$k: $other") }
+
+  test("fromContent matches lookup_credentials + Slice on all golden cases") {
+    assert(cases.size == 150)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val want = str(c, "text")
+      val got = SliceText.fromContent(str(c, "path"), str(c, "fp"), str(c, "content"))
+      if (got != want) {
+        val d = (0 until math.min(got.length, want.length))
+          .find(i => got(i) != want(i)).getOrElse(math.min(got.length, want.length))
+        problems += s"case $ci (len got=${got.length} want=${want.length}) first diff @$d:\n" +
+          s" got ...${got.slice(math.max(0, d - 60), d + 60)}...\n" +
+          s" exp ...${want.slice(math.max(0, d - 60), d + 60)}..."
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(5).mkString("\n")}")
+  }
+}
