@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -239,6 +239,39 @@ object SparkEntry {
               lit(".example.com:8080/priv")))
           .otherwise(concat(lit("see https://"), col("dom"), lit(".example.com"))))
       Entities.credentialEntities(base.select(col("doc_id"), text.as("text")))
+    }),
+
+    // Evidence rendering end-to-end: the git-doc call site
+    // (crawlerbase.py:472-480) — lookup_credentials over a constructed
+    // corpus with planted AWS keys → Slice(...).text (filtered_content) →
+    // the credentials-index 50-line truncation (elastic.py:261-263,
+    // filtered_file). The corpus is built so ONLY the aws rule fires and
+    // every rendered line stays on format_line's simple path, making the
+    // whole window/dot/wrap pipeline replayable as a DuckDB oracle (the
+    // quirk paths are pinned by the 480-case live-reference fuzz specs).
+    // Per-row map, no shuffle; the renderer is executor-local.
+    "q_slice_text" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .as[(Long, String, String, Long)]
+        .map { case (id, source, lang, n) =>
+          def md5hex(x: String): String =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+          val bigL = (12 + n % 47).toInt
+          val h = if (id % 5 == 0) 6 else (1 + id % 3).toInt
+          val ps = (0 until h).map(k => ((id * 7 + k * 13) % bigL).toInt).toSet
+          val secret = "AKIA" + md5hex(s"s$id").substring(0, 16)
+            .toUpperCase(java.util.Locale.ROOT)
+          val content = (0 until bigL).map { j =>
+            if (ps(j)) s"cred $secret tail" else s"line $j of $source"
+          }.mkString("\n")
+          val fc = SliceText.fromContent(
+            s"/repos/demo/$source/cred.$lang", md5hex(s"fp$id"), content)
+          (id, fc, fc.split("\n", -1).take(50).mkString("\n"))
+        }
+        .toDF("doc_id", "filtered_content", "filtered_file")
     }),
 
     // The reference's WHOLE per-file dataflow as ONE DAG
@@ -1055,6 +1088,54 @@ object SparkEntry {
         |    path, lower(scheme || '://' || netloc || path) AS url
         |  FROM urls2)
         |SELECT * FROM eout UNION ALL SELECT * FROM uout""".stripMargin,
+
+    // Replays the construction rules + the reference's window arithmetic:
+    // hit line p (0-based) ⇒ stored bounds (max(p-5,0), min-ish p+5) compared
+    // against 1-BASED line numbers (slice.py:47-57,190-197) — 6 lines
+    // before, 4 after; dot rows one line before each window start and after
+    // a non-valid final line; 50-line head = elastic.py filtered_file.
+    "q_slice_text" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, lang,
+        |         12 + (n_chars % 47) AS L,
+        |         CASE WHEN doc_id % 5 = 0 THEN 6 ELSE 1 + (doc_id % 3) END AS H,
+        |         'AKIA' || upper(substr(md5('s' || doc_id), 1, 16)) AS secret,
+        |         md5('fp' || doc_id) AS fp,
+        |         '/repos/demo/' || source || '/cred.' || lang AS path
+        |  FROM documents),
+        |h AS (
+        |  SELECT *, list_transform(range(0, H), k -> (doc_id*7 + k*13) % L) AS ps
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, fp, path, L, ps,
+        |    list_filter(list_transform(range(1, L+1), i ->
+        |      CASE
+        |        WHEN len(list_filter(ps, q -> i >= greatest(q-5, 0)
+        |               AND i <= (CASE WHEN q+5 > L THEN L ELSE q+5 END))) > 0
+        |          THEN ' ' || lpad(i::VARCHAR, 3, ' ') || ':  ' ||
+        |               (CASE WHEN list_contains(ps, i-1)
+        |                     THEN 'cred ' || secret || ' tail'
+        |                     ELSE 'line ' || (i-1) || ' of ' || source END) || ' '
+        |        WHEN len(list_filter(ps, q -> greatest(q-5, 0) <> 0
+        |               AND i = greatest(q-5, 0) - 1)) > 0
+        |          THEN '  ...  '
+        |        ELSE NULL END), x -> x IS NOT NULL) AS body
+        |  FROM h),
+        |t AS (
+        |  SELECT doc_id,
+        |    ' ====> Id   ' || fp || chr(10) ||
+        |    ' ====> File ' || path || ' ' || chr(10) ||
+        |    repeat('-', 48) || chr(10) ||
+        |    array_to_string(
+        |      body || (CASE WHEN len(list_filter(ps, q -> L >= greatest(q-5, 0)
+        |                 AND L <= (CASE WHEN q+5 > L THEN L ELSE q+5 END))) > 0
+        |               THEN []::VARCHAR[] ELSE ['  ...  '] END),
+        |      chr(10)) || chr(10) AS filtered_content
+        |  FROM r)
+        |SELECT doc_id, filtered_content,
+        |  array_to_string(list_slice(string_split(filtered_content, chr(10)), 1, 50),
+        |                  chr(10)) AS filtered_file
+        |FROM t""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH scanned AS (
