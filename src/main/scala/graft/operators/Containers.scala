@@ -123,8 +123,10 @@ object Containers {
         case other => other
       }
     case "bz" | "bz2" =>
-      decompressSingle(name, bytes,
-        in => new BZip2CompressorInputStream(in, true))
+      // CPython BZ2File semantics: multi-stream, trailing garbage that
+      // fails to START a new stream is ignored; plausible-but-truncated
+      // trailing streams fail the whole container (ExtractSim.bunzipPy)
+      decompressSingleBytes(name, bytes, ExtractSim.bunzipPy)
     case "7z" => un7z(bytes)
     case "eml" =>
       Email.extractEml(if (virtualPath.nonEmpty) virtualPath else name,
@@ -139,6 +141,16 @@ object Containers {
         Member(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       })
     case _ => None // rar: required lib absent (reference parity)
+  }
+
+  /** ONE extraction level, no member recursion — the exact unit of the
+    * reference's `ContainerFile.extract()` + walk, and the unit the
+    * 255-case live-CPython differential pins (ContainerFuzzSpec). */
+  def expandOnce(name: String, bytes: Array[Byte]): Option[Seq[Member]] = {
+    val mime = Mime.sniffBytes(bytes)
+    if (!isContainer(name, mime)) None
+    else kindOf(name, mime).flatMap(kind => expand(kind, name, bytes))
+      .map(lastWins)
   }
 
   /** Recursive leaf expansion: the Spark-side analog of process_file's
@@ -193,33 +205,15 @@ object Containers {
     out.toByteArray
   }
 
+  // Central-directory-driven replay (commons-compress ZipFile over an
+  // in-memory channel) — the same access path CPython's ZipFile uses
+  // (EOCD search from the tail), so zips with prepended data extract and
+  // garbage raises (-> None, the reference's BadZipFile ->
+  // extract()=False). Name decode (EFS→utf-8 strict / cp437), duplicate
+  // overwrite, file/dir collision aborts, and component sanitization all
+  // replay CPython extractall through the simulated fs (see ExtractSim).
   private def unzip(bytes: Array[Byte]): Option[Seq[Member]] =
-    try {
-      // Central-directory-driven read (commons-compress ZipFile over an
-      // in-memory channel) — the same access path CPython's ZipFile uses
-      // (EOCD search from the tail), so zips with prepended data extract
-      // and garbage raises (-> None, the reference's BadZipFile ->
-      // extract()=False). The old ZipInputStream walk read sequential
-      // local headers instead: silent empty results on garbage, missed
-      // central-directory-only entries, divergent member sets on
-      // mismatched local headers (r3 advice). No streaming fallback on
-      // purpose: where the central directory is broken the reference
-      // FAILS, so succeeding via local headers would diverge.
-      val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
-        .setSeekableByteChannel(
-          new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes))
-        .get()
-      try {
-        val out = Vector.newBuilder[Member]
-        val en = zf.getEntries // central-directory order = infolist() order
-        while (en.hasMoreElements) {
-          val e = en.nextElement()
-          if (!e.isDirectory)
-            out += Member(cleanPath(e.getName), readAll(zf.getInputStream(e)))
-        }
-        Some(out.result())
-      } finally zf.close()
-    } catch { case _: Throwable => None }
+    ExtractSim.extractZip(bytes)
 
   private def untar(bytes: Array[Byte]): Option[Seq[Member]] =
     try {
@@ -241,17 +235,16 @@ object Containers {
     try untarStream(new ByteArrayInputStream(raw))
     catch { case _: Throwable => None }
 
+  // CPython TarFile.extractall replay: entries stream through ISO-8859-1
+  // (byte-transparent) and re-decode utf-8+surrogateescape; symlink/
+  // hardlink aliasing, the order-dependent '..' makedirs quirk, and the
+  // crawl walk all run through the simulated fs (see ExtractSim). Garbage
+  // that commons-compress rejects throws -> None (tarfile.open ReadError);
+  // a VALID empty tar extracts to zero members like the reference's
+  // zero-iteration walk.
   private def untarStream(in: InputStream): Option[Seq[Member]] = {
-    val tin = new TarArchiveInputStream(in)
-    val out = Vector.newBuilder[Member]
-    var any = false
-    var e = tin.getNextEntry
-    while (e != null) {
-      any = true
-      if (e.isFile) out += Member(cleanPath(e.getName), readAll(tin))
-      e = tin.getNextEntry
-    }
-    if (any) Some(out.result()) else None // tarfile.open raises on non-tar
+    val entries = ExtractSim.readTarEntries(in)
+    ExtractSim.extractTarEntries(entries)
   }
 
   private def un7z(bytes: Array[Byte]): Option[Seq[Member]] =
@@ -277,8 +270,13 @@ object Containers {
 
   private def decompressSingle(name: String, bytes: Array[Byte],
       wrap: InputStream => InputStream): Option[Seq[Member]] =
+    decompressSingleBytes(name, bytes,
+      b => readAll(wrap(new ByteArrayInputStream(b))))
+
+  private def decompressSingleBytes(name: String, bytes: Array[Byte],
+      decomp: Array[Byte] => Array[Byte]): Option[Seq[Member]] =
     try {
-      val data = readAll(wrap(new ByteArrayInputStream(bytes)))
+      val data = decomp(bytes)
       // containerfile.py:411/:444: name.replace(f'.{path.suffix}', '') —
       // suffix already starts with '.', so the needle is '..gz'/'..bz2' and
       // the strip is a NO-OP for ordinary names (quirk preserved)

@@ -1,0 +1,793 @@
+package graft.operators
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+/** Simulated-filesystem replay of the reference's archive extraction
+  * (libs/containerfile.py extract_zip/extract_tar = CPython
+  * `ZipFile.extractall` / `TarFile.extractall` on Linux, CPython 3.11) plus
+  * the crawl walk that turns the extracted tree into member docs
+  * (crawlerbase.py:411-442 `_list_objects`: listdir + isfile + resolve()).
+  *
+  * Why a simulation instead of a plain entry loop: extractall semantics are
+  * FILESYSTEM semantics —
+  *  - duplicate names overwrite (last wins), file/dir collisions abort the
+  *    whole archive (`open` → IsADirectoryError / makedirs → NotADirectoryError,
+  *    caught by the reference's bare `except` → extract()=False);
+  *  - tar `..` components are ORDER-DEPENDENT: `os.makedirs('d/..')` raises
+  *    FileExistsError when `d` was just created, but when the parent already
+  *    exists the path silently normalizes (zipfile sanitizes components,
+  *    tarfile does not);
+  *  - tar symlinks/hardlinks create aliases; later writes go THROUGH a
+  *    symlink; `os.link` failures fall back to copying the in-archive link
+  *    target because `symlink_exception` includes OSError on every platform
+  *    (tarfile.py:61-65), while a missing hardlink target raises KeyError
+  *    (uncaught → whole archive fails) and a missing symlink fallback target
+  *    raises ExtractError (non-fatal at errorlevel 1 → member skipped);
+  *  - absolute member names extract OUTSIDE the temp root and are therefore
+  *    invisible to the walk (extraction still succeeds);
+  *  - the walk resolves symlinks (`Path.resolve()`), so link entries only
+  *    alias real files and never add members; fifo/device nodes are not
+  *    `isfile` and are invisible.
+  *
+  * Name decoding (CPython): zip names are UTF-8 when the entry's EFS flag is
+  * set (strict — an undecodable EFS name fails the whole archive at open)
+  * and cp437 otherwise; the InfoZIP 0x7075 unicode-path extra field is
+  * IGNORED (zipfile never reads it). Tar names/linknames decode as
+  * utf-8 + surrogateescape. Backslashes are literal name characters on
+  * POSIX in both formats.
+  *
+  * Out of scope (documented): device-node members (privilege-dependent),
+  * GNU sparse members, symlink targets escaping the archive root (the
+  * reference would crawl whatever the link points at on the host), and
+  * non-UTF-8 PAX path values.
+  */
+object ExtractSim {
+
+  // ------------------------- byte→str decoders -------------------------
+
+  /** bytes.decode('utf-8', 'surrogateescape'). */
+  def utf8SurrogateEscape(raw: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    def cont(k: Int): Boolean =
+      i + k < raw.length && (raw(i + k) & 0xc0) == 0x80
+    while (i < raw.length) {
+      val b = raw(i) & 0xff
+      if (b < 0x80) { sb.append(b.toChar); i += 1 }
+      else if (b >= 0xc2 && b <= 0xdf && cont(1)) {
+        sb.append((((b & 0x1f) << 6) | (raw(i + 1) & 0x3f)).toChar); i += 2
+      } else if (b >= 0xe0 && b <= 0xef && cont(1) && cont(2)) {
+        val cp = ((b & 0x0f) << 12) | ((raw(i + 1) & 0x3f) << 6) | (raw(i + 2) & 0x3f)
+        val ok = cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)
+        if (ok) { sb.append(cp.toChar); i += 3 }
+        else { sb.append((0xdc00 | b).toChar); i += 1 }
+      } else if (b >= 0xf0 && b <= 0xf4 && cont(1) && cont(2) && cont(3)) {
+        val cp = ((b & 0x07) << 18) | ((raw(i + 1) & 0x3f) << 12) |
+          ((raw(i + 2) & 0x3f) << 6) | (raw(i + 3) & 0x3f)
+        if (cp >= 0x10000 && cp <= 0x10ffff) { sb.appendCodePoint(cp); i += 4 }
+        else { sb.append((0xdc00 | b).toChar); i += 1 }
+      } else { sb.append((0xdc00 | b).toChar); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** bytes.decode('cp437') — total (all 256 bytes map). */
+  def cp437(raw: Array[Byte]): String =
+    new String(raw, java.nio.charset.Charset.forName("Cp437"))
+
+  /** bytes.decode('utf-8') strict; None on any malformed input. */
+  def utf8Strict(raw: Array[Byte]): Option[String] =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(raw)).toString)
+    } catch { case NonFatal(_) => None }
+
+  // --------------------------- posixpath bits ---------------------------
+
+  /** os.path.dirname (posix). */
+  def dirnamePy(p: String): String = {
+    val i = p.lastIndexOf('/')
+    if (i < 0) "" else if (i == 0) "/" else p.substring(0, i)
+  }
+
+  /** os.path.split (posix): (head, tail). */
+  def splitPy(p: String): (String, String) = {
+    val i = p.lastIndexOf('/') + 1
+    val (head0, tail) = (p.substring(0, i), p.substring(i))
+    val head = if (head0.nonEmpty && head0 != "/" * head0.length)
+      head0.reverse.dropWhile(_ == '/').reverse else head0
+    (head, tail)
+  }
+
+  /** os.path.normpath (posix). */
+  def normpathPy(p: String): String = {
+    if (p.isEmpty) return "."
+    val abs = p.startsWith("/")
+    // posix: exactly two leading slashes are preserved
+    val dbl = p.startsWith("//") && !p.startsWith("///")
+    val out = mutable.ArrayBuffer.empty[String]
+    p.split('/').foreach {
+      case "" | "." => ()
+      case ".." =>
+        if (out.nonEmpty && out.last != "..") out.remove(out.length - 1)
+        else if (!abs) out += ".."
+      case c => out += c
+    }
+    val body = out.mkString("/")
+    val pre = if (dbl) "//" else if (abs) "/" else ""
+    val r = pre + body
+    if (r.isEmpty) "." else r
+  }
+
+  // ----------------------------- sim errors -----------------------------
+
+  sealed abstract class SimErr extends Exception with scala.util.control.NoStackTrace
+  final class OsErr(val what: String) extends SimErr // any OSError subclass
+  final class KeyErr extends SimErr // KeyError (NOT caught by extractall)
+  final class BadArchive extends SimErr // BadZipFile / ReadError analogs
+
+  // --------------------------- simulated fs ----------------------------
+
+  sealed trait Node
+  final class DirN(val nm: String, up0: DirN) extends Node {
+    val ch = mutable.LinkedHashMap.empty[String, Node]
+    var up: DirN = if (up0 == null) this else up0
+  }
+  /** Mutable cell so hardlinked names share one "inode". */
+  final class FileN(var bytes: Array[Byte]) extends Node
+  final class LinkN(val target: String) extends Node
+  /** fifo/device: exists, never `isfile`, never walked. */
+  final class SpecialN extends Node
+
+  /** Simulated filesystem mirroring the reference's extraction layout: the
+    * extract root is `/tmp/filecrawler_<random>` (Tools.gettempdir,
+    * util/tools.py:205-215), so `..` from the root reaches a REAL `/tmp`
+    * and `../..`(+) saturates at `/` (a kernel `..` at `/` stays at `/`).
+    * Members extracted above the root land in those real directories and
+    * are invisible to the crawl walk — unless a symlink inside the root
+    * points at them, in which case the walk (listdir + isfile +
+    * `Path.resolve()`, crawlerbase.py:411-442) indexes the file under its
+    * RESOLVED path, yielding `../`-prefixed member names relative to the
+    * root. The root's random name is unguessable by archive members
+    * (modeled unmatchable); `/tmp` is reachable both as `..` and as
+    * `/tmp` via an absolute path or `../../tmp`. Host files predating the
+    * extraction are NOT modeled — an archive member colliding with a real
+    * host path (`usr`, `etc`, a stale `/tmp` entry) is host-state-
+    * dependent and an excluded input class. */
+  final class SimFs {
+    val slash = new DirN("", null)
+    val tmpP = new DirN("tmp", slash)
+    val root = new DirN("\u0000root", tmpP)
+    slash.ch("tmp") = tmpP
+    tmpP.ch(root.nm) = root
+
+    private sealed trait Loc
+    private case class In(parent: DirN, name: String, node: Option[Node]) extends Loc
+    /** Final component landed on a directory via ''/'.'/'..' (or the path
+      * was the root itself): mutations see EEXIST/EISDIR, queries see a
+      * dir. */
+    private case class AtDir(d: DirN) extends Loc
+
+    /** Kernel-style component walk with physical `..` (parent pointers).
+      * `follow`: resolve a symlink in final position too. Throws OsErr on
+      * ENOTDIR/ENOENT-in-the-middle/ELOOP. */
+    private def locate(path: String, follow: Boolean): Loc = {
+      var hops = 0
+      var cur: DirN = if (path.startsWith("/")) slash else root
+      var queue: List[String] =
+        path.split('/').toList.dropWhile(c => path.startsWith("/") && c.isEmpty)
+      var last: Loc = AtDir(cur)
+      while (queue.nonEmpty) {
+        val c = queue.head
+        queue = queue.tail
+        c match {
+          case "" | "." =>
+            if (queue.isEmpty) last = AtDir(cur)
+          case ".." =>
+            cur = cur.up
+            if (queue.isEmpty) last = AtDir(cur)
+          case name =>
+            cur.ch.get(name) match {
+              case None =>
+                if (queue.nonEmpty) throw new OsErr("ENOENT")
+                last = In(cur, name, None)
+              case Some(d: DirN) =>
+                if (queue.isEmpty) last = In(cur, name, Some(d))
+                cur = d
+              case Some(l: LinkN) =>
+                if (queue.isEmpty && !follow) last = In(cur, name, Some(l))
+                else {
+                  hops += 1
+                  if (hops > 40) throw new OsErr("ELOOP")
+                  if (l.target.startsWith("/")) {
+                    cur = slash
+                    queue = l.target.split('/').toList
+                      .dropWhile(_.isEmpty) ::: queue
+                  } else queue = l.target.split('/').toList ::: queue
+                  if (queue.isEmpty) last = AtDir(cur) // link to "" edge
+                }
+              case Some(other) =>
+                if (queue.nonEmpty) throw new OsErr("ENOTDIR")
+                last = In(cur, name, Some(other))
+            }
+        }
+      }
+      last
+    }
+
+    def exists(path: String): Boolean =
+      try locate(path, follow = true) match {
+        case In(_, _, n) => n.isDefined
+        case _ => true // a directory
+      } catch { case _: SimErr => false }
+
+    def lexists(path: String): Boolean =
+      try locate(path, follow = false) match {
+        case In(_, _, n) => n.isDefined
+        case _ => true
+      } catch { case _: SimErr => false }
+
+    def isdir(path: String): Boolean =
+      try locate(path, follow = true) match {
+        case In(_, _, Some(_: DirN)) => true
+        case In(_, _, _) => false
+        case _ => true
+      } catch { case _: SimErr => false }
+
+    def mkdir(path: String): Unit =
+      locate(path, follow = false) match {
+        case In(p, name, None) => p.ch(name) = new DirN(name, p)
+        case In(_, _, Some(_)) => throw new OsErr("EEXIST")
+        case AtDir(_) => throw new OsErr("EEXIST")
+      }
+
+    /** os.makedirs(name) with exist_ok=False (CPython os.py). */
+    def makedirs(path: String): Unit = {
+      var (head, tail) = splitPy(path)
+      if (tail.isEmpty) { val ht = splitPy(head); head = ht._1; tail = ht._2 }
+      if (head.nonEmpty && tail.nonEmpty && !exists(head)) {
+        try makedirs(head)
+        catch { case e: OsErr if e.what == "EEXIST" => () }
+      }
+      mkdir(path)
+    }
+
+    def writeFile(path: String, bytes: Array[Byte]): Unit =
+      locate(path, follow = true) match {
+        case In(p, name, None) => p.ch(name) = new FileN(bytes)
+        case In(_, _, Some(f: FileN)) => f.bytes = bytes // shared inode
+        case In(_, _, Some(_: DirN)) => throw new OsErr("EISDIR")
+        case In(_, _, Some(_)) => throw new OsErr("ESPECIAL")
+        case AtDir(_) => throw new OsErr("EISDIR")
+      }
+
+    def unlink(path: String): Unit =
+      locate(path, follow = false) match {
+        case In(p, name, Some(_: DirN)) => throw new OsErr("EISDIR")
+        case In(p, name, Some(_)) => p.ch.remove(name)
+        case In(_, _, None) => throw new OsErr("ENOENT")
+        case AtDir(_) => throw new OsErr("EISDIR")
+      }
+
+    def symlink(target: String, path: String): Unit =
+      locate(path, follow = false) match {
+        case In(p, name, None) => p.ch(name) = new LinkN(target)
+        case In(_, _, Some(_)) => throw new OsErr("EEXIST")
+        case AtDir(_) => throw new OsErr("EEXIST")
+      }
+
+    /** os.link(src, dst): hardlink — dst shares src's inode. */
+    def linkFile(src: String, dst: String): Unit = {
+      val node = locate(src, follow = true) match {
+        case In(_, _, Some(f: FileN)) => f
+        case In(_, _, Some(_: DirN)) => throw new OsErr("EPERM")
+        case In(_, _, Some(_)) => throw new OsErr("EPERM")
+        case In(_, _, None) => throw new OsErr("ENOENT")
+        case AtDir(_) => throw new OsErr("EPERM")
+      }
+      locate(dst, follow = false) match {
+        case In(p, name, None) => p.ch(name) = node
+        case In(_, _, Some(_)) => throw new OsErr("EEXIST")
+        case AtDir(_) => throw new OsErr("EEXIST")
+      }
+    }
+
+    def mkspecial(path: String): Unit =
+      locate(path, follow = false) match {
+        case In(p, name, None) => p.ch(name) = new SpecialN
+        case In(_, _, Some(_)) => throw new OsErr("EEXIST")
+        case AtDir(_) => throw new OsErr("EEXIST")
+      }
+
+    /** Root-relative output path of a physical (parentDir, name) location:
+      * inside the root it's the tree path; one level up `../name`; at `/`
+      * (or deeper `..` saturation) `../../name` — exactly
+      * `os.path.relpath(Path(p).resolve(), base)` for
+      * base=/tmp/filecrawler_X. None if unreachable (can't happen). */
+    private def canonPath(parent: DirN, name: String): Option[String] = {
+      val comps = mutable.ArrayBuffer(name)
+      var d = parent
+      var guard = 0
+      while (guard < 4096) {
+        if (d eq root) return Some(comps.mkString("/"))
+        if (d eq tmpP) return Some("../" + comps.mkString("/"))
+        if (d eq slash) return Some("../../" + comps.mkString("/"))
+        comps.prepend(d.nm)
+        d = d.up
+        guard += 1
+      }
+      None
+    }
+
+    /** The crawl walk (crawlerbase._list_objects): every real file under
+      * the root once, keyed by its own path; every symlink that RESOLVES
+      * to a file contributes that file under its `Path.resolve()`d path —
+      * which dedups against in-root files and surfaces `../`-prefixed
+      * names for files the archive placed above the root. Specials are
+      * not `isfile`; dir symlinks are not followed (excluded input class —
+      * they make the reference's own walk loop or escape the host). */
+    def walkMembers(): Seq[Member] = {
+      val seen = mutable.LinkedHashMap.empty[String, Array[Byte]]
+      def rec(d: DirN, prefix: String): Unit =
+        d.ch.foreach {
+          case (name, f: FileN) =>
+            val k = prefix + name
+            if (!seen.contains(k)) seen(k) = f.bytes
+          case (name, _: LinkN) =>
+            try locate(prefix + name, follow = true) match {
+              case In(p, n2, Some(f: FileN)) =>
+                canonPath(p, n2).foreach { k =>
+                  if (!seen.contains(k)) seen(k) = f.bytes
+                }
+              case _ => ()
+            } catch { case _: SimErr => () }
+          case (name, sub: DirN) => rec(sub, prefix + name + "/")
+          case _ => ()
+        }
+      rec(root, "")
+      seen.iterator.map { case (p, b) => Member(p, b) }.toVector
+    }
+  }
+
+  // ------------------------------ zip replay ------------------------------
+
+  /** One central-directory entry as CPython's ZipInfo carries it:
+    * `origName` is the decoded central name (pre-NUL-truncation — the
+    * local-header comparison key), `name` the NUL-truncated filename used
+    * for NameToInfo/extraction. */
+  final case class ZInfo(origName: String, name: String, flags: Int,
+      method: Int, crc: Long, csize: Long, usize: Long, headerOffset: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    u16(b, i).toLong | (u16(b, i + 2).toLong << 16)
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
+  private def sigAt(b: Array[Byte], i: Int, c: Int, d: Int): Boolean =
+    b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == c && b(i + 3) == d
+
+  /** CPython `ZipFile(path, 'r')` open — `_EndRecData` (tail EOCD probe,
+    * then a reverse scan over the last 64KB+22 whose comment need not
+    * reach EOF; zip64 locator/EOCD64) + `_RealGetContents` (concat offset
+    * for prepended data, per-entry central magic/truncation checks,
+    * EFS-strict-utf-8/cp437 name decode — a bad EFS name fails the whole
+    * zip — extract_version cap 63, zip64 0x0001 extra parse with its
+    * corrupt-field errors, NUL name truncation). Throws BadArchive
+    * wherever CPython raises (all collapse to the reference's bare
+    * `except` → drop). */
+  def pyZipParse(bytes: Array[Byte]): Vector[ZInfo] = {
+    val n = bytes.length
+    // _EndRecData: exact-tail EOCD (no comment), else reverse search
+    var eocdPos = -1
+    if (n >= 22 && sigAt(bytes, n - 22, 5, 6) &&
+      bytes(n - 2) == 0 && bytes(n - 1) == 0) eocdPos = n - 22
+    else {
+      val maxCommentStart = math.max(n - (1 << 16) - 22, 0)
+      var i = n - 4
+      while (eocdPos < 0 && i >= maxCommentStart) {
+        if (sigAt(bytes, i, 5, 6)) eocdPos = i
+        i -= 1
+      }
+      if (eocdPos < 0) throw new BadArchive // "File is not a zip file"
+      if (eocdPos + 22 > n) throw new BadArchive // short recData → None
+    }
+    var sizeCd = u32(bytes, eocdPos + 12)
+    var offsetCd = u32(bytes, eocdPos + 16)
+    var zip64 = false
+    // _EndRecData64: locator directly before the EOCD
+    if (eocdPos - 20 >= 0 && sigAt(bytes, eocdPos - 20, 6, 7)) {
+      val diskno = u32(bytes, eocdPos - 16)
+      val disks = u32(bytes, eocdPos - 4)
+      if (diskno != 0 || disks > 1) throw new BadArchive // multi-disk
+      val p = eocdPos - 20 - 56
+      if (p >= 0 && sigAt(bytes, p, 6, 6)) {
+        sizeCd = u64(bytes, p + 40)
+        offsetCd = u64(bytes, p + 48)
+        zip64 = true
+      }
+    }
+    var concat = eocdPos - sizeCd - offsetCd
+    if (zip64) concat -= (56 + 20)
+    val startDir = offsetCd + concat
+    if (startDir < 0) throw new BadArchive // "Bad offset for central directory"
+    // fp.seek(start_dir); data = fp.read(size_cd) — returns what's there
+    val cdStart = math.min(startDir, n.toLong).toInt
+    val cdLen = math.max(0L, math.min(sizeCd, (n - cdStart).toLong)).toInt
+    val cd = java.util.Arrays.copyOfRange(bytes, cdStart, cdStart + cdLen)
+    var pos = 0
+    def readCd(len: Int): Array[Byte] = {
+      val m = math.max(0, math.min(len, cd.length - pos))
+      val r = java.util.Arrays.copyOfRange(cd, pos, pos + m)
+      pos += m
+      r
+    }
+    var total = 0L
+    val out = Vector.newBuilder[ZInfo]
+    while (total < sizeCd) {
+      val hdr = readCd(46)
+      if (hdr.length != 46) throw new BadArchive // "Truncated central directory"
+      if (!sigAt(hdr, 0, 1, 2)) throw new BadArchive // "Bad magic number"
+      val extractVersion = hdr(6) & 0xff
+      val flags = u16(hdr, 8)
+      val method = u16(hdr, 10)
+      val crc = u32(hdr, 16)
+      var csize = u32(hdr, 20)
+      var usize = u32(hdr, 24)
+      val fnameLen = u16(hdr, 28)
+      val extraLen = u16(hdr, 30)
+      val commentLen = u16(hdr, 32)
+      var headerOffset = u32(hdr, 42)
+      val fnameRaw = readCd(fnameLen)
+      val extra = readCd(extraLen)
+      readCd(commentLen)
+      val origName =
+        if ((flags & 0x800) != 0)
+          utf8Strict(fnameRaw).getOrElse(throw new BadArchive)
+        else cp437(fnameRaw)
+      if (extractVersion > 63) throw new BadArchive // NotImplementedError
+      // ZipInfo._decodeExtra: zip64 TLV only
+      var off = 0
+      while (extra.length - off >= 4) {
+        val tp = u16(extra, off)
+        val ln = u16(extra, off + 2)
+        if (ln + 4 > extra.length - off) throw new BadArchive // corrupt extra
+        if (tp == 1) {
+          var dp = off + 4
+          val end = off + 4 + ln
+          def q(): Long = {
+            if (dp + 8 > end) throw new BadArchive // struct.error → BadZipFile
+            val v = u64(extra, dp); dp += 8; v
+          }
+          if (usize == 0xffffffffL) usize = q()
+          if (csize == 0xffffffffL) csize = q()
+          if (headerOffset == 0xffffffffL) headerOffset = q()
+        }
+        off += 4 + ln
+      }
+      headerOffset += concat
+      val nul = origName.indexOf('\u0000')
+      val name = if (nul >= 0) origName.substring(0, nul) else origName
+      out += ZInfo(origName, name, flags, method, crc, csize, usize, headerOffset)
+      total += 46L + fnameLen + extraLen + commentLen
+    }
+    out.result()
+  }
+
+  /** ZipFile.open(zinfo) + ZipExtFile read, as extractall drives it:
+    * local-header magic/truncation check, flag bits 5/6 refusals, the
+    * local-name vs central-orig-name comparison (local name decoded by the
+    * LOCAL header's EFS bit — strict utf-8 errors propagate), encryption
+    * refusal, then method-dispatched decompression capped at `file_size`
+    * bytes (excess decompressed data is discarded, short streams surface
+    * as a CRC mismatch — `_read1`'s `data[:self._left]` behavior), and the
+    * end-of-stream CRC check. Throws BadArchive wherever CPython raises. */
+  private def readZipMember(bytes: Array[Byte], zi: ZInfo): Array[Byte] = {
+    val off = zi.headerOffset
+    if (off < 0 || off + 30 > bytes.length) throw new BadArchive // truncated
+    val o = off.toInt
+    if (!sigAt(bytes, o, 3, 4)) throw new BadArchive // bad local magic
+    val localFlags = u16(bytes, o + 6)
+    val nameLen = u16(bytes, o + 26)
+    val extraLen = u16(bytes, o + 28)
+    val nameEnd = math.min(o + 30L + nameLen, bytes.length.toLong).toInt
+    val fnameRaw = java.util.Arrays.copyOfRange(bytes, math.min(o + 30, nameEnd), nameEnd)
+    if ((zi.flags & 0x20) != 0) throw new BadArchive // compressed patch data
+    if ((zi.flags & 0x40) != 0) throw new BadArchive // strong encryption
+    val fnameStr =
+      if ((localFlags & 0x800) != 0)
+        utf8Strict(fnameRaw).getOrElse(throw new BadArchive) // UnicodeDecodeError
+      else cp437(fnameRaw)
+    if (fnameStr != zi.origName) throw new BadArchive // names differ
+    if ((zi.flags & 1) != 0) throw new BadArchive // encrypted, no password
+    if (zi.method != 0 && zi.method != 8 && zi.method != 12 && zi.method != 14)
+      throw new BadArchive // NotImplementedError at _get_decompressor
+    if (zi.usize < 0 || zi.usize > Int.MaxValue || zi.csize < 0)
+      throw new BadArchive
+    val dataStart = math.min(o + 30L + nameLen + extraLen, bytes.length.toLong).toInt
+    val avail = math.max(0L, math.min(zi.csize, (bytes.length - dataStart).toLong)).toInt
+    val comp = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + avail)
+    val usize = zi.usize.toInt
+    val data: Array[Byte] = zi.method match {
+      case 0 => // stored
+        if (usize > avail && avail < zi.csize) throw new BadArchive // EOFError
+        java.util.Arrays.copyOfRange(comp, 0, math.min(usize, avail))
+      case 8 => // deflate (raw, -15): zlib.error → drop; truncation → short
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(comp)
+        val buf = new Array[Byte](usize)
+        var got = 0
+        try {
+          var stuck = false
+          while (got < usize && !inf.finished() && !stuck) {
+            val k = inf.inflate(buf, got, usize - got)
+            if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+            got += k
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => throw new BadArchive
+        } finally inf.end()
+        if (got == usize) buf else java.util.Arrays.copyOfRange(buf, 0, got)
+      case 12 => // bzip2: OSError on corrupt needed data → drop
+        val buf = new Array[Byte](usize)
+        var got = 0
+        try {
+          val in = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(comp))
+          var k = 0
+          while (got < usize && k >= 0) {
+            k = in.read(buf, got, usize - got)
+            if (k > 0) got += k
+          }
+        } catch { case NonFatal(_) => throw new BadArchive }
+        if (got == usize) buf else java.util.Arrays.copyOfRange(buf, 0, got)
+      case 14 => // lzma: zipfile's _LZMADecompressor framing
+        if (comp.length <= 4) Array.empty[Byte] // decompressor never engages
+        else {
+          val psize = u16(comp, 2)
+          if (comp.length <= 4 + psize) Array.empty[Byte]
+          else if (psize != 5) throw new BadArchive // LZMAError on props
+          else {
+            val prop = comp(4)
+            val dictSize = u32(comp, 5)
+            // FORMAT_RAW + unknown size: CPython stops at file_size bytes,
+            // so end-marker and marker-less LZMA1 streams both work; never
+            // read past file_size (see r4 LZMA fix)
+            val in = new java.io.ByteArrayInputStream(comp, 9, comp.length - 9)
+            val buf = new Array[Byte](usize)
+            var got = 0
+            try {
+              val lz = new org.tukaani.xz.LZMAInputStream(in, -1L, prop,
+                dictSize.toInt)
+              var k = 0
+              while (got < usize && k >= 0) {
+                k = lz.read(buf, got, usize - got)
+                if (k > 0) got += k
+              }
+            } catch { case NonFatal(_) => throw new BadArchive } // LZMAError
+            if (got == usize) buf else java.util.Arrays.copyOfRange(buf, 0, got)
+          }
+        }
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    if (crc.getValue != zi.crc) throw new BadArchive // "Bad CRC-32"
+    data
+  }
+
+  /** CPython `ZipFile(path).extractall(tmp)` + walk. extractall iterates
+    * `namelist()` and re-resolves each name through `NameToInfo` — so for
+    * DUPLICATE names only the LAST central entry's data is ever read
+    * (earlier duplicates' streams stay untouched, even if corrupt), once
+    * per occurrence. None = the reference's bare `except` →
+    * extract()=False (whole archive dropped). */
+  def extractZip(bytes: Array[Byte]): Option[Seq[Member]] =
+    try {
+      val infos = pyZipParse(bytes)
+      val nameToInfo = mutable.LinkedHashMap.empty[String, ZInfo]
+      infos.foreach(zi => nameToInfo(zi.name) = zi)
+      val fs = new SimFs
+      infos.foreach { e0 =>
+        val zi = nameToInfo(e0.name)
+        // _extract_member sanitization (posix): drop '', '.', '..'
+        val arc = zi.name.split('/')
+          .filter(s => s.nonEmpty && s != "." && s != "..").mkString("/")
+        val upper = dirnamePy(arc)
+        if (upper.nonEmpty && !fs.exists(upper)) fs.makedirs(upper)
+        if (zi.name.isEmpty) throw new BadArchive // is_dir() IndexError
+        if (zi.name.last == '/') {
+          if (!fs.isdir(arc)) fs.mkdir(arc)
+        } else {
+          val data = readZipMember(bytes, zi)
+          fs.writeFile(arc, data) // arc=="" → AtDir(root) → EISDIR → drop
+        }
+      }
+      Some(fs.walkMembers())
+    } catch { case _: Throwable => None }
+
+  /** CPython BZ2File multi-stream read (_compression.DecompressReader with
+    * trailing_error=OSError): streams decompress back-to-back; trailing
+    * data whose first decompress() of a NEW stream errors is silently
+    * ignored; a plausible stream start that exhausts the input without
+    * finishing raises EOFError (whole container fails), as does any error
+    * inside the first stream. */
+  def bunzipPy(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var first = true
+    var done = false
+    while (!done && pos < bytes.length) {
+      var consumed = 0
+      val counting = new java.io.InputStream {
+        def read(): Int =
+          if (pos + consumed >= bytes.length) -1
+          else { val b = bytes(pos + consumed) & 0xff; consumed += 1; b }
+        // one byte per call: keeps `consumed` exactly at the stream
+        // boundary (bzip2 streams are bit-packed; the decompressor stops
+        // on the byte after the end-of-stream magic)
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          if (len == 0) return 0
+          val v = read()
+          if (v < 0) -1 else { b(off) = v.toByte; 1 }
+        }
+      }
+      try {
+        val bz = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(counting, false)
+        out.write(readAll(bz))
+        pos += consumed
+        first = false
+      } catch {
+        case NonFatal(e) =>
+          val exhausted = pos + consumed >= bytes.length
+          if (first || exhausted) throw new BadArchive // OSError / EOFError
+          done = true // trailing garbage: silently ignored
+      }
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------ tar replay ------------------------------
+
+  sealed trait TKind
+  case object TReg extends TKind
+  case object TDir extends TKind
+  case object TSym extends TKind
+  case object TLnk extends TKind
+  case object TSpecial extends TKind
+
+  final case class TEntry(name: String, link: String, kind: TKind,
+      bytes: Array[Byte])
+
+  /** Decode entries through ISO-8859-1 (byte-transparent) then re-decode
+    * utf-8 + surrogateescape like tarfile's ENCODING/'surrogateescape'. */
+  private def rawBytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  def readTarEntries(in: java.io.InputStream): Vector[TEntry] = {
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      in, "ISO-8859-1")
+    val out = Vector.newBuilder[TEntry]
+    var e = tin.getNextEntry
+    while (e != null) {
+      // CPython classifies by typeflag: '0'/'7'/unknown are files (tarfile
+      // makeunknown → makefile) even with a trailing-slash name; only the
+      // old-V7 '\0' flag converts trailing-slash names to directories
+      // (TarInfo.frombuf). commons' isDirectory is NAME-based and zeroes
+      // the entry size, so a '0'-flagged "name/" would desync the stream —
+      // steal its data blocks from the raw stream to stay aligned.
+      val flag = e.getLinkFlag
+      val endsSlash = e.getName.endsWith("/")
+      val kind = (flag: Int) match {
+        case '2' => TSym
+        case '1' => TLnk
+        case '5' => TDir
+        case '3' | '4' | '6' => TSpecial
+        case 0 => if (endsSlash) TDir else TReg
+        case _ => TReg
+      }
+      val size = e.getSize
+      val bytes =
+        if (kind == TReg && endsSlash && size > 0) {
+          val padded = ((size + 511) / 512 * 512).toInt
+          val buf = new Array[Byte](padded)
+          var got = 0
+          while (got < padded) {
+            val n = in.read(buf, got, padded - got)
+            if (n < 0) throw new BadArchive
+            got += n
+          }
+          java.util.Arrays.copyOfRange(buf, 0, size.toInt)
+        } else if (kind == TReg) readAllStream(tin)
+        else Array.empty[Byte]
+      out += TEntry(utf8SurrogateEscape(rawBytes(e.getName)),
+        utf8SurrogateEscape(rawBytes(Option(e.getLinkName).getOrElse(""))),
+        kind, bytes)
+      e = tin.getNextEntry
+    }
+    out.result()
+  }
+
+  /** CPython `TarFile.extractall(tmp)` (errorlevel 1, no filter) + walk.
+    * None = ReadError/OSError/KeyError → the reference's `except` → False. */
+  def extractTarEntries(entries: Vector[TEntry]): Option[Seq[Member]] =
+    try {
+      val fs = new SimFs
+      entries.zipWithIndex.foreach { case (te, i) =>
+        extractMember(fs, entries, i, te, te.name)
+      }
+      Some(fs.walkMembers())
+    } catch { case _: Throwable => None }
+
+  /** tarfile._extract_member(tarinfo, join(root, name)) — root-relative. */
+  private def extractMember(fs: SimFs, entries: Vector[TEntry], idx: Int,
+      te: TEntry, targetpath0: String): Unit = {
+    val tp = targetpath0.reverse.dropWhile(_ == '/').reverse // rstrip('/')
+    val upper = dirnamePy(tp)
+    if (upper.nonEmpty && !fs.exists(upper)) fs.makedirs(upper)
+    te.kind match {
+      case TReg => fs.writeFile(tp, te.bytes)
+      case TDir =>
+        try fs.mkdir(tp)
+        catch { case e: OsErr if e.what == "EEXIST" => () } // makedir swallows
+      case TSpecial => fs.mkspecial(tp)
+      case TSym =>
+        try {
+          if (fs.lexists(tp)) fs.unlink(tp)
+          fs.symlink(te.link, tp)
+        } catch {
+          case _: OsErr => // symlink_exception includes OSError everywhere
+            findLinkTarget(entries, idx, te) match {
+              case Some((j, t2)) => extractMember(fs, entries, j, t2, tp)
+              case None => () // KeyError → ExtractError → non-fatal skip
+            }
+        }
+      case TLnk =>
+        try {
+          // _link_target = os.path.join(root, linkname)
+          if (te.link.nonEmpty && fs.exists(te.link)) fs.linkFile(te.link, tp)
+          else
+            findLinkTarget(entries, idx, te) match {
+              case Some((j, t2)) => extractMember(fs, entries, j, t2, tp)
+              case None => throw new KeyErr // uncaught by extractall → fatal
+            }
+        } catch {
+          case _: OsErr =>
+            findLinkTarget(entries, idx, te) match {
+              case Some((j, t2)) => extractMember(fs, entries, j, t2, tp)
+              case None => () // ExtractError → non-fatal skip
+            }
+        }
+    }
+  }
+
+  /** tarfile._find_link_target: symlinks search the WHOLE archive with the
+    * link's dirname joined in; hardlinks search members BEFORE the link,
+    * by raw linkname. Matching is on normpath-normalized names, latest
+    * match wins (getmembers reversed). */
+  private def findLinkTarget(entries: Vector[TEntry], idx: Int,
+      te: TEntry): Option[(Int, TEntry)] = {
+    val (linkname, limit) =
+      if (te.kind == TSym)
+        (Seq(dirnamePy(te.name), te.link).filter(_.nonEmpty).mkString("/"),
+          entries.length)
+      else (te.link, idx)
+    val want = normpathPy(linkname)
+    ((limit - 1) to 0 by -1).collectFirst {
+      case j if normpathPy(entries(j).name) == want => (j, entries(j))
+    }
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def readAllStream(in: java.io.InputStream): Array[Byte] = readAll(in)
+}

@@ -1,0 +1,558 @@
+#!/usr/bin/env python3
+"""Golden generator for the container-extraction differential
+(graft.operators.Containers.expandOnce vs the LIVE reference
+ContainerFile.extract + the crawl walk).
+
+Each case writes an archive to disk, runs the reference's real
+ContainerFile.extract() (zipfile/tarfile/gzip/bz2 extractall semantics,
+CPython 3.11, bare-except → None), then replays crawlerbase._list_objects
+(listdir + isfile + Path.resolve() — symlinks alias their targets, specials
+are invisible) and records the surviving (relpath, bytes) member set.
+Cases where extract() returns None record drop=true.
+
+Covered quirk families: cp437 vs EFS-utf-8 zip name decoding (EFS +
+invalid utf-8 fails the whole zip at open), InfoZIP 0x7075 extras ignored,
+backslash-as-literal on posix, component sanitization ('', '.', '..'),
+duplicate-name last-wins, file/dir collisions (whole-archive abort, both
+orders), tar '..' order-dependence (FileExistsError from makedirs vs
+silent normalization), absolute names extracting outside the walk root,
+symlink/hardlink aliasing incl. os.link-failure fallback copy and the
+missing-hardlink KeyError abort, write-through-symlink, fifo invisibility,
+GNU/PAX/USTAR long names, non-utf-8 names (surrogateescape), empty
+archives, prepended/trailing junk, CRC corruption, encrypted-flag and
+unsupported-method aborts, zip64, multi-stream gz/bz2, the gz→tar sniff,
+and the '.{suffix}' no-op rename quirk (incl. the dot-stripping edge for
+suffixless names dispatched by mime).
+
+Excluded (documented in ExtractSim): device nodes, GNU sparse members,
+symlink targets escaping the extract root, non-utf-8 PAX path values,
+pre-POSIX (v7) tars inside gz (no 'ustar' magic for the sniff).
+
+Usage: python3 gen_fuzz_containers.py > fuzz_containers.json
+(requires /tmp/ref_harness.py from .claude/skills/verify)
+"""
+import sys, os, io, json, base64, random, string, shutil, types, zipfile
+import tarfile, gzip, bz2, warnings
+from pathlib import Path
+
+warnings.simplefilter('ignore')
+sys.path.insert(0, '/tmp')
+import ref_harness  # noqa: F401  (stubs + frozen clock)
+
+# libmagic is absent: stub the subset the flow touches. extract_gz's tar
+# sniff needs 'application/x-tar' for 'ustar' at 257 (GNU/PAX/USTAR all
+# carry it; v7 is excluded), File.mime needs gz/bz2/zip for mime-dispatch
+# cases.
+mg = types.ModuleType('magic')
+
+
+class _Magic:
+    def __init__(self, mime=True, magic_file=None):
+        pass
+
+    def from_buffer(self, data):
+        if isinstance(data, str):
+            data = data.encode('utf-8', 'ignore')
+        if len(data) > 261 and data[257:262] == b'ustar':
+            return 'application/x-tar'
+        if data[:4] in (b'PK\x03\x04', b'PK\x05\x06', b'PK\x07\x08'):
+            return 'application/zip'
+        if data[:2] == b'\x1f\x8b':
+            return 'application/gzip'
+        if data[:3] == b'BZh':
+            return 'application/x-bzip2'
+        return 'application/octet-stream'
+
+
+mg.Magic = _Magic
+sys.modules['magic'] = mg
+
+from filecrawler.libs.containerfile import ContainerFile  # noqa: E402
+from filecrawler.libs.file import File  # noqa: E402
+from filecrawler.config import Configuration  # noqa: E402
+
+Configuration.extract_files = True
+
+# jadx/apktool are not installed: make the subprocess step fail with rc=1 so
+# extract_jar/extract_apk take their documented ZipFile fallback (the same
+# path a production box without the tools takes).
+import filecrawler.libs.process as _proc  # noqa: E402
+_proc.Process.call = staticmethod(lambda *a, **k: (1, '', ''))
+
+rnd = random.Random(0xC0417)
+
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+
+def payload(n=None):
+    # '#' prefix keeps member bytes off every container magic (PK, 1f8b,
+    # BZh, 7z, Rar!, SQLite, From:/Received:/Return-Path:) so neither side
+    # re-expands members.
+    if n is None:
+        n = rnd.randrange(0, 60)
+    body = bytes(rnd.randrange(0, 256) for _ in range(n))
+    return b'#' + body
+
+
+SAFE_EXT = ['.txt', '.py', '.cfg', '', '.dat', '.log']
+
+
+def member_name(depth=None):
+    if depth is None:
+        depth = rnd.randrange(1, 4)
+    segs = [rs(rnd.randrange(1, 9), string.ascii_lowercase + string.digits)
+            for _ in range(depth)]
+    return '/'.join(segs) + rnd.choice(SAFE_EXT)
+
+
+# ---------------------------- reference run ----------------------------
+
+CASE_DIR = '/tmp/fuzz_containers_work'
+
+
+def ref_expand(name, raw):
+    shutil.rmtree(CASE_DIR, ignore_errors=True)
+    os.makedirs(CASE_DIR)
+    fp = os.path.join(CASE_DIR, name)
+    with open(fp, 'wb') as fh:
+        fh.write(raw)
+    f = File(base_path=Path(CASE_DIR), file_path=Path(fp))
+    out = {}
+    with ContainerFile(f) as c:
+        out_path = c.extract()
+        if out_path is None:
+            return None
+        base = str(out_path)
+
+        def rec(here):
+            try:
+                names = os.listdir(here)
+            except OSError:
+                return
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isfile(p):
+                    rp = str(Path(p).resolve())
+                    try:
+                        out[rp] = open(rp, 'rb').read()
+                    except OSError:
+                        pass
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isdir(p):
+                    rec(str(Path(p).resolve()))
+
+        rec(base)
+        members = sorted((os.path.relpath(k, base), v) for k, v in out.items())
+        shutil.rmtree(base, ignore_errors=True)
+        return members
+
+
+CASES = []
+
+
+def add(name, raw, label):
+    got = ref_expand(name, raw)
+    case = {'name': name, 'label': label,
+            'data': base64.b64encode(raw).decode()}
+    if got is None:
+        case['drop'] = True
+    else:
+        case['members'] = [
+            {'path': p, 'bytes': base64.b64encode(b).decode()}
+            for p, b in got]
+    CASES.append(case)
+
+
+# ------------------------------ builders ------------------------------
+
+def build_zip(members, method=zipfile.ZIP_DEFLATED):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w', method) as z:
+        for spec in members:
+            if spec[0] == 'file':
+                _, n, data = spec
+                z.writestr(n, data)
+            elif spec[0] == 'dir':
+                z.writestr(spec[1] if spec[1].endswith('/') else spec[1] + '/', b'')
+            elif spec[0] == 'zip64':
+                _, n, data = spec
+                with z.open(n, 'w', force_zip64=True) as w:
+                    w.write(data)
+    return buf.getvalue()
+
+
+def patch(raw, old, new):
+    assert len(old) == len(new)
+    out = raw
+    while old in out:
+        out = out.replace(old, new, 1)
+    return out
+
+
+def build_tar(members, fmt=tarfile.GNU_FORMAT, comp=None):
+    buf = io.BytesIO()
+    mode = 'w' if comp is None else 'w:' + comp
+    t = tarfile.open(fileobj=buf, mode=mode, format=fmt)
+    for spec in members:
+        kind, n = spec[0], spec[1]
+        ti = tarfile.TarInfo(n)
+        if kind == 'file':
+            data = spec[2]
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+        elif kind == 'dir':
+            ti.type = tarfile.DIRTYPE
+            t.addfile(ti)
+        elif kind == 'sym':
+            ti.type = tarfile.SYMTYPE
+            ti.linkname = spec[2]
+            t.addfile(ti)
+        elif kind == 'hard':
+            ti.type = tarfile.LNKTYPE
+            ti.linkname = spec[2]
+            t.addfile(ti)
+        elif kind == 'fifo':
+            ti.type = tarfile.FIFOTYPE
+            t.addfile(ti)
+    t.close()
+    return buf.getvalue()
+
+
+# --------------------------- adversarial zip ---------------------------
+
+add('a.zip', build_zip([('file', 'x.txt', b'#hello'),
+                        ('file', 'd/e/y.txt', b'#nested')]), 'zip-basic')
+add('a.zip', build_zip([('dir', 'd/'), ('file', 'd/y.txt', payload()),
+                        ('dir', 'd/sub/')]), 'zip-dir-entries')
+add('a.zip', build_zip([('file', 'dup.txt', b'#first'),
+                        ('file', 'dup.txt', b'#second')]), 'zip-dup-lastwins')
+add('a.zip', build_zip([('file', 'a\\b.txt', b'#backslash'),
+                        ('file', 'c\\', b'#trailbs')]), 'zip-backslash-literal')
+add('a.zip', build_zip([('file', 'd/../esc.txt', b'#dots'),
+                        ('file', './x.txt', b'#dot'),
+                        ('file', 'k/./m..n/../o.txt', b'#mix')]), 'zip-dot-components')
+add('a.zip', build_zip([('file', '/lead/abs.txt', b'#abs')]), 'zip-absolute')
+add('a.zip', build_zip([('file', '..', b'#careful'),
+                        ('file', 'ok.txt', b'#k')]), 'zip-empty-arcname-file')
+add('a.zip', build_zip([('dir', '/'), ('file', 'z.txt', b'#z')]), 'zip-root-dir-entry')
+add('a.zip', build_zip([('file', 'f', b'#plainfile'),
+                        ('file', 'f/child.txt', b'#kid')]), 'zip-file-then-dirpath')
+add('a.zip', build_zip([('dir', 'g/'), ('file', 'g', b'#clash')]), 'zip-dir-then-file')
+add('a.zip', build_zip([('file', 'uni/żółć.txt', b'#efs'),
+                        ('file', 'uni/日本語.dat', b'#efs2')]), 'zip-efs-utf8')
+
+# cp437 names: ascii placeholder patched to high bytes (EFS stays unset)
+raw = build_zip([('file', 'QQ01.txt', b'#cp437')])
+add('a.zip', patch(raw, b'QQ01.txt', b'\x82\xa0\x9c\x46.txt'), 'zip-cp437-name')
+# EFS + invalid utf-8 → whole zip fails at open
+raw = build_zip([('file', 'Zä01.txt', b'#bad'), ('file', 'ok.txt', b'#ok')])
+add('a.zip', patch(raw, 'Zä01'.encode('utf-8'), b'Z\xff\xfe1\x30'), 'zip-efs-invalid-utf8')
+# InfoZIP 0x7075 unicode extra: zipfile ignores it — patched-in extra field
+zi = zipfile.ZipInfo('plain.txt')
+upath = 'über.txt'.encode('utf-8')
+import zlib as _zlib
+extra = (b'\x75\x70' + (1 + 4 + len(upath)).to_bytes(2, 'little') + b'\x01' +
+         _zlib.crc32(b'plain.txt').to_bytes(4, 'little') + upath)
+zi.extra = extra
+buf = io.BytesIO()
+with zipfile.ZipFile(buf, 'w') as z:
+    z.writestr(zi, b'#unicode-extra')
+add('a.zip', buf.getvalue(), 'zip-unicode-extra-ignored')
+
+add('a.zip', build_zip([('file', 'st.txt', b'#stored')], zipfile.ZIP_STORED), 'zip-stored')
+add('a.zip', build_zip([('file', 'bz.txt', payload(400))], zipfile.ZIP_BZIP2), 'zip-bzip2-method')
+add('a.zip', build_zip([('file', 'lz.txt', payload(400))], zipfile.ZIP_LZMA), 'zip-lzma-method')
+add('a.zip', build_zip([('zip64', 'big.dat', payload(100))]), 'zip-zip64-member')
+add('a.zip', b'', 'zip-empty-file')
+buf = io.BytesIO()
+with zipfile.ZipFile(buf, 'w') as z:
+    pass
+add('a.zip', buf.getvalue(), 'zip-zero-members')
+add('a.zip', b'PREPENDED-GARBAGE-' * 40 + build_zip([('file', 'p.txt', b'#pre')]),
+    'zip-prepended-data')
+add('a.zip', build_zip([('file', 't.txt', b'#trail')]) + b'TRAILING-JUNK' * 3,
+    'zip-trailing-junk')
+add('a.zip', rs(300).encode(), 'zip-garbage')
+# corrupt the stored CRC of a member (local + central copies)
+raw = build_zip([('file', 'crc.txt', b'#crc-payload')], zipfile.ZIP_STORED)
+crc = _zlib.crc32(b'#crc-payload').to_bytes(4, 'little')
+add('a.zip', patch(raw, crc, b'\xde\xad\xbe\xef'), 'zip-bad-crc')
+# encrypted flag bit
+raw = bytearray(build_zip([('file', 'enc.txt', b'#enc')]))
+i = raw.find(b'PK\x03\x04'); raw[i + 6] |= 1
+i = raw.find(b'PK\x01\x02'); raw[i + 8] |= 1
+add('a.zip', bytes(raw), 'zip-encrypted-flag')
+# unsupported compression method (central+local method field → 9, deflate64)
+raw = build_zip([('file', 'd64.txt', b'#d64')], zipfile.ZIP_STORED)
+raw = bytearray(raw)
+i = raw.find(b'PK\x03\x04'); raw[i + 8] = 9
+i = raw.find(b'PK\x01\x02'); raw[i + 10] = 9
+add('a.zip', bytes(raw), 'zip-unsupported-method')
+# jar/war/apk fall back to zip
+add('lib.jar', build_zip([('file', 'META-INF/MANIFEST.MF', b'#mf'),
+                          ('file', 'p/C.class', b'#cls')]), 'jar-as-zip')
+add('app.war', build_zip([('file', 'WEB-INF/web.xml', b'#wx')]), 'war-as-zip')
+
+# --------------------------- adversarial tar ---------------------------
+
+for fmt, fl in ((tarfile.GNU_FORMAT, 'gnu'), (tarfile.PAX_FORMAT, 'pax'),
+                (tarfile.USTAR_FORMAT, 'ustar')):
+    add('b.tgz', gzip.compress(build_tar([
+        ('file', 'a.txt', b'#A'), ('dir', 'd'), ('file', 'd/b.txt', b'#B')],
+        fmt)), f'tgz-basic-{fl}')
+
+add('b.tar.gz', build_tar([('file', 'x.txt', b'#X')], comp='gz'), 'targz-suffix')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'd/../c.txt', b'#C')])), 'tar-dotdot-parent-missing')
+add('b.tgz', gzip.compress(build_tar([
+    ('dir', 'd'), ('file', 'd/../c.txt', b'#C2')])), 'tar-dotdot-parent-exists')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', '/abs.txt', b'#ABS'), ('file', 'rel.txt', b'#REL')])), 'tar-absolute-name')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', '../escape.txt', b'#ESC'), ('file', 'keep.txt', b'#K')])), 'tar-dotdot-escape')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('sym', 's.txt', 'a.txt'),
+    ('file', 'q.txt', b'#Q')])), 'tar-symlink-alias')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 't.txt', b'#OLD'), ('sym', 's.txt', 't.txt'),
+    ('file', 's.txt', b'#NEW')])), 'tar-write-through-symlink')
+add('b.tgz', gzip.compress(build_tar([
+    ('sym', 'dangle.txt', 'missing.txt'), ('file', 'real.txt', b'#R')])), 'tar-dangling-symlink')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('sym', 's1.txt', 's2.txt'),
+    ('sym', 's2.txt', 'a.txt')])), 'tar-symlink-chain')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('hard', 'h.txt', 'a.txt')])), 'tar-hardlink')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('hard', 'h.txt', './a.txt')])), 'tar-hardlink-dotslash')
+add('b.tgz', gzip.compress(build_tar([
+    ('hard', 'h.txt', 'nope.txt'), ('file', 'x.txt', b'#X')])), 'tar-hardlink-missing')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('file', 'b.txt', b'#B'),
+    ('hard', 'b.txt', 'a.txt')])), 'tar-hardlink-onto-existing')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a.txt', b'#A'), ('hard', 'h.txt', 'a.txt'),
+    ('file', 'a.txt', b'#A2')])), 'tar-hardlink-then-overwrite')
+add('b.tgz', gzip.compress(build_tar([
+    ('fifo', 'pipe'), ('file', 'f.txt', b'#F')])), 'tar-fifo-invisible')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'x', b'#F'), ('dir', 'x'), ('file', 'x/y.txt', b'#Y')])), 'tar-dir-over-file')
+add('b.tgz', gzip.compress(build_tar([
+    ('dir', 'x'), ('file', 'x', b'#clash')])), 'tar-file-over-dir')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'weird/', b'#W')])), 'tar-reg-trailing-slash')
+long_name = '/'.join(rs(12, string.ascii_lowercase) for _ in range(12)) + '.txt'
+for fmt, fl in ((tarfile.GNU_FORMAT, 'gnu'), (tarfile.PAX_FORMAT, 'pax')):
+    add('b.tgz', gzip.compress(build_tar([
+        ('file', long_name, b'#LONG')], fmt)), f'tar-longname-{fl}')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'caf\udce9/na\udcefve.txt', b'#SE'),
+    ('sym', 'l\udcfcnk.txt', 'caf\udce9/na\udcefve.txt')])), 'tar-surrogateescape-gnu')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'sh\udcf6rt.txt', b'#SU')], tarfile.USTAR_FORMAT)), 'tar-surrogateescape-ustar')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'a\\b.txt', b'#BS')])), 'tar-backslash-literal')
+add('b.tgz', gzip.compress(build_tar([])), 'tar-empty')
+add('b.tgz', gzip.compress(b'\0' * 10240), 'tar-zero-blocks')
+add('b.tgz', gzip.compress(b'not a tar at all' + rs(600).encode()), 'tar-garbage')
+add('b.tgz', gzip.compress(build_tar([
+    ('file', 'x.txt', b'#X')])[:700]), 'tar-truncated')
+add('c.tar', build_tar([('file', 'bare.txt', b'#BT')]), 'bare-tar-not-container')
+
+# ---------------------------- gz / bz2 singles ----------------------------
+
+add('doc.txt.gz', gzip.compress(b'#gz payload'), 'gz-single-name-quirk')
+add('noext.gz', gzip.compress(b'#gz noext'), 'gz-bare')
+add('two.dots.txt.gz', gzip.compress(b'#gz dots'), 'gz-multi-dot')
+add('blob', gzip.compress(b'#mime-dispatch'), 'gz-by-mime-dot-strip')
+add('my.blob', gzip.compress(b'#mime-dot-strip'), 'gz-by-mime-dots-removed')
+add('m.gz', gzip.compress(b'#one') + gzip.compress(b'#two'), 'gz-multistream')
+add('t.gz', gzip.compress(b'#data') + b'TRAILING', 'gz-trailing-garbage')
+add('bad.gz', b'\x1f\x8b' + rs(80).encode(), 'gz-corrupt')
+add('tarry.gz', gzip.compress(build_tar([
+    ('file', 'inner/in.txt', b'#IN')])), 'gz-tar-sniff')
+add('e.gz', gzip.compress(b''), 'gz-empty-payload')
+add('doc.txt.bz2', bz2.compress(b'#bz payload'), 'bz2-single')
+add('doc.txt.bz', bz2.compress(b'#bz ext'), 'bz-ext')
+add('m.bz2', bz2.compress(b'#one') + bz2.compress(b'#two'), 'bz2-multistream')
+add('t.bz2', bz2.compress(b'#data') + b'TRAIL', 'bz2-trailing-garbage')
+add('bad.bz2', b'BZh' + rs(60).encode(), 'bz2-corrupt')
+add('tarred.bz2', bz2.compress(build_tar([('file', 'tb.txt', b'#TB')])),
+    'bz2-tar-NOT-sniffed')
+
+# ----------------------------- randomized -----------------------------
+
+def rand_zip_case(i):
+    n = rnd.randrange(1, 8)
+    members = []
+    names = []
+    for _ in range(n):
+        r = rnd.random()
+        if r < 0.12 and names:
+            nm = rnd.choice(names)  # duplicate
+        elif r < 0.2:
+            nm = rnd.choice(['./', '', 'd/../']) + member_name(1)
+        elif r < 0.28:
+            nm = member_name(1).replace('/', '\\') + '\\' + rs(4)
+        elif r < 0.36:
+            nm = 'ü' + member_name()  # EFS utf-8
+        else:
+            nm = member_name()
+        names.append(nm)
+        if rnd.random() < 0.12:
+            members.append(('dir', nm + '/'))
+        else:
+            members.append(('file', nm, payload()))
+    method = rnd.choice([zipfile.ZIP_DEFLATED, zipfile.ZIP_STORED])
+    raw = build_zip(members, method)
+    if rnd.random() < 0.1:
+        raw = b'JUNKPAD' * rnd.randrange(1, 30) + raw
+    add(rnd.choice(['r.zip', 'r.jar', 'r.apk']), raw, f'zip-rand-{i}')
+
+
+def rand_tar_case(i):
+    n = rnd.randrange(1, 8)
+    members = []
+    filenames = []
+    for _ in range(n):
+        r = rnd.random()
+        nm = member_name()
+        if r < 0.1 and filenames:
+            nm = rnd.choice(filenames)
+        elif r < 0.16:
+            nm = rnd.choice(['./', 'd/../', '../']) + member_name(1)
+        elif r < 0.2:
+            nm = 'x\udce9' + member_name(1)
+        kind = rnd.random()
+        if kind < 0.7:
+            members.append(('file', nm, payload()))
+            filenames.append(nm)
+        elif kind < 0.8:
+            members.append(('dir', nm))
+        elif kind < 0.9:
+            tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
+                else member_name(1)
+            members.append(('sym', nm, tgt))
+        else:
+            tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
+                else member_name(1)
+            members.append(('hard', nm, tgt))
+    fmt = rnd.choice([tarfile.GNU_FORMAT, tarfile.PAX_FORMAT])
+    has_surr = any(any(0xdc00 <= ord(ch) <= 0xdcff for ch in m[1])
+                   for m in members)
+    if has_surr and fmt == tarfile.PAX_FORMAT:
+        fmt = tarfile.GNU_FORMAT  # non-utf-8 pax paths excluded
+    raw = build_tar(members, fmt)
+    name = rnd.choice(['r.tgz', 'r.tar.gz'])
+    add(name, gzip.compress(raw), f'tar-rand-{i}')
+
+
+for i in range(90):
+    rand_zip_case(i)
+for i in range(90):
+    rand_tar_case(i)
+
+# ------- extractall-by-name + header-strictness + outside-root families -------
+# (appended AFTER the randomized loops so the rnd stream for the cases above
+# is untouched; these use no randomness — fixed payloads for reproducibility)
+
+
+def patch_first(raw, old, new):
+    i = raw.find(old)
+    assert i >= 0 and len(old) == len(new)
+    return raw[:i] + new + raw[i + len(old):]
+
+
+# extractall iterates namelist() and re-resolves through NameToInfo: for
+# duplicate names only the LAST entry's stream is ever read — corruption in
+# the first duplicate's (never-read) stream is invisible
+raw = build_zip([('file', 'dupc.txt', b'#firstpayload'),
+                 ('file', 'mid.txt', b'#mid'),
+                 ('file', 'dupc.txt', b'#secondwins')], zipfile.ZIP_STORED)
+add('a.zip', patch_first(raw, b'#firstpayload', b'#XXXXXcorrupt'),
+    'zip-dup-corrupt-first-unread')
+
+# central-directory entry magic corrupted → BadZipFile at open → drop
+raw = build_zip([('file', 'cm.txt', b'#cm')], zipfile.ZIP_STORED)
+add('a.zip', patch_first(raw, b'PK\x01\x02', b'PK\x01\x03'),
+    'zip-bad-central-magic')
+
+# local-header name differs from central orig_filename → BadZipFile → drop
+raw = build_zip([('file', 'nm01.txt', b'#nm')], zipfile.ZIP_STORED)
+add('a.zip', patch_first(raw, b'nm01.txt', b'nmXX.txt'),
+    'zip-local-name-mismatch')
+
+# EFS entry whose LOCAL name copy is invalid utf-8 → UnicodeDecodeError at
+# member open (central copy decodes fine) → drop
+raw = build_zip([('file', 'ünm.txt', b'#efs')], zipfile.ZIP_STORED)
+add('a.zip', patch_first(raw, 'ünm'.encode('utf-8'), b'\xffXnm'),
+    'zip-local-name-bad-utf8')
+
+# extract_version above MAX_EXTRACT_VERSION (63) → NotImplementedError → drop
+raw = bytearray(build_zip([('file', 'ev.txt', b'#ev')], zipfile.ZIP_STORED))
+i = raw.find(b'PK\x01\x02')
+raw[i + 6] = 99
+add('a.zip', bytes(raw), 'zip-extract-version-cap')
+
+# NUL byte in the name: ZipInfo truncates filename at the first NUL (both
+# copies patched so the local/central compare still matches) → member 'nu'
+raw = build_zip([('file', 'nuQl.txt', b'#nul')], zipfile.ZIP_STORED)
+add('a.zip', patch(raw, b'nuQl.txt', b'nu\x00l.txt'), 'zip-nul-name-truncation')
+
+# tar members extracted ABOVE the root land in the real /tmp (one level) or
+# / (two+ levels, '..' saturates); the walk only sees them via symlinks,
+# under their resolve()d '../'-prefixed relpaths
+OUTSIDE = ['/tmp/fcg_o1.dat', '/fcg_o2.log', '/fcg_o3.txt', '/tmp/fcg_o4.txt',
+           '/tmp/fcg_o5.dat']
+
+
+def clean_outside():
+    for p in OUTSIDE:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+clean_outside()
+add('o1.tgz', gzip.compress(build_tar([
+    ('file', '../fcg_o1.dat', b'#OUT1-old'),
+    ('file', '../fcg_o1.dat', b'#OUT1-new'),
+    ('sym', 'peek.txt', '../fcg_o1.dat'),
+    ('file', 'in.txt', b'#IN1')])), 'tar-outside-symlink-reach')
+clean_outside()
+add('o2.tgz', gzip.compress(build_tar([
+    ('file', '../../fcg_o2.log', b'#OUT2'),
+    ('sym', 's2.txt', '../../fcg_o2.log'),
+    ('file', 'in2.txt', b'#IN2')])), 'tar-outside-two-levels')
+clean_outside()
+# 'd' does not pre-exist: makedirs('d/../..') ends in an EEXIST mkdir at the
+# saturated level → whole-archive drop (the above-root analog of the
+# tar-dotdot-parent-missing quirk)
+add('o3.tgz', gzip.compress(build_tar([
+    ('file', 'd/../../fcg_o3.txt', b'#O3')])),
+    'tar-dotdot-above-root-parent-missing')
+clean_outside()
+add('o4.tgz', gzip.compress(build_tar([
+    ('dir', 'd'), ('file', 'd/../../fcg_o4.txt', b'#O4'),
+    ('sym', 's4.txt', '../fcg_o4.txt')])),
+    'tar-dotdot-above-root-parent-exists')
+clean_outside()
+add('o5.tgz', gzip.compress(build_tar([
+    ('file', '../fcg_o5.dat', b'#O5'),
+    ('hard', 'h5.txt', '../fcg_o5.dat')])), 'tar-hardlink-outside-target')
+clean_outside()
+add('o6.tgz', gzip.compress(build_tar([
+    ('sym', 'dang.txt', '../fcg_nope.dat'),
+    ('file', 'in6.txt', b'#IN6')])), 'tar-outside-dangling')
+clean_outside()
+
+shutil.rmtree(CASE_DIR, ignore_errors=True)
+json.dump(CASES, sys.stdout, ensure_ascii=True)
+drops = sum(1 for c in CASES if c.get('drop'))
+sys.stderr.write('cases: %d (drops: %d, members: %d)\n' % (
+    len(CASES), drops,
+    sum(len(c.get('members', [])) for c in CASES)))

@@ -1,0 +1,300 @@
+#!/usr/bin/env python3
+"""One-off WIDE randomized sweep for the container differential.
+
+Same reference-replay harness as src/test/resources/gen_fuzz_containers.py
+but only randomized families, broadened (more member kinds, zip method mix
+incl. bzip2/lzma/zip64, occasional byte corruption / truncation / junk,
+tar ustar + trailing-slash reg + fifo + deeper link graphs), at an
+argv-chosen count and seed. Output JSON goes to argv[3]; mismatching cases
+get re-pinned into the permanent corpus by hand.
+
+Usage: python3 gen_sweep_containers.py <n_zip> <n_tar> <out.json> [seed]
+"""
+import sys, os, io, json, base64, random, string, shutil, types, zipfile
+import tarfile, gzip, bz2, warnings
+from pathlib import Path
+
+warnings.simplefilter('ignore')
+sys.path.insert(0, '/tmp')
+import ref_harness  # noqa: F401
+
+mg = types.ModuleType('magic')
+
+
+class _Magic:
+    def __init__(self, mime=True, magic_file=None):
+        pass
+
+    def from_buffer(self, data):
+        if isinstance(data, str):
+            data = data.encode('utf-8', 'ignore')
+        if len(data) > 261 and data[257:262] == b'ustar':
+            return 'application/x-tar'
+        if data[:4] in (b'PK\x03\x04', b'PK\x05\x06', b'PK\x07\x08'):
+            return 'application/zip'
+        if data[:2] == b'\x1f\x8b':
+            return 'application/gzip'
+        if data[:3] == b'BZh':
+            return 'application/x-bzip2'
+        return 'application/octet-stream'
+
+
+mg.Magic = _Magic
+sys.modules['magic'] = mg
+
+from filecrawler.libs.containerfile import ContainerFile  # noqa: E402
+from filecrawler.libs.file import File  # noqa: E402
+from filecrawler.config import Configuration  # noqa: E402
+
+Configuration.extract_files = True
+
+import filecrawler.libs.process as _proc  # noqa: E402
+_proc.Process.call = staticmethod(lambda *a, **k: (1, '', ''))
+
+N_ZIP = int(sys.argv[1])
+N_TAR = int(sys.argv[2])
+OUT = sys.argv[3]
+SEED = int(sys.argv[4], 0) if len(sys.argv) > 4 else 0x5EED
+rnd = random.Random(SEED)
+
+
+def rs(n, pool=string.ascii_letters + string.digits):
+    return ''.join(rnd.choice(pool) for _ in range(n))
+
+
+def payload(n=None):
+    if n is None:
+        n = rnd.randrange(0, 120)
+    body = bytes(rnd.randrange(0, 256) for _ in range(n))
+    return b'#' + body
+
+
+SAFE_EXT = ['.txt', '.py', '.cfg', '', '.dat', '.log']
+
+
+def member_name(depth=None):
+    if depth is None:
+        depth = rnd.randrange(1, 4)
+    segs = [rs(rnd.randrange(1, 9), string.ascii_lowercase + string.digits)
+            for _ in range(depth)]
+    return '/'.join(segs) + rnd.choice(SAFE_EXT)
+
+
+CASE_DIR = '/tmp/fuzz_sweep_work'
+
+
+def ref_expand(name, raw):
+    shutil.rmtree(CASE_DIR, ignore_errors=True)
+    os.makedirs(CASE_DIR)
+    fp = os.path.join(CASE_DIR, name)
+    with open(fp, 'wb') as fh:
+        fh.write(raw)
+    f = File(base_path=Path(CASE_DIR), file_path=Path(fp))
+    out = {}
+    with ContainerFile(f) as c:
+        out_path = c.extract()
+        if out_path is None:
+            return None
+        base = str(out_path)
+
+        def rec(here):
+            try:
+                names = os.listdir(here)
+            except OSError:
+                return
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isfile(p):
+                    rp = str(Path(p).resolve())
+                    try:
+                        out[rp] = open(rp, 'rb').read()
+                    except OSError:
+                        pass
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isdir(p):
+                    rec(str(Path(p).resolve()))
+
+        rec(base)
+        members = sorted((os.path.relpath(k, base), v) for k, v in out.items())
+        shutil.rmtree(base, ignore_errors=True)
+        return members
+
+
+CASES = []
+
+
+def add(name, raw, label):
+    got = ref_expand(name, raw)
+    case = {'name': name, 'label': label,
+            'data': base64.b64encode(raw).decode()}
+    if got is None:
+        case['drop'] = True
+    else:
+        case['members'] = [
+            {'path': p, 'bytes': base64.b64encode(b).decode()}
+            for p, b in got]
+    CASES.append(case)
+
+
+def build_zip(members, method=zipfile.ZIP_DEFLATED):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w', method) as z:
+        for spec in members:
+            if spec[0] == 'file':
+                _, n, data = spec
+                z.writestr(n, data)
+            elif spec[0] == 'dir':
+                z.writestr(n if (n := spec[1]).endswith('/') else n + '/', b'')
+            elif spec[0] == 'zip64':
+                _, n, data = spec
+                with z.open(n, 'w', force_zip64=True) as w:
+                    w.write(data)
+    return buf.getvalue()
+
+
+def build_tar(members, fmt=tarfile.GNU_FORMAT, comp=None):
+    buf = io.BytesIO()
+    mode = 'w' if comp is None else 'w:' + comp
+    t = tarfile.open(fileobj=buf, mode=mode, format=fmt)
+    for spec in members:
+        kind, n = spec[0], spec[1]
+        ti = tarfile.TarInfo(n)
+        if kind == 'file':
+            data = spec[2]
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+        elif kind == 'dir':
+            ti.type = tarfile.DIRTYPE
+            t.addfile(ti)
+        elif kind == 'sym':
+            ti.type = tarfile.SYMTYPE
+            ti.linkname = spec[2]
+            t.addfile(ti)
+        elif kind == 'hard':
+            ti.type = tarfile.LNKTYPE
+            ti.linkname = spec[2]
+            t.addfile(ti)
+        elif kind == 'fifo':
+            ti.type = tarfile.FIFOTYPE
+            t.addfile(ti)
+    t.close()
+    return buf.getvalue()
+
+
+def rand_zip_case(i):
+    n = rnd.randrange(1, 10)
+    members = []
+    names = []
+    for _ in range(n):
+        r = rnd.random()
+        if r < 0.12 and names:
+            nm = rnd.choice(names)
+        elif r < 0.22:
+            nm = rnd.choice(['./', '', 'd/../', '../', '/']) + member_name(1)
+        elif r < 0.30:
+            nm = member_name(1).replace('/', '\\') + '\\' + rs(4)
+        elif r < 0.38:
+            nm = 'ü' + member_name()
+        elif r < 0.42:
+            nm = rnd.choice(['.', '..', './.', 'a/..'])
+        else:
+            nm = member_name()
+        names.append(nm)
+        roll = rnd.random()
+        if roll < 0.12:
+            members.append(('dir', nm + '/'))
+        elif roll < 0.18:
+            members.append(('zip64', nm, payload()))
+        else:
+            members.append(('file', nm, payload()))
+    method = rnd.choice([zipfile.ZIP_DEFLATED, zipfile.ZIP_STORED,
+                         zipfile.ZIP_BZIP2, zipfile.ZIP_LZMA])
+    try:
+        raw = build_zip(members, method)
+    except Exception:
+        return
+    if rnd.random() < 0.08:
+        raw = b'JUNKPAD' * rnd.randrange(1, 30) + raw
+    if rnd.random() < 0.08:
+        raw = raw + rs(rnd.randrange(1, 40)).encode()
+    if rnd.random() < 0.08 and len(raw) > 40:
+        b = bytearray(raw)
+        for _ in range(rnd.randrange(1, 4)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        raw = bytes(b)
+    if rnd.random() < 0.05:
+        raw = raw[:rnd.randrange(10, len(raw))]
+    add(rnd.choice(['r.zip', 'r.jar', 'r.apk', 'r.war']), raw, f'zip-sweep-{i}')
+
+
+def rand_tar_case(i):
+    n = rnd.randrange(1, 10)
+    members = []
+    filenames = []
+    dirnames = []
+    for _ in range(n):
+        r = rnd.random()
+        nm = member_name()
+        if r < 0.1 and filenames:
+            nm = rnd.choice(filenames)
+        elif r < 0.18:
+            nm = rnd.choice(['./', 'd/../', '../', '/']) + member_name(1)
+        elif r < 0.22:
+            nm = 'x\udce9' + member_name(1)
+        elif r < 0.26:
+            nm = member_name(1) + '/'
+        kind = rnd.random()
+        if kind < 0.62:
+            members.append(('file', nm, payload()))
+            filenames.append(nm)
+        elif kind < 0.72:
+            members.append(('dir', nm))
+            dirnames.append(nm)
+        elif kind < 0.84:
+            # dir-targeted or escaping symlinks make the reference's own
+            # walk loop/escape (excluded input class) — files only
+            tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
+                else member_name(1)
+            members.append(('sym', nm, tgt))
+        elif kind < 0.94:
+            tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
+                else member_name(1)
+            members.append(('hard', nm, tgt))
+        else:
+            members.append(('fifo', nm))
+    fmt = rnd.choice([tarfile.GNU_FORMAT, tarfile.PAX_FORMAT,
+                      tarfile.USTAR_FORMAT])
+    has_surr = any(any(0xdc00 <= ord(ch) <= 0xdcff for ch in m[1]) or
+                   (len(m) > 2 and isinstance(m[2], str) and
+                    any(0xdc00 <= ord(ch) <= 0xdcff for ch in m[2]))
+                   for m in members)
+    if has_surr and fmt == tarfile.PAX_FORMAT:
+        fmt = tarfile.GNU_FORMAT
+    if fmt == tarfile.USTAR_FORMAT:
+        # ustar can't store long names/links — retry as GNU on failure
+        try:
+            raw = build_tar(members, fmt)
+        except Exception:
+            fmt = tarfile.GNU_FORMAT
+            raw = build_tar(members, fmt)
+    else:
+        raw = build_tar(members, fmt)
+    if rnd.random() < 0.05:
+        raw = raw[:rnd.randrange(100, max(101, len(raw)))]
+    name = rnd.choice(['r.tgz', 'r.tar.gz'])
+    add(name, gzip.compress(raw), f'tar-sweep-{i}')
+
+
+for i in range(N_ZIP):
+    rand_zip_case(i)
+for i in range(N_TAR):
+    rand_tar_case(i)
+
+shutil.rmtree(CASE_DIR, ignore_errors=True)
+with open(OUT, 'w') as fh:
+    json.dump(CASES, fh, ensure_ascii=True)
+drops = sum(1 for c in CASES if c.get('drop'))
+sys.stderr.write('cases: %d (drops: %d, members: %d)\n' % (
+    len(CASES), drops,
+    sum(len(c.get('members', [])) for c in CASES)))

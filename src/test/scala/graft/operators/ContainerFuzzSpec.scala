@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** 267-case differential for one container-extraction level —
+  * `Containers.expandOnce` vs the LIVE reference `ContainerFile.extract()`
+  * + the crawl walk (generator: src/test/resources/gen_fuzz_containers.py,
+  * seed 0xC0417, CPython 3.11 zipfile/tarfile/gzip/bz2 on Linux).
+  *
+  * Pins: cp437 vs EFS-utf-8 zip name decode (EFS+invalid-utf-8 fails the
+  * whole zip at open; the 0x7075 unicode extra is ignored), backslash as a
+  * literal posix name char, component sanitization, duplicate-name
+  * last-wins, file/dir collision aborts in both orders, tar '..'
+  * order-dependence, absolute names extracting outside the walk root,
+  * symlink/hardlink aliasing (os.link-failure fallback copy; missing
+  * hardlink target = whole-archive KeyError), write-through-symlink, fifo
+  * invisibility, GNU/PAX/USTAR long names, surrogateescape tar names,
+  * empty archives vs garbage, CRC/encrypted/unsupported-method aborts,
+  * zip64, prepended/trailing junk, multi-stream gz/bz2, the gz→tar
+  * sniff, jar/war/apk zip-fallback, and the '.{suffix}' rename quirk
+  * (incl. the mime-dispatched dot-stripping edge).
+  *
+  * Second-campaign families (found by an 800-case wide sweep, 10 initial
+  * mismatches, all fixed): extractall's extract-BY-NAME indirection
+  * (namelist → NameToInfo re-lookup, so duplicate names read only the
+  * LAST entry's stream — corruption in earlier dups is invisible),
+  * CPython's central-directory strictness (per-entry magic, truncation,
+  * extract_version cap 63, NUL name truncation), local-header checks
+  * (name-differs BadZipFile, EFS-strict local name decode), and members
+  * extracted ABOVE the root (`..` → the real /tmp, `../..`+ saturating at
+  * `/`) that the walk surfaces through symlinks as `../`-prefixed
+  * resolve()d paths — incl. the makedirs-EEXIST drop at saturated levels
+  * and hardlinks to outside targets.
+  *
+  * `drop=true` goldens are the reference's bare-except → extract()=None
+  * (whole container dropped); expandOnce must return None for those.
+  */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private lazy val cases: Vector[PyObj] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_containers.json"), "UTF-8").mkString
+    PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+  }
+
+  private def str(o: PyObj, k: String): String =
+    o.get(k) match { case Some(PyStr(s)) => s; case other => fail(s"$k: $other") }
+
+  private def b64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  test("expandOnce matches ContainerFile.extract + walk on all goldens") {
+    assert(cases.size == 267)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val label = str(c, "label")
+      val name = str(c, "name")
+      val data = b64(str(c, "data"))
+      val got = Containers.expandOnce(name, data)
+        .map(_.map(m => m.path -> m.bytes.toSeq).sortBy(_._1).toVector)
+      val want: Option[Vector[(String, Seq[Byte])]] =
+        if (c.get("drop").contains(PyBool(true))) None
+        else Some(c.get("members") match {
+          case Some(PyArr(ms)) => ms.map { mv =>
+            val m = mv.asInstanceOf[PyObj]
+            str(m, "path") -> b64(str(m, "bytes")).toSeq
+          }.sortBy(_._1)
+          case other => fail(s"case $ci members: $other")
+        })
+      if (got != want) {
+        def show(o: Option[Vector[(String, Seq[Byte])]]) = o match {
+          case None => "DROP"
+          case Some(ms) => ms.map { case (p, b) =>
+            s"$p(${b.length}B:${b.take(12).map(x => f"${x & 0xff}%02x").mkString})"
+          }.mkString("[", ", ", "]")
+        }
+        problems += s"case $ci [$label] $name:\n got ${show(got)}\n exp ${show(want)}"
+      }
+    }
+    assert(problems.isEmpty,
+      s"${problems.size} mismatches:\n${problems.take(8).mkString("\n")}")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the container differential: compares
+  * `Containers.expandOnce` against a reference-generated corpus JSON at an
+  * arbitrary path (generator: /tmp/gen_sweep_containers.py, same schema as
+  * the pinned fuzz_containers.json). Mismatches print with full member
+  * detail; exit code 1 if any. Not part of `sbt test` — the pinned
+  * 255-case ContainerFuzzSpec is the permanent gate.
+  */
+object ContainerSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/fuzz_sweep.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+    def str(o: PyObj, k: String): String =
+      o.get(k) match { case Some(PyStr(s)) => s; case other => sys.error(s"$k: $other") }
+    def b64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+    var bad = 0
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val label = str(c, "label")
+      val name = str(c, "name")
+      val data = b64(str(c, "data"))
+      val got = Containers.expandOnce(name, data)
+        .map(_.map(m => m.path -> m.bytes.toSeq).sortBy(_._1).toVector)
+      val want: Option[Vector[(String, Seq[Byte])]] =
+        if (c.get("drop").contains(PyBool(true))) None
+        else Some(c.get("members") match {
+          case Some(PyArr(ms)) => ms.map { mv =>
+            val m = mv.asInstanceOf[PyObj]
+            str(m, "path") -> b64(str(m, "bytes")).toSeq
+          }.sortBy(_._1)
+          case other => sys.error(s"case $ci members: $other")
+        })
+      if (got != want) {
+        bad += 1
+        def show(o: Option[Vector[(String, Seq[Byte])]]) = o match {
+          case None => "DROP"
+          case Some(ms) => ms.map { case (p, b) =>
+            s"$p(${b.length}B:${b.take(12).map(x => f"${x & 0xff}%02x").mkString})"
+          }.mkString("[", ", ", "]")
+        }
+        println(s"MISMATCH case $ci [$label] $name:\n got ${show(got)}\n exp ${show(want)}")
+      }
+    }
+    println(s"sweep: ${cases.size} cases, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}
