@@ -3,10 +3,8 @@ package graft.operators
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZFile, SevenZMethod, SevenZMethodConfiguration, SevenZOutputFile}
-import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
-import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
-import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
-import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
 
 /** One extracted container member: `path` is relative to the container root
   * (nested containers compose their names into the path, per cpath.py:27-29
@@ -115,8 +113,11 @@ object Containers {
     case "gz" =>
       val lower = name.toLowerCase
       if (lower.contains(".tgz") || lower.contains("tar.gz")) untar(bytes)
-      else decompressSingle(name, bytes,
-        in => new GzipCompressorInputStream(in, true)) match {
+      // CPython gzip.open+copyfileobj semantics: multi-member, trailing
+      // zero padding OK, any other trailing byte / bad CRC / bad ISIZE /
+      // truncation fails; empty input is a VALID empty member; reserved
+      // FLG bits are ignored (ExtractSim.gunzipPy)
+      else decompressSingleBytes(name, bytes, ExtractSim.gunzipPy) match {
         // reference re-runs tarfile on the original when the decompressed
         // payload sniffs as application/x-tar (containerfile.py:421-424)
         case Some(Seq(m)) if isTar(m.bytes) => untarBytes(m.bytes)
@@ -215,37 +216,22 @@ object Containers {
   private def unzip(bytes: Array[Byte]): Option[Seq[Member]] =
     ExtractSim.extractZip(bytes)
 
+  // CPython tarfile.open('r') == 'r:*' replay: comptypes tried in OPEN_METH
+  // order (tar, gz, bz2, xz), gz/bz2/xz decompressed LAZILY — errors in the
+  // compressed tail the tar layer never reads do NOT fail the archive
+  // (trailing garbage / a bad final CRC after the end-of-archive marker
+  // extract fine, exactly like GzipFile under tarfile). The scan itself
+  // replays tarfile's header-error ladder (mid-archive garbage = silent end
+  // of archive), GNU longname/longlink, pax, prefix join, and symlink/
+  // hardlink '..'-quirk extraction through the simulated fs (ExtractSim).
   private def untar(bytes: Array[Byte]): Option[Seq[Member]] =
-    try {
-      // Python tarfile mode 'r' auto-detects gz/bz2/xz compression
-      val base = new ByteArrayInputStream(bytes)
-      val in: InputStream =
-        if (bytes.length > 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-          new GzipCompressorInputStream(base, true)
-        else if (bytes.length > 3 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h')
-          new BZip2CompressorInputStream(base, true)
-        else if (bytes.length > 6 && (bytes(0) & 0xff) == 0xfd && bytes(1) == '7' &&
-          bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0)
-          new XZCompressorInputStream(base)
-        else base
-      untarStream(in)
-    } catch { case _: Throwable => None }
+    ExtractSim.pyTarLadder(bytes)
 
+  /** Plain-tar replay over already-decompressed bytes (the gz→tar-sniff
+    * path re-opens the original gz; its lazy view of a stream the strict
+    * extract_gz pass already validated is exactly these bytes). */
   private def untarBytes(raw: Array[Byte]): Option[Seq[Member]] =
-    try untarStream(new ByteArrayInputStream(raw))
-    catch { case _: Throwable => None }
-
-  // CPython TarFile.extractall replay: entries stream through ISO-8859-1
-  // (byte-transparent) and re-decode utf-8+surrogateescape; symlink/
-  // hardlink aliasing, the order-dependent '..' makedirs quirk, and the
-  // crawl walk all run through the simulated fs (see ExtractSim). Garbage
-  // that commons-compress rejects throws -> None (tarfile.open ReadError);
-  // a VALID empty tar extracts to zero members like the reference's
-  // zero-iteration walk.
-  private def untarStream(in: InputStream): Option[Seq[Member]] = {
-    val entries = ExtractSim.readTarEntries(in)
-    ExtractSim.extractTarEntries(entries)
-  }
+    ExtractSim.extractTarSrc(new ExtractSim.TarSrc(raw, errPending = false))
 
   private def un7z(bytes: Array[Byte]): Option[Seq[Member]] =
     try {
@@ -267,11 +253,6 @@ object Containers {
         Some(out.result())
       } finally f.close()
     } catch { case _: Throwable => None }
-
-  private def decompressSingle(name: String, bytes: Array[Byte],
-      wrap: InputStream => InputStream): Option[Seq[Member]] =
-    decompressSingleBytes(name, bytes,
-      b => readAll(wrap(new ByteArrayInputStream(b))))
 
   private def decompressSingleBytes(name: String, bytes: Array[Byte],
       decomp: Array[Byte] => Array[Byte]): Option[Seq[Member]] =

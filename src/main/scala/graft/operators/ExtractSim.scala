@@ -251,6 +251,11 @@ object ExtractSim {
       if (head.nonEmpty && tail.nonEmpty && !exists(head)) {
         try makedirs(head)
         catch { case e: OsErr if e.what == "EEXIST" => () }
+        // os.py: "xxx/newdir/. exists if xxx/newdir exists" — but ONLY on
+        // this head-just-created branch; with an existing head the final
+        // mkdir('xxx/.') still runs and raises EEXIST (order-dependent,
+        // like the tar '..' quirk)
+        if (tail == ".") return
       }
       mkdir(path)
     }
@@ -608,47 +613,228 @@ object ExtractSim {
       Some(fs.walkMembers())
     } catch { case _: Throwable => None }
 
-  /** CPython BZ2File multi-stream read (_compression.DecompressReader with
-    * trailing_error=OSError): streams decompress back-to-back; trailing
-    * data whose first decompress() of a NEW stream errors is silently
-    * ignored; a plausible stream start that exhausts the input without
-    * finishing raises EOFError (whole container fails), as does any error
-    * inside the first stream. */
-  def bunzipPy(bytes: Array[Byte]): Array[Byte] = {
+  // -------------------- CPython decompressor replays --------------------
+  //
+  // Each returns (data, errPending): the decompressed bytes actually
+  // produced before any error, plus whether an exception is pending AT the
+  // end of that data. A strict consumer (extract_gz / extract_bz2's
+  // copyfileobj reads to EOF) fails on any pending error; the lazy tar
+  // path (tarfile over GzipFile/BZ2File/LZMAFile) only fails if the tar
+  // layer's reads actually touch byte index >= data.length.
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)
+
+  /** CPython `gzip` module read replay (gzip.py:400-545, 3.11): multi-member;
+    * trailing zero padding consumed (`_read_eof`); any OTHER trailing bytes
+    * raise BadGzipFile; truncation raises EOFError; reserved FLG bits are
+    * NOT checked (only method != 8 fails); FNAME/FCOMMENT tolerate EOF,
+    * FEXTRA/FHCRC/trailer do not; CRC32 and ISIZE (mod 2^32) both checked.
+    * EMPTY input is a clean zero-byte result (header read returns None). */
+  def gunzipPyEx(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream()
+    def fail = (out.toByteArray, true)
+    var pos = 0
+    while (true) {
+      // _read_gzip_header: magic==b'' -> clean end; short/wrong magic -> raise
+      if (pos >= bytes.length) return (out.toByteArray, false)
+      if (pos + 2 > bytes.length) return fail
+      if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
+        return fail
+      var p = pos + 2
+      if (p + 8 > bytes.length) return fail // _read_exact -> EOFError
+      val method = bytes(p) & 0xff
+      val flag = bytes(p + 1) & 0xff
+      p += 8
+      if (method != 8) return fail // 'Unknown compression method'
+      if ((flag & 4) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) return fail
+        val xlen = u16le(bytes, p); p += 2
+        if (p + xlen > bytes.length) return fail
+        p += xlen
+      }
+      if ((flag & 8) != 0) { // FNAME: to NUL or EOF (EOF tolerated)
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        if (p < bytes.length) p += 1
+      }
+      if ((flag & 16) != 0) { // FCOMMENT
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        if (p < bytes.length) p += 1
+      }
+      if ((flag & 2) != 0) { // FHCRC: read & discard, never verified
+        if (p + 2 > bytes.length) return fail
+        p += 2
+      }
+      // member body: raw deflate; zlib.error / truncation both raise
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p)
+      val crc = new java.util.zip.CRC32
+      var streamSize = 0L
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val k =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return fail }
+          if (k > 0) {
+            crc.update(buf, 0, k); streamSize += k; out.write(buf, 0, k)
+          } else if (inf.needsInput() || inf.needsDictionary()) return fail
+        }
+        p = bytes.length - inf.getRemaining
+      } finally inf.end()
+      // _read_eof: CRC + ISIZE, then consume zero padding
+      if (p + 8 > bytes.length) return fail
+      val crc32 = u32le(bytes, p)
+      val isize = u32le(bytes, p + 4)
+      p += 8
+      if (crc32 != crc.getValue) return fail
+      if (isize != (streamSize & 0xffffffffL)) return fail
+      while (p < bytes.length && bytes(p) == 0) p += 1
+      pos = p
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Strict gz read (extract_gz's `gzip.open` + `shutil.copyfileobj` reads
+    * to EOF, containerfile.py:418-420): any pending error fails. */
+  def gunzipPy(bytes: Array[Byte]): Array[Byte] = {
+    val (data, err) = gunzipPyEx(bytes)
+    if (err) throw new BadArchive
+    data
+  }
+
+  /** One-byte-granularity window over `bytes` from `pos`: keeps `consumed`
+    * exactly at the stream boundary for bit-packed formats. */
+  private final class CountingIn(bytes: Array[Byte], pos: Int)
+      extends java.io.InputStream {
+    var consumed = 0
+    def read(): Int =
+      if (pos + consumed >= bytes.length) -1
+      else { val b = bytes(pos + consumed) & 0xff; consumed += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      val v = read()
+      if (v < 0) -1 else { b(off) = v.toByte; 1 }
+    }
+  }
+
+  /** The raw-file offset one past CPython's FIRST decompress() window for a
+    * trailing stream starting at `start`: DecompressReader reads the file
+    * in 8192-byte chunks from offset 0, and a new stream's first
+    * decompress() sees `unused_data` (the rest of the chunk containing
+    * `start`) — or, when `start` sits exactly on a chunk boundary, one
+    * fresh 8192-byte read. */
+  private def firstCallEnd(start: Int): Long =
+    if (start % 8192 == 0) start.toLong + 8192
+    else (start / 8192 + 1).toLong * 8192
+
+  /** Does bytes[start..] match the bzip2 stream+block magic as far as it
+    * goes? (A truncated-but-plausible prefix makes libbz2 buffer and wait
+    * for more input — exhaustion is then EOFError, not an eager reject.) */
+  private def bz2PrefixPlausible(bytes: Array[Byte], start: Int): Boolean = {
+    val magic = Array('B'.toInt, 'Z'.toInt, 'h'.toInt, -1,
+      0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
+    var i = 0
+    while (i < magic.length && start + i < bytes.length) {
+      val b = bytes(start + i) & 0xff
+      if (magic(i) == -1) { if (b < '1' || b > '9') return false }
+      else if (b != magic(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def xzPrefixPlausible(bytes: Array[Byte], start: Int): Boolean = {
+    val magic = Array(0xfd, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0)
+    var i = 0
+    while (i < magic.length && start + i < bytes.length) {
+      if ((bytes(start + i) & 0xff) != magic(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Shared multi-stream loop for bz2/xz (_compression.DecompressReader):
+    * streams decompress back-to-back; a TRAILING stream whose FIRST
+    * decompress() call raises is silently ignored — and that call's output
+    * is lost, so the result truncates back to the stream start; exhausting
+    * the input while the decompressor still wants bytes raises EOFError;
+    * errors in the first stream, or past the first decompress window of a
+    * later stream, raise (pending). The first-call window is chunk-aligned
+    * (see firstCallEnd); eager-vs-buffering at EOF is adjudicated by the
+    * stream-magic prefix check. */
+  private def multiStreamPy(bytes: Array[Byte],
+      open: CountingIn => java.io.InputStream,
+      plausible: (Array[Byte], Int) => Boolean): (Array[Byte], Boolean) = {
+    // EMPTY input: unlike gzip (clean None header), the very first
+    // DecompressReader read gets b'' with eof unset -> EOFError
+    if (bytes.isEmpty) return (Array.empty[Byte], true)
     val out = new java.io.ByteArrayOutputStream()
     var pos = 0
     var first = true
-    var done = false
-    while (!done && pos < bytes.length) {
-      var consumed = 0
-      val counting = new java.io.InputStream {
-        def read(): Int =
-          if (pos + consumed >= bytes.length) -1
-          else { val b = bytes(pos + consumed) & 0xff; consumed += 1; b }
-        // one byte per call: keeps `consumed` exactly at the stream
-        // boundary (bzip2 streams are bit-packed; the decompressor stops
-        // on the byte after the end-of-stream magic)
-        override def read(b: Array[Byte], off: Int, len: Int): Int = {
-          if (len == 0) return 0
-          val v = read()
-          if (v < 0) -1 else { b(off) = v.toByte; 1 }
-        }
-      }
+    while (pos < bytes.length) {
+      val streamStart = pos
+      val outAtStart = out.size()
+      val counting = new CountingIn(bytes, pos)
       try {
-        val bz = new org.apache.commons.compress.compressors.bzip2
-          .BZip2CompressorInputStream(counting, false)
-        out.write(readAll(bz))
-        pos += consumed
+        val in = open(counting)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        pos += counting.consumed
         first = false
       } catch {
-        case NonFatal(e) =>
-          val exhausted = pos + consumed >= bytes.length
-          if (first || exhausted) throw new BadArchive // OSError / EOFError
-          done = true // trailing garbage: silently ignored
+        case NonFatal(_) =>
+          val errOff = pos + counting.consumed
+          val exhausted = errOff >= bytes.length
+          val pending =
+            if (first) true
+            else if (exhausted) plausible(bytes, streamStart)
+            else errOff > firstCallEnd(streamStart)
+          val data =
+            if (pending) out.toByteArray
+            else java.util.Arrays.copyOf(out.toByteArray, outAtStart)
+          return (data, pending)
       }
     }
-    out.toByteArray
+    (out.toByteArray, false)
   }
+
+  /** CPython BZ2File multi-stream read (DecompressReader with
+    * trailing_error=OSError). */
+  def bunzipPyEx(bytes: Array[Byte]): (Array[Byte], Boolean) =
+    multiStreamPy(bytes,
+      in => new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(in, false),
+      bz2PrefixPlausible)
+
+  /** Strict bz2 (extract_bz2's copyfileobj reads to EOF). */
+  def bunzipPy(bytes: Array[Byte]): Array[Byte] = {
+    val (data, err) = bunzipPyEx(bytes)
+    if (err) throw new BadArchive
+    data
+  }
+
+  /** CPython LZMAFile FORMAT_AUTO replay (DecompressReader with
+    * trailing_error=LZMAError): concatenated .xz streams (or a legacy
+    * .lzma-alone stream). Reachable only via tarfile's `open('r:*')` xz
+    * branch (an xz/lzma blob named *.tar.gz / *.tgz). */
+  def unxzPyEx(bytes: Array[Byte]): (Array[Byte], Boolean) =
+    multiStreamPy(bytes,
+      in => {
+        val b0 = in.read()
+        val b1plus = new java.io.SequenceInputStream(
+          new java.io.ByteArrayInputStream(
+            if (b0 < 0) Array.empty[Byte] else Array(b0.toByte)), in)
+        if (b0 == 0xfd) new org.tukaani.xz.SingleXZInputStream(b1plus)
+        else new org.tukaani.xz.LZMAInputStream(b1plus) // .lzma alone
+      },
+      xzPrefixPlausible)
 
   // ------------------------------ tar replay ------------------------------
 
@@ -662,53 +848,496 @@ object ExtractSim {
   final case class TEntry(name: String, link: String, kind: TKind,
       bytes: Array[Byte])
 
-  /** Decode entries through ISO-8859-1 (byte-transparent) then re-decode
-    * utf-8 + surrogateescape like tarfile's ENCODING/'surrogateescape'. */
-  private def rawBytes(s: String): Array[Byte] =
-    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-
-  def readTarEntries(in: java.io.InputStream): Vector[TEntry] = {
-    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
-      in, "ISO-8859-1")
-    val out = Vector.newBuilder[TEntry]
-    var e = tin.getNextEntry
-    while (e != null) {
-      // CPython classifies by typeflag: '0'/'7'/unknown are files (tarfile
-      // makeunknown → makefile) even with a trailing-slash name; only the
-      // old-V7 '\0' flag converts trailing-slash names to directories
-      // (TarInfo.frombuf). commons' isDirectory is NAME-based and zeroes
-      // the entry size, so a '0'-flagged "name/" would desync the stream —
-      // steal its data blocks from the raw stream to stay aligned.
-      val flag = e.getLinkFlag
-      val endsSlash = e.getName.endsWith("/")
-      val kind = (flag: Int) match {
-        case '2' => TSym
-        case '1' => TLnk
-        case '5' => TDir
-        case '3' | '4' | '6' => TSpecial
-        case 0 => if (endsSlash) TDir else TReg
-        case _ => TReg
-      }
-      val size = e.getSize
-      val bytes =
-        if (kind == TReg && endsSlash && size > 0) {
-          val padded = ((size + 511) / 512 * 512).toInt
-          val buf = new Array[Byte](padded)
-          var got = 0
-          while (got < padded) {
-            val n = in.read(buf, got, padded - got)
-            if (n < 0) throw new BadArchive
-            got += n
-          }
-          java.util.Arrays.copyOfRange(buf, 0, size.toInt)
-        } else if (kind == TReg) readAllStream(tin)
-        else Array.empty[Byte]
-      out += TEntry(utf8SurrogateEscape(rawBytes(e.getName)),
-        utf8SurrogateEscape(rawBytes(Option(e.getLinkName).getOrElse(""))),
-        kind, bytes)
-      e = tin.getNextEntry
+  /** Lazily-decompressed byte view for the tar layer. CPython's
+    * GzipFile/BZ2File/LZMAFile raise their pending error exactly when a
+    * read call crosses the end of the data the decompressor produced —
+    * tarfile stops at the first end-of-archive marker, so errors in the
+    * compressed tail it never touches do NOT fail the extraction. A read
+    * that merely ends AT the boundary is satisfied without the error. */
+  final class TarSrc(val data: Array[Byte], val errPending: Boolean) {
+    /** fileobj.read(n) at pos: available bytes; raises the pending
+      * decompressor error if the request crosses the data end. */
+    def read(pos: Long, n: Long): Array[Byte] = {
+      if (pos < 0) throw new BadArchive // negative seek: ValueError, fatal
+      if (n <= 0) return Array.empty
+      val len = data.length.toLong
+      val crosses = n > len - pos // overflow-safe: len-pos may be negative
+      if (errPending && crosses) throw new BadArchive
+      val a = math.min(pos, len).toInt
+      val b = if (crosses) data.length else (pos + n).toInt
+      if (b <= a) Array.empty else java.util.Arrays.copyOfRange(data, a, b)
     }
-    out.result()
+  }
+
+  // tarfile header exceptions (next()'s ladder decides fatal vs end)
+  private sealed abstract class HeaderErr extends Exception
+    with scala.util.control.NoStackTrace
+  private final class EmptyHeader extends HeaderErr
+  private final class TruncatedHeader extends HeaderErr
+  private final class EofHeader extends HeaderErr
+  private final class InvalidHeader extends HeaderErr
+  private final class SubsequentHeader extends HeaderErr
+
+  /** Scanned member: CPython TarInfo after _proc_member patching. */
+  final class PInfo {
+    var name: String = ""
+    var linkname: String = ""
+    var tpe: Int = '0'
+    var size: Long = 0L
+    var offsetData: Long = 0L
+    var sparse: Vector[(Long, Long)] = null
+    var sparseExt: Boolean = false
+    var sparseOrigSize: Long = 0L
+  }
+
+  private val SAT = 1L << 40 // nti saturation: any size > data length acts the same
+  private def isRegT(t: Int): Boolean =
+    t == 0 || t == '0' || t == '7' || t == 'S'
+  private def isSupportedT(t: Int): Boolean = (t: @unchecked) match {
+    case 0 | '0' | '1' | '2' | '3' | '4' | '5' | '6' | '7' | 'L' | 'K' | 'S' => true
+    case _ => false
+  }
+
+  /** tarfile._block: round up to 512 with Python divmod semantics
+    * (negative counts round toward zero blocks). */
+  private def pyBlock(count: Long): Long = {
+    val blocks = Math.floorDiv(count, 512L)
+    val rem = count - blocks * 512L
+    val b2 = if (rem != 0) blocks + 1 else blocks
+    math.min(b2 * 512L, SAT)
+  }
+
+  /** tarfile.nts: to the first NUL, utf-8 + surrogateescape. */
+  private def ntsPy(buf: Array[Byte], from: Int, len: Int): String = {
+    val end0 = math.min(from + len, buf.length)
+    var end = from
+    while (end < end0 && buf(end) != 0) end += 1
+    utf8SurrogateEscape(java.util.Arrays.copyOfRange(buf, from, end))
+  }
+
+  /** CPython int(s, base) subset: strip Python whitespace, optional sign,
+    * optional 0o/0x/0b prefix matching the base, digits with single
+    * embedded underscores. Throws InvalidHeader (nti's ValueError) on
+    * anything else; saturates at +/-SAT. */
+  private def pyIntParse(s: String, base: Int): Long = {
+    val t = s.dropWhile(c => " \t\n\r\f".indexOf(c) >= 0)
+      .reverse.dropWhile(c => " \t\n\r\f".indexOf(c) >= 0).reverse
+    var i = 0
+    var neg = false
+    if (i < t.length && (t(i) == '+' || t(i) == '-')) {
+      neg = t(i) == '-'; i += 1
+    }
+    val pfx = if (base == 8) "0o" else if (base == 16) "0x" else ""
+    var hadPrefix = false
+    if (pfx.nonEmpty && t.regionMatches(true, i, pfx, 0, 2)) {
+      i += 2; hadPrefix = true
+    }
+    if (i >= t.length) throw new InvalidHeader
+    var n = BigInt(0)
+    // a single underscore is allowed right after the 0o/0x prefix
+    var lastUnderscore = !hadPrefix // leading underscore invalid otherwise
+    while (i < t.length) {
+      val c = t(i)
+      if (c == '_') {
+        if (lastUnderscore) throw new InvalidHeader
+        lastUnderscore = true
+      } else {
+        val d = java.lang.Character.digit(c, base)
+        if (d < 0) throw new InvalidHeader
+        n = n * base + d
+        lastUnderscore = false
+      }
+      i += 1
+    }
+    if (lastUnderscore) throw new InvalidHeader // trailing underscore
+    if (neg) n = -n
+    if (n > SAT) SAT else if (n < -SAT) -SAT else n.toLong
+  }
+
+  /** tarfile.nti: base-256 (0o200/0o377 lead byte) or ascii-strict octal;
+    * ValueError -> InvalidHeaderError. */
+  private def ntiPy(buf: Array[Byte], from: Int, len: Int): Long = {
+    val b0 = buf(from) & 0xff
+    if (b0 == 0x80 || b0 == 0xff) {
+      var n = BigInt(0)
+      var i = 1
+      while (i < len) { n = (n << 8) + (buf(from + i) & 0xff); i += 1 }
+      if (b0 == 0xff) n = n - (BigInt(1) << (8 * (len - 1)))
+      if (n > SAT) SAT else if (n < -SAT) -SAT else n.toLong
+    } else {
+      // nts(s, 'ascii', 'strict'): non-ascii -> UnicodeDecodeError(ValueError)
+      val end0 = math.min(from + len, buf.length)
+      var end = from
+      while (end < end0 && buf(end) != 0) end += 1
+      val sb = new java.lang.StringBuilder(end - from)
+      var i = from
+      while (i < end) {
+        if ((buf(i) & 0x80) != 0) throw new InvalidHeader
+        sb.append((buf(i) & 0xff).toChar)
+        i += 1
+      }
+      val t = sb.toString
+      val stripped = t.dropWhile(c => " \t\n\r\f".indexOf(c) >= 0)
+        .reverse.dropWhile(c => " \t\n\r\f".indexOf(c) >= 0).reverse
+      if (stripped.isEmpty) 0L else pyIntParse(stripped, 8)
+    }
+  }
+
+  private def rstripSlashes(s: String): String =
+    s.reverse.dropWhile(_ == '/').reverse
+
+  /** utf-8 strict, falling back to utf-8 + surrogateescape
+    * (TarInfo._decode_pax_field with encoding == fallback == utf-8). */
+  private def paxDecode(raw: Array[Byte]): String =
+    utf8Strict(raw).getOrElse(utf8SurrogateEscape(raw))
+
+  /** CPython TarFile scan replay (tarfile.py:2581-2641 next(),
+    * :1225-1564 frombuf/_proc_*): header-error ladder (fatal at offset 0
+    * or after a longname/pax prelude, silent end-of-archive elsewhere),
+    * GNU longname/longlink, pax extended+global headers, old-GNU sparse
+    * bookkeeping, ustar prefix join, base-256 numbers, both checksum
+    * conventions, utf-8+surrogateescape names. Throws BadArchive where
+    * CPython's open/getmembers raises (ReadError/OSError). */
+  private final class PyTarScanner(src: TarSrc) {
+    private var offset = 0L // tarfile.offset
+    private var cur = 0L // fileobj.tell()
+    private var done = false
+    private val paxGlobal = mutable.LinkedHashMap.empty[String, String]
+
+    private def frombuf(buf: Array[Byte]): PInfo = {
+      if (buf.isEmpty) throw new EmptyHeader
+      if (buf.length != 512) throw new TruncatedHeader
+      if (buf.forall(_ == 0)) throw new EofHeader
+      val chksum = ntiPy(buf, 148, 8)
+      var unsigned = 256L
+      var signed = 256L
+      var i = 0
+      while (i < 512) {
+        if (i < 148 || i >= 156) { unsigned += buf(i) & 0xff; signed += buf(i) }
+        i += 1
+      }
+      if (chksum != unsigned && chksum != signed) throw new InvalidHeader
+      val obj = new PInfo
+      obj.name = ntsPy(buf, 0, 100)
+      ntiPy(buf, 100, 8) // mode — parsed (ValueError -> invalid), unused
+      ntiPy(buf, 108, 8) // uid
+      ntiPy(buf, 116, 8) // gid
+      obj.size = ntiPy(buf, 124, 12)
+      ntiPy(buf, 136, 12) // mtime
+      obj.tpe = buf(156) & 0xff
+      obj.linkname = ntsPy(buf, 157, 100)
+      ntiPy(buf, 329, 8) // devmajor
+      ntiPy(buf, 337, 8) // devminor
+      val prefix = ntsPy(buf, 345, 155)
+      if (obj.tpe == 0 && obj.name.endsWith("/")) obj.tpe = '5'
+      if (obj.tpe == 'S') {
+        // old-GNU sparse structs live in the header's unused space; struct
+        // parse errors break the loop (ValueError caught), but a bad
+        // origsize raises InvalidHeaderError like any other number field
+        val structs = Vector.newBuilder[(Long, Long)]
+        var pos = 386
+        var stop = false
+        var k = 0
+        while (k < 4 && !stop) {
+          try {
+            val off = ntiPy(buf, pos, 12)
+            val num = ntiPy(buf, pos + 12, 12)
+            structs += ((off, num))
+          } catch { case _: InvalidHeader => stop = true }
+          pos += 24
+          k += 1
+        }
+        obj.sparse = structs.result()
+        obj.sparseExt = (buf(482) & 0xff) != 0
+        obj.sparseOrigSize = ntiPy(buf, 483, 12)
+      }
+      if (obj.tpe == '5') obj.name = rstripSlashes(obj.name)
+      if (prefix.nonEmpty && obj.tpe != 'L' && obj.tpe != 'K' && obj.tpe != 'S')
+        obj.name = prefix + "/" + obj.name
+      obj
+    }
+
+    private def fromtarfile(): PInfo = {
+      val buf = src.read(cur, 512)
+      val obj = frombuf(buf)
+      cur += 512
+      procMember(obj)
+    }
+
+    private def procMember(obj: PInfo): PInfo = obj.tpe match {
+      case 'L' | 'K' => procGnuLong(obj)
+      case 'S' => procSparse(obj)
+      case 'x' | 'g' | 'X' => procPax(obj)
+      case _ => procBuiltin(obj)
+    }
+
+    private def procBuiltin(obj: PInfo): PInfo = {
+      obj.offsetData = cur
+      var off = obj.offsetData
+      if (isRegT(obj.tpe) || !isSupportedT(obj.tpe)) off += pyBlock(obj.size)
+      offset = off
+      applyPax(obj, paxGlobal)
+      if (obj.tpe == '5') obj.name = rstripSlashes(obj.name)
+      obj
+    }
+
+    private def procGnuLong(obj: PInfo): PInfo = {
+      val data = src.read(cur, pyBlock(obj.size))
+      cur += data.length
+      val nxt =
+        try fromtarfile()
+        catch { case _: HeaderErr => throw new SubsequentHeader }
+      if (obj.tpe == 'L') nxt.name = ntsPy(data, 0, data.length)
+      else nxt.linkname = ntsPy(data, 0, data.length)
+      if (nxt.tpe == '5' && nxt.name.endsWith("/")) // removesuffix: ONE slash
+        nxt.name = nxt.name.substring(0, nxt.name.length - 1)
+      nxt
+    }
+
+    private def procSparse(obj: PInfo): PInfo = {
+      // extended sparse header blocks (_proc_sparse)
+      var structs = obj.sparse
+      var isext = obj.sparseExt
+      while (isext) {
+        val buf = src.read(cur, 512)
+        cur += buf.length
+        if (buf.length < 512) throw new BadArchive // buf[504] IndexError
+        var pos = 0
+        var stop = false
+        var k = 0
+        while (k < 21 && !stop) {
+          try {
+            val off = ntiPy(buf, pos, 12)
+            val num = ntiPy(buf, pos + 12, 12)
+            if (off != 0 && num != 0) structs = structs :+ ((off, num))
+          } catch { case _: InvalidHeader => stop = true }
+          pos += 24
+          k += 1
+        }
+        isext = (buf(504) & 0xff) != 0
+      }
+      obj.sparse = structs
+      obj.offsetData = cur
+      offset = obj.offsetData + pyBlock(obj.size)
+      obj.size = obj.sparseOrigSize
+      obj
+    }
+
+    private def procPax(obj: PInfo): PInfo = {
+      val data = src.read(cur, pyBlock(obj.size))
+      cur += data.length
+      val pax =
+        if (obj.tpe == 'g') paxGlobal
+        else paxGlobal.clone()
+      // hdrcharset probe: regex over the raw buffer; strict-utf8 decode
+      findHdrcharset(data).foreach { raw =>
+        pax("hdrcharset") =
+          utf8Strict(raw).getOrElse(throw new BadArchive) // UnicodeDecodeError
+      }
+      // record loop: re.match(br"(\d+) ([^=]+)=", buf, pos)
+      var pos = 0
+      var looping = true
+      while (looping) {
+        var p = pos
+        var dEnd = p
+        while (dEnd < data.length && data(dEnd) >= '0' && data(dEnd) <= '9')
+          dEnd += 1
+        if (dEnd == p || dEnd >= data.length || data(dEnd) != ' ') looping = false
+        else {
+          var kEnd = dEnd + 1
+          while (kEnd < data.length && data(kEnd) != '=') kEnd += 1
+          if (kEnd >= data.length || kEnd == dEnd + 1) looping = false
+          else {
+            val lenStr = new String(data, p, dEnd - p,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val length =
+              try {
+                val n = BigInt(lenStr)
+                if (n > SAT) SAT else n.toLong
+              } catch { case _: NumberFormatException => throw new BadArchive }
+            if (length == 0) throw new InvalidHeader
+            val vStart = kEnd + 1
+            val vEndRaw = pos + length - 1
+            val vEnd = math.max(vStart.toLong,
+              math.min(vEndRaw, data.length.toLong)).toInt
+            val kw = paxDecode(java.util.Arrays.copyOfRange(data, dEnd + 1, kEnd))
+            val vl = paxDecode(java.util.Arrays.copyOfRange(data, vStart, vEnd))
+            pax(kw) = vl
+            val np = pos.toLong + length
+            if (np > data.length) looping = false // next match can't start
+            else pos = np.toInt
+          }
+        }
+      }
+      val nxt =
+        try fromtarfile()
+        catch { case _: HeaderErr => throw new SubsequentHeader }
+      if (pax.keys.exists(_.startsWith("GNU.sparse.")))
+        throw new BadArchive // pax-sparse formats: out of scope (documented)
+      if (obj.tpe == 'x' || obj.tpe == 'X') {
+        applyPax(nxt, pax)
+        if (pax.contains("size")) {
+          var off = nxt.offsetData
+          if (isRegT(nxt.tpe) || !isSupportedT(nxt.tpe)) off += pyBlock(nxt.size)
+          offset = off
+        }
+      }
+      nxt
+    }
+
+    private def findHdrcharset(data: Array[Byte]): Option[Array[Byte]] = {
+      // re.search(br"\d+ hdrcharset=([^\n]+)\n", buf)
+      val needle = " hdrcharset=".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII)
+      var i = 0
+      while (i < data.length) {
+        if (data(i) >= '0' && data(i) <= '9') {
+          var d = i
+          while (d < data.length && data(d) >= '0' && data(d) <= '9') d += 1
+          if (d + needle.length <= data.length &&
+            (0 until needle.length).forall(j => data(d + j) == needle(j))) {
+            val vStart = d + needle.length
+            var v = vStart
+            while (v < data.length && data(v) != '\n') v += 1
+            if (v < data.length && v > vStart)
+              return Some(java.util.Arrays.copyOfRange(data, vStart, v))
+          }
+        }
+        i += 1
+      }
+      None
+    }
+
+    private def applyPax(m: PInfo,
+        pax: mutable.LinkedHashMap[String, String]): Unit =
+      pax.foreach { case (k, v) =>
+        k match {
+          case "path" => m.name = rstripSlashes(v)
+          case "linkpath" => m.linkname = v
+          case "size" =>
+            m.size =
+              try pyIntParse(v, 10)
+              catch { case _: InvalidHeader => 0L } // ValueError -> 0
+          case _ => () // mtime/uid/gid/uname/gname: parsed, not modeled
+        }
+      }
+
+    /** TarFile.next(): None = end of archive; BadArchive = ReadError. */
+    def next(): Option[PInfo] = {
+      if (done) return None
+      if (offset != cur) {
+        if (offset == 0) return None
+        val one = src.read(offset - 1, 1)
+        if (one.isEmpty) throw new BadArchive // "unexpected end of data"
+        cur = offset
+      }
+      try Some(fromtarfile())
+      catch {
+        case _: SubsequentHeader => throw new BadArchive
+        case _: EofHeader => done = true; None
+        case _: HeaderErr =>
+          // Empty/Truncated/Invalid: fatal at offset 0, silent end after
+          if (offset == 0) throw new BadArchive
+          done = true; None
+      }
+    }
+  }
+
+  /** makefile's copyfileobj(src, dst, size, ReadError, 16KiB): short read
+    * anywhere -> fatal. Python divmod: a negative size skips the block loop
+    * but still reads the (positive) remainder. */
+  private def readMemberData(src: TarSrc, offsetData: Long,
+      size: Long): Array[Byte] = {
+    if (size == 0) return Array.empty
+    val bufsize = 16384L
+    val blocks = Math.floorDiv(size, bufsize)
+    val rem = size - blocks * bufsize
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = offsetData
+    var i = 0L
+    while (i < blocks) {
+      val chunk = src.read(pos, bufsize)
+      if (chunk.length < bufsize) throw new BadArchive
+      out.write(chunk); pos += bufsize; i += 1
+    }
+    if (rem != 0) {
+      val chunk = src.read(pos, rem)
+      if (chunk.length < rem) throw new BadArchive
+      out.write(chunk)
+    }
+    out.toByteArray
+  }
+
+  /** makefile's sparse branch: segments read back-to-back from offsetData,
+    * seeked to their hole offsets, then truncated to the (orig)size.
+    * Resource guard (documented deviation): CPython materializes holes as
+    * a disk-backed sparse file of arbitrary claimed size; an in-memory
+    * replay caps it — oversized claims drop the archive. */
+  private def readSparseData(src: TarSrc, p: PInfo): Array[Byte] = {
+    if (p.size > (64L << 20) || p.size < 0) throw new BadArchive
+    val size = p.size.toInt
+    val out = new Array[Byte](size)
+    var pos = p.offsetData
+    p.sparse.foreach { case (off, num) =>
+      val seg = readMemberData(src, pos, num)
+      pos += num
+      if (off < 0 || off > size) throw new BadArchive // seek/write OOB
+      val n = math.min(seg.length.toLong, size - off).toInt
+      System.arraycopy(seg, 0, out, off.toInt, n)
+    }
+    out
+  }
+
+  private def toTEntry(src: TarSrc, p: PInfo): TEntry = {
+    val kind: TKind = (p.tpe: @unchecked) match {
+      case '2' => TSym
+      case '1' => TLnk
+      case '5' => TDir
+      case '3' | '4' | '6' => TSpecial
+      case _ => TReg // regular, contiguous, sparse, and unknown types
+    }
+    val bytes =
+      if (kind != TReg) Array.empty[Byte]
+      else if (p.tpe == 'S') readSparseData(src, p)
+      else readMemberData(src, p.offsetData, p.size)
+    TEntry(p.name, p.linkname, kind, bytes)
+  }
+
+  /** Full scan + extractall + walk over one decompressed view. */
+  def extractTarSrc(src: TarSrc): Option[Seq[Member]] =
+    try {
+      val sc = new PyTarScanner(src)
+      val infos = Vector.newBuilder[PInfo]
+      var m = sc.next()
+      while (m.isDefined) { infos += m.get; m = sc.next() }
+      extractTarEntries(infos.result().map(toTEntry(src, _)))
+    } catch { case _: Throwable => None }
+
+  /** tarfile.open('r') == 'r:*' (containerfile.py:396): comptypes tried in
+    * OPEN_METH order tar -> gz -> bz2 -> xz; only the OPEN (the first
+    * next() call) participates in the fallthrough — every error after a
+    * successful open is fatal. The abort-vs-exhausted distinction inside
+    * the ladder collapses: no input can open under two comptypes, so both
+    * paths end at the reference's bare except -> False. */
+  def pyTarLadder(bytes: Array[Byte]): Option[Seq[Member]] = {
+    val comptypes: List[() => TarSrc] = List(
+      () => new TarSrc(bytes, false),
+      () => { val (d, e) = gunzipPyEx(bytes); new TarSrc(d, e) },
+      () => { val (d, e) = bunzipPyEx(bytes); new TarSrc(d, e) },
+      () => { val (d, e) = unxzPyEx(bytes); new TarSrc(d, e) })
+    comptypes.foreach { mk =>
+      val opened =
+        try {
+          val s = mk()
+          new PyTarScanner(s).next() // open = TarFile.__init__'s first next()
+          Some(s)
+        } catch { case NonFatal(_) => None } // ReadError: try next comptype
+      opened match {
+        case Some(s) => return extractTarSrc(s)
+        case None => ()
+      }
+    }
+    None
   }
 
   /** CPython `TarFile.extractall(tmp)` (errorlevel 1, no filter) + walk.
@@ -789,5 +1418,4 @@ object ExtractSim {
     out.toByteArray
   }
 
-  private def readAllStream(in: java.io.InputStream): Array[Byte] = readAll(in)
 }

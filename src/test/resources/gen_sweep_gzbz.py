@@ -1,0 +1,305 @@
+#!/usr/bin/env python3
+"""One-off directed+random sweep for the gz/bz2 single-file container
+differential (CPython gzip.open / bz2.open + shutil.copyfileobj replay in
+ExtractSim.gunzipPy / bunzipPy, plus the gz->tar sniff path).
+
+Same harness and output schema as gen_sweep_containers.py; run the output
+through `Test/runMain graft.operators.ContainerSweep <json>`.
+
+Usage: python3 gen_sweep_gzbz.py <out.json> [seed] [n_random]
+"""
+import sys, os, io, json, base64, random, string, shutil, struct, types
+import zlib, gzip, bz2, tarfile, warnings
+from pathlib import Path
+
+warnings.simplefilter('ignore')
+sys.path.insert(0, '/tmp')
+import ref_harness  # noqa: F401
+
+mg = types.ModuleType('magic')
+
+
+class _Magic:
+    def __init__(self, mime=True, magic_file=None):
+        pass
+
+    def from_buffer(self, data):
+        if isinstance(data, str):
+            data = data.encode('utf-8', 'ignore')
+        if len(data) > 261 and data[257:262] == b'ustar':
+            return 'application/x-tar'
+        if data[:4] in (b'PK\x03\x04', b'PK\x05\x06', b'PK\x07\x08'):
+            return 'application/zip'
+        if data[:2] == b'\x1f\x8b':
+            return 'application/gzip'
+        if data[:3] == b'BZh':
+            return 'application/x-bzip2'
+        return 'application/octet-stream'
+
+
+mg.Magic = _Magic
+sys.modules['magic'] = mg
+
+from filecrawler.libs.containerfile import ContainerFile  # noqa: E402
+from filecrawler.libs.file import File  # noqa: E402
+from filecrawler.config import Configuration  # noqa: E402
+
+Configuration.extract_files = True
+
+import filecrawler.libs.process as _proc  # noqa: E402
+_proc.Process.call = staticmethod(lambda *a, **k: (1, '', ''))
+
+OUT = sys.argv[1]
+SEED = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xB22
+N_RANDOM = int(sys.argv[3]) if len(sys.argv) > 3 else 150
+rnd = random.Random(SEED)
+
+CASE_DIR = '/tmp/fuzz_gzbz_work'
+
+
+def ref_expand(name, raw):
+    shutil.rmtree(CASE_DIR, ignore_errors=True)
+    os.makedirs(CASE_DIR)
+    fp = os.path.join(CASE_DIR, name)
+    with open(fp, 'wb') as fh:
+        fh.write(raw)
+    f = File(base_path=Path(CASE_DIR), file_path=Path(fp))
+    out = {}
+    with ContainerFile(f) as c:
+        out_path = c.extract()
+        if out_path is None:
+            return None
+        base = str(out_path)
+
+        def rec(here):
+            try:
+                names = os.listdir(here)
+            except OSError:
+                return
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isfile(p):
+                    rp = str(Path(p).resolve())
+                    try:
+                        out[rp] = open(rp, 'rb').read()
+                    except OSError:
+                        pass
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isdir(p):
+                    rec(str(Path(p).resolve()))
+
+        rec(base)
+        members = sorted((os.path.relpath(k, base), v) for k, v in out.items())
+        shutil.rmtree(base, ignore_errors=True)
+        return members
+
+
+CASES = []
+
+
+def add(name, raw, label):
+    got = ref_expand(name, raw)
+    case = {'name': name, 'label': label,
+            'data': base64.b64encode(raw).decode()}
+    if got is None:
+        case['drop'] = True
+    else:
+        case['members'] = [
+            {'path': p, 'bytes': base64.b64encode(b).decode()}
+            for p, b in got]
+    CASES.append(case)
+
+
+def payload(n=None):
+    if n is None:
+        n = rnd.randrange(0, 4000)
+    return bytes(rnd.randrange(0, 256) for _ in range(n))
+
+
+def gz_member(data, flag_extra=0, fname=None, fcomment=None, fextra=None,
+              fhcrc=False, method=8, bad_crc=False, bad_isize=False):
+    """Hand-rolled gzip member so flag bits / fields can be abused."""
+    flags = flag_extra
+    if fextra is not None:
+        flags |= 4
+    if fname is not None:
+        flags |= 8
+    if fcomment is not None:
+        flags |= 16
+    if fhcrc:
+        flags |= 2
+    hdr = struct.pack('<BBBBIBB', 0x1f, 0x8b, method, flags, 0, 0, 3)
+    if fextra is not None:
+        hdr += struct.pack('<H', len(fextra)) + fextra
+    if fname is not None:
+        hdr += fname + b'\0'
+    if fcomment is not None:
+        hdr += fcomment + b'\0'
+    if fhcrc:
+        hdr += b'\xab\xcd'
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    crc = zlib.crc32(data) ^ (0xFF if bad_crc else 0)
+    isize = (len(data) + (7 if bad_isize else 0)) & 0xffffffff
+    return hdr + body + struct.pack('<II', crc, isize)
+
+
+def tar_bytes(members):
+    buf = io.BytesIO()
+    t = tarfile.open(fileobj=buf, mode='w', format=tarfile.GNU_FORMAT)
+    for n, data in members:
+        ti = tarfile.TarInfo(n)
+        ti.size = len(data)
+        t.addfile(ti, io.BytesIO(data))
+    t.close()
+    return buf.getvalue()
+
+
+# ---------------------------- directed gz ----------------------------
+P1 = payload(300)
+P2 = payload(120)
+G1 = gz_member(P1)
+
+add('r.gz', G1, 'gz-plain')
+add('r.gz', G1 + b'\x00' * 37, 'gz-zero-padding')
+add('r.gz', G1 + b'garbage after', 'gz-trailing-garbage')
+add('r.gz', G1 + gz_member(P2), 'gz-two-members')
+add('r.gz', G1 + b'\x00' * 9 + gz_member(P2), 'gz-zeros-then-member')
+add('r.gz', G1 + gz_member(P2) + b'x', 'gz-two-members-then-garbage')
+add('r.gz', b'', 'gz-empty-file')
+add('r.gz', b'\x1f', 'gz-one-byte')
+add('r.gz', b'\x1f\x8b', 'gz-magic-only')
+add('r.gz', b'\x1f\x8b\x08\x00', 'gz-short-header')
+add('r.gz', gz_member(P1, flag_extra=0x20), 'gz-reserved-flag-20')
+add('r.gz', gz_member(P1, flag_extra=0xe0), 'gz-reserved-flags-e0')
+add('r.gz', gz_member(P1, method=7), 'gz-bad-method')
+add('r.gz', gz_member(P1, fname=b'orig.txt'), 'gz-fname')
+add('r.gz', gz_member(P1, fname=b'n', fcomment=b'c', fhcrc=True), 'gz-all-fields')
+add('r.gz', gz_member(P1, fextra=b'AB\x04\x00abcd'), 'gz-fextra')
+add('r.gz', b'\x1f\x8b\x08\x08\x00\x00\x00\x00\x00\x03unterminated-name',
+    'gz-fname-eof')
+add('r.gz', b'\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\x03\xff\xff short',
+    'gz-fextra-overrun')
+add('r.gz', b'\x1f\x8b\x08\x02\x00\x00\x00\x00\x00\x03\xab',
+    'gz-fhcrc-truncated')
+add('r.gz', gz_member(P1, bad_crc=True), 'gz-bad-crc')
+add('r.gz', gz_member(P1, bad_isize=True), 'gz-bad-isize')
+add('r.gz', G1[:len(G1) - 4], 'gz-truncated-trailer')
+add('r.gz', G1[:len(G1) - 11], 'gz-truncated-deflate')
+add('r.gz', G1[:14], 'gz-truncated-early')
+add('r.gz', b'\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03' + b'\xff' * 30 +
+    struct.pack('<II', 0, 0), 'gz-deflate-garbage')
+add('r.gz', G1 + gz_member(P2)[:20], 'gz-member2-truncated')
+add('r.gz', bz2.compress(P1), 'gz-ext-bz2-content')
+add('r.gz', gz_member(b''), 'gz-empty-payload')
+# mime-dispatched (no extension): extension '' -> mime application/gzip
+add('datafile', G1, 'gz-mime-dispatch')
+# multi-member name quirk: output keeps full name minus the '..gz' no-op
+add('archive.data.gz', G1 + gz_member(P2), 'gz-two-members-named')
+
+# gz -> tar sniff path
+T1 = tar_bytes([('a/b.txt', P1), ('c.txt', P2)])
+add('r.gz', gz_member(T1), 'gz-tar-sniff')
+add('r.gz', gz_member(T1) + b'junk', 'gz-tar-sniff-trailing-garbage')
+add('r.gz', gz_member(T1) + b'\x00' * 16, 'gz-tar-sniff-zero-pad')
+add('r.gz', gz_member(T1, bad_isize=True), 'gz-tar-bad-isize')
+add('r.gz', gz_member(T1) + gz_member(tar_bytes([('d.txt', P2)])),
+    'gz-tar-two-members')
+add('r.tgz', gz_member(T1) + b'junk', 'tgz-trailing-garbage-lazy')
+add('r.tar.gz', gz_member(T1, bad_crc=True), 'targz-bad-crc-lazy')
+add('r.tgz', gz_member(T1)[:200], 'tgz-truncated')
+add('r.tgz', T1, 'tgz-plain-tar-content')  # mime x-tar: not a container
+add('r.tar.gz', T1, 'targz-plain-tar-content')
+
+# ---------------------------- directed bz2 ----------------------------
+B1 = bz2.compress(P1)
+B2 = bz2.compress(P2)
+add('r.bz2', B1, 'bz2-plain')
+add('r.bz2', B1 + B2, 'bz2-two-streams')
+add('r.bz2', B1 + b'garbage trailing', 'bz2-trailing-garbage')
+add('r.bz2', B1 + b'BZh9', 'bz2-trailing-plausible-truncated')
+add('r.bz2', B1 + B2[:len(B2) - 6], 'bz2-trailing-stream-truncated')
+add('r.bz2', B1 + B2[:12], 'bz2-trailing-stream-short')
+add('r.bz2', b'', 'bz2-empty-file')
+add('r.bz2', b'BZh9', 'bz2-header-only')
+add('r.bz2', B1[:len(B1) - 5], 'bz2-truncated')
+corrupt = bytearray(B1 + B2)
+corrupt[len(B1) + 30] ^= 0x40
+add('r.bz2', bytes(corrupt), 'bz2-trailing-stream-corrupt')
+big = bz2.compress(payload(300000))
+corrupt2 = bytearray(B1 + big)
+corrupt2[len(B1) + 20000] ^= 0x01
+add('r.bz2', bytes(corrupt2), 'bz2-trailing-big-corrupt-deep')
+add('r.bz2', B1 + b'\x00' * 8, 'bz2-trailing-zeros')
+add('r.bz', B1, 'bz-ext')
+add('r.bz2', gz_member(P1), 'bz2-ext-gz-content')
+
+# ---------------------------- random sweep ----------------------------
+for i in range(N_RANDOM):
+    kind = rnd.random()
+    data = payload()
+    if kind < 0.45:
+        # random gz constructions
+        members = []
+        for _ in range(rnd.randrange(1, 4)):
+            members.append(gz_member(
+                payload(),
+                flag_extra=rnd.choice([0, 0, 0, 0x20, 0x40, 0x80]),
+                fname=rnd.choice([None, b'n' * rnd.randrange(0, 30)]),
+                fcomment=rnd.choice([None, b'c']),
+                fextra=rnd.choice([None, b'XX\x02\x00ab']),
+                fhcrc=rnd.random() < 0.2,
+                method=rnd.choice([8] * 9 + [rnd.randrange(0, 16)]),
+                bad_crc=rnd.random() < 0.08,
+                bad_isize=rnd.random() < 0.08))
+        raw = b''.join(members)
+        r = rnd.random()
+        if r < 0.15:
+            raw += payload(rnd.randrange(1, 50))
+        elif r < 0.3:
+            raw += b'\x00' * rnd.randrange(1, 20)
+        elif r < 0.45 and len(raw) > 20:
+            raw = raw[:rnd.randrange(5, len(raw))]
+        elif r < 0.55 and len(raw) > 20:
+            b = bytearray(raw)
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            raw = bytes(b)
+        add(rnd.choice(['r.gz', 'x.data.gz']), raw, f'gz-rand-{i}')
+    elif kind < 0.8:
+        # random bz2 stream stacks
+        streams = [bz2.compress(payload(), rnd.choice([1, 9]))
+                   for _ in range(rnd.randrange(1, 4))]
+        raw = b''.join(streams)
+        r = rnd.random()
+        if r < 0.2:
+            raw += payload(rnd.randrange(1, 40))
+        elif r < 0.35:
+            raw += b'BZh' + bytes([rnd.randrange(0x30, 0x3a)])
+        elif r < 0.5 and len(raw) > 20:
+            raw = raw[:rnd.randrange(5, len(raw))]
+        elif r < 0.65 and len(raw) > 20:
+            b = bytearray(raw)
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            raw = bytes(b)
+        add('r.bz2', raw, f'bz2-rand-{i}')
+    else:
+        # random gz'd tars with tail abuse (strict vs lazy split)
+        t = tar_bytes([(f't{j}.bin', payload(rnd.randrange(0, 2000)))
+                       for j in range(rnd.randrange(1, 4))])
+        raw = gz_member(t, bad_crc=rnd.random() < 0.15,
+                        bad_isize=rnd.random() < 0.15)
+        r = rnd.random()
+        if r < 0.25:
+            raw += payload(rnd.randrange(1, 30))
+        elif r < 0.4:
+            raw = raw[:rnd.randrange(len(raw) // 2, len(raw))]
+        add(rnd.choice(['r.gz', 'r.tgz', 'r.tar.gz']), raw, f'gztar-rand-{i}')
+
+shutil.rmtree(CASE_DIR, ignore_errors=True)
+with open(OUT, 'w') as fh:
+    json.dump(CASES, fh, ensure_ascii=True)
+drops = sum(1 for c in CASES if c.get('drop'))
+sys.stderr.write('cases: %d (drops: %d, members: %d)\n' % (
+    len(CASES), drops,
+    sum(len(c.get('members', [])) for c in CASES)))

@@ -1,0 +1,364 @@
+#!/usr/bin/env python3
+"""One-off sweep for the pure-Scala tarfile scan replay (ExtractSim
+PyTarScanner): corrupt/exotic TAR STRUCTURE inside a VALID gz wrapper, so
+every divergence is a tar-layer divergence (the gz layer is pinned by
+gen_sweep_gzbz.py). Families: mid-archive garbage/truncation (CPython ends
+the archive silently), first-header garbage (fatal), checksum signed/space
+conventions, V7 trailing-slash dirs, base-256 numbers, ustar prefix join,
+GNU longname/longlink chains (incl. broken next-header = fatal), pax
+extended/global records (size override, path/linkpath, odd records),
+old-GNU sparse members, data-block truncation, type-flag zoo.
+
+Usage: python3 gen_sweep_pytar.py <out.json> [seed] [n_random]
+"""
+import sys, os, io, json, base64, random, string, shutil, struct, types
+import gzip, tarfile, warnings
+from pathlib import Path
+
+warnings.simplefilter('ignore')
+sys.path.insert(0, '/tmp')
+import ref_harness  # noqa: F401
+
+mg = types.ModuleType('magic')
+
+
+class _Magic:
+    def __init__(self, mime=True, magic_file=None):
+        pass
+
+    def from_buffer(self, data):
+        if isinstance(data, str):
+            data = data.encode('utf-8', 'ignore')
+        if len(data) > 261 and data[257:262] == b'ustar':
+            return 'application/x-tar'
+        if data[:2] == b'\x1f\x8b':
+            return 'application/gzip'
+        return 'application/octet-stream'
+
+
+mg.Magic = _Magic
+sys.modules['magic'] = mg
+
+from filecrawler.libs.containerfile import ContainerFile  # noqa: E402
+from filecrawler.libs.file import File  # noqa: E402
+from filecrawler.config import Configuration  # noqa: E402
+
+Configuration.extract_files = True
+
+import filecrawler.libs.process as _proc  # noqa: E402
+_proc.Process.call = staticmethod(lambda *a, **k: (1, '', ''))
+
+OUT = sys.argv[1]
+SEED = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0x7A7
+N_RANDOM = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+rnd = random.Random(SEED)
+
+CASE_DIR = '/tmp/fuzz_pytar_work'
+
+
+def ref_expand(name, raw):
+    shutil.rmtree(CASE_DIR, ignore_errors=True)
+    os.makedirs(CASE_DIR)
+    fp = os.path.join(CASE_DIR, name)
+    with open(fp, 'wb') as fh:
+        fh.write(raw)
+    f = File(base_path=Path(CASE_DIR), file_path=Path(fp))
+    out = {}
+    with ContainerFile(f) as c:
+        out_path = c.extract()
+        if out_path is None:
+            return None
+        base = str(out_path)
+
+        def rec(here):
+            try:
+                names = os.listdir(here)
+            except OSError:
+                return
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isfile(p):
+                    rp = str(Path(p).resolve())
+                    try:
+                        out[rp] = open(rp, 'rb').read()
+                    except OSError:
+                        pass
+            for n in names:
+                p = os.path.join(here, n)
+                if os.path.isdir(p):
+                    rec(str(Path(p).resolve()))
+
+        rec(base)
+        members = sorted((os.path.relpath(k, base), v) for k, v in out.items())
+        shutil.rmtree(base, ignore_errors=True)
+        return members
+
+
+CASES = []
+
+
+def add(name, raw, label):
+    got = ref_expand(name, raw)
+    case = {'name': name, 'label': label,
+            'data': base64.b64encode(raw).decode()}
+    if got is None:
+        case['drop'] = True
+    else:
+        case['members'] = [
+            {'path': p, 'bytes': base64.b64encode(b).decode()}
+            for p, b in got]
+    CASES.append(case)
+
+
+def payload(n=None):
+    if n is None:
+        n = rnd.randrange(0, 1200)
+    return bytes(rnd.randrange(0, 256) for _ in range(n))
+
+
+# ---------------------- raw tar header construction ----------------------
+
+def octal(n, width):
+    return ('%0*o' % (width - 1, n)).encode() + b'\0'
+
+
+def base256(n, width):
+    out = bytearray(width)
+    out[0] = 0o200
+    for i in range(width - 1, 0, -1):
+        out[i] = n & 0xff
+        n >>= 8
+    return bytes(out)
+
+
+def hdr(name=b'f.bin', mode=0o644, uid=0, gid=0, size=0, mtime=0,
+        typ=b'0', link=b'', magic=b'ustar\x0000', uname=b'', gname=b'',
+        devmaj=0, devmin=0, prefix=b'', size_field=None, chksum_mode='u',
+        mode_field=None, raw_patch=None):
+    b = bytearray(512)
+    b[0:len(name)] = name
+    b[100:108] = octal(mode, 8) if mode_field is None else mode_field
+    b[108:116] = octal(uid, 8)
+    b[116:124] = octal(gid, 8)
+    b[124:136] = octal(size, 12) if size_field is None else size_field
+    b[136:148] = octal(mtime, 12)
+    b[148:156] = b' ' * 8
+    b[156:157] = typ
+    b[157:157 + len(link)] = link
+    b[257:257 + len(magic)] = magic
+    b[265:265 + len(uname)] = uname
+    b[297:297 + len(gname)] = gname
+    b[329:337] = octal(devmaj, 8)
+    b[337:345] = octal(devmin, 8)
+    b[345:345 + len(prefix)] = prefix
+    if raw_patch:
+        for off, bs in raw_patch:
+            b[off:off + len(bs)] = bs
+    if chksum_mode == 'u':
+        c = 256 + sum(b) - sum(b[148:156])
+        b[148:156] = octal(c, 7) + b' '
+    elif chksum_mode == 's':
+        sb = struct.unpack('512b', bytes(b))
+        c = 256 + sum(sb) - sum(sb[148:156])
+        b[148:156] = octal(c & 0x7fffffff if c >= 0 else c + (1 << 24), 7) + b' '
+    elif chksum_mode == 'bad':
+        b[148:156] = octal(12345, 7) + b' '
+    return bytes(b)
+
+
+def data_blocks(data):
+    pad = (512 - len(data) % 512) % 512
+    return data + b'\0' * pad
+
+
+def member(name=b'f.bin', data=b'', typ=b'0', **kw):
+    return hdr(name=name, size=len(data), typ=typ, **kw) + data_blocks(data)
+
+
+def end_blocks():
+    return b'\0' * 1024
+
+
+def wrap(tar, label, name=None):
+    add(name or rnd.choice(['r.tgz', 'r.tar.gz']), gzip.compress(tar), label)
+
+
+P1 = payload(700)
+P2 = payload(90)
+
+# directed: scan-ladder families
+wrap(member(data=P1) + end_blocks(), 'tar-baseline')
+wrap(member(data=P1), 'tar-no-end-blocks')
+wrap(member(data=P1) + b'\0' * 512, 'tar-one-end-block')
+wrap(member(data=P1) + b'GARBAGE!' * 64 + end_blocks(), 'tar-midarchive-garbage')
+wrap(member(data=P1) + member(name=b'g.bin', data=P2, chksum_mode='bad') +
+     end_blocks(), 'tar-midarchive-badsum')
+wrap(member(data=P1, chksum_mode='bad') + end_blocks(), 'tar-first-badsum')
+wrap(member(data=P1) + hdr(name=b'trunc')[:100], 'tar-midarchive-truncated-hdr')
+wrap(hdr(name=b'only')[:300], 'tar-first-truncated')
+wrap(member(data=P1, chksum_mode='s') + end_blocks(), 'tar-signed-chksum')
+wrap(b'', 'tar-empty-gz-payload')
+wrap(b'\0' * 512, 'tar-single-zero-block')
+wrap(b'\0' * 1024, 'tar-empty-archive')
+# data region truncated (scan's seek+read(1) fails -> whole drop)
+m = member(data=P1)
+wrap(m[:512 + 300], 'tar-data-truncated')
+wrap(member(data=P1) + hdr(name=b'x.bin', size=5000) + b'short',
+     'tar-last-data-truncated')
+# V7: no magic, trailing-slash dir, AREGTYPE
+wrap(member(name=b'v7dir/', typ=b'\0', magic=b'\0' * 8) +
+     member(name=b'v7dir/f', data=P2, typ=b'\0', magic=b'\0' * 8) +
+     end_blocks(), 'tar-v7-slashdir')
+wrap(member(name=b'plain/', data=P2, typ=b'0') + end_blocks(),
+     'tar-regtype-trailing-slash')
+# base-256 size
+wrap(member(data=P1, size_field=base256(len(P1), 12)) + end_blocks(),
+     'tar-base256-size')
+# ustar prefix join
+wrap(member(name=b'leaf.bin', data=P2, prefix=b'pre/fix') + end_blocks(),
+     'tar-prefix-join')
+wrap(member(name=b'leaf.bin', data=P2, prefix=b'pre/fix',
+            magic=b'\0' * 8) + end_blocks(), 'tar-prefix-no-magic')
+# octal junk in mode (InvalidHeader at offset 0 vs mid)
+wrap(member(data=P1, mode_field=b'zzzzzzz\0') + end_blocks(),
+     'tar-bad-mode-first')
+wrap(member(data=P1) + member(name=b'g', data=P2, mode_field=b'zzzzzzz\0') +
+     end_blocks(), 'tar-bad-mode-mid')
+# GNU longname / longlink
+LN = b'L' * 180 + b'/name.bin'
+wrap(member(name=b'./.longname', data=LN + b'\0', typ=b'L') +
+     member(name=b'short', data=P2) + end_blocks(), 'tar-gnu-longname')
+wrap(member(name=b'./.longlink', data=b'target.bin\0', typ=b'K') +
+     member(name=b'lnk', data=b'', typ=b'2', link=b'ignored') +
+     member(name=b'target.bin', data=P2) + end_blocks(), 'tar-gnu-longlink')
+wrap(member(name=b'./.longname', data=LN + b'\0', typ=b'L') +
+     b'GARBAGE-' * 64 + end_blocks(), 'tar-longname-bad-next')
+wrap(member(name=b'./.longname', data=LN + b'\0', typ=b'L'),
+     'tar-longname-eof-next')
+wrap(member(name=b'./.longname', data=b'dir-via-long/\0', typ=b'L') +
+     member(name=b's', data=b'', typ=b'5') + end_blocks(),
+     'tar-longname-dir-oneslash')
+# pax records
+def pax_rec(k, v):
+    body = ('%s=%s\n' % (k, v)).encode()
+    n = len(body) + 1
+    while len(str(n)) + 1 + len(body) != n:
+        n = len(str(n)) + 1 + len(body)
+    return str(n).encode() + b' ' + body
+
+px = pax_rec('path', 'pax/override.bin')
+wrap(member(name=b'pxh', data=px, typ=b'x') +
+     member(name=b'orig', data=P2) + end_blocks(), 'tar-pax-path')
+px2 = pax_rec('path', 'gpath/') + pax_rec('uname', 'u')
+wrap(member(name=b'pxg', data=px2, typ=b'g') +
+     member(name=b'a.bin', data=P2) + member(name=b'b.bin', data=P2) +
+     end_blocks(), 'tar-pax-global-path-both')
+pxsz = pax_rec('size', str(len(P1)))
+wrap(member(name=b'pxh', data=pxsz, typ=b'x') +
+     hdr(name=b'sized', size=0) + data_blocks(P1) + end_blocks(),
+     'tar-pax-size-override')
+wrap(member(name=b'pxh', data=pax_rec('size', 'junk'), typ=b'x') +
+     member(name=b'v', data=P2) + end_blocks(), 'tar-pax-size-junk')
+wrap(member(name=b'pxh', data=b'0 broken=\n', typ=b'x') +
+     member(name=b'v', data=P2) + end_blocks(), 'tar-pax-zero-length')
+wrap(member(name=b'pxh', data=b'7 x=y\nnot-a-record', typ=b'x') +
+     member(name=b'v', data=P2) + end_blocks(), 'tar-pax-junk-tail')
+wrap(member(name=b'pxh', data=pax_rec('linkpath', 'real.bin'), typ=b'x') +
+     member(name=b'sym', typ=b'2', link=b'old') +
+     member(name=b'real.bin', data=P2) + end_blocks(), 'tar-pax-linkpath')
+wrap(member(name=b'pxh', data=px, typ=b'x') + b'JUNK' * 128 + end_blocks(),
+     'tar-pax-bad-next')
+hc = pax_rec('hdrcharset', 'BINARY') + pax_rec('path', 'bin/name.bin')
+wrap(member(name=b'pxh', data=hc, typ=b'x') +
+     member(name=b'o', data=P2) + end_blocks(), 'tar-pax-hdrcharset-binary')
+# type-flag zoo: unknown types extract as files; 6=fifo invisible
+wrap(member(name=b'weird', data=P2, typ=b'D') + end_blocks(), 'tar-type-D')
+wrap(member(name=b'cont', data=P2, typ=b'7') + end_blocks(), 'tar-type-7')
+wrap(member(name=b'fifo', typ=b'6') + member(name=b'f.bin', data=P2) +
+     end_blocks(), 'tar-fifo-invisible')
+# symlink with size>0: data NOT skipped -> next header misparse (sym size
+# counts no data blocks)
+wrap(member(name=b'sym', typ=b'2', link=b'f.bin',
+            size_field=octal(512, 12)) +
+     member(name=b'f.bin', data=P2) + end_blocks(), 'tar-sym-size-512')
+# old-GNU sparse: stored segments reconstructed with holes
+sp_data = b'A' * 512
+sp = hdr(name=b'sparse.bin', size=len(sp_data), typ=b'S',
+         magic=b'ustar  \0',
+         raw_patch=[(386, octal(0, 12) + octal(256, 12) +
+                     octal(1024, 12) + octal(256, 12)),
+                    (483, octal(1280, 12))])
+wrap(sp + data_blocks(b'B' * 256 + b'C' * 256) + end_blocks(),
+     'tar-gnu-sparse')
+# lazy gz: valid tar then gz-level garbage (never read by tar)
+big = member(name=b'big.bin', data=payload(9000)) + end_blocks()
+wrap(gzip.compress(big)[:-4] + b'\xde\xad\xbe\xef', 'tar-gz-bad-crc-tail',
+     name='r.tgz')
+add('r.tgz', gzip.compress(big) + b'trailing-junk', 'tar-gz-trailing-junk')
+
+# ---------------------------- random sweep ----------------------------
+NAME_POOL = [b'a.bin', b'b/c.bin', b'd', b'./e', b'f/', b'x' * 99]
+
+
+def rand_member():
+    r = rnd.random()
+    name = rnd.choice(NAME_POOL) + bytes([rnd.randrange(97, 123)])
+    if r < 0.55:
+        return member(name=name, data=payload(),
+                      chksum_mode='u' if rnd.random() < 0.9 else 's',
+                      magic=rnd.choice([b'ustar\x0000', b'ustar  \0',
+                                        b'\0' * 8]),
+                      prefix=rnd.choice([b'', b'', b'pp/qq']),
+                      typ=rnd.choice([b'0'] * 6 + [b'\0', b'7', b'D']))
+    elif r < 0.65:
+        return member(name=name + b'/', typ=rnd.choice([b'5', b'\0', b'0']),
+                      data=b'' if rnd.random() < 0.8 else payload(40))
+    elif r < 0.75:
+        return member(name=b'./.long', typ=rnd.choice([b'L', b'K']),
+                      data=rnd.choice([b'ln/' * rnd.randrange(1, 40) + b'x',
+                                       b'target.bin']) + b'\0')
+    elif r < 0.85:
+        recs = b''.join(pax_rec(*rnd.choice([
+            ('path', 'px/' + ''.join(rnd.choices(string.ascii_lowercase, k=6))),
+            ('size', str(rnd.randrange(0, 600))),
+            ('linkpath', 'lp.bin'),
+            ('uname', 'user'),
+            ('weird key', 'v'),
+        ])) for _ in range(rnd.randrange(1, 3)))
+        return member(name=b'pxh', typ=rnd.choice([b'x', b'g']), data=recs)
+    elif r < 0.93:
+        return member(name=name, typ=b'2',
+                      link=rnd.choice([b'a.binz', b'../up', b'f.bin']))
+    else:
+        return member(name=name, typ=b'1',
+                      link=rnd.choice([b'a.binz', b'f.bin']))
+
+
+for i in range(N_RANDOM):
+    n = rnd.randrange(1, 6)
+    tar = b''.join(rand_member() for _ in range(n))
+    r = rnd.random()
+    if r < 0.55:
+        tar += end_blocks()
+    elif r < 0.7:
+        tar += b'\0' * 512
+    if rnd.random() < 0.25 and len(tar) > 600:
+        cut = rnd.randrange(100, len(tar))
+        tar = tar[:cut]
+    if rnd.random() < 0.2 and len(tar) > 600:
+        pos = rnd.randrange(0, len(tar))
+        b = bytearray(tar)
+        b[pos] ^= 1 << rnd.randrange(8)
+        tar = bytes(b)
+    if rnd.random() < 0.15:
+        pos = rnd.randrange(0, max(1, len(tar) // 512)) * 512
+        tar = tar[:pos] + payload(512) + tar[pos:]
+    wrap(tar, f'tar-rand-{i}')
+
+shutil.rmtree(CASE_DIR, ignore_errors=True)
+with open(OUT, 'w') as fh:
+    json.dump(CASES, fh, ensure_ascii=True)
+drops = sum(1 for c in CASES if c.get('drop'))
+sys.stderr.write('cases: %d (drops: %d, members: %d)\n' % (
+    len(CASES), drops,
+    sum(len(c.get('members', [])) for c in CASES)))

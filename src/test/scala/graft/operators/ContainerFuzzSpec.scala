@@ -40,11 +40,30 @@ import graft.rules.PyVal._
   */
 class ContainerFuzzSpec extends AnyFunSuite {
 
-  private lazy val cases: Vector[PyObj] = {
+  private def load(res: String): Vector[PyObj] = {
     val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/fuzz_containers.json"), "UTF-8").mkString
+      getClass.getResourceAsStream(res), "UTF-8").mkString
     PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
   }
+
+  private lazy val cases: Vector[PyObj] = load("/fuzz_containers.json")
+
+  /** Third-campaign corpus (gz/bz2/xz decompressor replays + the pure-Scala
+    * tarfile scan): CPython gzip strictness (reserved FLG bits ignored,
+    * empty gz = empty member, zero padding consumed, garbage/CRC/ISIZE/
+    * truncation abort, FNAME tolerates EOF), BZ2File/LZMAFile
+    * DecompressReader trailing-stream rules (first-decompress reject
+    * ignored, EOF mid-stream fatal, empty bz2 fatal), LAZY tgz semantics
+    * (gz errors past the tar end-blocks extract fine), tarfile's
+    * header-error ladder (mid-archive garbage/bad-checksum/truncation =
+    * silent end, first-header = drop), signed checksums, V7 slash-dirs,
+    * base-256 numbers, ustar prefix join (incl. the makedirs '.'-tail
+    * order quirk), GNU longname/longlink chains with broken next headers,
+    * pax records (path/linkpath/size overrides, zero-length = fatal,
+    * global headers), old-GNU sparse reconstruction, typeflag zoo.
+    * Generators: gen_sweep_gzbz.py seed 0xB22 + gen_sweep_pytar.py seed
+    * 0x7A7 (directed + random slices). */
+  private lazy val casesGzTar: Vector[PyObj] = load("/fuzz_containers_gztar.json")
 
   private def str(o: PyObj, k: String): String =
     o.get(k) match { case Some(PyStr(s)) => s; case other => fail(s"$k: $other") }
@@ -54,8 +73,17 @@ class ContainerFuzzSpec extends AnyFunSuite {
 
   test("expandOnce matches ContainerFile.extract + walk on all goldens") {
     assert(cases.size == 267)
+    check(cases)
+  }
+
+  test("gz/bz2/xz replay + pure-Scala tar scan match the reference") {
+    assert(casesGzTar.size == 226)
+    check(casesGzTar)
+  }
+
+  private def check(cs: Vector[PyObj]): Unit = {
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
-    cases.zipWithIndex.foreach { case (c, ci) =>
+    cs.zipWithIndex.foreach { case (c, ci) =>
       val label = str(c, "label")
       val name = str(c, "name")
       val data = b64(str(c, "data"))
