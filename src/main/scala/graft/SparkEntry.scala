@@ -740,6 +740,12 @@ object SparkEntry {
         TextAnalysis.simhash32(col("text")).as("simhash"))
     }),
 
+    // SimHash near-dup pairs (Manku WWW'07): byte-block pigeonhole
+    // candidates (zero recall loss at hamming ≤ 3, unlike MinHash
+    // banding) + exact bit_count verify on candidates only
+    "q_simhash_dups" -> ((s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"))),
+
     // MinHash + LSH candidate pairs
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.lshCandidatePairs(docs(s, dir), col("doc_id"), col("text"))),
@@ -783,6 +789,29 @@ object SparkEntry {
     // a 100-TB corpus actually runs
     "q_dedup_verify" -> ((s, dir) =>
       Dedup.verifiedNearDups(docs(s, dir), col("doc_id"), col("text"))),
+
+    // duplicate CLUSTERS: verified near-dup pairs → connected components
+    // via alternating large-star/small-star (O(log² n) rounds, O(edges)
+    // per round — the MapReduce-scale shape; naive label propagation
+    // needs diameter-many rounds). Duplicate relations chain (A≈B≈C), so
+    // keeper selection needs the component, not the pair list.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs =
+        Dedup.verifiedNearDups(docs(s, dir), col("doc_id"), col("text"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // the deduplicated corpus materialized: one keeper (the min-id
+    // member) per duplicate cluster + every singleton, with cluster
+    // sizes — the actual training-set output of the dedup family
+    "q_dedup_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.verifiedNearDups(d, col("doc_id"), col("text"))
+      Dedup.assignComponents(d, col("doc_id"), pairs)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .select(col("component").as("doc_id"), col("cluster_size"))
+    }),
 
     // embedding near-dup, scale-safe shape: nearest neighbor within the
     // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
@@ -874,19 +903,71 @@ object SparkEntry {
        |        i -> array_to_string(list_slice(toks, i+1, i+$w), ' '))
        | ELSE [] END""".stripMargin
 
-  private def simhashOracleSql: String = {
-    val bits = (0 until 32).map { b =>
+  private def simhashBitsSql: String =
+    (0 until 32).map { b =>
       val nib = b / 4 + 1
       val bit = b % 4
       s"""(CASE WHEN list_sum(list_transform(hashes, h ->
          | CASE WHEN ((strpos('0123456789abcdef', substr(h, $nib, 1)) - 1) >> $bit) & 1 = 1
          | THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  private def simhashOracleSql: String =
     s"""WITH d AS (SELECT doc_id,
        |  list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), t -> md5(t)) AS hashes
        |  FROM documents)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM d""".stripMargin
-  }
+       |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM d""".stripMargin
+
+  private def simhashDupsOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), t -> md5(t)) AS hashes
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sim FROM d),
+       |blocks AS (SELECT doc_id, sim, blk, (sim >> (blk * 8)) & 255 AS v
+       |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk) b)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+
+  /** Shared oracle CTE chain for the cluster queries: the q_dedup_verify
+    * near-dup pair select, symmetrized into an edge list, transitively
+    * closed (recursive CTE), reduced to min-reachable-id components —
+    * DuckDB's replay of Dedup.connectedComponents (any correct CC
+    * algorithm agrees on the min-label assignment). */
+  private def dedupClosureCtes: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id,
+       |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+       |sh3 AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM d),
+       |sigs AS (SELECT doc_id,
+       |  list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig0,
+       |  list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig1,
+       |  list_min(list_transform(shingles, s -> md5('2|' || s))) AS sig2,
+       |  list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig3
+       |  FROM sh3),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sh2 AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM d),
+       |pairs AS (SELECT id_a, id_b FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac,
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS un
+       |  FROM cand JOIN sh2 a ON cand.id_a = a.doc_id
+       |            JOIN sh2 b ON cand.id_b = b.doc_id)
+       |  WHERE un > 0 AND jac >= 0.05),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_gate" ->
@@ -1565,6 +1646,8 @@ object SparkEntry {
 
     "q_simhash" -> simhashOracleSql,
 
+    "q_simhash_dups" -> simhashDupsOracleSql,
+
     "q_dedup_minhash" ->
       s"""WITH d AS (SELECT doc_id,
          |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
@@ -1626,6 +1709,18 @@ object SparkEntry {
          |  FROM cand JOIN sh2 a ON cand.id_a = a.doc_id
          |            JOIN sh2 b ON cand.id_b = b.doc_id)
          |WHERE un > 0 AND jac >= 0.05""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""$dedupClosureCtes
+         |SELECT doc_id, component FROM comp""".stripMargin,
+
+    "q_dedup_corpus" ->
+      s"""$dedupClosureCtes,
+         |asg AS (SELECT doc.doc_id AS id,
+         |    coalesce(c.component, doc.doc_id) AS component
+         |  FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id)
+         |SELECT component AS doc_id, count(*) AS cluster_size
+         |FROM asg GROUP BY component""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

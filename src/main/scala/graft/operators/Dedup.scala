@@ -113,6 +113,175 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** SimHash near-duplicate pairs (Manku et al., WWW'07): the simhash
+    * equivalent of [[verifiedNearDups]] — candidate generation by exact
+    * byte-block match, then exact Hamming verify on just the candidates.
+    *
+    * Pigeonhole: a 32-bit simhash split into 4 byte blocks; any pair
+    * within Hamming distance 3 differs in ≤3 blocks, so it MATCHES on at
+    * least one — the block equi-join finds every such pair (no recall
+    * loss, unlike MinHash banding). Verify is bit_count(a xor b) on
+    * candidate pairs only. Scale shape: one persisted (id, sim, block)
+    * table feeding both join sides, bucket equi-join, O(candidates)
+    * verify — never an all-pairs compare. Skew note: at corpus scale a
+    * popular byte value (short/templated docs) makes a hot bucket;
+    * Manku's fix is more blocks over wider fingerprints (e.g. 6 blocks
+    * of a 64-bit simhash for the same pigeonhole bound), which this
+    * generalizes to directly. */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = OpCaches.register(
+      df.select(id.as("id"), TextAnalysis.simhash32(text).as("sim"))
+        .select(col("id"), col("sim"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sim"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+            .as(Seq("blk", "v")))
+        .persist())
+    val l = blocks.select(col("blk"), col("v"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = blocks.select(col("blk"), col("v"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("blk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // -------------------- duplicate clustering (connected components) -----
+
+  /** Connected components over an undirected pair graph — the stage between
+    * near-dup PAIRS (LSH→Jaccard, [[verifiedNearDups]]) and an actual
+    * deduplicated corpus: duplicate relations are transitive in effect
+    * (A≈B, B≈C ⇒ keep one of {A,B,C}), so keeper selection needs the
+    * component, not the pair list.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * MapReduce-native CC formulation. Each round is two groupBy-min +
+    * equi-join passes over the edge set (map-side partial min, no
+    * cartesian anywhere), per-round cost O(|edges|), and the round count
+    * is O(log² n) worst-case — in practice ≤4 for dedup graphs, whose
+    * clusters are near-cliques. That bound is what makes this the
+    * 100-TB shape: naive label propagation needs diameter-many rounds
+    * (a 10⁶-long chain of pairwise-similar crawl dups = 10⁶ rounds).
+    *
+    * Each iterate is persisted and materialized before the previous one
+    * is released, so the loop holds at most two edge snapshots; the
+    * converged edge set is OpCaches-registered (harness layers drain it
+    * after their action). Convergence = consecutive iterates equal,
+    * checked by a (count, sum-of-xxhash64) fingerprint with an `except`
+    * confirm when the fingerprint matches. On a real cluster the
+    * per-iterate persist would be a reliable checkpoint (lineage
+    * truncation); at ≤`maxIter` small plans the cached chain is fine.
+    *
+    * Input: one row per pair (either orientation, dups/self-pairs
+    * tolerated). Output: (id, component) for every node of the pair
+    * graph, component = min node id of its component (root rows
+    * included, so ids absent from the output are singletons). */
+  def connectedComponents(pairs: DataFrame,
+      a: Column = col("id_a"), b: Column = col("id_b"),
+      maxIter: Int = 25): DataFrame = {
+    var cur = pairs.select(a.as("u"), b.as("v"))
+      .where(col("u") =!= col("v")).distinct().persist()
+    var curFp = edgeFingerprint(cur)
+    var result: DataFrame = null
+    var it = 0
+    while (result == null) {
+      if (curFp._1 == 0L) { // empty graph: converged trivially
+        result = cur
+      } else if (it >= maxIter) {
+        cur.unpersist(false)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIter rounds " +
+            "(bound is O(log^2 n) — raise maxIter for astronomical graphs)")
+      } else {
+        // each round references the previous edge set ~10× (sym union ×2,
+        // groupBy, join, both stars) — without lineage truncation the
+        // logical plan grows ~10× PER ROUND and Catalyst analysis, not
+        // the data, becomes the bottleneck. Rebuilding from the RDD
+        // truncates the plan to a LogicalRDD while keeping RDD-level
+        // lineage (recomputable after a drain) and the explicit persist
+        // lifecycle. A real cluster deployment would use reliable
+        // checkpoints here instead.
+        val plan = smallStar(largeStar(cur))
+        val next = plan.sparkSession
+          .createDataFrame(plan.rdd, plan.schema).persist()
+        val nextFp = edgeFingerprint(next) // materializes `next`
+        val converged = nextFp == curFp &&
+          next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
+        cur.unpersist(false)
+        cur = next; curFp = nextFp; it += 1
+        if (converged) result = next
+      }
+    }
+    // fixed point is a forest of stars: every edge is (member, root)
+    val fin = OpCaches.register(result)
+    fin.select(col("u").as("id"), col("v").as("component"))
+      .union(fin.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** One row per node u of the symmetric graph: connect every neighbor
+    * larger than u to the minimum of u's closed neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Directed version (edges point large→small): connect u and all its
+    * smaller neighbors to the minimum of that closed neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val j = dir.join(dir.groupBy("u").agg(min(col("v")).as("m")), "u")
+    j.select(col("v").as("u"), col("m").as("v"))
+      .union(j.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-insensitive edge-set fingerprint: one map-side-combined job.
+    * bit_xor (not sum) so ANSI mode can't overflow; edges are distinct,
+    * so xor cancellation needs a genuine hash collision — and equality is
+    * confirmed by an exact `except` before declaring convergence, so a
+    * collision costs a round, never correctness. */
+  private def edgeFingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Component assignment for a FULL corpus: left-join the pair-graph
+    * components onto every document; singletons keep their own id.
+    * Returns (id, component); the keeper of each cluster is the row with
+    * id == component (the cluster minimum — deterministic, join-free
+    * keeper selection). */
+  def assignComponents(df: DataFrame, id: Column, pairs: DataFrame,
+      a: Column = col("id_a"), b: Column = col("id_b")): DataFrame =
+    df.select(id.as("id"))
+      .join(connectedComponents(pairs, a, b), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+
+  /** The deduplicated corpus: one keeper row (the min-id member) per
+    * duplicate cluster plus every singleton — `df` filtered by a
+    * broadcast-friendly semi-join on keeper ids. The (id==component)
+    * keeper rule means no secondary ranking shuffle is needed. */
+  def dedupedCorpus(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val keepers = assignComponents(df, id, pairs)
+      .where(col("id") === col("component"))
+      .select(col("id").as("__keeper_id"))
+    df.join(keepers, id === col("__keeper_id"), "left_semi")
+  }
+
   /** n-gram Jaccard similarity over distinct word w-shingle sets:
     * |A∩B| / (|A|+|B|-|A∩B|) — the verify stage behind LSH candidates. */
   def shingleJaccard(a: Column, b: Column, w: Int): Column = {

@@ -25,7 +25,11 @@ object ExplainAudit {
       // round 4: pair-table jaccard, entity extraction, composed pipeline,
       // db source, image metadata
       "q_dedup_jaccard", "q_credential_entities", "q_pipeline_e2e",
-      "q_db_source", "q_multimodal_meta")
+      "q_db_source", "q_multimodal_meta",
+      // round 4 late: duplicate clustering (the final plan should read the
+      // converged edge set from InMemoryTableScan — the iteration itself
+      // is procedural and not in this plan)
+      "q_dedup_clusters", "q_dedup_corpus")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Connected-components (large-star/small-star) differential: the Spark
+  * assignment must equal a driver-side union-find on the same edges —
+  * any correct CC algorithm agrees on the min-label-per-component map. */
+class DedupCcSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Min-label union-find oracle: node -> min id of its component,
+    * restricted to nodes that appear in at least one (non-self) edge. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    edges.flatMap { case (a, b) => if (a != b) Seq(a, b) else Nil }
+      .distinct.map(n => n -> find(n)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    OpCaches.drain()
+    out
+  }
+
+  test("random graphs match union-find (10 seeds)") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val m = 20 + rnd.nextInt(80)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(ccOf(edges) == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("path graph (worst-case diameter) collapses in logarithmic rounds") {
+    val edges = (0L until 49L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.keySet == (0L to 49L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("empty, self-pair, duplicate and reversed inputs") {
+    assert(ccOf(Nil) == Map.empty)
+    assert(ccOf(Seq((7L, 7L))) == Map.empty) // self-pair is not an edge
+    assert(ccOf(Seq((2L, 1L), (1L, 2L), (2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("simhash near-dups equal the brute-force hamming filter") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"),
+        TextAnalysis.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair within hamming 3 must surface (pigeonhole: no recall loss)
+    val expect = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expect.nonEmpty) // the corpus genuinely exercises the path
+    val got = Dedup.simhashNearDups(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+    OpCaches.drain()
+  }
+
+  test("assignComponents: singletons keep their own id; keeper is the min") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val asg = Dedup.assignComponents(docs, col("doc_id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 2L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L))
+
+    val kept = Dedup.dedupedCorpus(docs, col("doc_id"), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 6L, 7L)) // one keeper per cluster + singletons
+    OpCaches.drain()
+  }
+}
