@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Deduplication operators for the training-data pipeline. The reference's
   * dedup is exact content-fingerprint membership (SURVEY.md §2.3 D1/D2);
@@ -171,10 +174,20 @@ object Dedup {
     * is released, so the loop holds at most two edge snapshots; the
     * converged edge set is OpCaches-registered (harness layers drain it
     * after their action). Convergence = consecutive iterates equal,
-    * checked by a (count, sum-of-xxhash64) fingerprint with an `except`
-    * confirm when the fingerprint matches. On a real cluster the
+    * checked by a (count, bit_xor-of-xxhash64) fingerprint with an
+    * `except` confirm when the fingerprint matches. On a real cluster the
     * per-iterate persist would be a reliable checkpoint (lineage
     * truncation); at ≤`maxIter` small plans the cached chain is fine.
+    *
+    * Scale-aware hybrid: the deduped edge count is known from the very
+    * first fingerprint job, so when it is at most `localThreshold` the
+    * component map is computed by driver-local union-find instead — a
+    * graph that small gains nothing from ~5 distributed rounds of pure
+    * scheduling overhead (measured ~7 s on a 26-edge graph), and the
+    * result comes back as a LocalRelation, so the downstream
+    * [[assignComponents]] join broadcasts. The distributed star loop is
+    * the path a billion-edge near-dup graph takes; `localThreshold = 0`
+    * forces it (specs pin both paths against the same oracle).
     *
     * Input: one row per pair (either orientation, dups/self-pairs
     * tolerated). Output: (id, component) for every node of the pair
@@ -182,10 +195,11 @@ object Dedup {
     * included, so ids absent from the output are singletons). */
   def connectedComponents(pairs: DataFrame,
       a: Column = col("id_a"), b: Column = col("id_b"),
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localThreshold: Long = 1L << 20): DataFrame = {
     var cur = pairs.select(a.as("u"), b.as("v"))
       .where(col("u") =!= col("v")).distinct().persist()
     var curFp = edgeFingerprint(cur)
+    if (curFp._1 <= localThreshold) return localComponents(cur)
     var result: DataFrame = null
     var it = 0
     while (result == null) {
@@ -221,6 +235,39 @@ object Dedup {
     fin.select(col("u").as("id"), col("v").as("component"))
       .union(fin.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Driver-local union-find over a collected edge set — the small-graph
+    * fast path of [[connectedComponents]]. Any Comparable id type; the
+    * result is a LocalRelation, so downstream joins broadcast. Iterative
+    * find (min-root union is not rank-balanced, so recursion could get
+    * deep before compression kicks in). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val dt = edges.schema("u").dataType
+    val collected = edges.collect()
+    edges.unpersist(false)
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def root(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    collected.foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (root(u), root(v))
+      if (ru != rv) {
+        if (ru.asInstanceOf[Comparable[Any]].compareTo(rv) < 0) parent(rv) = ru
+        else parent(ru) = rv
+      }
+    }
+    val out = parent.keysIterator.map(n => Row(n, root(n))).toSeq
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("component", dt)))
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** One row per node u of the symmetric graph: connect every neighbor

@@ -28,37 +28,46 @@ class DedupCcSpec extends AnyFunSuite with SparkTestSession {
       .distinct.map(n => n -> find(n)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold 0 forces the distributed star loop; Long.MaxValue forces
+    * the driver-local union-find fast path. Both must agree with the
+    * oracle. */
+  private def ccOf(edges: Seq[(Long, Long)], threshold: Long): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(df)
+    val out = Dedup.connectedComponents(df, localThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     OpCaches.drain()
     out
   }
 
-  test("random graphs match union-find (10 seeds)") {
+  test("random graphs match union-find (both paths)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed)
       val n = 40 + rnd.nextInt(40)
       val m = 20 + rnd.nextInt(80)
       val edges = Seq.fill(m)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(ccOf(edges) == unionFind(edges), s"seed=$seed")
+      val threshold = if (seed < 5) 0L else Long.MaxValue
+      assert(ccOf(edges, threshold) == unionFind(edges), s"seed=$seed")
     }
   }
 
   test("path graph (worst-case diameter) collapses in logarithmic rounds") {
     val edges = (0L until 49L).map(i => (i, i + 1))
-    val got = ccOf(edges)
-    assert(got.keySet == (0L to 49L).toSet)
-    assert(got.values.toSet == Set(0L))
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val got = ccOf(edges, threshold)
+      assert(got.keySet == (0L to 49L).toSet)
+      assert(got.values.toSet == Set(0L))
+    }
   }
 
   test("empty, self-pair, duplicate and reversed inputs") {
-    assert(ccOf(Nil) == Map.empty)
-    assert(ccOf(Seq((7L, 7L))) == Map.empty) // self-pair is not an edge
-    assert(ccOf(Seq((2L, 1L), (1L, 2L), (2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      assert(ccOf(Nil, threshold) == Map.empty)
+      assert(ccOf(Seq((7L, 7L)), threshold) == Map.empty) // self-pair ≠ edge
+      assert(ccOf(Seq((2L, 1L), (1L, 2L), (2L, 1L)), threshold) ==
+        Map(1L -> 1L, 2L -> 1L))
+    }
   }
 
   test("simhash near-dups equal the brute-force hamming filter") {
