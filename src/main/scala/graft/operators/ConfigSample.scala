@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.rules.PyVal._
+
+/** The reference's `--create-config` entry point (config.py:429-443
+  * create_config → :445-495 get_config_sample): the general defaults
+  * merged with each registered module's config sample — in this build the
+  * elastic integrator's `elasticsearch` block (cmd/elastic.py) and the
+  * telegram alert sample (alertbase.py); the local integrator and the
+  * parser modules contribute none — serialized by [[PyYamlDump]] with the
+  * reference's CustomDumper digit-string quirk. Byte-exact vs the live
+  * reference's generated config.yml (config_sample.yml golden). */
+object ConfigSample {
+
+  private def s(x: String) = PyStr(x)
+
+  /** Configuration.excludes default (config.py). */
+  val excludes: Vector[String] = Vector(
+    "*/~*", "*/.idea/*", "*/.svn/*", "*/.pyenv/*", "*/*.svg", "*/*.jpeg",
+    "*/*.jpg", "*/*.png", "*/*.gif", "*/*.ico", "*/*.css", "*/*.html",
+    "*/*.htm", "*/*.ttf", "*/*.woff", "*/*.wof2", "*/*.pyc", "*/*.exe",
+    "*/*.dll", "*/*.msi", "*/*.emf", "*/*.bdb", "*/*.vox", "*/*.bin",
+    "*/*.dat", "*/*.pkl", "*/*.parquet", "*/*.parq", "*/*.rsc",
+    "*/*.DS_Store")
+
+  /** get_config_sample's merged dict, insertion order preserved. */
+  def sample: PyObj = PyObj(Vector(
+    "general" -> PyObj(Vector(
+      "indexed_chars" -> PyInt(1000000),
+      "excludes" -> PyArr(excludes.map(PyStr(_))),
+      "json_support" -> PyBool(false),
+      "filename_as_id" -> PyBool(false),
+      "jar_support" -> PyBool(true),
+      "apk_support" -> PyBool(true),
+      "git_support" -> PyBool(true),
+      "add_filesize" -> PyBool(true),
+      "remove_deleted" -> PyBool(true),
+      "add_as_inner_object" -> PyBool(false),
+      "store_source" -> PyBool(true),
+      "store_leaks_evidences" -> PyBool(true),
+      "index_empty_files" -> PyBool(false),
+      "attributes_support" -> PyBool(false),
+      "raw_metadata" -> PyBool(false),
+      "xml_support" -> PyBool(false),
+      "lang_detect" -> PyBool(false),
+      "continue_on_error" -> PyBool(true),
+      "ignore_above" -> s("10M"),
+      "container_ignore_above" -> s("100M"),
+      "extract_files" -> PyBool(true),
+      "ocr" -> PyObj(Vector(
+        "language" -> s("eng"),
+        "enabled" -> PyBool(true),
+        "pdf_strategy" -> s("ocr_and_text"))),
+      "follow_symlinks" -> PyBool(true))),
+    "elasticsearch" -> PyObj(Vector(
+      "nodes" -> PyArr(Vector(PyObj(Vector(
+        "url" -> s("http://127.0.0.1:9200"))))))),
+    "alerts" -> PyObj(Vector(
+      "telegram" -> PyObj(Vector(
+        "bot_id" -> s(""),
+        "chat_id" -> s(""),
+        "min_severity" -> PyInt(70)))))))
+
+  /** The config.yml bytes `--create-config` writes. */
+  def createConfigYaml: String = PyYamlDump.dump(sample)
+}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Golden generator for the PyYAML-dump differential
+(graft.operators.PyYamlDump vs live PyYAML 6.0.3).
+
+Random JSON-shaped trees (string-keyed dicts, lists, str/int/float/bool/
+None scalars, single-line strings) dumped with the reference's exact call
+(config.py:429-443): yaml.dump(data, sort_keys=False,
+default_flow_style=False, Dumper=CustomDumper), where CustomDumper forces
+single quotes onto all-digit strings.
+
+Width guard: cases whose dump differs from a width=10**6 dump are
+regenerated — line folding at the default width 80 is outside the
+replica's subset (the reference's config writer never produces lines
+that long). Also excluded: line breaks in scalars, lone surrogates,
+non-ascii digit-only strings (Python isdigit's Numeric_Type=Digit
+exotics like '²' — documented deviation in PyYamlDump).
+
+Usage: python3 gen_fuzz_yamldump.py > fuzz_yamldump.json
+"""
+import json
+import random
+import sys
+
+import yaml
+
+
+class CustomDumper(yaml.Dumper):  # config.py:433-438, verbatim semantics
+    def represent_data(self, data):
+        if isinstance(data, str) and data.isdigit():
+            return self.represent_scalar('tag:yaml.org,2002:str', data,
+                                         style="'")
+        return super(CustomDumper, self).represent_data(data)
+
+
+import os
+rng = random.Random(int(os.environ.get('SEED', str(0xD0C5)), 0))
+
+STRINGS = [
+    # plain-safe
+    'word', 'two words', 'under_score', 'CamelCase', 'a.b.c', 'x-y-z',
+    'http://127.0.0.1:9200', '10M', 'eng', 'ocr_and_text', 'a,b', 'a[b]c',
+    'mid{brace}', 'semi;colon', 'sl/ash', 'per%cent', 'at@sign', 'am&p',
+    'st*ar-mid', 'qu?estion', 'plus+plus', 'dot.', '..dots', 'x:y',
+    'a!mid', 'rock\'n\'roll', 'he said "hi"', 'back`tick-mid', 'u~tilde',
+    # digit rule
+    '7', '007', '123456789012345678901234567890', '12a', 'a12',
+    # resolver collisions -> quoted
+    'true', 'False', 'NO', 'on', 'Off', 'yes', 'null', 'Null', '~', '',
+    '=', '<<', '123_456', '0x1F', '0b10_1', '0o17', '017', '-7', '+7',
+    '1.5', '-.5', '.5', '1e3', '1.5e+3', '.inf', '-.Inf', '.nan', '1:30',
+    '190:20:30', '1:2:3.5', '2001-12-14', '2001-12-14 21:59:43.10 -5',
+    '2001-12-14t21:59:43.10-05:00',
+    # indicator / spacing traps
+    '- lead', '-lead', '? q', '?q', ': v', ':v', '#comment', ',comma',
+    '[bracket', ']bracket', '{brace', '}brace', '&anchor', '*alias',
+    '!tag', '|literal', '>folded', "'squote", '"dquote', '%percent',
+    '@at', '`tick', 'trail ', ' lead', 'a: b', 'colon:', 'ha #sh',
+    'hash# ok', 'a  b', 'not: ok: really',
+    # specials -> double-quoted
+    'tab\there', 'bell\x07', 'nul\x00mid', 'esc\x1b[0m', 'del\x7f',
+    'café', 'Zürich', 'тест', '中文', 'emoji\U0001F600', 'nel\x85',
+    'nbsp\xa0', 'ls ps ', '﻿bom', 'mixé 1.5', '²³',
+]
+KEYS = ['key', 'k2', 'a_b', 'with space', 'true', '123', 'x:y', '- k',
+        'café', '', 'nodes', 'general', 'url', "o'k", '#k', 'k.tail']
+
+
+def scalar():
+    r = rng.random()
+    if r < 0.55:
+        return rng.choice(STRINGS)
+    if r < 0.7:
+        return rng.choice([0, 7, -3, 1000000, 2**40, -2**33])
+    if r < 0.8:
+        return rng.choice([0.0, 1.5, -0.25, 1e100, -2.5e-10, 3.14159,
+                           1e16, 123456789.123])
+    if r < 0.9:
+        return rng.choice([True, False])
+    return None
+
+
+def tree(depth):
+    r = rng.random()
+    if depth >= 3 or r < 0.45:
+        return scalar()
+    if r < 0.75:
+        ks = rng.sample(KEYS, rng.randint(0, min(4, len(KEYS))))
+        return {k: tree(depth + 1) for k in ks}
+    return [tree(depth + 1) for _ in range(rng.randint(0, 4))]
+
+
+def gen_case():
+    while True:
+        ks = rng.sample(KEYS, rng.randint(1, 6))
+        t = {k: tree(1) for k in ks}
+        if not t:
+            continue
+        d1 = yaml.dump(t, sort_keys=False, default_flow_style=False,
+                       Dumper=CustomDumper)
+        d2 = yaml.dump(t, sort_keys=False, default_flow_style=False,
+                       Dumper=CustomDumper, width=10**6)
+        if d1 != d2:
+            continue  # width-80 folding: outside the replica subset
+        return {'tree': t, 'yaml': d1}
+
+
+cases = [gen_case() for _ in range(400)]
+json.dump({'pyyaml': yaml.__version__, 'cases': cases}, sys.stdout,
+          ensure_ascii=True)

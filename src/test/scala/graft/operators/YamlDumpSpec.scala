@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** PyYamlDump differential: byte parity with live PyYAML 6.0.3 on the
+  * reference's exact dump call (CustomDumper, sort_keys=False,
+  * default_flow_style=False), plus the --create-config golden generated
+  * by the live reference's create_config. */
+class YamlDumpSpec extends AnyFunSuite {
+
+  test("--create-config golden is byte-exact (config.py:429-443)") {
+    val want = new String(
+      getClass.getResourceAsStream("/config_sample.yml").readAllBytes(),
+      "UTF-8")
+    assert(ConfigSample.createConfigYaml == want)
+  }
+
+  test("400-case randomized dump differential vs live PyYAML") {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fuzz_yamldump.json"), "UTF-8").mkString
+    val root = PyJson.loads(raw).asInstanceOf[PyObj]
+    val cases = root.get("cases").get.asInstanceOf[PyArr].v
+    assert(cases.size == 400)
+    var bad = 0
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val o = c.asInstanceOf[PyObj]
+      val tree = o.get("tree").get.asInstanceOf[PyObj]
+      val want = o.get("yaml").get.asInstanceOf[PyStr].v
+      val got = PyYamlDump.dump(tree)
+      if (got != want) {
+        bad += 1
+        if (bad <= 5) info(s"case $i:\n  want ${render(want)}\n  got  ${render(got)}")
+      }
+    }
+    assert(bad == 0, s"$bad/400 dump mismatches")
+  }
+
+  private def render(s: String): String =
+    s.replace("\n", "\\n").take(300)
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the PyYAML-dump differential: compares
+  * `PyYamlDump.dump` against a fresh-seed corpus JSON (generator:
+  * gen_fuzz_yamldump.py with SEED env). Not part of `sbt test` — the
+  * pinned 400-case YamlDumpSpec is the permanent gate.
+  *
+  * Usage: Test/runMain graft.operators.YamlDumpSweep /tmp/sweep.json
+  */
+object YamlDumpSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/sweep_yamldump.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val root = PyJson.loads(raw).asInstanceOf[PyObj]
+    val cases = root.get("cases").get.asInstanceOf[PyArr].v
+    var bad = 0
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val o = c.asInstanceOf[PyObj]
+      val tree = o.get("tree").get.asInstanceOf[PyObj]
+      val want = o.get("yaml").get.asInstanceOf[PyStr].v
+      val got = PyYamlDump.dump(tree)
+      if (got != want) {
+        bad += 1
+        if (bad <= 10) {
+          println(s"MISMATCH case $i")
+          println("  want " + want.replace("\n", "\\n"))
+          println("  got  " + got.replace("\n", "\\n"))
+        }
+      }
+    }
+    println(s"${cases.size - bad}/${cases.size} match, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}
