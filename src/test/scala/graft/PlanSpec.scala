@@ -122,4 +122,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_antijoin_unindexed")
     assert(p.contains("LeftAnti"), p.take(2000))
   }
+
+  test("q_dedup_clusters: small-graph components come back as a local " +
+      "relation (the downstream assignment join can broadcast)") {
+    val df = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+    val o = df.queryExecution.optimizedPlan.toString
+    assert(o.contains("LocalRelation"), o.take(2000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_dedup_corpus: the component map broadcasts onto the corpus") {
+    val p = plan("q_dedup_corpus")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    operators.OpCaches.drain()
+  }
 }
