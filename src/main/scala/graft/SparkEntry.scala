@@ -842,6 +842,17 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), col("vec_id") < 10, 3)),
 
+    // ANN compression path: IVF-PQ — coarse buckets (vec_id % 97
+    // centroids) + product-quantized ADC scoring with trained per-subspace
+    // codebooks (4 × 16 dims, two Lloyd iterations seeded from vec_id < 6);
+    // the scoring join touches codes and a broadcast LUT, never embeddings
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 97 === 0),
+        col("vec_id") < 6, col("vec_id") % 89 === 0,
+        subspaces = 4, dsub = 16, iters = 2, k = 3)
+    }),
+
     // multimodal: opaque binary payload + typed metadata
     // multimodal metadata: opaque binary payload columns plus REAL image
     // header metadata (ImageMeta, round 4): per-doc PNG/GIF/JPEG bytes are
@@ -930,6 +941,91 @@ object SparkEntry {
        |FROM blocks a JOIN blocks b
        |  ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+
+  /** q_ann_pq oracle: per-subspace Lloyd training unrolled (the q_ann_ivf
+    * pattern × 4 subspaces of 16 dims), PQ encoding against the final
+    * codebooks, the untrained IVF bucket assignment, and ADC scoring with
+    * the per-pair sums taken in subspace order (ordered list aggregate) so
+    * both engines fold the same doubles in the same sequence. */
+  private def pqOracleSql: String = {
+    val M = 4
+    val dsub = 16
+    def dotN(a: String, b: String, d: Int) =
+      s"list_sum(list_transform(range(1,${d + 1}), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    def cosN(a: String, b: String, d: Int) =
+      s"(${dotN(a, b, d)} / (sqrt(${dotN(a, a, d)}) * sqrt(${dotN(b, b, d)})))"
+    def assignSub(m: Int, cents: String) =
+      s"""SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT v.vec_id, v.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosN("v.embedding", "c.embedding", dsub)} DESC, c.centroid_id ASC) AS rn
+         |    FROM s$m v, $cents c)
+         |  WHERE rn = 1""".stripMargin
+    def meanSub(a: String) =
+      s"""SELECT centroid_id, list(mm ORDER BY pos) AS embedding FROM (
+         |    SELECT centroid_id, i AS pos,
+         |      round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS mm
+         |    FROM $a, unnest(range(1,${dsub + 1})) AS t(i) GROUP BY 1, 2)
+         |  GROUP BY 1""".stripMargin
+    val perSub = (0 until M).map { m =>
+      s"""s$m AS (SELECT vec_id, list_slice(embedding, ${m * dsub + 1}, ${(m + 1) * dsub}) AS embedding
+         |  FROM embeddings),
+         |c${m}_0 AS (SELECT vec_id AS centroid_id, embedding FROM s$m WHERE vec_id < 6),
+         |a${m}_1 AS (${assignSub(m, s"c${m}_0")}),
+         |c${m}_1 AS (${meanSub(s"a${m}_1")}),
+         |a${m}_2 AS (${assignSub(m, s"c${m}_1")}),
+         |c${m}_2 AS (${meanSub(s"a${m}_2")}),
+         |e$m AS (SELECT vec_id, centroid_id AS code FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosN("v.embedding", "c.embedding", dsub)} DESC, c.centroid_id ASC) AS rn
+         |    FROM s$m v, c${m}_2 c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, centroid_id AS code, embedding FROM c${m}_2")
+      .mkString(" UNION ALL ")
+    val encUnion = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM e$m")
+      .mkString(" UNION ALL ")
+    val qsubUnion = (0 until M)
+      .map(m => s"SELECT query_id, q_cid, qnorm, $m AS m, " +
+        s"list_slice(embedding, ${m * dsub + 1}, ${(m + 1) * dsub}) AS sub FROM q")
+      .mkString(" UNION ALL ")
+    s"""WITH $perSub,
+       |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosN("v.embedding", "c.embedding", 64)} DESC, c.vec_id ASC) AS rn
+       |    FROM embeddings v, embeddings c WHERE c.vec_id % 97 = 0)
+       |  WHERE rn = 1),
+       |cb AS ($cbUnion),
+       |enc AS ($encUnion),
+       |encb AS (SELECT e.vec_id, e.m, e.code, a.centroid_id AS cid
+       |  FROM enc e JOIN assigned a ON a.vec_id = e.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding, centroid_id AS q_cid,
+       |    sqrt(${dotN("embedding", "embedding", 64)}) AS qnorm
+       |  FROM assigned WHERE vec_id % 89 = 0),
+       |qsub AS ($qsubUnion),
+       |lut AS (SELECT qs.query_id, qs.q_cid, qs.qnorm, cb.m, cb.code,
+       |    ${dotN("qs.sub", "cb.embedding", dsub)} AS pdot,
+       |    ${dotN("cb.embedding", "cb.embedding", dsub)} AS cn2
+       |  FROM qsub qs JOIN cb ON qs.m = cb.m),
+       |scored AS (SELECT l.query_id, e.vec_id,
+       |    list_sum(list(l.pdot ORDER BY e.m)) AS adot,
+       |    list_sum(list(l.cn2 ORDER BY e.m)) AS cn2s,
+       |    max(l.qnorm) AS qnorm
+       |  FROM encb e JOIN lut l
+       |    ON e.m = l.m AND e.code = l.code AND e.cid = l.q_cid
+       |  WHERE e.vec_id != l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    adot / (qnorm * sqrt(cn2s)) AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adot / (qnorm * sqrt(cn2s)) DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
+  }
 
   /** Shared oracle CTE chain for the cluster queries: the q_dedup_verify
     * near-dup pair select, symmetrized into an edge list, transitively
@@ -1738,6 +1834,8 @@ object SparkEntry {
          |  FROM assigned a JOIN assigned b
          |    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id)
          |WHERE rn = 1""".stripMargin,
+
+    "q_ann_pq" -> pqOracleSql,
 
     "q_ann_lsh" -> {
       def bit(h: Int) = {

@@ -131,6 +131,111 @@ object Similarity {
     cents
   }
 
+  // ---------------- product quantization (IVF-PQ) ----------------
+
+  /** Left-cast double dot product — the exact arithmetic shape the DuckDB
+    * oracle replays (`CAST(a[i] AS DOUBLE) * b[i]`, sequential i). */
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def subSlices(emb: Column, subspaces: Int, dsub: Int): Column =
+    array((0 until subspaces).map(m => slice(emb, m * dsub + 1, dsub)): _*)
+
+  /** Product-quantization codebooks: the embedding is split into
+    * `subspaces` contiguous `dsub`-dim blocks and [[lloyd]] trains a small
+    * codebook independently in each — a vector then compresses to
+    * `subspaces` small ints, the memory shape that lets a billion-vector
+    * index live in RAM (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI'11). Deterministic + oracle-replayable for
+    * the same reasons lloyd is. Returns (m, centroid_id, embedding). */
+  def pqTrain(vectors: DataFrame, initPred: Column, subspaces: Int,
+      dsub: Int, iters: Int): DataFrame =
+    (0 until subspaces).map { m =>
+      val sub = vectors.select(col("vec_id"),
+        slice(col("embedding"), m * dsub + 1, dsub).as("embedding"))
+      lloyd(sub, sub.filter(initPred), iters)
+        .select(lit(m).as("m"), col("centroid_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** PQ encoding: per (vector, subspace) the nearest codeword (cosine
+    * desc, code asc — the [[ivfAssign]] tie rule). One broadcast join +
+    * map-side-combined argmax; the subvector array is built once per
+    * vector (posexplode), so the slice work is not repeated per codeword
+    * row. Returns (vec_id, m, code). */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, subspaces: Int,
+      dsub: Int): DataFrame = {
+    val subs = vectors.select(col("vec_id"),
+      posexplode(subSlices(col("embedding"), subspaces, dsub))
+        .as(Seq("m", "sub")))
+    val cb = broadcast(codebooks.select(col("m"),
+      col("centroid_id").as("code"), col("embedding").as("c_emb")))
+    subs.join(cb, Seq("m"))
+      .withColumn("ccos", cosine(col("sub"), col("c_emb")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("code"),
+        struct(col("ccos"), (-col("code")).as("nid"))).as("code"))
+  }
+
+  /** IVF-PQ top-k: coarse IVF bucketing (queries probe only their
+    * centroid's bucket) + asymmetric-distance scoring against PQ codes —
+    * the query stays exact, the database side is `subspaces` ints per
+    * vector. ADC cosine ≈ Σ_m dot(q_m, codeword_m) / (‖q‖·√Σ_m‖codeword_m‖²),
+    * computed through a broadcast (query × codeword) look-up table: the
+    * scoring join touches no embeddings, only codes — the 100-TB shape,
+    * where the full vectors are read exactly twice (assignment + encode)
+    * and never shuffled. The per-pair reduction sums in subspace order on
+    * both engines (ordered aggregate), so the oracle is bit-replayable.
+    * Output shape matches [[bruteForceTopK]] (cos rounded to 6dp). */
+  def ivfPqTopK(vectors: DataFrame, centroids: DataFrame, initPred: Column,
+      queryPred: Column, subspaces: Int, dsub: Int, iters: Int,
+      k: Int): DataFrame = {
+    val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
+    val cb = OpCaches.register(
+      pqTrain(vectors, initPred, subspaces, dsub, iters).persist())
+    val enc = pqEncode(vectors, cb, subspaces, dsub)
+      .join(assigned.select(col("vec_id"), col("centroid_id").as("cid")),
+        Seq("vec_id"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").as("q_cid"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("qnorm"),
+        posexplode(subSlices(col("embedding"), subspaces, dsub))
+          .as(Seq("m", "qsub")))
+    val lut = q.join(
+        broadcast(cb.select(col("m"), col("centroid_id").as("code"),
+          col("embedding").as("c_emb"))), Seq("m"))
+      .select(col("query_id"), col("q_cid"), col("qnorm"), col("m"),
+        col("code"),
+        dotD(col("qsub"), col("c_emb")).as("pdot"),
+        dotD(col("c_emb"), col("c_emb")).as("cn2"))
+    // deterministic subspace-order summation (collect → sort by m → fold):
+    // a plain sum() adds in partition order, and the last double ulp could
+    // flip a 6dp rounding against the oracle
+    def orderedSum(c: String) = aggregate(
+      transform(array_sort(collect_list(struct(col("m"), col(c)))),
+        x => x.getField(c)),
+      lit(0.0d), (acc, v) => acc + v)
+    val scored = enc
+      .join(broadcast(lut),
+        enc("m") === lut("m") && enc("code") === lut("code") &&
+          enc("cid") === lut("q_cid"))
+      .select(col("query_id"), col("vec_id"), enc("m").as("m"),
+        col("pdot"), col("cn2"), col("qnorm"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(orderedSum("pdot").as("adot"), orderedSum("cn2").as("cn2s"),
+        first(col("qnorm")).as("qnorm"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        col("adot") / (col("qnorm") * sqrt(col("cn2s"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rn").cast("long").as("rank"))
+  }
+
   // ---------------- random-hyperplane LSH ----------------
 
   /** Deterministic ±1 (Rademacher) hyperplane weights for hyperplane `h`:

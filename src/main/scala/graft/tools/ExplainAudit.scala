@@ -29,7 +29,7 @@ object ExplainAudit {
       // round 4 late: duplicate clustering (the final plan should read the
       // converged edge set from InMemoryTableScan — the iteration itself
       // is procedural and not in this plan)
-      "q_dedup_clusters", "q_dedup_corpus")
+      "q_dedup_clusters", "q_dedup_corpus", "q_ann_pq")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

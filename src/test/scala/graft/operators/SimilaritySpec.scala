@@ -59,4 +59,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall == 1.0, s"recall $recall — nearest neighbors live in-cluster here")
   }
+
+  test("IVF-PQ: codes are deterministic, exact duplicates surface, " +
+      "neighbors stay in-bucket") {
+    import spark.implicits._
+    // append exact duplicates of vectors 0..3 as ids 100..103
+    val dup = vecs.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val all = vecs.unionByName(dup)
+    val cb = Similarity.pqTrain(all, col("vec_id") < 8, 4, 16, 2)
+    val codes = Similarity.pqEncode(all, cb, 4, 16)
+      .select(col("vec_id"), col("m"), col("code"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 4L).foreach { i =>
+      assert(codes(i) == codes(i + 100), s"identical vectors, ids $i/${i + 100}")
+    }
+    // k larger than any bucket → the full in-bucket ADC ranking comes back
+    val top = Similarity.ivfPqTopK(all, all.filter(col("vec_id") < 4),
+        col("vec_id") < 8, col("vec_id") < 4, 4, 16, 2, 40)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(top.count(_._4 == 1L) == 4) // every query filled
+    top.foreach { case (q, n, _, _) =>
+      assert(n % 4 == q % 4 || n == q + 100, s"off-cluster neighbor $n for $q")
+    }
+    // the ADC invariant: for a given query, vectors with identical codes
+    // score identically (the scoring join sees only codes) — in
+    // particular each query's exact duplicate is present and ties the
+    // same-code group (ADC is lossy, so a DIFFERENT reconstruction may
+    // legitimately out-score the query's own)
+    top.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.exists(_._2 == q + 100), s"duplicate of $q missing")
+      rows.groupBy(r => codes(r._2)).foreach { case (code, grp) =>
+        assert(grp.map(_._3).distinct.size == 1,
+          s"query $q: same codes $code, different ADC scores")
+      }
+    }
+    OpCaches.drain()
+  }
 }
