@@ -109,6 +109,63 @@ object Streams {
     }
   }
 
+  final case class SimDocRow(doc_id: Long, ts: Timestamp, sim: Long,
+      blk: Int, v: Long)
+  final case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
+  final case class BucketMembers(members: List[(Long, Long)])
+
+  /** Streaming SimHash near-dup detection — the batch pigeonhole
+    * ([[graft.operators.Dedup.simhashNearDups]]) as managed state: each
+    * arriving doc's simhash32 splits into 4 byte blocks, the stream keys
+    * by (block, value), and per-bucket state holds (doc_id, sim) members;
+    * a new doc within `maxHamming` of a member emits a hit against each
+    * such EARLIER doc. State is bounded three ways: per-bucket member cap
+    * (newest-first, a deliberate recall trade at the cap), event-time
+    * timeout one watermark horizon after the bucket's last arrival, and
+    * the watermark itself dropping late data. A pair sharing several
+    * blocks emits once per shared block — downstream consumers (or the
+    * durable batch pass) collapse duplicates; the hit SET equals the
+    * batch operator's pair set, which StreamingSpec pins. */
+  def simhashNearDupStream(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 4096): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val keyed = docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        graft.operators.TextAnalysis.simhash32(col("text")).as("sim"))
+      .select(col("doc_id"), col("ts"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sim"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("blk", "v")))
+      .as[SimDocRow]
+    keyed.groupByKey(r => (r.blk, r.v))
+      .flatMapGroupsWithState[BucketMembers, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[SimDocRow],
+            state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[NearDupHit]
+            var maxTs = 0L
+            // deterministic within-batch order: arrival time, then id —
+            // the emitted pair SET is order-independent anyway
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              members.foreach { case (id0, s0) =>
+                val h = java.lang.Long.bitCount(r.sim ^ s0)
+                if (h <= maxHamming && id0 != r.doc_id)
+                  out += NearDupHit(r.doc_id, id0, h)
+              }
+              members = ((r.doc_id, r.sim) :: members).take(bucketCap)
+            }
+            state.update(BucketMembers(members))
+            state.setTimeoutTimestamp(maxTs + 10L * 60 * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

@@ -101,6 +101,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dups equal the batch pair set") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(0), "alpha beta gamma delta words"),
+      (2L, ts(1), "alpha beta gamma delta words"), // exact dup of 1
+      (3L, ts(2), "totally different content here entirely"),
+      (4L, ts(3), "alpha beta gamma delta words"), // dup of 1 and 2
+      (5L, ts(4), "totally different content here entirely"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.simhashNearDupStream(
+        in.toDF().toDF("doc_id", "ts", "text")).writeStream
+      .format("memory").queryName("simdup_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      // canonical pair set (a hit may repeat once per shared block)
+      val got = spark.sql("select doc_id, dup_of, hamming from simdup_mem")
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+      val want = Dedup.simhashNearDups(
+          docs.toDF("doc_id", "ts", "text"), col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(want.nonEmpty && got == want, s"stream $got vs batch $want")
+      graft.operators.OpCaches.drain()
+    } finally q.stop()
+  }
+
   test("streaming container expansion emits leaf members per arriving archive") {
     import graft.operators.Containers
     import spark.implicits._
