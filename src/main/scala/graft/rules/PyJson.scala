@@ -213,6 +213,12 @@ object PyJson {
       case 't' => lit("true"); PyVal.PyBool(true)
       case 'f' => lit("false"); PyVal.PyBool(false)
       case 'n' => lit("null"); PyVal.PyNull
+      // CPython json.loads default (allow_nan) accepts these constants —
+      // json.dumps of float('1e999') writes bare Infinity
+      case 'I' => lit("Infinity"); PyVal.PyFloat(Double.PositiveInfinity)
+      case 'N' => lit("NaN"); PyVal.PyFloat(Double.NaN)
+      case '-' if s.startsWith("-Infinity", pos) =>
+        lit("-Infinity"); PyVal.PyFloat(Double.NegativeInfinity)
       case _   => num()
     }
 

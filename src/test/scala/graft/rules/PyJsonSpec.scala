@@ -62,6 +62,22 @@ class PyJsonSpec extends AnyFunSuite {
     assert(PyJson.dumps(o) == """{"exp": 1516239022.5, "tiny": 1.5e-05, "big": 1e+22}""")
   }
 
+  test("loads accepts CPython's allow_nan constants (Infinity/NaN)") {
+    // json.dumps(float('1e999')) writes bare Infinity; json.loads reads
+    // it back by default — found by the fresh-seed sqlite sweep (a REAL
+    // column defaulted to '1e999' serializes as Infinity in the golden)
+    assert(PyJson.loads("[Infinity, -Infinity, 1.5]") ==
+      PyArr(Vector(PyFloat(Double.PositiveInfinity),
+        PyFloat(Double.NegativeInfinity), PyFloat(1.5))))
+    PyJson.loads("NaN") match {
+      case PyFloat(v) => assert(v.isNaN)
+      case other      => fail(s"$other")
+    }
+    // round-trip: dumps writes the same spellings back
+    assert(PyJson.dumps(PyJson.loads("[Infinity, NaN, -Infinity]")) ==
+      "[Infinity, NaN, -Infinity]")
+  }
+
   test("entropy counts Unicode code points, not UTF-16 units") {
     // CPython: entropy("a\U0001D11E") = -2*(0.5*ln 0.5) = ln 2
     Detector.entropyPy("a𝄞") match {

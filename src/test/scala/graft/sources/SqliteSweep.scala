@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the SQLite file-format differential:
+  * the SqliteSpec chunk-doc comparison over a fresh-seed corpus JSON
+  * (generator: gen_fuzz_sqlite.py with SEED env). Not part of `sbt test`
+  * — the pinned 188-case SqliteSpec is the permanent gate.
+  *
+  * Usage: Test/runMain graft.sources.SqliteSweep /tmp/sweep.json
+  */
+object SqliteSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/sweep_sqlite.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
+    var bad = 0
+    def flag(msg: String): Unit = { bad += 1; if (bad <= 10) println(msg) }
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val bytes = c.get("db") match {
+        case Some(PyStr(b64)) => java.util.Base64.getDecoder.decode(b64)
+        case other => sys.error(s"db: $other")
+      }
+      val got = Sqlite.extractSqlite(bytes)
+      c.get("files") match {
+        case Some(_: PyObj) if c.get("deviation").isDefined =>
+          if (got.isDefined) flag(s"case $ci: expected deviation refusal")
+        case Some(files: PyObj) =>
+          got match {
+            case None => flag(s"case $ci: extraction failed, expected files")
+            case Some(docs) =>
+              val gotMap = docs.toMap
+              val wantMap = files.v.map {
+                case (k, PyStr(v)) => k -> v
+                case other => sys.error(s"$other")
+              }.toMap
+              if (gotMap.keySet != wantMap.keySet)
+                flag(s"case $ci files: got ${gotMap.keySet.toSeq.sorted} " +
+                  s"exp ${wantMap.keySet.toSeq.sorted}")
+              else gotMap.foreach { case (k, v) =>
+                if (v != wantMap(k))
+                  flag(s"case $ci file $k differs:\n got ${v.take(200)}\n exp ${wantMap(k).take(200)}")
+              }
+          }
+        case _ =>
+          if (got.isDefined) flag(s"case $ci: expected None (error case)")
+      }
+    }
+    println(s"${cases.size - bad}/${cases.size} match, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}
