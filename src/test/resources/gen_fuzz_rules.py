@@ -4,7 +4,8 @@ import ref_harness
 from ref_harness import detect
 from filecrawler.util.tools import Tools
 
-rnd = random.Random(0x5EED2026)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0x5EED2026)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))

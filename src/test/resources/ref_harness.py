@@ -1,0 +1,53 @@
+"""Stubs + frozen clock so the reference imports in this sandbox.
+
+Deploy with: cp src/test/resources/ref_harness.py /tmp/ref_harness.py
+(the gen_fuzz_*/gen_sweep_* generators import it from /tmp).
+Fixed clock: 2026-01-01T00:00:00Z = epoch 1767225600."""
+import sys, types, datetime, re as _re
+
+sys.path.insert(0, '/root/reference')
+
+
+def stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+stub('tabulate', tabulate=lambda *a, **k: '')
+rq = stub('requests')
+rq.packages = types.SimpleNamespace(
+    urllib3=types.SimpleNamespace(disable_warnings=lambda: None))
+rq.exceptions = types.SimpleNamespace(ConnectionError=Exception)
+stub('elastic_transport', ConnectionError=type('CE', (Exception,), {}))
+stub('elasticsearch', Elasticsearch=object)
+stub('exrex', getone=lambda rx: (lambda m: ('a' if 'a' in m.group(1) else m.group(1)[0]) * int(m.group(2)) if m else 'a')(_re.match(r'\[([^\]]+)\]\{(\d+)\}', rx)))
+g = stub('git')
+g.Repo = object
+g.Git = object
+g.exc = types.SimpleNamespace(GitError=Exception,
+                              InvalidGitRepositoryError=Exception,
+                              NoSuchPathError=Exception)
+stub('pimht')
+a2 = stub('ansi2image')
+a2.ansi2image = stub('ansi2image.ansi2image', Ansi2Image=object)
+
+
+class FixedDT(datetime.datetime):
+    @classmethod
+    def utcnow(cls):
+        return datetime.datetime(2026, 1, 1)
+
+    @classmethod
+    def now(cls, tz=None):
+        return datetime.datetime(2026, 1, 1)
+
+
+datetime.datetime = FixedDT
+
+
+def detect(text):
+    from filecrawler.rulebase import RuleBase
+    return RuleBase.detect(text)

@@ -136,4 +136,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     operators.OpCaches.drain()
   }
+
+  test("q_ann_pq: codebooks and LUT broadcast; no cartesian anywhere") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    operators.OpCaches.drain()
+  }
 }

@@ -1,0 +1,43 @@
+package graft.rules
+
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the rule-engine differential: the
+  * RulesFuzzSpec comparison (rule id, name, CPython-ordered finding JSON
+  * — the fingerprint-bearing string) over a fresh-seed corpus JSON
+  * (generator: gen_fuzz_rules.py with SEED env; requires
+  * /tmp/ref_harness.py). Not part of `sbt test` — the pinned 1500-case
+  * RulesFuzzSpec is the permanent gate.
+  *
+  * Usage: Test/runMain graft.rules.RulesSweep /tmp/sweep.json
+  */
+object RulesSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/sweep_rules.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      val text = o.get("text").collect { case PyStr(s) => s }.get
+      val exp = o.get("expected").collect { case PyArr(xs) => xs }.get.map { e =>
+        val eo = e.asInstanceOf[PyObj]
+        (eo.get("rule").collect { case PyStr(s) => s }.get,
+          eo.get("name").collect { case PyStr(s) => s }.get,
+          eo.get("finding").collect { case PyStr(s) => s }.get)
+      }
+      (text, exp)
+    }
+    var bad = 0
+    cases.zipWithIndex.foreach { case ((text, expected), i) =>
+      val got = Detector.detect(text, Detector.FixedNowEpochSec)
+        .map(f => (f.rule_id, f.rule_name, f.finding_json))
+      if (got != expected) {
+        bad += 1
+        if (bad <= 5)
+          println(s"MISMATCH case $i: got ${got.map(_._1)} exp " +
+            s"${expected.map(_._1)}\n text: ${text.take(200)}")
+      }
+    }
+    println(s"${cases.size - bad}/${cases.size} match, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}
