@@ -34,8 +34,91 @@ object YamlLite {
     * token could start, which both our subset parser and SnakeYAML accept
     * — so text with an illegal tab must refuse before either parser. */
   def loadDictFull(text: String): Option[PyObj] =
-    if (hasScannerIllegalTab(text)) None
+    if (hasScannerIllegalTab(text) || hasScannerBadAnchor(text)) None
     else loadDict(text).orElse(YamlSnake.loadDict(text))
+
+  /** PyYAML scan_anchor (probed live on 6.0.3): an anchor/alias name is
+    * ASCII [0-9A-Za-z_-]+ and the char after it must be whitespace/EOL or
+    * one of "?:,]}%@`" — '&a.b', '&a(b', '&é', '& v' (empty name) all
+    * RAISE. SnakeYAML accepts a wider charset, so anchors PyYAML rejects
+    * must refuse BEFORE the fallback (fuzz-found: '&L(w…' parsed via
+    * SnakeYAML where the reference returns None). '&'/'*' is a token only
+    * at a NODE-START position — line start, after item dashes, after
+    * 'key:', after a flow indicator; mid-plain 'x&y' / 'x *y' is content.
+    * Same quote/comment/block-scalar context machinery as the tab gate. */
+  private[operators] def hasScannerBadAnchor(text: String): Boolean = {
+    if (!text.contains('&') && !text.contains('*')) return false
+    val lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n", -1)
+    var inDq = false
+    var inSq = false
+    var blockIndent = -1
+    var bad = false
+    var i = 0
+    while (i < lines.length && !bad) {
+      val line = lines(i)
+      val indent = line.takeWhile(_ == ' ').length
+      val blank = line.trim.isEmpty
+      if (blockIndent >= 0 && !inDq && !inSq && !(blank || indent > blockIndent))
+        blockIndent = -1
+      if (blockIndent < 0) {
+        val startedInQuote = inDq || inSq
+        var commentAt = -1
+        var j = 0
+        while (j < line.length && !bad) {
+          val c = line.charAt(j)
+          def tokenStart = j == 0 || {
+            val p = line.charAt(j - 1); p == ' ' || p == '[' || p == '{' || p == ','
+          }
+          // a node (and so an anchor/alias token) can start only where no
+          // plain content precedes it on the line: at content start, after
+          // item dashes, right after 'key:', or after a flow indicator
+          def nodeStart: Boolean = {
+            val t = line.substring(0, j).replaceAll(" +$", "")
+            t.isEmpty || t.endsWith(":") || t.endsWith("[") ||
+              t.endsWith("{") || t.endsWith(",") ||
+              t.trim.split(" ").forall(_ == "-")
+          }
+          if (commentAt >= 0) ()
+          else if (inDq) {
+            if (c == '\\') j += 1
+            else if (c == '"') inDq = false
+          } else if (inSq) {
+            if (c == '\'') {
+              if (j + 1 < line.length && line.charAt(j + 1) == '\'') j += 1
+              else inSq = false
+            }
+          } else c match {
+            case '"' if tokenStart => inDq = true
+            case '\'' if tokenStart => inSq = true
+            case '#' if j == 0 || line.charAt(j - 1) == ' ' => commentAt = j
+            case '&' | '*' if nodeStart =>
+              var k = j + 1
+              def nameChar(ch: Char) =
+                (ch >= '0' && ch <= '9') || (ch >= 'A' && ch <= 'Z') ||
+                  (ch >= 'a' && ch <= 'z') || ch == '-' || ch == '_'
+              while (k < line.length && nameChar(line.charAt(k))) k += 1
+              if (k == j + 1) bad = true // empty name
+              else if (k < line.length &&
+                  " \t?:,]}%@`".indexOf(line.charAt(k).toInt) < 0)
+                bad = true
+              else j = k - 1 // valid token: skip the name
+            case _ =>
+          }
+          j += 1
+        }
+        if (!bad && !startedInQuote && !inDq && !inSq) {
+          val body = (if (commentAt >= 0) line.substring(0, commentAt) else line).trim
+          val tokStart = math.max(body.lastIndexOf(' '), body.lastIndexOf(':')) + 1
+          val tok = body.substring(tokStart)
+          if ((tok.startsWith("|") || tok.startsWith(">")) &&
+              tok.drop(1).forall(ch => ch == '+' || ch == '-' || ch.isDigit))
+            blockIndent = indent
+        }
+      }
+      i += 1
+    }
+    bad
+  }
 
   /** PyYAML's scanner raises ScannerError ("found character '\t' that
     * cannot start any token") on a TAB everywhere except: inside single/
@@ -184,6 +267,13 @@ object YamlLite {
       val s = lines(i)._2
       val (key, rest) = splitKey(s)
       if (rest.nonEmpty) {
+        // PyYAML: a block-sequence dash in the same-line value position is
+        // "sequence entries are not allowed here" (probed live: 'a: - x',
+        // 'a: -', 'a: -\tx' raise; 'a: -5', 'a: -x', 'a: b - c' parse).
+        // The throw lands in the SnakeYAML fallback, which raises the
+        // same way -> None, like the reference's bare except.
+        if (rest == "-" || rest.startsWith("- ") || rest.startsWith("-\t"))
+          throw new IllegalArgumentException("sequence entry in value position")
         entries :+= (key -> scalar(rest))
         i += 1
       } else {
@@ -222,6 +312,10 @@ object YamlLite {
       } else if (body.contains(": ") || body.endsWith(":")) {
         // inline map start under a dash — unsupported in the subset
         throw new IllegalArgumentException("seq-of-maps unsupported")
+      } else if (body == "-" || body.startsWith("- ") || body.startsWith("-\t")) {
+        // same-line nested sequence ('- - x') — valid YAML the subset
+        // doesn't model; SnakeYAML fallback parses it correctly
+        throw new IllegalArgumentException("inline nested seq unsupported")
       } else {
         items :+= scalar(body)
         i += 1
@@ -354,16 +448,47 @@ object YamlLite {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n'  => sb.append('\n')
-          case 't'  => sb.append('\t')
-          case 'r'  => sb.append('\r')
-          case '"'  => sb.append('"')
-          case '\\' => sb.append('\\')
-          case '0'  => sb.append('\u0000')
-          case o    => sb.append('\\').append(o)
+        // PyYAML scanner ESCAPE_REPLACEMENTS + ESCAPE_CODES, probed live
+        // on 6.0.3: \xNN/\uNNNN/\UNNNNNNNN consume exactly that many hex
+        // chars ("\x4b" reads the b as hex -> 'K'); \/ IS supported; an
+        // unknown escape, short/non-hex digits, or a >0x10FFFF \U value
+        // RAISE -- the throw lands in the SnakeYAML fallback, which raises
+        // the same way -> None, matching the reference's bare except.
+        // (Fuzz-found: the old table kept literal backslashes for \xNN,
+        // silently diverging from the reference's decoded text.)
+        val e = s.charAt(i + 1)
+        val rep: Int = e match {
+          case '0'        => 0x00
+          case 'a'        => 0x07
+          case 'b'        => 0x08
+          case 't' | '\t' => 0x09
+          case 'n'        => 0x0a
+          case 'v'        => 0x0b
+          case 'f'        => 0x0c
+          case 'r'        => 0x0d
+          case 'e'        => 0x1b
+          case ' '        => 0x20
+          case '"'        => 0x22
+          case '/'        => 0x2f
+          case '\\'       => 0x5c
+          case 'N'        => 0x85
+          case '_'        => 0xa0
+          case 'L'        => 0x2028
+          case 'P'        => 0x2029
+          case 'x' | 'u' | 'U' => -1
+          case o => throw new IllegalArgumentException(s"unknown escape \\$o")
         }
-        i += 2
+        if (rep >= 0) { sb.append(rep.toChar); i += 2 }
+        else {
+          val n = e match { case 'x' => 2; case 'u' => 4; case _ => 8 }
+          if (i + 2 + n > s.length)
+            throw new IllegalArgumentException("short hex escape")
+          val hex = s.substring(i + 2, i + 2 + n)
+          if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+            throw new IllegalArgumentException("non-hex escape digits")
+          sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+          i += 2 + n
+        }
       } else { sb.append(c); i += 1 }
     }
     sb.toString

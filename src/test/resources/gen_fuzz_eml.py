@@ -11,7 +11,8 @@ spec = importlib.util.spec_from_file_location(
 gg = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(gg)
 
-rnd = random.Random(0xE3A11)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0xE3A11)), 0))
 OUT = Path('/tmp/eml_fuzz')
 FIX = OUT / 'fixtures'
 GOLD = OUT / 'golden'

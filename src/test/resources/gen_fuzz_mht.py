@@ -6,7 +6,8 @@ spec = importlib.util.spec_from_file_location(
 gg = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(gg)
 
-rnd = random.Random(0x317A7)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0x317A7)), 0))
 OUT = Path('/tmp/mht_fuzz')
 FIX = OUT / 'fixtures'
 GOLD = OUT / 'golden'

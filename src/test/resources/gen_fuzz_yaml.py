@@ -1,7 +1,8 @@
 import json, random, string, sys
 import yaml
 
-rnd = random.Random(0xFAB1E5)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0xFAB1E5)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))

@@ -11,7 +11,9 @@ Usage: python3 pack_fuzz_email.py   (run from src/test/resources)
 import base64, json, sys
 from pathlib import Path
 
-RES = Path(__file__).resolve().parent / 'fuzz_email.json'
+import os
+RES = Path(os.environ['OUT']) if 'OUT' in os.environ \
+    else Path(__file__).resolve().parent / 'fuzz_email.json'
 
 
 def pack_tree(root: Path, suffixes):

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the eml/mht differential: the
+  * EmailFuzzSpec member-tree comparison over a fresh-seed packed corpus
+  * (generators: gen_fuzz_eml.py / gen_fuzz_mht.py with SEED env,
+  * pack_fuzz_email.py with OUT env). Not part of `sbt test` — the pinned
+  * 286-case EmailFuzzSpec is the permanent gate.
+  *
+  * Usage: Test/runMain graft.operators.EmailSweep /tmp/sweep.json
+  */
+object EmailSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/sweep_email.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val corpus = PyJson.loads(raw).asInstanceOf[PyObj]
+    var bad = 0
+    def flag(msg: String): Unit = { bad += 1; if (bad <= 5) println(msg) }
+    var total = 0
+    def run(kind: String)(
+        extract: (String, String) => Map[String, Array[Byte]]): Unit =
+      corpus.get(kind).collect { case PyArr(xs) => xs }.get.foreach { c =>
+        total += 1
+        val o = c.asInstanceOf[PyObj]
+        val name = o.get("name").collect { case PyStr(s) => s }.get
+        val text = o.get("text").collect { case PyStr(s) => s }.get
+        val want = o.get("members").collect { case m: PyObj => m }.get.v.map {
+          case (k, PyStr(b64)) => k -> java.util.Base64.getDecoder.decode(b64)
+          case other => sys.error(s"bad member $other")
+        }.toMap
+        val got = extract(name, text)
+        if (got.keySet != want.keySet)
+          flag(s"$kind $name members: got ${got.keySet.toSeq.sorted} " +
+            s"exp ${want.keySet.toSeq.sorted}")
+        else got.foreach { case (k, v) =>
+          if (!java.util.Arrays.equals(v, want(k)))
+            flag(s"$kind $name member $k bytes differ")
+        }
+      }
+    run("eml") { (name, text) =>
+      Email.extractEml(s"/mnt/mail/$name", text)
+        .map(_.map(m => m.path -> m.bytes).toMap).getOrElse(Map.empty)
+    }
+    run("mht") { (_, text) =>
+      Email.extractMht(text).map(m => m.path -> m.bytes).toMap
+    }
+    println(s"${total - bad}/$total match, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}

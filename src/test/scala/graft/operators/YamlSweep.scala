@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.rules.PyJson
+import graft.rules.PyVal._
+
+/** One-off wide-sweep runner for the YAML-loader differential: the
+  * YamlFuzzSpec comparison (reference yamlparser object_content vs
+  * Parsers.parseFull) over a fresh-seed corpus JSON (generator:
+  * gen_fuzz_yaml.py with SEED env). Not part of `sbt test` — the pinned
+  * 700-case YamlFuzzSpec is the permanent gate.
+  *
+  * Usage: Test/runMain graft.operators.YamlSweep /tmp/sweep.json
+  */
+object YamlSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/sweep_yaml.json")
+    val raw = scala.io.Source.fromFile(path, "UTF-8").mkString
+    val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
+      val o = c.asInstanceOf[PyObj]
+      val text = o.get("text").collect { case PyStr(s) => s }.get
+      val exp = o.get("expected") match {
+        case Some(PyStr(s)) => Some(s)
+        case _ => None
+      }
+      (text, exp)
+    }
+    var bad = 0
+    cases.zipWithIndex.foreach { case ((text, exp), i) =>
+      val (_, _, got) = Parsers.parseFull("yaml", "",
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (got != exp) {
+        bad += 1
+        if (bad <= 5)
+          println(s"MISMATCH case $i\n text: " +
+            s"${text.replace("\n", "\\n").take(200)}" +
+            s"\n got: ${got.map(_.take(150))}\n exp: ${exp.map(_.take(150))}")
+      }
+    }
+    println(s"${cases.size - bad}/${cases.size} match, $bad mismatches")
+    if (bad > 0) sys.exit(1)
+  }
+}
