@@ -69,16 +69,26 @@ object TextAnalysis {
     val hashes = transform(
       regexp_extract_all(lower(text), lit(TokenPattern), lit(0)),
       t => md5(t))
-    val bits = (0 until 32).map { b =>
-      val nibble = b / 4
-      val bit = b % 4
-      // nibble value via position in hex alphabet (portable to DuckDB strpos)
-      val contrib = aggregate(hashes, lit(0L), (acc, h) => {
-        val v = (position(substring(h, nibble + 1, 1), lit("0123456789abcdef")) - 1).cast("long")
-        acc + when(shiftright(v, bit).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
-      })
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    // one aggregate pass with a 32-long accumulator: the 8 hex nibbles are
+    // extracted ONCE per token and fanned out to 4 bits each (the original
+    // per-bit formulation re-ran substring+strpos 32× per token — measured
+    // ~4× slower at sf0.1); bit b = bit (b%4) of nibble (b/4), identical
+    // math and identical result, so the pinned q_simhash oracle still
+    // replays it per-bit
+    val contribs = (h: Column) => {
+      val nibs = transform(sequence(lit(1), lit(8)),
+        i => (position(h.substr(i, lit(1)), lit("0123456789abcdef")) - 1)
+          .cast("long"))
+      flatten(transform(nibs, v =>
+        transform(sequence(lit(0), lit(3)), m =>
+          when(call_function("shiftright", v, m).bitwiseAND(lit(1L)) === 1,
+            lit(1L)).otherwise(lit(-1L)))))
     }
-    bits.reduce(_ + _).cast("long")
+    val summed = aggregate(hashes, array_repeat(lit(0L), lit(32)),
+      (acc, h) => zip_with(acc, contribs(h), (a, c) => a + c))
+    aggregate(zip_with(summed, sequence(lit(0), lit(31)),
+      (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b))
+        .otherwise(lit(0L))),
+      lit(0L), (a, v) => a + v).cast("long")
   }
 }
