@@ -98,15 +98,18 @@ private[operators] object MimeParams {
       out
     }
 
-    /** Consume an invalid parameter: everything to the next ';' that is
-      * not inside a double-quoted string (get_invalid_parameter consumes
-      * phrases, and phrases swallow quoted strings). */
+    /** Consume an invalid parameter: everything to the next TOP-LEVEL ';'.
+      * get_invalid_parameter consumes phrases, and phrases swallow quoted
+      * strings AND comments as units — so a ';' inside "..." or (...) is
+      * content, and an UNTERMINATED comment swallows the rest of the
+      * header, dropping every later parameter (fuzz-found: 'name* = a(b;
+      * boundary=x' leaves boundary None). Other specials (')', '\\', …)
+      * are single misplaced-special tokens — plain one-char consumption. */
     def skipInvalid(): Unit = {
-      var inQ = false
-      while (!atEnd && (inQ || ch != ';')) {
-        if (ch == '"') inQ = !inQ
-        else if (ch == '\\' && inQ && i + 1 < s.length) i += 1
-        i += 1
+      while (!atEnd && ch != ';') {
+        if (ch == '(') skipComment()
+        else if (ch == '"') { bareQuoted(); () }
+        else i += 1
       }
     }
   }
@@ -181,7 +184,14 @@ private[operators] object MimeParams {
         if (section == 0) {
           if (inner.startsWith("'")) true
           else {
+            // CPython's semi-valid probe calls get_attrtext UNGUARDED for
+            // section 0: an inner value with no leading attrtext ('(c)',
+            // ' x', '') raises and drops the WHOLE parameter — only the
+            // section≠0 probe is wrapped in try/except (fuzz-found:
+            // charset*0*="(paren)" → None, but charset*1*="(paren)" is
+            // kept via the normal re-parse)
             val idx = inner.indexWhere(AttributeEnds)
+            if (inner.isEmpty || idx == 0) throw new Err("expected attrtext")
             idx > 0 && inner.charAt(idx) == '\''
           }
         } else inner.nonEmpty && !inner.exists(ExtendedAttributeEnds)
@@ -241,13 +251,80 @@ private[operators] object MimeParams {
       order.update(k, order.getOrElse(k, Vector.empty) :+ p)
     }
     order.collectFirst {
-      case (n, ps) if n.equalsIgnoreCase(name) =>
-        // CPython's get_param reads the value off the RE-SERIALIZED header
-        // string, and str()-ing the parse tree sanitizes the
-        // surrogateescape bytes to U+FFFD (observed: utf-8''caf%C3%A9%FF
-        // → 'café�', not '\uDCFF') — replicate per char
-        assemble(ps).map(c => if (Character.isSurrogate(c)) '�' else c)
+      case (n, ps) if n.equalsIgnoreCase(name) => sanitize(assemble(ps))
     }
+  }
+
+  /** email.utils._sanitize, applied to every param value by
+    * ParameterizedMIMEHeader.parse: encode('utf-8','surrogateescape') then
+    * decode('utf-8','replace'). Surrogateescape chars become their original
+    * BYTES first — so escaped bytes that happen to form valid UTF-8 come
+    * back as real characters (fuzz-found: us-ascii-decoded
+    * utf-8''caf%C3%A9%FF → 'café�', the C3 A9 resurrects as 'é'; the old
+    * per-surrogate U+FFFD map was only right for non-UTF-8 byte runs). */
+  private[operators] def sanitize(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0xdc80 && c <= 0xdcff) { out.write(c & 0xff); i += 1 }
+      else {
+        val cp = s.codePointAt(i)
+        // lone non-escape surrogate: CPython's surrogateescape ENCODE
+        // raises — unreachable via our decode paths (kept as-is bytes of
+        // U+FFFD defensively)
+        val n = Character.charCount(cp)
+        val enc =
+          if (n == 1 && Character.isSurrogate(c)) "�"
+          else new String(Character.toChars(cp))
+        out.write(enc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += n
+      }
+    }
+    pyUtf8Replace(out.toByteArray)
+  }
+
+  /** bytes.decode('utf-8', 'replace') with CPython's maximal-subpart
+    * replacement: a valid lead plus its valid continuations collapse to ONE
+    * U+FFFD when the sequence dies (the offending byte re-enters the loop);
+    * bare continuations / invalid leads are one U+FFFD each. */
+  private def pyUtf8Replace(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length)
+    def cont(j: Int, lo: Int, hi: Int): Boolean =
+      j < b.length && { val u = b(j) & 0xff; u >= lo && u <= hi }
+    var i = 0
+    while (i < b.length) {
+      val u = b(i) & 0xff
+      if (u < 0x80) { sb.append(u.toChar); i += 1 }
+      else if (u >= 0xc2 && u <= 0xdf) {
+        if (cont(i + 1, 0x80, 0xbf)) {
+          sb.appendAll(Character.toChars(((u & 0x1f) << 6) | (b(i + 1) & 0x3f)))
+          i += 2
+        } else { sb.append('�'); i += 1 }
+      } else if (u >= 0xe0 && u <= 0xef) {
+        val lo1 = if (u == 0xe0) 0xa0 else 0x80
+        val hi1 = if (u == 0xed) 0x9f else 0xbf
+        if (!cont(i + 1, lo1, hi1)) { sb.append('�'); i += 1 }
+        else if (!cont(i + 2, 0x80, 0xbf)) { sb.append('�'); i += 2 }
+        else {
+          sb.appendAll(Character.toChars(
+            ((u & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)))
+          i += 3
+        }
+      } else if (u >= 0xf0 && u <= 0xf4) {
+        val lo1 = if (u == 0xf0) 0x90 else 0x80
+        val hi1 = if (u == 0xf4) 0x8f else 0xbf
+        if (!cont(i + 1, lo1, hi1)) { sb.append('�'); i += 1 }
+        else if (!cont(i + 2, 0x80, 0xbf)) { sb.append('�'); i += 2 }
+        else if (!cont(i + 3, 0x80, 0xbf)) { sb.append('�'); i += 3 }
+        else {
+          sb.appendAll(Character.toChars(((u & 0x07) << 18) |
+            ((b(i + 1) & 0x3f) << 12) | ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)))
+          i += 4
+        }
+      } else { sb.append('�'); i += 1 }
+    }
+    sb.toString
   }
 
   /** The params-property value_parts loop (CPython lines 743-794): parts

@@ -99,7 +99,17 @@ object JdbcSource {
     * doc pulls exactly its own rows from `rows` when requested. */
   def chunkStream(rows: Iterator[PyObj], total: Long, cols: Vector[String],
       table: String, chunkBytes: Long): Iterator[(String, String)] = {
-    val headerSize = cols.map(_.length).sum
+    // reference builds each row as dict(zip(cols, r)): a DUPLICATE column
+    // name collapses to ONE key at its first position holding the LAST
+    // occurrence's value, and c_size (= sum over rows[0].keys()) charges
+    // the deduped header set (fuzz-found, seed 0xC2)
+    val headerSize = cols.distinct.map(_.length).sum
+    def dictZip(r: PyObj): PyObj =
+      if (r.v.size == r.v.map(_._1).distinct.size) r
+      else {
+        val last = r.v.groupBy(_._1).map { case (k, ps) => k -> ps.last._2 }
+        PyObj(r.v.map(_._1).distinct.map(k => k -> last(k)))
+      }
     def strLen(v: PyVal): Int = v match {
       case PyNull     => 10 // reference: `else 10` for None
       case PyStr(s)   => s.length
@@ -118,7 +128,7 @@ object JdbcSource {
         var open = true
         while (open && offset + chunk.length < total && rows.hasNext) {
           if (pSize <= chunkBytes) { // checked BEFORE adding: overshoots by one
-            val r = rows.next()
+            val r = dictZip(rows.next())
             pSize += headerSize
             pSize += r.v.map { case (_, v) => strLen(v) }.sum
             chunk += r

@@ -3,7 +3,8 @@ sys.path.insert(0, '/tmp')
 import ref_harness
 from filecrawler.util.tools import Tools
 
-rnd = random.Random(0xC0C0A)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0xC0C0A)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))

@@ -1,6 +1,7 @@
 import json, hashlib, random, string, os, sys
 from pathlib import Path
-rnd = random.Random(0x617EEE)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0x617EEE)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))

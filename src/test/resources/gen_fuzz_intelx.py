@@ -3,7 +3,8 @@ sys.path.insert(0, '/tmp')
 import ref_harness  # stubs + fixed clock, imports filecrawler package
 from filecrawler.parsers.intelxinfo import IntelXInfo
 
-rnd = random.Random(0x171E1)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0x171E1)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits):
     return ''.join(rnd.choice(pool) for _ in range(n))

@@ -10,7 +10,8 @@ Usage: python3 gen_fuzz_params.py > fuzz_params.json
 import json, random, sys
 from email import message_from_string, policy
 
-rng = random.Random(0x9A7A)
+import os
+rng = random.Random(int(os.environ.get('SEED', str(0x9A7A)), 0))
 
 NAMES = ['boundary', 'filename', 'name', 'charset', 'x-odd']
 TOKENS = ['abc', 'a.b-c_d', 'UP.Case', '0digit', 'x', 'long-token.v2',

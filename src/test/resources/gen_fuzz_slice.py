@@ -45,7 +45,8 @@ a2.ansi2image = stub('ansi2image.ansi2image', Ansi2Image=object)
 
 from filecrawler.libs.slice import Slice  # noqa: E402
 
-rng = random.Random(0x51C3)
+import os
+rng = random.Random(int(os.environ.get('SEED', str(0x51C3)), 0))
 
 WORDS = ['password', 'secret', 'token', 'config', 'deploy', 'users',
          'SELECT', 'import', 'return', 'aws_key', 'gh_token', 'prod',

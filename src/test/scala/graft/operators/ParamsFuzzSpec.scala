@@ -15,8 +15,12 @@ import graft.rules.PyVal._
 class ParamsFuzzSpec extends AnyFunSuite {
 
   private lazy val cases: Vector[PyObj] = {
-    val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/fuzz_params.json"), "UTF-8").mkString
+    val raw = sys.env.get("GRAFT_FUZZ_PARAMS") match {
+      // fresh-seed sweep override: point at a regenerated corpus
+      case Some(p) => scala.io.Source.fromFile(p, "UTF-8").mkString
+      case None => scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/fuzz_params.json"), "UTF-8").mkString
+    }
     PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
   }
 
@@ -27,7 +31,7 @@ class ParamsFuzzSpec extends AnyFunSuite {
     }
 
   test("get_param over five names matches CPython on all 400 cases") {
-    assert(cases.size == 400)
+    assert(sys.env.contains("GRAFT_FUZZ_PARAMS") || cases.size == 400)
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
     cases.zipWithIndex.foreach { case (c, ci) =>
       val hv = optStr(c, "value").get
@@ -40,6 +44,58 @@ class ParamsFuzzSpec extends AnyFunSuite {
     }
     assert(problems.isEmpty,
       s"${problems.size} mismatches:\n${problems.take(8).mkString("\n")}")
+  }
+
+  test("invalid-parameter skip honors comment/quote units (fuzz-found pins)") {
+    // expectations are live-CPython probes (message_from_string, policy
+    // .default); the sweep seeds that found them: 0xD1 (comment swallow),
+    // 0xC2 (section-0 unguarded attrtext probe)
+    def lk(hv: String, p: String) = MimeParams.lookup(hv, p).map(Email.pyUnquote)
+    // unterminated comment inside an invalid parameter swallows the rest
+    val h1 = "attachment;filename* =\"semi;colon\"; name* = a(b; boundary*01 =(cmt)tok; name = 0digit"
+    for (p <- Seq("boundary", "filename", "name", "charset", "x-odd"))
+      assert(lk(h1, p).isEmpty, p)
+    assert(lk("multipart/mixed; name* = a(b; boundary=bbb", "boundary").isEmpty)
+    // ...but a TERMINATED comment ends and later params survive
+    assert(lk("multipart/mixed; name* = a(b); boundary=bbb", "boundary")
+      .contains("bbb"))
+    // CFWS between the '*' marker and '=' raises (parameter dropped)
+    assert(lk("multipart/mixed; name* =x; boundary=bbb", "name").isEmpty)
+    assert(lk("multipart/mixed; name* =x; boundary=bbb", "boundary")
+      .contains("bbb"))
+    // section-0 extended quoted value with no leading attrtext: whole
+    // parameter dropped (unguarded get_attrtext); section>0 re-parses
+    assert(lk("multipart/mixed; charset*0*=\"(paren)\"; name=n1", "charset").isEmpty)
+    assert(lk("multipart/mixed; charset*1*=\"(paren)\"; name=n1", "charset")
+      .contains("(paren)"))
+    // quoted ';' inside the trailing-junk skip is content, not a separator
+    assert(lk("multipart/mixed; name=junk \"q;uote\" tail; boundary=bbb", "name")
+      .contains("junk"))
+    assert(lk("multipart/mixed; name=junk \"q;uote\" tail; boundary=bbb", "boundary")
+      .contains("bbb"))
+  }
+
+  test("_sanitize: surrogateescape bytes re-decode as UTF-8 with 'replace'") {
+    // email.utils._sanitize = encode('utf-8','surrogateescape') +
+    // decode('utf-8','replace'); expectations are live-CPython get_param
+    // probes over n*0*=bad-cs''<run> (bad-cs → us-ascii surrogateescape
+    // decode escapes every byte ≥ 0x80, so the run reaches _sanitize raw)
+    val probes = Seq(
+      "%C3%A9%FF" -> "é�",            // valid UTF-8 resurrects
+      "%E1%80 x" -> "�",              // truncated lead+cont = ONE U+FFFD
+      "%ED%A0%80" -> "���",           // surrogate range: per-byte
+      "%F0%9F%98%80" -> "😀",         // astral char round-trips
+      "%F0%80%80%80" -> "����",       // overlong: first cont out of range
+      "%C0%AF" -> "��",               // invalid lead + bare cont
+      "%E0%A0" -> "�",                // truncated at end
+      "%F4%90%80%80" -> "����",       // above U+10FFFF
+      "%FF%FE" -> "��",
+      "%C3" -> "�",
+      "a%80b" -> "a�b")
+    probes.foreach { case (run, want) =>
+      val got = MimeParams.lookup("text/plain; n*0*=bad-cs''" + run, "n")
+      assert(got.contains(want), s"$run: $got")
+    }
   }
 
   test("get_boundary / get_filename wrappers match CPython") {

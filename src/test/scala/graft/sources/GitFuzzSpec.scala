@@ -20,10 +20,14 @@ class GitFuzzSpec extends AnyFunSuite with SparkTestSession {
 
   test("200-case git fuzz corpus: docs byte-exact vs CPython derivation") {
     import spark.implicits._
-    val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/fuzz_git.json"), "UTF-8").mkString
+    val raw = sys.env.get("GRAFT_FUZZ_GIT") match {
+      // fresh-seed sweep override: point at a regenerated corpus
+      case Some(p) => scala.io.Source.fromFile(p, "UTF-8").mkString
+      case None => scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/fuzz_git.json"), "UTF-8").mkString
+    }
     val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map(_.asInstanceOf[PyObj])
-    assert(cases.size == 200)
+    assert(sys.env.contains("GRAFT_FUZZ_GIT") || cases.size == 200)
     def s(o: PyObj, k: String) = o.get(k).collect { case PyStr(v) => v }.get
     def oi(o: PyObj, k: String) = o.get(k).collect { case PyInt(v) => v }.get
     def ob(o: PyObj, k: String) = o.get(k).collect { case PyBool(v) => v }.get
