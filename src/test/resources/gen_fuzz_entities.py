@@ -40,7 +40,8 @@ a2.ansi2image = stub('ansi2image.ansi2image', Ansi2Image=object)
 from filecrawler.cmd.elastic import Elastic  # noqa: E402
 
 e = Elastic()
-rng = random.Random(0xE147)
+import os
+rng = random.Random(int(os.environ.get('SEED', str(0xE147)), 0))
 
 SEPS = ['@', '%40', '|', '4', '0']
 LOCALS = ['user', 'first.last', 'a+b', "o'brien", 'x_y-z', 'UP.Case',
