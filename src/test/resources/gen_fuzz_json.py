@@ -1,5 +1,6 @@
 import json, random, string, math
-rnd = random.Random(0x15050)
+import os
+rnd = random.Random(int(os.environ.get('SEED', str(0x15050)), 0))
 
 def rs(n, pool=string.ascii_letters + string.digits + ' _-'):
     return ''.join(rnd.choice(pool) for _ in range(n))

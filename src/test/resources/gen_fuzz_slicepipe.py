@@ -10,14 +10,14 @@ filtered_content text. Cases with no detection record text ''.
 Usage: python3 gen_fuzz_slicepipe.py > fuzz_slicepipe.json
 (requires /tmp/ref_harness.py from .claude/skills/verify)
 """
-import sys, json, base64, random, string
+import sys, os, json, base64, random, string
 
 sys.path.insert(0, '/tmp')
 import ref_harness  # noqa: F401  (stubs + frozen clock)
 from filecrawler.parserbase import ParserBase  # noqa: E402
 from filecrawler.libs.slice import Slice  # noqa: E402
 
-rnd = random.Random(0x51CE)
+rnd = random.Random(int(os.environ.get('SEED', str(0x51CE)), 0))
 
 
 def rs(n, pool=string.ascii_letters + string.digits):

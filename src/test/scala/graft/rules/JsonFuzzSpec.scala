@@ -15,14 +15,18 @@ import graft.rules.PyVal._
 class JsonFuzzSpec extends AnyFunSuite {
 
   test("500-case json fuzz corpus: re-pretty parity with CPython") {
-    val raw = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/fuzz_json.json"), "UTF-8").mkString
+    val raw = sys.env.get("GRAFT_FUZZ_JSON") match {
+      // fresh-seed sweep override: point at a regenerated corpus
+      case Some(p) => scala.io.Source.fromFile(p, "UTF-8").mkString
+      case None => scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/fuzz_json.json"), "UTF-8").mkString
+    }
     val cases = PyJson.loads(raw).asInstanceOf[PyArr].v.map { c =>
       val o = c.asInstanceOf[PyObj]
       (o.get("text").collect { case PyStr(s) => s }.get,
         o.get("expected") match { case Some(PyStr(s)) => Some(s); case _ => None })
     }
-    assert(cases.size == 500)
+    assert(sys.env.contains("GRAFT_FUZZ_JSON") || cases.size == 500)
     val mismatches = cases.zipWithIndex.flatMap { case ((text, exp), i) =>
       val want = exp.getOrElse(text)
       val (got, _) = Parsers.parse("json", "application/json",
