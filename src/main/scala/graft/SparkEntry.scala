@@ -813,6 +813,60 @@ object SparkEntry {
         .select(col("component").as("doc_id"), col("cluster_size"))
     }),
 
+    // decontamination: drop training docs sharing ANY 5-gram with the
+    // benchmark set (test-set overlap removal, GPT-3 appx-C style; the
+    // pseudo-benchmark here is doc_id % 53 == 0). Benchmark gram sets are
+    // MBs against a 100-TB corpus, so the gram table BROADCASTS and the
+    // contamination probe is a map-side left-semi over the exploded
+    // training grams — the corpus itself never shuffles; only the small
+    // contaminated-id set exchanges for the distinct + anti-join
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 53 === 0
+      val benchGrams = d.filter(isBench)
+        .select(explode(Dedup.shingles(col("text"), 5)).as("gram")).distinct()
+      val contaminated = d.filter(!isBench)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select("doc_id").distinct()
+      d.filter(!isBench)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // PII redaction: strip email/IPv4/phone spans with a portable regex
+    // chain (Java and RE2 agree on this subset) — planted deterministic
+    // PII first (the synthetic corpus has none), pure regexp_replace,
+    // codegen'd, embarrassingly parallel at any scale
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.7"),
+        lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        regexp_replace(regexp_replace(regexp_replace(planted,
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+    }),
+
+    // stratified sampling: deterministic per-language keep rates through
+    // a PORTABLE uniform hash (md5-hex prefix, compared lexicographically
+    // — identical in any engine, reproducible under any partitioning, no
+    // RNG state to coordinate across executors). en 1/2, zh 1/4, rest 1/8
+    "q_stratified_sample" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val keep = when(col("lang") === "en", lit("8000"))
+        .when(col("lang") === "zh", lit("4000"))
+        .otherwise(lit("2000"))
+      docs(s, dir).filter(h < keep)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // embedding near-dup, scale-safe shape: nearest neighbor within the
     // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
     // centroids are the vec_id % 97 == 0 rows). All-pairs-within-group is
@@ -1817,6 +1871,45 @@ object SparkEntry {
          |  FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id)
          |SELECT component AS doc_id, count(*) AS cluster_size
          |FROM asg GROUP BY component""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, ${shinglesSql(5)} AS grams FROM d),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+         |  WHERE doc_id % 53 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM
+         |    (SELECT doc_id, unnest(grams) AS gram FROM g
+         |     WHERE doc_id % 53 <> 0) t
+         |  JOIN bg USING (gram))
+         |SELECT doc_id, source, n_chars FROM d
+         |WHERE doc_id % 53 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com'
+         |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+         |      || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      AS planted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(planted,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         |  regexp_replace(regexp_replace(regexp_replace(planted,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE WHEN lang = 'en' THEN '8000'
+         |       WHEN lang = 'zh' THEN '4000' ELSE '2000' END""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

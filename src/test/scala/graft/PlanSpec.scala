@@ -143,4 +143,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
     operators.OpCaches.drain()
   }
+
+  test("q_decontaminate: benchmark grams broadcast — the corpus gram side " +
+      "never exchanges for the contamination probe") {
+    val p = plan("q_decontaminate")
+    // the semi-join against benchmark grams must be broadcast (map-side);
+    // an SMJ here would shuffle every training gram at 100-TB scale
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("SortMergeJoin LeftSemi"),
+      "contamination probe degraded to a corpus-wide shuffle:\n" + p.take(3000))
+  }
+
+  test("q_pii_redact: single codegen'd projection — no shuffle, no join") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1) Project"), // whole-stage-codegen span marker
+      p.take(2000))
+  }
+
+  test("q_stratified_sample: hash-threshold filter evaluates scan-side " +
+      "(no exchange, no window)") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Exchange") && !p.contains("Window"), p.take(2000))
+  }
 }
