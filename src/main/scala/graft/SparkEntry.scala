@@ -854,6 +854,61 @@ object SparkEntry {
           email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
     }),
 
+    // repetition-based quality signals (Gopher-style filters): unique-token
+    // ratio per doc (pure codegen'd HOFs) + top/duplicate bigram fractions
+    // via explode → two-level agg (the distributed shape — a 1M-token doc
+    // must not build its gram histogram in one array). One shuffle keyed
+    // (doc_id, gram) with map-side partials, one on doc_id
+    "q_gopher_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = regexp_extract_all(lower(col("text")),
+        lit(TextAnalysis.TokenPattern), lit(0))
+      val base = d.select(col("doc_id"), size(toks).cast("long").as("ntok"),
+        when(size(toks) > 0,
+          size(array_distinct(toks)).cast("double") / size(toks))
+          .otherwise(lit(0.0)).as("uniq_raw"))
+      val rep = d
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top2"), sum("c").as("n2"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup2"))
+      val topF = coalesce(col("top2") / col("n2"), lit(0.0))
+      val dupF = coalesce(col("dup2") / col("n2"), lit(0.0))
+      base.join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok"),
+          round(col("uniq_raw"), 6).as("uniq_ratio"),
+          round(topF, 6).as("top_2gram_frac"),
+          round(dupF, 6).as("dup_2gram_frac"),
+          (col("ntok") >= 5 && topF <= 0.2 && dupF <= 0.6 &&
+            col("uniq_raw") >= 0.2).as("keep"))
+    }),
+
+    // sequence packing: greedy first-fit of docs into 128-token training
+    // windows, packed independently per source shard in doc_id order —
+    // the shape real pretraining pipelines use (packing is sequential
+    // WITHIN a shard, embarrassingly parallel ACROSS shards). Typed
+    // Dataset + flatMapSortedGroups: the secondary sort happens in the
+    // shuffle (ExternalSorter), never an in-memory group sort
+    "q_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 128L
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._2)
+        .flatMapSortedGroups(col("doc_id").asc) { (src, it) =>
+          var pack = -1L
+          var fill = 0L
+          it.map { case (id, _, n) =>
+            if (pack >= 0L && fill + n <= cap) fill += n
+            else { pack += 1; fill = n }
+            (id, src, pack)
+          }
+        }
+        .toDF("doc_id", "source", "pack_id")
+    }),
+
     // stratified sampling: deterministic per-language keep rates through
     // a PORTABLE uniform hash (md5-hex prefix, compared lexicographically
     // — identical in any engine, reproducible under any partitioning, no
@@ -1904,6 +1959,47 @@ object SparkEntry {
          |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
          |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
          |FROM p""".stripMargin,
+
+    "q_gopher_quality" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |      ELSE 0.0 END AS uniq_raw
+         |  FROM d),
+         |g AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS g FROM d),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+         |  FROM cnt GROUP BY 1)
+         |SELECT base.doc_id, ntok,
+         |  round(uniq_raw, 6) AS uniq_ratio,
+         |  round(coalesce(top2 / n2, 0.0), 6) AS top_2gram_frac,
+         |  round(coalesce(dup2 / n2, 0.0), 6) AS dup_2gram_frac,
+         |  (ntok >= 5 AND coalesce(top2 / n2, 0.0) <= 0.2
+         |    AND coalesce(dup2 / n2, 0.0) <= 0.6 AND uniq_raw >= 0.2) AS keep
+         |FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))
+         |      AS BIGINT) AS ntok,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT source, rn, doc_id, ntok,
+         |    CAST(0 AS BIGINT) AS pack_id, ntok AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.rn, d.doc_id, d.ntok,
+         |    CASE WHEN p.fill + d.ntok <= 128 THEN p.pack_id
+         |         ELSE p.pack_id + 1 END,
+         |    CASE WHEN p.fill + d.ntok <= 128 THEN p.fill + d.ntok
+         |         ELSE d.ntok END
+         |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         |SELECT doc_id, source, pack_id FROM pack""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

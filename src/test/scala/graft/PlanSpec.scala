@@ -167,4 +167,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_stratified_sample")
     assert(!p.contains("Exchange") && !p.contains("Window"), p.take(2000))
   }
+
+  test("q_gopher_quality: gram histogram aggregates with map-side partials " +
+      "— never a per-doc collected gram array") {
+    val p = plan("q_gopher_quality")
+    assert(p.contains("partial_count") && p.contains("partial_max"),
+      "two-level agg lost its partial (map-side) phase:\n" + p.take(3000))
+    assert(!p.contains("collect_list"), p.take(3000))
+  }
+
+  test("q_seq_pack: one exchange on the shard key; the doc_id order comes " +
+      "from a partition-local secondary sort, never a global sort") {
+    val p = plan("q_seq_pack")
+    assert(p.contains("MapGroups"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(3000))
+    // Sort [...], false, 0  = local (global flag false); a true here means
+    // a cluster-wide range exchange snuck in
+    assert(p.contains("], false, 0") && !p.contains("], true, 0"),
+      p.take(3000))
+  }
 }
