@@ -29,7 +29,12 @@ object ExplainAudit {
       // round 4 late: duplicate clustering (the final plan should read the
       // converged edge set from InMemoryTableScan — the iteration itself
       // is procedural and not in this plan)
-      "q_dedup_clusters", "q_dedup_corpus", "q_ann_pq")
+      "q_dedup_clusters", "q_dedup_corpus", "q_ann_pq",
+      // round 4 late: training-pipeline additions — broadcast-semi
+      // decontamination, codegen-only redaction/sampling, partial-agg
+      // quality signals, single-exchange packing
+      "q_decontaminate", "q_pii_redact", "q_stratified_sample",
+      "q_gopher_quality", "q_seq_pack")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")
