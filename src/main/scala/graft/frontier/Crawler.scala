@@ -35,6 +35,12 @@ final case class CrawlConfig(
       * side of the gate (CrawlerSpec pins equality across a mid-crawl
       * flip). */
     bloomMinFrontier: Long = 65536,
+    /** `--no-rules` analog (reference args.py:129-133, crawlerbase.py:618):
+      * skip the detect stage entirely — findings are empty, so rule-hit
+      * priority boosts never fire and the findings projection is empty.
+      * The detect expression is NOT evaluated (the whole point of the
+      * flag is to skip its cost), not evaluated-and-discarded. */
+    disableRules: Boolean = false,
     /** Fetch-stage tasks per core: >1 so the scheduler absorbs per-doc
       * work-size jitter (straggler tail) instead of one task pinning the
       * wave's wall clock. */
@@ -252,9 +258,12 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       }
       .toDF()
     val textSpansCol = filter($"spans", s => s.getField("kind") === "text")
-    val wavecore = fetchedDocs
-      .select($"wave", $"canonical", $"url_hash", $"host", $"depth",
-        $"priority", $"doc_id",
+    val findingsCol =
+      if (cfg.disableRules) // detect never evaluated, schema preserved
+        array().cast("array<struct<span_offset:int,rule_id:string," +
+          "severity:int,fingerprint:string,match:string,entropy:double," +
+          "finding_json:string>>")
+      else
         flatten(transform(textSpansCol, s =>
           transform(detect_secrets(s.getField("text")), f => struct(
             s.getField("offset").as("span_offset"),
@@ -263,7 +272,10 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
             f.getField("fingerprint").as("fingerprint"),
             f.getField("match").as("match"),
             f.getField("entropy").as("entropy"),
-            f.getField("finding_json").as("finding_json"))))).as("findings"),
+            f.getField("finding_json").as("finding_json")))))
+    val wavecore = fetchedDocs
+      .select($"wave", $"canonical", $"url_hash", $"host", $"depth",
+        $"priority", $"doc_id", findingsCol.as("findings"),
         array_distinct(flatten(transform(textSpansCol, s =>
           filter(transform(
             regexp_extract_all(s.getField("text"),

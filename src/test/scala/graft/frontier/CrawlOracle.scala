@@ -52,7 +52,9 @@ object CrawlOracle {
         clocks(UrlCanon.hostOf(e.canonical)) += 1
         val doc = SyntheticCorpus.docFor(e.canonical, corpus)
         var hit = false
-        doc.spans.filter(_.kind == "text").foreach { sp =>
+        // --no-rules analog: the detect stage never runs, so rule-hit
+        // priority boosts never fire and findings stay empty
+        if (!cfg.disableRules) doc.spans.filter(_.kind == "text").foreach { sp =>
           val fs = Detector.detect(sp.text, Detector.FixedNowEpochSec)
           if (fs.nonEmpty) hit = true
           fs.foreach(f =>

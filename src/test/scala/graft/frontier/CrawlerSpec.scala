@@ -105,6 +105,24 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     assert(m0.map(_.fetched) == mB.map(_.fetched))
   }
 
+  test("--no-rules analog: detect skipped, priorities and order match the oracle") {
+    // disableRules changes the crawl ITSELF (rule-hit priority boosts
+    // never fire), so this is a real semantic path, not a projection
+    // filter — both sides must replay it
+    val cfgNR = cfg.copy(disableRules = true)
+    val oracleNR = CrawlOracle.run(cfgNR)
+    assert(oracleNR.findings.isEmpty)
+    assert(oracleNR.crawlOrder != oracle.crawlOrder ||
+      oracle.findings.isEmpty, "rule hits never influenced priority — " +
+      "the toggle test would not exercise the interaction")
+    val (crawlerNR, _, mNR) = runEngine(cfgNR)
+    val got = crawlerNR.crawlLog(mNR.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracleNR.crawlOrder)
+    assert(crawlerNR.allFindings(mNR.last.wave).count() == 0L)
+  }
+
   test("bloom size-gate: mid-crawl off->on flip (stale-shard rebuild) matches the oracle") {
     // frontier sizes for this cfg: wave0 = 12 seeds, later waves tens of
     // URLs — a threshold of 20 makes wave 0 run EXACT (shards stale) and
