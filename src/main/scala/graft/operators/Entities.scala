@@ -203,6 +203,73 @@ object Entities {
       out.result()
   }
 
+  /** urllib.parse._check_bracketed_host (CPython 3.11.7): 'v…' must match
+    * \Av[a-fA-F0-9]+\..+\Z (IPvFuture); anything else must parse as an
+    * ipaddress.ip_address AND not be IPv4 — i.e. only a valid IPv6 literal
+    * (optionally '%scope') survives. */
+  private[operators] def bracketedHostOk(h: String): Boolean =
+    if (h.startsWith("v")) h.matches("v[a-fA-F0-9]+\\..+")
+    else isPyIpv6(h)
+
+  /** ipaddress.IPv6Address string parse (CPython 3.11): optional non-empty
+    * '%scope' (no '%' inside), ≥3 ':'-parts, at most one interior '::',
+    * leading/trailing ':' only as part of '::', trailing dotted-quad
+    * expands to two hextets, hextets = 1-4 hex digits, exactly 8 hextets
+    * after '::'-expansion (skip ≥ 1 when '::' present). */
+  private def isPyIpv6(s0: String): Boolean = {
+    val pi = s0.indexOf('%')
+    val s = if (pi < 0) s0 else {
+      val scope = s0.substring(pi + 1)
+      if (scope.isEmpty || scope.contains('%')) return false
+      s0.substring(0, pi)
+    }
+    if (s.isEmpty) return false
+    var parts = s.split(":", -1).toVector
+    if (parts.length < 3) return false
+    if (parts.last.contains('.')) {
+      val v4 = pyIpv4Int(parts.last).getOrElse(return false)
+      parts = parts.init :+ ((v4 >> 16) & 0xffff).toHexString :+
+        (v4 & 0xffff).toHexString
+    }
+    if (parts.length > 9) return false
+    def hextetOk(p: String): Boolean =
+      p.nonEmpty && p.length <= 4 && p.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
+    var skip = -1
+    for (i <- 1 until parts.length - 1; if parts(i).isEmpty) {
+      if (skip >= 0) return false // more than one '::'
+      skip = i
+    }
+    if (skip >= 0) {
+      var hi = skip
+      var lo = parts.length - skip - 1
+      if (parts.head.isEmpty) { hi -= 1; if (hi > 0) return false }
+      if (parts.last.isEmpty) { lo -= 1; if (lo > 0) return false }
+      if (8 - (hi + lo) < 1) return false
+      (0 until hi).forall(i => hextetOk(parts(i))) &&
+        (parts.length - lo until parts.length).forall(i => hextetOk(parts(i)))
+    } else {
+      parts.length == 8 && parts.forall(hextetOk)
+    }
+  }
+
+  /** ipaddress.IPv4Address parse (3.11): exactly 4 decimal octets, 1-3
+    * digits, no leading zeros, ≤255. Returns the 32-bit value. */
+  private def pyIpv4Int(s: String): Option[Long] = {
+    val octs = s.split("\\.", -1)
+    if (octs.length != 4) return None
+    var v = 0L
+    for (o <- octs) {
+      if (o.isEmpty || o.length > 3 || !o.forall(c => c >= '0' && c <= '9'))
+        return None
+      if (o != "0" && o.startsWith("0")) return None // ambiguous leading 0
+      val n = o.toInt
+      if (n > 255) return None
+      v = (v << 8) | n
+    }
+    Some(v)
+  }
+
   private[operators] def urlObj(u0: String): Option[UrlEnt] = {
     // urlsplit removes \t\r\n anywhere (can't survive [^\s]+, kept for
     // direct callers)
@@ -224,6 +291,17 @@ object Entities {
     // swallows it and the entity is skipped
     if ((netloc.contains('[') && !netloc.contains(']')) ||
         (netloc.contains(']') && !netloc.contains('['))) return None
+    // both brackets present: _check_bracketed_host(partition('[')[2]
+    // .partition(']')[0]) — must be a vFuture literal or a valid IPv6
+    // address (an IPv4 literal in brackets raises too). Fuzz-found: the
+    // sweep produced 'h][]_…' netlocs whose bracketed part is '' →
+    // ipaddress raises → the reference drops the URL
+    if (netloc.contains('[')) {
+      val afterLb = netloc.substring(netloc.indexOf('[') + 1)
+      val rb = afterLb.indexOf(']')
+      val bracketed = if (rb < 0) afterLb else afterLb.substring(0, rb)
+      if (!bracketedHostOk(bracketed)) return None
+    }
     var path = afterSlashes.substring(netEnd)
     val qi = path.indexOf('?')
     if (qi >= 0) path = path.substring(0, qi)

@@ -520,35 +520,60 @@ object ExtractSim {
       case 0 => // stored
         if (usize > avail && avail < zi.csize) throw new BadArchive // EOFError
         java.util.Arrays.copyOfRange(comp, 0, math.min(usize, avail))
-      case 8 => // deflate (raw, -15): zlib.error → drop; truncation → short
+      case 8 => // deflate (raw, -15): zlib.error → drop; truncation → short.
+        // CPython's _read1 hands the WHOLE compressed buffer to ONE
+        // decompress(data, 2^31-1) call, so zlib validates the ENTIRE
+        // stream even when file_size output bytes arrive early — a corrupt
+        // tail past the usize point still raises (fuzz-found via the bz2
+        // twin, zip-sweep case 15). Keep inflating past usize into a
+        // scratch buffer; discard the excess (data[:_left] parity).
         val inf = new java.util.zip.Inflater(true)
         inf.setInput(comp)
         val buf = new Array[Byte](usize)
         var got = 0
         try {
           var stuck = false
-          while (got < usize && !inf.finished() && !stuck) {
-            val k = inf.inflate(buf, got, usize - got)
-            if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
-            got += k
+          val scratch = new Array[Byte](8192)
+          while (!inf.finished() && !stuck) {
+            val k =
+              if (got < usize) inf.inflate(buf, got, usize - got)
+              else inf.inflate(scratch, 0, scratch.length)
+            if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+              stuck = true // input exhausted: zlib partial, no error
+            else if (got < usize) got += k
           }
         } catch {
           case _: java.util.zip.DataFormatException => throw new BadArchive
         } finally inf.end()
         if (got == usize) buf else java.util.Arrays.copyOfRange(buf, 0, got)
-      case 12 => // bzip2: OSError on corrupt needed data → drop
-        val buf = new Array[Byte](usize)
-        var got = 0
+      case 12 => // bzip2: OSError on corrupt data → drop. CPython gives the
+        // whole buffer to ONE BZ2Decompressor.decompress call: libbz2
+        // validates block structure, EOS magic, and combined CRC even past
+        // the file_size output point (fuzz-found: a tail bit-flip drops the
+        // member where the old usize-capped read extracted it) — but a
+        // TRUNCATED stream returns partial output silently. Commons is
+        // pull-based, so drive it to EOF and classify its exception by
+        // whether the input was exhausted (truncation ⇒ partial).
+        val inPos = new java.io.ByteArrayInputStream(comp) {
+          def remaining: Int = this.available()
+        }
+        val out = new java.io.ByteArrayOutputStream(math.min(usize, 1 << 20))
         try {
           val in = new org.apache.commons.compress.compressors.bzip2
-            .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(comp))
+            .BZip2CompressorInputStream(inPos)
+          val chunk = new Array[Byte](8192)
           var k = 0
-          while (got < usize && k >= 0) {
-            k = in.read(buf, got, usize - got)
-            if (k > 0) got += k
+          while (k >= 0) {
+            k = in.read(chunk)
+            if (k > 0) out.write(chunk, 0, k)
           }
-        } catch { case NonFatal(_) => throw new BadArchive }
-        if (got == usize) buf else java.util.Arrays.copyOfRange(buf, 0, got)
+        } catch {
+          case NonFatal(_) if inPos.remaining > 0 => throw new BadArchive
+          case NonFatal(_) => // input exhausted: truncation, partial kept
+        }
+        val all = out.toByteArray
+        if (all.length > usize) java.util.Arrays.copyOfRange(all, 0, usize)
+        else all
       case 14 => // lzma: zipfile's _LZMADecompressor framing
         if (comp.length <= 4) Array.empty[Byte] // decompressor never engages
         else {

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyJson
 import graft.rules.PyVal._
 
-/** 267-case differential for one container-extraction level —
+/** 268-case differential for one container-extraction level —
   * `Containers.expandOnce` vs the LIVE reference `ContainerFile.extract()`
   * + the crawl walk (generator: src/test/resources/gen_fuzz_containers.py,
   * seed 0xC0417, CPython 3.11 zipfile/tarfile/gzip/bz2 on Linux).
@@ -72,7 +72,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
     java.util.Base64.getDecoder.decode(s)
 
   test("expandOnce matches ContainerFile.extract + walk on all goldens") {
-    assert(cases.size == 267)
+    assert(cases.size == 268)
     check(cases)
   }
 

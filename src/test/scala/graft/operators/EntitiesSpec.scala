@@ -96,4 +96,20 @@ class EntitiesSpec extends AnyFunSuite with SparkTestSession {
         s"case $i '$t':\n got $rows\n exp $want")
     }
   }
+  test("bracketed-host validation matches CPython 3.11 urlsplit (fuzz-found)") {
+    // live urlparse probes: a both-brackets netloc survives only when the
+    // bracketed part is a valid IPv6 literal (optionally %scope) or a
+    // lowercase-v IPvFuture form; IPv4-in-brackets and everything else
+    // raises, and the reference's per-URL try/except drops the entity
+    val keep = Seq("http://[::1]:80/x", "http://[::ffff:1.2.3.4]/x",
+      "http://[v1a.x]/p", "http://[fe80::1%eth0]/x",
+      "http://[a:b:c:d:e:f:1:2]/x", "http://[::%25]/x")
+    val drop = Seq("https://h][]x/p", "http://[1.2.3.4]/x",
+      "http://[V1a.x]/p", "http://[::1::2]/x", "http://[12345::]/x",
+      "http://[::01.2.3.4]/x", "http://[a:b:c:d:e:f:1:2:3]/x",
+      "http://[:1::]/x", "http://[1::2:]/x", "http://[v.x]/p",
+      "http://[vg.x]/p", "http://[::%]/x")
+    keep.foreach(u => assert(Entities.urlObj(u).isDefined, u))
+    drop.foreach(u => assert(Entities.urlObj(u).isEmpty, u))
+  }
 }
