@@ -1,0 +1,58 @@
+#!/bin/bash
+# Fresh-seed assurance mega-sweep across every differential surface.
+cd /root/repo/src/test/resources
+R=/root/repo
+run_sbt() { (cd $R && sbt -batch "$1" 2>&1 | grep -E "SWEEP|sweep|mismatch|Tests:|FAILED|cases|OK|bad" | tail -6); }
+
+for SEED in ${SEEDS:-0x201 0x202}; do
+  echo "############ SEED $SEED ############"
+
+  echo "--- rules"
+  SEED=$SEED python3 gen_fuzz_rules.py && mv /tmp/fuzz_cases.json /tmp/ms_rules.json
+  run_sbt "Test/runMain graft.rules.RulesSweep /tmp/ms_rules.json"
+
+  echo "--- sqlite"
+  SEED=$SEED python3 gen_fuzz_sqlite.py > /tmp/ms_sqlite.json
+  run_sbt "Test/runMain graft.sources.SqliteSweep /tmp/ms_sqlite.json"
+
+  echo "--- yaml"
+  SEED=$SEED python3 gen_fuzz_yaml.py && mv /tmp/yaml_fuzz.json /tmp/ms_yaml.json
+  run_sbt "Test/runMain graft.operators.YamlSweep /tmp/ms_yaml.json"
+
+  echo "--- yamldump"
+  SEED=$SEED python3 gen_fuzz_yamldump.py > /tmp/ms_yamldump.json
+  run_sbt "Test/runMain graft.operators.YamlDumpSweep /tmp/ms_yamldump.json"
+
+  echo "--- email (eml+mht)"
+  SEED=$SEED python3 gen_fuzz_eml.py >/dev/null && SEED=$SEED python3 gen_fuzz_mht.py >/dev/null \
+    && OUT=/tmp/ms_email.json python3 pack_fuzz_email.py >/dev/null
+  run_sbt "Test/runMain graft.operators.EmailSweep /tmp/ms_email.json"
+
+  echo "--- containers (zip+tar)"
+  python3 gen_sweep_containers.py 120 120 /tmp/ms_cont.json $SEED >/dev/null 2>&1
+  run_sbt "Test/runMain graft.operators.ContainerSweep /tmp/ms_cont.json"
+
+  echo "--- gzbz"
+  python3 gen_sweep_gzbz.py /tmp/ms_gzbz.json $SEED 120 >/dev/null 2>&1
+  run_sbt "Test/runMain graft.operators.ContainerSweep /tmp/ms_gzbz.json"
+
+  echo "--- pytar"
+  python3 gen_sweep_pytar.py /tmp/ms_pytar.json $SEED 150 >/dev/null 2>&1
+  run_sbt "Test/runMain graft.operators.ContainerSweep /tmp/ms_pytar.json"
+
+  echo "--- spec-override surfaces"
+  SEED=$SEED python3 gen_fuzz_params.py > /tmp/ms_params.json
+  SEED=$SEED python3 gen_fuzz_slice.py > /tmp/ms_slice.json 2>/dev/null
+  SEED=$SEED python3 gen_fuzz_slicepipe.py > /tmp/ms_slicepipe.json 2>/dev/null
+  SEED=$SEED python3 gen_fuzz_chunk.py >/dev/null && mv /tmp/chunk_fuzz.json /tmp/ms_chunk.json
+  SEED=$SEED python3 gen_fuzz_git.py >/dev/null && mv /tmp/git_fuzz.json /tmp/ms_git.json
+  SEED=$SEED python3 gen_fuzz_intelx.py >/dev/null && mv /tmp/intelx_fuzz.json /tmp/ms_intelx.json
+  SEED=$SEED python3 gen_fuzz_entities.py > /tmp/ms_entities.json
+  SEED=$SEED python3 gen_fuzz_json.py >/dev/null && mv /tmp/json_fuzz.json /tmp/ms_json.json
+  (cd $R && GRAFT_FUZZ_PARAMS=/tmp/ms_params.json GRAFT_FUZZ_SLICE=/tmp/ms_slice.json \
+    GRAFT_FUZZ_SLICEPIPE=/tmp/ms_slicepipe.json GRAFT_FUZZ_CHUNK=/tmp/ms_chunk.json \
+    GRAFT_FUZZ_GIT=/tmp/ms_git.json GRAFT_FUZZ_INTELX=/tmp/ms_intelx.json \
+    GRAFT_FUZZ_ENTITIES=/tmp/ms_entities.json GRAFT_FUZZ_JSON=/tmp/ms_json.json \
+    sbt -batch "testOnly graft.operators.ParamsFuzzSpec graft.operators.SliceFuzzSpec graft.operators.SlicePipeSpec graft.sources.ChunkFuzzSpec graft.sources.GitFuzzSpec graft.operators.SidecarFuzzSpec graft.operators.EntitiesSpec graft.rules.JsonFuzzSpec" 2>&1 | grep -E "Tests:|FAILED" | tail -3)
+done
+echo "############ MEGA SWEEP DONE ############"
