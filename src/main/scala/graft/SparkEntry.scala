@@ -922,6 +922,89 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // exact-substring dedup at 8-token window granularity (the Lee et al.
+    // 2022 "Deduplicating Training Data" shape, window-quantized): every
+    // non-overlapping 8-token window is hashed corpus-wide and only the
+    // globally-first instance (min (doc_id, pos)) survives; docs are then
+    // reassembled from their surviving windows. Scale: ONE shuffle keyed by
+    // window content with map-side partial min — the keeper instance rides
+    // out of the aggregation itself (no join back) — plus one on doc_id for
+    // reassembly. No window functions, no self-join.
+    "q_span_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nw = floor(size(toks) / 8).cast("int")
+      docs(s, dir).filter(size(toks) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nw - 1),
+            i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))))
+        .toDF("doc_id", "pos", "w")
+        .groupBy("w")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("text"))
+    }),
+
+    // per-doc n-gram novelty (memorization scan): the fraction of a doc's
+    // DISTINCT 5-grams whose corpus-wide first occurrence (min doc_id) is
+    // this doc. Scale: explode distinct grams → one shuffle on the gram for
+    // the first-owner agg (map-side partial min) → shuffle join back on the
+    // gram → one agg on doc_id. Linear in total gram instances.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), lit(1L))
+            .otherwise(lit(0L))).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novel_frac"))
+    }),
+
+    // temperature-based domain mixing (alpha = 0.5): per-source keep rate
+    // K / sqrt(count) capped at 1 — small sources are upsampled relative to
+    // large ones, the standard pretraining mixture reweighting with the
+    // normalization constant folded into K. Selection is the same portable
+    // md5-hex-prefix threshold as q_stratified_sample (deterministic under
+    // any partitioning, no RNG state). Scale: one tiny per-source count agg
+    // broadcast back onto the corpus; the corpus itself never shuffles.
+    "q_temperature_mix" -> ((s, dir) => {
+      val rates = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("source"),
+          least(lit(1.0), lit(4.0) / sqrt(col("cnt").cast("double")))
+            .as("rate"))
+      docs(s, dir).join(broadcast(rates), Seq("source"))
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) <
+            format_string("%04x", floor(col("rate") * 65536).cast("int")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("rate"), 6).as("rate"))
+    }),
+
+    // BPE merge-selection statistics: corpus-wide adjacent character-pair
+    // frequencies over the token stream — the counting step of one BPE
+    // vocabulary merge. Scale: explode → hash agg on the pair with map-side
+    // partials (the pair alphabet is tiny, so partials collapse almost
+    // everything before the exchange) → deterministic top-20.
+    "q_bpe_stats" -> ((s, dir) => {
+      val toksC = regexp_extract_all(lower(col("text")),
+        lit(TextAnalysis.TokenPattern), lit(0))
+      docs(s, dir).select(explode(toksC).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // embedding near-dup, scale-safe shape: nearest neighbor within the
     // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
     // centroids are the vec_id % 97 == 0 rows). All-pairs-within-group is
@@ -2006,6 +2089,55 @@ object SparkEntry {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  CASE WHEN lang = 'en' THEN '8000'
          |       WHEN lang = 'zh' THEN '4000' ELSE '2000' END""".stripMargin,
+
+    "q_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |    FROM documents),
+         |w0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t) // 8),
+         |    i -> struct_pack(pos := i,
+         |      w := array_to_string(t[(i*8+1):(i*8+8)], ' ')))) AS u
+         |  FROM toks WHERE len(t) >= 8),
+         |wins AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM w0),
+         |k1 AS (SELECT w, min(doc_id) AS d0 FROM wins GROUP BY w),
+         |k2 AS (SELECT wins.w AS w, k1.d0 AS d0, min(wins.pos) AS p0
+         |  FROM wins JOIN k1 ON wins.w = k1.w AND wins.doc_id = k1.d0
+         |  GROUP BY 1, 2)
+         |SELECT d0 AS doc_id, count(*) AS n_kept,
+         |  string_agg(w, ' ' ORDER BY p0) AS text
+         |FROM k2 GROUP BY d0""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${shinglesSql(5)})) AS g
+         |  FROM d),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novel_frac
+         |FROM g JOIN f ON g.g = f.g GROUP BY g.doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      s"""WITH r AS (SELECT source,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(4.0 AS DOUBLE) / sqrt(CAST(count(*) AS DOUBLE))) AS rate
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source, d.lang, round(r.rate, 6) AS rate
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE r.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+         |  < printf('%04x', CAST(floor(r.rate * 65536) AS INT))""".stripMargin,
+
+    "q_bpe_stats" ->
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[A-Za-z0-9]+')) AS tok FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, len(tok)),
+         |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+         |  FROM tok WHERE len(tok) >= 2)
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

@@ -186,4 +186,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("], false, 0") && !p.contains("], true, 0"),
       p.take(3000))
   }
+
+  test("q_span_dedup: keeper selection is a join-free min-struct agg with " +
+      "map-side partials — never a window or a join back") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("partial_min"),
+      "window-key agg lost its map-side partial phase:\n" + p.take(3000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+  }
+
+  test("q_ngram_novelty: first-owner agg has map-side partial min; " +
+      "no cartesian anywhere") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_temperature_mix: per-source rates broadcast onto the corpus — " +
+      "the corpus side never exchanges for the mix join") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle snuck into the rate join:\n" + p.take(3000))
+  }
+
+  test("q_bpe_stats: pair histogram aggregates map-side; global top-20 is " +
+      "TakeOrdered, never a full sort") {
+    val p = plan("q_bpe_stats")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
