@@ -18,6 +18,14 @@ final case class CrawlConfig(
     /** bloom-prefilter the seen-set membership (exact-confirm after). ON by
       * default: this is the production path and the one Bench measures. */
     useBloom: Boolean = true,
+    /** Which prefilter backs the seen set when `useBloom` is on — the north
+      * rule names both: "bloom" (Spark's sketch.BloomFilter, deltas ride
+      * BloomFilterAggregate) or "cuckoo" (graft's partial-key CuckooFilter,
+      * deltas ride the CuckooFilterAgg Catalyst aggregate; same
+      * no-false-negative probe contract, plus deletion support). All
+      * gates/geometry (`bloomShards`, `bloomExpectedKeys`,
+      * `bloomMinFrontier`) apply to either kind. */
+    seenFilter: String = "bloom",
     bloomShards: Int = 8,
     /** Expected TOTAL seen keys across the whole crawl. Shard geometry is
       * fixed from this up front (expectedPerShard = keys/shards) because
@@ -108,12 +116,20 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     SyntheticCorpus.robotsDisallows(cfg.corpus).toDF("r_host", "r_prefix")
       .groupBy($"r_host").agg(collect_list($"r_prefix").as("r_prefixes"))
 
-  // incremental bloom shards (driver-held, merged per wave delta);
-  // initialized here so direct step() callers get the bloom path too
+  // which prefilter kind backs the seen set (cfg.seenFilter)
+  private def cuckooMode: Boolean = cfg.seenFilter == "cuckoo"
+
+  // incremental prefilter shards (driver-held, merged per wave delta);
+  // initialized here so direct step() callers get the prefilter path too
   private var shards: Array[BloomFilter] =
-    if (cfg.useBloom)
+    if (cfg.useBloom && !cuckooMode)
       Array.tabulate(cfg.bloomShards)(_ =>
         SeenSet.createShard(cfg.bloomExpectedPerShard))
+    else null
+  private var cshards: Array[CuckooFilter] =
+    if (cfg.useBloom && cuckooMode)
+      Array.tabulate(cfg.bloomShards)(_ =>
+        SeenSet.createCuckooShard(cfg.bloomExpectedPerShard))
     else null
   // true when under-gate waves (or a resume) skipped delta merges — the
   // next bloom wave must rebuild from the committed deltas first
@@ -206,11 +222,19 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val bloomWave = cfg.useBloom &&
       frontierSizeHint.forall(_ >= cfg.bloomMinFrontier)
     if (bloomWave && shardsStale) {
-      shards = Array.tabulate(cfg.bloomShards)(_ =>
-        SeenSet.createShard(cfg.bloomExpectedPerShard))
-      if (wave > 0) // delta scan, not the index: a rebuild is one pass
-        shards = SeenSet.merge(shards, SeenSet.buildShards(
-          seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+      if (cuckooMode) {
+        cshards = Array.tabulate(cfg.bloomShards)(_ =>
+          SeenSet.createCuckooShard(cfg.bloomExpectedPerShard))
+        if (wave > 0) // delta scan, not the index: a rebuild is one pass
+          cshards = SeenSet.mergeCuckoo(cshards, SeenSet.buildCuckooShards(
+            seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+      } else {
+        shards = Array.tabulate(cfg.bloomShards)(_ =>
+          SeenSet.createShard(cfg.bloomExpectedPerShard))
+        if (wave > 0)
+          shards = SeenSet.merge(shards, SeenSet.buildShards(
+            seenUpTo(wave - 1), cfg.bloomShards, cfg.bloomExpectedPerShard))
+      }
       shardsStale = false
     }
     if (cfg.useBloom && !bloomWave) shardsStale = true
@@ -333,7 +357,10 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
     val obsCore = new Observation(s"wavecore-$wave")
     val coreMetrics: Seq[Column] =
       Seq(count(lit(1)).as("fetched"), sum(size($"findings")).as("n_findings")) ++
-        (if (bloomWave)
+        (if (bloomWave && cuckooMode)
+          SeenSet.cuckooShardAggColumns($"url_hash", cfg.bloomShards,
+            cfg.bloomExpectedPerShard)
+        else if (bloomWave)
           SeenSet.shardAggColumns($"url_hash", cfg.bloomShards, cfg.bloomExpectedPerShard)
         else Nil)
     val wavecoreOut = wavecore.observe(obsCore, coreMetrics.head, coreMetrics.tail: _*)
@@ -363,11 +390,16 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
 
     // merge the delta into the running shards BEFORE building the frontier
     // plan (the probe broadcasts the current shard bytes)
-    if (bloomWave)
+    if (bloomWave && cuckooMode)
+      cshards = SeenSet.mergeCuckoo(cshards, SeenSet.cuckooShardsFromMetrics(
+        (0 until cfg.bloomShards).map(i => obsCore.get(s"cuckoo_$i"))))
+    else if (bloomWave)
       shards = SeenSet.merge(shards, SeenSet.shardsFromMetrics(
         (0 until cfg.bloomShards).map(i => obsCore.get(s"bloom_$i"))))
     val newLinksRaw =
-      if (bloomWave) SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
+      if (bloomWave && cuckooMode)
+        SeenSet.filterUnseenCuckoo(candidates, seenAfter, cshards)
+      else if (bloomWave) SeenSet.filterUnseenBloom(candidates, seenAfter, shards)
       else SeenSet.filterUnseenExact(candidates, seenAfter)
     // new_links counts unseen link INSTANCES (pre-merge; candidate dedup
     // happens in the frontier groupBy) — a dedup-pressure metric

@@ -1,0 +1,214 @@
+package graft.frontier
+
+/** Partial-key cuckoo filter (Fan, Andersen, Kaminsky, Mitzenmacher,
+  * "Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014) over long
+  * keys — the north rule's named alternative to the bloom shards for the
+  * URL-seen set. Same probe contract as the bloom path (no false negatives,
+  * small false-positive rate, exact-confirm join downstream) plus the one
+  * capability blooms cannot offer: DELETION (the `--clear-session` /
+  * re-crawl-tombstone analog can evict a key from the prefilter instead of
+  * rebuilding it).
+  *
+  * Layout: `numBuckets` (power of two) buckets x 4 slots of 16-bit
+  * fingerprints (0 = empty; fingerprints are forced nonzero). A key with
+  * hash h lives in bucket i1 = mix(h) or i2 = i1 ^ mix2(fp) — the partial-key
+  * trick: i2 is computable from (i1, fp) alone, which is what makes eviction
+  * chains, merging, and serialization possible without the original keys.
+  *
+  * No-false-negative guarantee AT ANY LOAD: an insert whose eviction chain
+  * exceeds `MaxKicks` lands in a driver-side overflow stash (canonicalized
+  * (bucket, fp) pairs) that lookup/delete/merge also consult. Sized at the
+  * standard 84% load for 4-slot buckets the stash stays empty; it exists so
+  * overload degrades to a few extra bytes instead of a broken membership
+  * contract.
+  *
+  * Determinism: eviction victims come from an internal LCG, so two builds
+  * that see the same insert ORDER are bit-identical; membership semantics
+  * are order-independent either way.
+  *
+  * Reference analog: the SQLite fingerprint membership check
+  * (crawlerbase.py:579-581) — exact, single-node; see SeenSet for how the
+  * sharded prefilter + exact confirm preserves those semantics at scale.
+  */
+final class CuckooFilter(val numBuckets: Int) extends Serializable {
+  require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+    s"numBuckets must be a power of two, got $numBuckets")
+
+  import CuckooFilter._
+
+  private val mask = numBuckets - 1
+  // 4 slots per bucket, flat; Char = unsigned 16-bit fingerprint, 0 = empty
+  private val slots = new Array[Char](numBuckets * SlotsPerBucket)
+  private val stash = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var count: Long = 0L
+  private var rng: Long = 0x2545F4914F6CDD1DL // deterministic eviction picks
+
+  def cardinality: Long = count
+  def isEmpty: Boolean = count == 0L
+  def stashSize: Int = stash.size
+
+  private def fp(h: Long): Char = {
+    val f = ((mix(h) >>> 48) & 0xFFFF).toChar
+    if (f == 0) 1.toChar else f
+  }
+  private def i1(h: Long): Int = (mix(h) & mask).toInt
+  private def altIndex(i: Int, f: Char): Int = (i ^ (mix2(f) & mask)).toInt
+
+  private def tryPlace(i: Int, f: Char): Boolean = {
+    val base = i * SlotsPerBucket
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (slots(base + s) == 0) { slots(base + s) = f; return true }
+      s += 1
+    }
+    false
+  }
+
+  private def bucketHas(i: Int, f: Char): Boolean = {
+    val base = i * SlotsPerBucket
+    slots(base) == f || slots(base + 1) == f ||
+      slots(base + 2) == f || slots(base + 3) == f
+  }
+
+  private def removeFrom(i: Int, f: Char): Boolean = {
+    val base = i * SlotsPerBucket
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (slots(base + s) == f) { slots(base + s) = 0; return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Canonical stash packing: the smaller of the two indices, so lookup can
+    * canonicalize the same way regardless of which index it derived. */
+  private def stashKey(i: Int, f: Char): Long = {
+    val j = altIndex(i, f)
+    val c = math.min(i, j).toLong
+    (c << 16) | f.toLong
+  }
+
+  def putLong(h: Long): Unit = { insertFp(fp(h), i1(h)); count += 1 }
+
+  private def insertFp(f0: Char, idx0: Int): Unit = {
+    if (tryPlace(idx0, f0)) return
+    val alt0 = altIndex(idx0, f0)
+    if (tryPlace(alt0, f0)) return
+    // eviction chain: kick a deterministic-pseudorandom victim, relocate it
+    var f = f0
+    var i = { rng = rng * 6364136223846793005L + 1442695040888963407L
+              if (((rng >>> 33) & 1L) == 0L) idx0 else alt0 }
+    var kicks = 0
+    while (kicks < MaxKicks) {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      val victim = i * SlotsPerBucket + ((rng >>> 33) % SlotsPerBucket).toInt
+      val out = slots(victim)
+      slots(victim) = f
+      f = out
+      i = altIndex(i, f)
+      if (tryPlace(i, f)) return
+      kicks += 1
+    }
+    stash += stashKey(i, f) // overflow: membership contract over table purity
+  }
+
+  def mightContainLong(h: Long): Boolean = {
+    val f = fp(h)
+    val i = i1(h)
+    bucketHas(i, f) || bucketHas(altIndex(i, f), f) ||
+      (stash.nonEmpty && stash.contains(stashKey(i, f)))
+  }
+
+  /** Remove ONE instance of the key's fingerprint (only call for keys that
+    * were actually inserted — the cuckoo-filter deletion contract). */
+  def remove(h: Long): Boolean = {
+    val f = fp(h)
+    val i = i1(h)
+    val ok = removeFrom(i, f) || removeFrom(altIndex(i, f), f) || {
+      val k = stashKey(i, f)
+      val at = stash.indexOf(k)
+      if (at >= 0) { stash.remove(at); true } else false
+    }
+    if (ok) count -= 1
+    ok
+  }
+
+  /** Re-insert every fingerprint of `other` (same geometry required). The
+    * stored bucket index is always one of the pair, so (index, fp) fully
+    * determines placement here — the property that makes partial-key
+    * cuckoo filters mergeable without the original keys. */
+  def mergeInPlace(other: CuckooFilter): CuckooFilter = {
+    require(other.numBuckets == numBuckets,
+      s"geometry mismatch: $numBuckets vs ${other.numBuckets}")
+    var b = 0
+    while (b < other.numBuckets) {
+      val base = b * SlotsPerBucket
+      var s = 0
+      while (s < SlotsPerBucket) {
+        val f = other.slots(base + s)
+        if (f != 0) insertFp(f, b)
+        s += 1
+      }
+      b += 1
+    }
+    other.stash.foreach { k =>
+      insertFp((k & 0xFFFFL).toChar, ((k >>> 16) & 0x7FFFFFFFL).toInt)
+    }
+    count += other.count
+    this
+  }
+
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(numBuckets)
+    out.writeLong(count)
+    var i = 0
+    while (i < slots.length) { out.writeChar(slots(i)); i += 1 }
+    out.writeInt(stash.size)
+    stash.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object CuckooFilter {
+  val SlotsPerBucket = 4
+  val MaxKicks = 500
+
+  /** Standard sizing: 4-slot buckets run safely to ~84% load (Fan et al.
+    * §5); next power of two above expected/(4*0.84). Exposed so filters
+    * built through different paths (driver create, Catalyst aggregate)
+    * share one geometry and stay mergeable — the bloom optimalNumOfBits
+    * pattern. */
+  def bucketsFor(expectedItems: Long): Int = {
+    val needed = math.max(1L, math.ceil(expectedItems / (SlotsPerBucket * 0.84)).toLong)
+    java.lang.Long.highestOneBit(needed * 2 - 1).toInt
+  }
+
+  def create(expectedItems: Long): CuckooFilter =
+    new CuckooFilter(bucketsFor(expectedItems))
+
+  def fromBytes(bytes: Array[Byte]): CuckooFilter = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val nb = in.readInt()
+    val cf = new CuckooFilter(nb)
+    cf.count = in.readLong()
+    var i = 0
+    while (i < cf.slots.length) { cf.slots(i) = in.readChar(); i += 1 }
+    val ns = in.readInt()
+    var s = 0
+    while (s < ns) { cf.stash += in.readLong(); s += 1 }
+    cf
+  }
+
+  // splitmix64 finalizer — full-avalanche index/fingerprint derivation
+  private[frontier] def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  // independent second mix for the partial-key displacement hash
+  private[frontier] def mix2(f: Char): Long = mix(f.toLong * 0xC2B2AE3D27D4EB4FL)
+}

@@ -178,6 +178,71 @@ object SeenSet {
     definiteNew.unionByName(filterUnseenExact(maybe, seen))
   }
 
+  // ---- cuckoo-filter twin of the bloom shard machinery (the north rule
+  // names "cuckoo-filter/bloom-filter"; same probe contract — no false
+  // negatives, exact-confirm downstream — plus deletion support). Geometry
+  // is fixed from expectedPerShard exactly like the bloom path so
+  // incremental per-wave merges stay legal. ----
+
+  def createCuckooShard(expected: Long): CuckooFilter =
+    CuckooFilter.create(expected)
+
+  /** treeAggregate twin of [[buildShards]] for the rebuild-from-deltas
+    * path: partials merge ON EXECUTORS, the driver receives one array. */
+  def buildCuckooShards(seen: DataFrame, numShards: Int,
+      expectedPerShard: Long): Array[CuckooFilter] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val zero = Array.tabulate(numShards)(_ => createCuckooShard(expectedPerShard))
+    seen.select(col("url_hash")).as[Long].rdd.treeAggregate(zero)(
+      seqOp = (filters, h) => { filters(shardOf(h, numShards)).putLong(h); filters },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+        a
+      },
+      depth = 2)
+  }
+
+  def mergeCuckoo(a: Array[CuckooFilter], b: Array[CuckooFilter])
+      : Array[CuckooFilter] =
+    a.zip(b).map { case (x, y) => if (y != null) x.mergeInPlace(y); x }
+
+  /** Per-shard cuckoo aggregates riding an EXISTING job's Observation —
+    * the custom Catalyst TypedImperativeAggregate twin of
+    * [[shardAggColumns]]; the delta build costs zero extra jobs. */
+  def cuckooShardAggColumns(hashCol: Column, numShards: Int,
+      expected: Long): Seq[Column] = {
+    val buckets = CuckooFilter.bucketsFor(expected)
+    (0 until numShards).map { i =>
+      graft.functions.CuckooFilterAgg(
+        when(pmod(hashCol, lit(numShards)) === i, hashCol), buckets)
+        .as(s"cuckoo_$i")
+    }
+  }
+
+  def cuckooShardsFromMetrics(values: Seq[Any]): Array[CuckooFilter] =
+    values.map {
+      case null => null
+      case b: Array[Byte] => CuckooFilter.fromBytes(b)
+    }.toArray
+
+  /** Cuckoo-prefiltered membership — the [[filterUnseenBloom]] contract
+    * (result EXACTLY equals [[filterUnseenExact]]) with cuckoo shards. */
+  def filterUnseenCuckoo(candidates: DataFrame, seen: DataFrame,
+      shards: Array[CuckooFilter]): DataFrame = {
+    val spark = candidates.sparkSession
+    val bc = spark.sparkContext.broadcast(shards.map(_.toBytes))
+    val n = shards.length
+    val maybeSeenUdf = udf { (h: Long) =>
+      SeenSet.localCuckooShards(bc.value).apply(shardOf(h, n)).mightContainLong(h)
+    }
+    val flagged = candidates.withColumn("__maybe", maybeSeenUdf(col("url_hash")))
+    val definiteNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    val maybe = flagged.filter(col("__maybe")).drop("__maybe")
+    definiteNew.unionByName(filterUnseenExact(maybe, seen))
+  }
+
   // executor-local deserialized shard cache keyed by broadcast identity
   @transient private var cacheKey: AnyRef = _
   @transient private var cacheVal: Array[BloomFilter] = _
@@ -188,5 +253,16 @@ object SeenSet {
         cacheKey = raw
       }
       cacheVal
+    }
+
+  @transient private var cCacheKey: AnyRef = _
+  @transient private var cCacheVal: Array[CuckooFilter] = _
+  private[frontier] def localCuckooShards(raw: Array[Array[Byte]]): Array[CuckooFilter] =
+    synchronized {
+      if (!(cCacheKey eq raw)) {
+        cCacheVal = raw.map(CuckooFilter.fromBytes)
+        cCacheKey = raw
+      }
+      cCacheVal
     }
 }

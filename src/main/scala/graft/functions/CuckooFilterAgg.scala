@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.graft.Shim
+
+import graft.frontier.CuckooFilter
+
+/** Catalyst aggregate building a [[graft.frontier.CuckooFilter]] over
+  * non-null long inputs — the cuckoo twin of Spark's internal
+  * BloomFilterAggregate (which SeenSet.shardAggColumns rides for the bloom
+  * path). A TypedImperativeAggregate keeps ONE mutable filter per partition
+  * and merges serialized partials on the reduce side, so the per-wave
+  * seen-set delta build rides an existing job's Observation metrics with
+  * zero extra Spark jobs, identically for either filter kind.
+  *
+  * Returns the serialized filter bytes, or null for an empty group (parity
+  * with BloomFilterAggregate, which SeenSet.shardsFromMetrics relies on).
+  */
+case class CuckooFilterAgg(
+    child: Expression,
+    numBuckets: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CuckooFilter] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): CuckooFilter =
+    new CuckooFilter(numBuckets)
+
+  override def update(buf: CuckooFilter, input: InternalRow): CuckooFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: CuckooFilter, b: CuckooFilter): CuckooFilter =
+    a.mergeInPlace(b)
+
+  override def eval(buf: CuckooFilter): Any =
+    if (buf.isEmpty) null else buf.toBytes
+
+  override def serialize(buf: CuckooFilter): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): CuckooFilter =
+    CuckooFilter.fromBytes(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cuckoo_filter_agg"
+
+  override def withNewMutableAggBufferOffset(n: Int): CuckooFilterAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CuckooFilterAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CuckooFilterAgg =
+    copy(child = c)
+}
+
+object CuckooFilterAgg {
+  /** Column builder (the Shim seam converts Column <-> Expression). */
+  def apply(child: Column, numBuckets: Int): Column =
+    Shim.column(
+      new CuckooFilterAgg(Shim.expression(child), numBuckets)
+        .toAggregateExpression())
+}

@@ -30,9 +30,13 @@ object CrawlProfile {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val cfg = if (args.length > 2 && args(2) == "steady")
+    val base = if (args.length > 2 && args(2) == "steady")
       graft.Bench.steadyConfig(scale)
     else graft.Bench.benchConfig(scale)
+    // GRAFT_SEEN_FILTER=cuckoo profiles the partial-key cuckoo prefilter
+    // head-to-head against the default bloom shards (same gates/geometry)
+    val cfg = base.copy(
+      seenFilter = sys.env.getOrElse("GRAFT_SEEN_FILTER", base.seenFilter))
 
     // per-job wall clock: which actions inside a wave eat the fixed cost
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

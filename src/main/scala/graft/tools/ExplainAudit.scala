@@ -34,7 +34,8 @@ object ExplainAudit {
       // decontamination, codegen-only redaction/sampling, partial-agg
       // quality signals, single-exchange packing
       "q_decontaminate", "q_pii_redact", "q_stratified_sample",
-      "q_gopher_quality", "q_seq_pack")
+      "q_gopher_quality", "q_seq_pack",
+      "q_span_dedup", "q_ngram_novelty", "q_temperature_mix", "q_bpe_stats")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

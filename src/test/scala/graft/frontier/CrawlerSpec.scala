@@ -144,6 +144,29 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
     assert(gotN == oracle.crawlOrder)
   }
 
+  test("cuckoo seen-filter produces identical crawl (steady + mid-crawl gate flip)") {
+    // seenFilter="cuckoo" swaps the bloom shards for the partial-key
+    // CuckooFilter behind the SAME probe contract (no false negatives,
+    // exact-confirm downstream) — the crawl must be bit-identical. Steady
+    // path first (gate 0 like the suite default) ...
+    val (crawlerC, _, mC) = runEngine(cfg.copy(seenFilter = "cuckoo"))
+    val got = crawlerC.crawlLog(mC.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(got == oracle.crawlOrder)
+    val seenC = crawlerC.seenUpTo(mC.last.wave)
+      .select("canonical").collect().map(_.getString(0)).toSet
+    assert(seenC == oracle.seen)
+    // ... then the off->on flip: wave 0 exact (shards stale), later waves
+    // cuckoo after the rebuild-from-committed-deltas path
+    val (crawlerF, _, mF) = runEngine(
+      cfg.copy(seenFilter = "cuckoo", bloomMinFrontier = 20))
+    val gotF = crawlerF.crawlLog(mF.last.wave)
+      .select("wave", "canonical").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(gotF == oracle.crawlOrder)
+  }
+
   test("seen-index size-gate: mid-crawl off->on flip (stale-index rebuild) matches the oracle") {
     // wave 0 = 12 seeds (under a threshold of 20: multi-path scan, index
     // stale), later waves have tens of URLs (over: rebuild-from-deltas
@@ -184,7 +207,10 @@ class CrawlerSpec extends AnyFunSuite with SparkTestSession {
           hosts = 4 + rnd.nextInt(12),
           pathBits = 5 + rnd.nextInt(3),
           maxOutlinks = 2 + rnd.nextInt(6),
-          secretRate = 0.05 + rnd.nextDouble() * 0.4))
+          secretRate = 0.05 + rnd.nextDouble() * 0.4),
+        // drawn LAST so the earlier draws (and thus the sweep's config
+        // stream) stay identical to prior rounds
+        seenFilter = if (rnd.nextBoolean()) "cuckoo" else "bloom")
       val want = CrawlOracle.run(c)
       val (crawler, _, metrics) = runEngine(c)
       val got = crawler.crawlLog(metrics.last.wave)

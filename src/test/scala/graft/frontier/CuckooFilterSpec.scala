@@ -1,0 +1,133 @@
+package graft.frontier
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Properties of the partial-key cuckoo filter (Fan et al. 2014) and its
+  * Catalyst aggregate: the probe contract the crawler relies on (NO false
+  * negatives, ever — at any load, after serialization, after merges), the
+  * false-positive bound the exact-confirm join sizes against, the deletion
+  * capability blooms lack, and distributed-build equivalence (agg shards ==
+  * driver-built shards). */
+class CuckooFilterSpec extends AnyFunSuite with SparkTestSession {
+
+  // splitmix64 stream — deterministic distinct-ish keys
+  private def keys(seed: Long, n: Int): Array[Long] = {
+    var z = seed
+    Array.fill(n) {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+  }
+
+  test("no false negatives over 200k inserts at standard sizing") {
+    val ks = keys(1L, 200000)
+    val cf = CuckooFilter.create(200000)
+    ks.foreach(cf.putLong)
+    assert(ks.forall(cf.mightContainLong))
+    assert(cf.cardinality == 200000L)
+  }
+
+  test("false-positive rate on a disjoint probe set stays under 0.2%") {
+    val cf = CuckooFilter.create(200000)
+    keys(1L, 200000).foreach(cf.putLong)
+    val probes = keys(0x5EEDL, 200000)
+    val fps = probes.count(cf.mightContainLong)
+    // expected ~ 8/2^16 ≈ 0.012%; 0.2% leaves an order of magnitude margin
+    assert(fps < 400, s"fp rate too high: $fps / 200000")
+  }
+
+  test("deletion removes membership for deleted keys, keeps the rest") {
+    val ks = keys(7L, 50000)
+    val cf = CuckooFilter.create(50000)
+    ks.foreach(cf.putLong)
+    val (gone, kept) = ks.splitAt(25000)
+    gone.foreach(k => assert(cf.remove(k)))
+    assert(cf.cardinality == 25000L)
+    // kept keys: the hard guarantee — still zero false negatives
+    assert(kept.forall(cf.mightContainLong))
+    // deleted keys: only residual fp-rate membership remains
+    val resident = gone.count(cf.mightContainLong)
+    assert(resident < 100, s"deleted keys still resident: $resident / 25000")
+  }
+
+  test("serialization round-trip preserves membership and cardinality") {
+    val ks = keys(11L, 30000)
+    val cf = CuckooFilter.create(30000)
+    ks.foreach(cf.putLong)
+    val back = CuckooFilter.fromBytes(cf.toBytes)
+    assert(back.cardinality == cf.cardinality)
+    assert(ks.forall(back.mightContainLong))
+    assert(back.numBuckets == cf.numBuckets)
+  }
+
+  test("mergeInPlace: merged filter has no false negatives on either input") {
+    val a = CuckooFilter.create(100000)
+    val b = CuckooFilter.create(100000)
+    val ka = keys(21L, 40000)
+    val kb = keys(22L, 40000)
+    ka.foreach(a.putLong)
+    kb.foreach(b.putLong)
+    a.mergeInPlace(b)
+    assert(ka.forall(a.mightContainLong) && kb.forall(a.mightContainLong))
+    assert(a.cardinality == 80000L)
+    // geometry mismatch must refuse, like bloom mergeInPlace
+    intercept[IllegalArgumentException] {
+      a.mergeInPlace(CuckooFilter.create(100))
+    }
+  }
+
+  test("overload degrades to the stash, never to a false negative") {
+    val cf = new CuckooFilter(2) // 8 slots total
+    val ks = keys(31L, 200)      // 25x overload
+    ks.foreach(cf.putLong)
+    assert(cf.stashSize > 0, "overload never reached the stash")
+    assert(ks.forall(cf.mightContainLong))
+  }
+
+  test("CuckooFilterAgg shards == driver-built shards (membership + nulls)") {
+    val ks = keys(41L, 20000)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ks.toSeq.map(Tuple1(_)), 8)
+    ).toDF("url_hash")
+    val nShards = 4
+    val perShard = 8192L
+    val cols = SeenSet.cuckooShardAggColumns(col("url_hash"), nShards, perShard)
+    val row = df.agg(cols.head, cols.tail: _*).collect()(0)
+    val aggShards = SeenSet.cuckooShardsFromMetrics(
+      (0 until nShards).map(row.get))
+    val driverShards = Array.tabulate(nShards)(_ => CuckooFilter.create(perShard))
+    ks.foreach(k => driverShards(SeenSet.shardOf(k, nShards)).putLong(k))
+    ks.foreach { k =>
+      assert(aggShards(SeenSet.shardOf(k, nShards)).mightContainLong(k))
+    }
+    // same cardinality per shard as the driver build (exact same inserts)
+    (0 until nShards).foreach { i =>
+      assert(aggShards(i).cardinality == driverShards(i).cardinality)
+      assert(aggShards(i).numBuckets == driverShards(i).numBuckets)
+    }
+    // empty group -> null metric (SeenSet.cuckooShardsFromMetrics contract)
+    val emptyRow = df.filter(lit(false)).agg(cols.head, cols.tail: _*).collect()(0)
+    assert((0 until nShards).forall(i => emptyRow.get(i) == null))
+  }
+
+  test("filterUnseenCuckoo == filterUnseenExact on overlapping sets") {
+    import spark.implicits._
+    val seenKs = keys(51L, 5000)
+    val candKs = seenKs.take(2500) ++ keys(52L, 2500) // half seen, half new
+    val seen = seenKs.toSeq.toDF("url_hash")
+    val cands = candKs.toSeq.toDF("url_hash")
+    val shards = SeenSet.buildCuckooShards(seen, 4, 2048L)
+    val viaCuckoo = SeenSet.filterUnseenCuckoo(cands, seen, shards)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    val viaExact = SeenSet.filterUnseenExact(cands, seen)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(viaCuckoo == viaExact)
+    assert(viaExact == (candKs.toSet -- seenKs.toSet))
+  }
+}
