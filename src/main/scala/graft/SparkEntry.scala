@@ -1045,6 +1045,28 @@ object SparkEntry {
         subspaces = 4, dsub = 16, iters = 2, k = 3)
     }),
 
+    // SemDeDup (Abbas et al. '23, arXiv:2303.09540): cluster embeddings
+    // with trained centroids, then drop every within-cluster doc that has a
+    // lower-id neighbor above τ=0.9 cosine (greedy pairwise keeper rule).
+    // Near-dups are PLANTED deterministically — every vec_id%7==0 vector
+    // re-enters at id+100000 scaled x*1.0009+0.0001 (cosine ≈ 1 to its
+    // original; the natural max pairwise cosine in the table is 0.513, so
+    // decisions sit far from the threshold) — the construction rule the
+    // oracle replays; centroids = two Lloyd iterations seeded from
+    // vec_id < 8, unrolled in SQL exactly like q_ann_ivf's oracle.
+    "q_semdedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val dups = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0009d) + lit(0.0001d)).as("embedding"))
+      val corpus = base.unionByName(dups)
+      val cents = Similarity.lloyd(corpus, corpus.filter(col("vec_id") < 8), 2)
+        .select(col("centroid_id").as("vec_id"), col("embedding"))
+      Similarity.semDedup(corpus, cents, 0.9)
+    }),
+
     // multimodal: opaque binary payload + typed metadata
     // multimodal metadata: opaque binary payload columns plus REAL image
     // header metadata (ImageMeta, round 4): per-doc PNG/GIF/JPEG bytes are
@@ -2233,6 +2255,45 @@ object SparkEntry {
          |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
          |  WHERE a.vec_id != q.query_id)
          |WHERE rank <= 3""".stripMargin
+    },
+
+    "q_semdedup" -> {
+      // q_ann_ivf's Lloyd unroll over the planted-dup corpus CTE, then the
+      // greedy within-cluster keeper rule as plain relational algebra
+      def assign(cents: String) =
+        s"""SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
+           |    FROM corpus v, $cents c)
+           |  WHERE rn = 1""".stripMargin
+      def mean(a: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
+           |    SELECT centroid_id, i AS pos,
+           |      round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+           |    FROM $a, unnest(range(1,65)) AS t(i) GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * 1.0009e0 + 0.0001e0)
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |c0 AS (SELECT vec_id AS centroid_id, embedding FROM corpus WHERE vec_id < 8),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${mean("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${mean("a2")}),
+         |assigned AS (${assign("c2")}),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.9e0)
+         |SELECT vec_id, centroid_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
     },
 
     "q_multimodal_meta" ->

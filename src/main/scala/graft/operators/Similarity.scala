@@ -99,6 +99,33 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embeddings (trained centroids from
+    * [[lloyd]]), then within each cluster drop every document that has a
+    * LOWER-id neighbor above `tau` cosine — the deterministic greedy keeper
+    * rule (keeper = smallest id seeing the pair; evaluated pairwise with no
+    * transitive chaining, so the rule is pure relational algebra and
+    * engine-replayable). The paper's point is the SCALE shape: candidate
+    * pairs exist only WITHIN a cluster — O(Σ n_c²), not O(n²) — and the
+    * cluster count grows ~√n so bucket population stays bounded; at 100 TB
+    * the full table is touched once for assignment and once per surviving
+    * bucket pair scan. The assignment is persisted and reused on both sides
+    * of the pair join and for the final keeper anti-join (one scoring pass,
+    * PlanSpec-pinned). Returns kept rows (vec_id, centroid_id). */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
+    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("dup_id"),
+      col("embedding").as("dup_emb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_id") < col("dup_id"))
+      .filter(cosine(col("embedding"), col("dup_emb")) > tau)
+      .select(col("dup_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** Lloyd k-means iterations as pure DataFrame aggregations — the IVF
     * training step (replaces sampled centroids). Deterministic and
     * engine-replayable BY CONSTRUCTION: fixed iteration count, caller-given

@@ -69,6 +69,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), "query side should broadcast")
   }
 
+  test("q_semdedup: assignment cached on all three references, pairs stay equi-joined") {
+    val p = plan("q_semdedup")
+    // the persisted IVF assignment feeds the pair join (2 sides) + the
+    // keeper anti-join — without the cache the n×|centroids| scoring pass
+    // would re-run three times
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    // within-cluster pairs must come from the centroid equi-join, never a
+    // cross/block join (the O(n²) shape semDedup exists to avoid); the ONLY
+    // nested-loop joins allowed are the broadcast-centroid scoring passes
+    // inside the cached assignment (tiny build side by construction)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toVector
+    assert(bnlj.forall(_.contains("BuildRight, Inner")), bnlj.mkString("\n"))
+    val joins = p.linesIterator
+      .filter(l => l.contains("MergeJoin") || l.contains("ShuffledHashJoin")).toVector
+    assert(joins.exists(l => l.contains("LeftAnti") && l.contains("vec_id")),
+      "keeper anti-join missing:\n" + joins.mkString("\n"))
+    assert(joins.exists(_.contains("centroid_id")),
+      "pair join not keyed on centroid_id:\n" + joins.mkString("\n"))
+  }
+
   test("q_chunking: no single-reducer window — global row numbers come from the two-pass offset shape") {
     val p = plan("q_chunking")
     assert(!p.contains("Window ["),

@@ -98,4 +98,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
     OpCaches.drain()
   }
+
+  test("semDedup == local greedy replay; planted dups dropped, originals kept") {
+    import spark.implicits._
+    // plant near-dups: vectors 0..9 re-enter as 200..209 scaled 1.001
+    val dup = vecs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 200).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001d)).as("embedding"))
+    val all = vecs.unionByName(dup)
+    val cents = Similarity.lloyd(all, all.filter(col("vec_id") < 4), 2)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val tau = 0.999
+    val kept = Similarity.semDedup(all, cents, tau)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // local replay of the exact rule: same assignment, same pairwise test
+    val assigned = Similarity.ivfAssign(all, cents)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val droppedLocal = (for {
+      (va, ca, ea) <- assigned
+      (vb, cb, eb) <- assigned
+      if ca == cb && va < vb && cos(ea, eb) > tau
+    } yield vb).toSet
+    val keptLocal = assigned.map(_._1).toSet -- droppedLocal
+    assert(kept == keptLocal)
+    // planted dups always dropped (their original has the smaller id);
+    // cluster-minimum ids 0..3 always kept (no lower-id pair can exist).
+    // NOTE the jitter is periodic — vec i and i+44 are bit-identical (same
+    // cluster mod 4, same jitter mod 11), so SOME originals are genuine
+    // dups too; the differential above is the full-rule check.
+    assert((200L until 210L).forall(!kept.contains(_)))
+    assert((0L until 4L).forall(kept.contains))
+    assert((44L until 100L).forall(!kept.contains(_))) // twin at i-44 always exists
+    OpCaches.drain()
+  }
 }
