@@ -734,6 +734,12 @@ object SparkEntry {
         TextAnalysis.docFingerprint(col("text")).as("fp"))
     }),
 
+    // hashed-linear quality classifier (fastText-filter shape, hashing
+    // trick; integer weights summed exactly → engine/partitioning-
+    // independent, map-only, zero exchange)
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(docs(s, dir))),
+
     // SimHash document fingerprint (32-bit, codegen'd HOFs)
     "q_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -1953,6 +1959,19 @@ object SparkEntry {
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
          |FROM m""".stripMargin
     },
+
+    "q_quality_classifier" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(list_sum(list_transform(toks, t ->
+        |    (ascii(substr(md5(t), 1, 1)) * 65536
+        |     + ascii(substr(md5(t), 2, 1)) * 256
+        |     + ascii(substr(md5(t), 3, 1))) % 2003 - 1001)), 0) AS BIGINT) AS wsum
+        |  FROM d)
+        |SELECT doc_id, n_toks, wsum, (wsum > 0) AS keep
+        |FROM s""".stripMargin,
 
     "q_simhash" -> simhashOracleSql,
 

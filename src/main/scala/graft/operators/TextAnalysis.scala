@@ -60,6 +60,36 @@ object TextAnalysis {
   def docFingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
 
+  /** Hashed-linear quality classifier — the fastText-style filter shape of
+    * CCNet-descended training pipelines (Wenzek et al., LREC'20), with the
+    * learned weights replaced by a deterministic hash of each token (the
+    * hashing trick: the md5 prefix IS the feature bucket). Per-token weight
+    * is an INTEGER in [-1001, 1001] derived from the first three md5 hex
+    * chars, and the document sum stays integer until the final division —
+    * exact, associative, order- and partitioning-independent, so Spark and
+    * DuckDB agree bit-for-bit on `wsum` no matter how the corpus splits.
+    * The output stays ENTIRELY integer — the decision `keep` is the sign of
+    * the exact sum (the float score wsum/(1000·n) is a monotone transform
+    * that adds nothing but rounding ties; an early cut emitted it rounded
+    * to 6 dp and hit a real one: wsum=-2046, n=32 → -0.0639375 exactly,
+    * where Spark HALF_UP and DuckDB disagree). Map-only: tokenize → HOF
+    * sum, zero exchange; a 100-TB corpus scores in one codegen'd pass.
+    * Returns (doc_id, n_toks, wsum, keep). */
+  def hashedTokenWeight(tok: Column): Column =
+    ((ascii(substring(md5(tok), 1, 1)) * 65536 +
+      ascii(substring(md5(tok), 2, 1)) * 256 +
+      ascii(substring(md5(tok), 3, 1))) % 2003 - 1001).cast("long")
+
+  def qualityClassifier(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        aggregate(transform(col("toks"), hashedTokenWeight(_)),
+          lit(0L), (a, v) => a + v).as("wsum"))
+      .withColumn("keep", col("wsum") > 0)
+
   /** 32-bit SimHash over md5-hashed tokens, built entirely from higher-order
     * array functions (transform/aggregate/filter) so it stays inside
     * whole-stage codegen AND has an exact DuckDB replica

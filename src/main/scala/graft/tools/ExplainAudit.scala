@@ -35,7 +35,8 @@ object ExplainAudit {
       // quality signals, single-exchange packing
       "q_decontaminate", "q_pii_redact", "q_stratified_sample",
       "q_gopher_quality", "q_seq_pack",
-      "q_span_dedup", "q_ngram_novelty", "q_temperature_mix", "q_bpe_stats")
+      "q_span_dedup", "q_ngram_novelty", "q_temperature_mix", "q_bpe_stats",
+      "q_quality_classifier")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

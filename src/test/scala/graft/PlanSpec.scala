@@ -183,6 +183,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       p.take(2000))
   }
 
+  test("q_quality_classifier: map-only scoring pass — no shuffle, no join") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1) Project"), // whole-stage-codegen span marker
+      p.take(2000))
+  }
+
   test("q_stratified_sample: hash-threshold filter evaluates scan-side " +
       "(no exchange, no window)") {
     val p = plan("q_stratified_sample")

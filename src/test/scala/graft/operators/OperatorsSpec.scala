@@ -89,6 +89,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(langs.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("hashed-linear quality classifier == pure-Scala replica, exact integer sum") {
+    import spark.implicits._
+    // independent replica: java MessageDigest, not Spark's md5
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((hex(0).toInt * 65536 + hex(1).toInt * 256 + hex(2).toInt) % 2003 - 1001).toLong
+    }
+    def replica(text: String): (Long, Long) = {
+      val toks = TextAnalysis.TokenPattern.r.findAllIn(text.toLowerCase).toSeq
+      (toks.size.toLong, toks.map(weight).sum)
+    }
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog 42 times",
+      "aaa aaa aaa aaa",      // repeated token: weight counted per occurrence
+      "",                      // no tokens: n=0, wsum=0, keep=false
+      "!!! ---",               // punctuation only
+      "Ünïcode stays outside [A-Za-z0-9]+ but digits 007 count")
+    val out = TextAnalysis.qualityClassifier(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, w) = replica(t)
+      assert(out(i.toLong) == ((n, w, w > 0)), s"doc $i: '$t'")
+    }
+  }
+
   test("parser dispatch: mime first, extension second, default last (parserbase.py:31-61)") {
     assert(Parsers.dispatch("json", "").name == "JSON Parser")
     assert(Parsers.dispatch("", "application/json").name == "JSON Parser")
