@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
+import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -1009,6 +1009,62 @@ object SparkEntry {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(20)
+    }),
+
+    // DSIR data selection (Xie et al., NeurIPS'23): hashed-unigram
+    // importance weights vs the lang='en' target slice; keep the 200
+    // highest-weighted docs. Scale: one token-stream pass into a
+    // (doc, bucket) hash agg, rates derive from that aggregate and join
+    // back as a ≤256-row broadcast, selection is TakeOrdered (per-partition
+    // top-k + driver merge, never a global sort). The weight fold is
+    // bit-deterministic (ordered fold of IEEE-exact terms), so the top-200
+    // boundary is engine-stable — see operators/Selection.
+    "q_dsir_select" -> ((s, dir) => {
+      Selection.dsirWeights(docs(s, dir), col("lang") === "en")
+        .orderBy(col("dsir_w").desc, col("doc_id").asc)
+        .limit(200)
+        .select(col("doc_id"), col("ntok"),
+          round(col("dsir_w"), 9).as("dsir_w"))
+    }),
+
+    // CCNet-shaped LM quality bucketing (Wenzek et al., LREC'20): score
+    // every doc with a corpus-trained add-one bigram LM, then bucket
+    // head/middle/tail by tercile cutoffs taken from a deterministic ¼
+    // sample — the only global sort runs over the bounded sample, exactly
+    // CCNet's sampled-quantile shape. Scores persist once and feed both
+    // the sample and the final bucketing.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val scores = operators.OpCaches.register(
+        Selection.bigramLmScores(docs(s, dir)).persist())
+      Selection.sampledTerciles(scores)
+        .select(col("doc_id"), col("nbig"),
+          round(col("score"), 9).as("lm_score"), col("bucket"))
+    }),
+
+    // cluster-balanced sampling: k-means clusters over the embeddings
+    // (trained Lloyd centroids, replayable data like q_ann_ivf), then a
+    // per-cluster keep rate min(1, 32/|cluster|) applied through the
+    // md5-prefix threshold — over-represented clusters are downsampled
+    // toward uniform cluster mass (the data-diversity rebalancing step of
+    // embedding-curated pipelines). Assignment persists once and feeds
+    // both the cluster census and the final filter; rates broadcast.
+    "q_cluster_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.lloyd(e, e.filter(col("vec_id") < 8), 2)
+        .select(col("centroid_id").as("vec_id"), col("embedding"))
+      val assigned = operators.OpCaches.register(
+        Similarity.ivfAssign(e, cents)
+          .select(col("vec_id"), col("centroid_id")).persist())
+      val ratesC = assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("centroid_id"),
+          least(lit(1.0), lit(32.0) / col("cnt").cast("double")).as("rate"))
+      assigned.join(broadcast(ratesC), Seq("centroid_id"))
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("vec_id").cast("string")), 1, 4) <
+            format_string("%04x", floor(col("rate") * 65536).cast("int")))
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("rate"), 6).as("rate"))
     }),
 
     // embedding near-dup, scale-safe shape: nearest neighbor within the
@@ -2179,6 +2235,92 @@ object SparkEntry {
          |  FROM tok WHERE len(tok) >= 2)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH occ AS (SELECT doc_id, tgt, substr(md5(tok), 1, 2) AS b FROM (
+         |    SELECT doc_id, (lang = 'en') AS tgt,
+         |      unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+         |    FROM documents)),
+         |pd AS (SELECT doc_id, tgt, b, count(*) AS cb FROM occ
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT b,
+         |    (CAST(sum(CASE WHEN tgt THEN cb ELSE 0 END) AS DOUBLE)
+         |        + CAST(1.0 AS DOUBLE))
+         |      / (CAST(sum(cb) AS DOUBLE) + CAST(256.0 AS DOUBLE)) AS r
+         |  FROM pd GROUP BY b),
+         |sc AS (SELECT doc_id, CAST(sum(cb) AS BIGINT) AS ntok,
+         |    list_sum(list(CAST(cb AS DOUBLE) * r ORDER BY b)) AS score
+         |  FROM pd JOIN r USING (b) GROUP BY doc_id)
+         |SELECT doc_id, ntok, round(score / CAST(ntok AS DOUBLE), 9) AS dsir_w
+         |FROM sc ORDER BY score / CAST(ntok AS DOUBLE) DESC, doc_id ASC
+         |LIMIT 200""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+         |  FROM documents),
+         |big AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+         |      struct_pack(pos := i, w1 := t[i], w2 := t[i + 1]))) AS u
+         |    FROM d WHERE len(t) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM c2),
+         |p AS (SELECT c2.w1 AS w1, c2.w2 AS w2,
+         |    (CAST(c2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |      / CAST(c1 + v AS DOUBLE) AS p
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nbig,
+         |    list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE) AS score
+         |  FROM big JOIN p ON big.w1 = p.w1 AND big.w2 = p.w2
+         |  GROUP BY doc_id),
+         |samp AS (SELECT doc_id, score FROM sc
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+         |rs AS (SELECT score,
+         |    row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM samp),
+         |cuts AS (SELECT
+         |    min(CASE WHEN rn = (n + 2) // 3 THEN score END) AS cut1,
+         |    min(CASE WHEN rn = (n * 2 + 2) // 3 THEN score END) AS cut2
+         |  FROM rs)
+         |SELECT doc_id, nbig, round(score, 9) AS lm_score,
+         |  CASE WHEN score <= cut1 THEN 'tail'
+         |       WHEN score <= cut2 THEN 'middle' ELSE 'head' END AS bucket
+         |FROM sc CROSS JOIN cuts""".stripMargin,
+
+    "q_cluster_balance" -> {
+      // the q_ann_ivf Lloyd unroll (assign → 9dp mean ×2 → final assign),
+      // then the per-cluster census + md5-threshold keep rule
+      def assign(cents: String) =
+        s"""SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
+           |    FROM embeddings v, $cents c)
+           |  WHERE rn = 1""".stripMargin
+      def mean(a: String) =
+        s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
+           |    SELECT centroid_id, i AS pos,
+           |      round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+           |    FROM $a, unnest(range(1,65)) AS t(i) GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding
+         |            FROM embeddings WHERE vec_id < 8),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${mean("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${mean("a2")}),
+         |assigned AS (${assign("c2")}),
+         |rates AS (SELECT centroid_id,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(32.0 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rate
+         |  FROM assigned GROUP BY 1)
+         |SELECT a.vec_id, a.centroid_id, round(r.rate, 6) AS rate
+         |FROM assigned a JOIN rates r ON a.centroid_id = r.centroid_id
+         |WHERE r.rate >= 1.0 OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)
+         |  < printf('%04x', CAST(floor(r.rate * 65536) AS INT))""".stripMargin
+    },
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-data pipelines — the "which docs
+  * do I keep" layer that sits above dedup/quality filtering.
+  *
+  *   - [[dsirWeights]]: DSIR — Data Selection via Importance Resampling
+  *     (Xie et al., NeurIPS 2023, arXiv:2302.03169). Hashed n-gram bucket
+  *     counts stand in for the intractable token distribution; each doc
+  *     gets an importance weight estimating p_target/p_raw under the
+  *     bucketed unigram model, and selection keeps the top-weighted docs.
+  *   - [[bigramLmScores]]: CCNet-shaped LM scoring (Wenzek et al., LREC
+  *     2020, arXiv:1911.00359). CCNet scores each doc with a small LM and
+  *     buckets the corpus into head/middle/tail by score quantiles; here
+  *     the LM is an add-one-smoothed bigram model trained on the corpus
+  *     itself, so the whole pipeline (train + score) is two aggregations
+  *     and two joins — no external model state.
+  *
+  * Cross-engine float parity: every per-doc reduction over doubles folds
+  * in an explicit key order (collect_list → array_sort → aggregate on the
+  * Spark side, list_sum(list(x ORDER BY k)) in the DuckDB oracle), and
+  * every intermediate is an IEEE-exact op (integer-valued doubles below
+  * 2^53, one division, one multiply) — so scores are bit-identical across
+  * engines and even threshold / top-k comparisons on UNROUNDED values are
+  * deterministic. Same discipline as Similarity.ivfPqTopK's ADC fold.
+  */
+object Selection {
+
+  /** DSIR hashed-unigram importance weights.
+    *
+    * Tokens hash to 256 buckets via their md5 hex prefix (engine-portable,
+    * no RNG). With ct(b)/cr(b) the bucket's token-occurrence counts in the
+    * target slice and the full corpus, the bucket log-ratio surrogate is
+    * the smoothed rate r(b) = (ct(b)+1)/(cr(b)+256), and a doc's weight is
+    * the per-token average of r over its token occurrences — a monotone
+    * proxy for the DSIR unigram importance weight that needs no log()
+    * (ln is not exactly rounded in either engine, so summing ln terms
+    * would not be bit-replayable; summing exact divisions is).
+    *
+    * Scale shape: ONE pass over the token stream into a (doc_id, bucket)
+    * hash aggregate with map-side partials (the heavy reduction — bounded
+    * at 256 rows per doc); the global bucket rates derive from that small
+    * aggregate, never from a second corpus scan, and join back as a
+    * broadcast (≤256 rows). The per-doc fold is an ordered array fold over
+    * ≤256 terms. Nothing here is quadratic and the token stream is read
+    * once.
+    *
+    * Returns (doc_id, ntok, dsir_w) for every doc with ≥1 token; dsir_w is
+    * UNROUNDED (callers rank/threshold on exact bits, then round for
+    * display).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val occ = docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.TokenPattern), lit(0))).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+    // tgt is constant per doc, so carrying it through the groupBy keys
+    // costs nothing and lets the global rates derive from the per-doc
+    // aggregate (single corpus scan)
+    val perDoc = OpCaches.register(
+      occ.groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("cb")).persist())
+    val rates = perDoc.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), col("cb")).otherwise(lit(0L))).as("ct"),
+        sum(col("cb")).as("cr"))
+      .select(col("b"),
+        ((col("ct").cast("double") + lit(1.0d)) /
+          (col("cr").cast("double") + lit(256.0d))).as("r"))
+    perDoc.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("ntok"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("b"),
+            (col("cb").cast("double") * col("r")).as("term")))),
+            x => x.getField("term")),
+          lit(0.0d), (acc, v) => acc + v).as("score"))
+      .select(col("doc_id"), col("ntok"),
+        (col("score") / col("ntok").cast("double")).as("dsir_w"))
+  }
+
+  /** Corpus-trained bigram-LM likelihood per doc (the CCNet scoring step).
+    *
+    * The model: p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V) with c2 the corpus
+    * bigram count, c1(w1) = Σ_w2 c2(w1,w2) its left-context total, and V
+    * the bigram-right vocabulary size (add-one smoothing mass). A doc's
+    * score is the mean of p over its bigrams in position order. Mean
+    * probability rather than mean log-prob for the same exactness reason
+    * as [[dsirWeights]] — the ranking CCNet needs is monotone either way.
+    *
+    * Scale shape: the bigram stream is materialized ONCE (persisted) and
+    * feeds (a) the model aggregation — map-side-combinable groupBy on the
+    * bigram, from which c1 and V derive without another scan — and (b) the
+    * scoring join. The scoring join is the one real shuffle (bigram
+    * occurrences × bigram probabilities, both keyed by the gram); V rides
+    * in as a 1-row broadcast cross join.
+    *
+    * Returns (doc_id, nbig, score) for docs with ≥2 tokens; score
+    * UNROUNDED.
+    */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")),
+      lit(TextAnalysis.TokenPattern), lit(0))
+    val big = OpCaches.register(docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(i.as("pos"),
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"),
+        col("u.w1").as("w1"), col("u.w2").as("w2"))
+      .persist())
+    // the trained model (c2) is consumed three times (probs, c1, V) —
+    // persist it so the bigram stream aggregates exactly once
+    val c2 = OpCaches.register(
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).persist())
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c2.agg(countDistinct(col("w2")).as("v"))
+    val probs = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        ((col("c2").cast("double") + lit(1.0d)) /
+          (col("c1") + col("v")).cast("double")).as("p"))
+    big.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nbig"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            x => x.getField("p")),
+          lit(0.0d), (acc, v) => acc + v).as("psum"))
+      .select(col("doc_id"), col("nbig"),
+        (col("psum") / col("nbig").cast("double")).as("score"))
+  }
+
+  /** CCNet head/middle/tail bucketing from a deterministic sample.
+    *
+    * CCNet computes its quantile cutoffs from a sample, not the full
+    * corpus — the only shape that survives web scale, since exact global
+    * quantiles need a global sort. Here the sample is the md5(doc_id)
+    * first-hex-digit < '4' slice (¼ of docs, engine-portable), the two
+    * cutoffs are the sample's ceil(n/3) and ceil(2n/3) order statistics
+    * (the ONLY global sort runs over the bounded sample), and every doc
+    * buckets by comparing its exact score against the cutoff scalars
+    * (broadcast cross join). Bit-deterministic scores make the boundary
+    * comparisons engine-stable.
+    *
+    * Input must carry (doc_id, score); returns input plus `bucket`
+    * ('head' = top third by score).
+    */
+  def sampledTerciles(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = scores
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .select(col("doc_id"), col("score"))
+    // the global-order window runs over the SAMPLE only (bounded by
+    // construction) — never over the corpus
+    val w = Window.orderBy(col("score").asc, col("doc_id").asc)
+    val ranked = sample.select(col("score"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    // `div` = integer division (Spark's Column./ is double division)
+    val cuts = ranked.agg(
+      min(when(col("rn") === expr("(n + 2) div 3"), col("score"))).as("cut1"),
+      min(when(col("rn") === expr("(n * 2 + 2) div 3"), col("score"))).as("cut2"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("score") <= col("cut1"), lit("tail"))
+          .when(col("score") <= col("cut2"), lit("middle"))
+          .otherwise(lit("head")))
+      .drop("cut1", "cut2")
+  }
+}

@@ -244,4 +244,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_count"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("q_dsir_select: top-200 is TakeOrdered; bucket rates broadcast; " +
+      "per-doc bucket aggregate cached on both consumers") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k degraded to a full sort:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_ccnet_buckets: bigram stream and model each materialize once " +
+      "(cached, multi-consumer); no cartesian beyond the 1-row broadcasts") {
+    val p = plan("q_ccnet_buckets")
+    // big (2 consumers) + c2 (3 consumers) + scores (2 consumers)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 5, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_cluster_balance: assignment cached for census + filter; " +
+      "rates broadcast; no sort-merge join anywhere") {
+    val p = plan("q_cluster_balance")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    operators.OpCaches.drain()
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Behavioral pins for the data-selection operators (DSIR importance
+  * weights, CCNet bigram-LM scoring, sampled terciles). The cross-engine
+  * bit-parity of these operators is pinned by the DuckDB oracles
+  * (q_dsir_select / q_ccnet_buckets); here we pin the MATH on corpora
+  * small enough to verify by hand. */
+class SelectionSpec extends AnyFunSuite with SparkTestSession {
+
+  test("bigramLmScores: add-one bigram model, hand-computed probabilities") {
+    import spark.implicits._
+    // c2(a,b)=3, c2(x,y)=1; c1(a)=3, c1(x)=1; V = |{b,y}| = 2
+    // p(b|a) = (3+1)/(3+2) = 0.8   p(y|x) = (1+1)/(1+2) = 2/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Selection.bigramLmScores(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((1L, 0.8)))
+    assert(got(2L) === ((1L, 0.8)))
+    assert(got(4L)._1 === 1L)
+    assert(math.abs(got(4L)._2 - 2.0 / 3.0) < 1e-12)
+    OpCaches.drain()
+  }
+
+  test("bigramLmScores: position-ordered fold — multi-bigram doc is the " +
+      "exact mean of its per-position probabilities") {
+    import spark.implicits._
+    // single doc "a b a": bigrams (a,b) and (b,a), each count 1
+    // c1(a)=1, c1(b)=1, V=|{b,a}|=2 → p = 2/3 for both; mean = 2/3
+    val docs = Seq((7L, "a b a")).toDF("doc_id", "text")
+    val r = Selection.bigramLmScores(docs).collect().head
+    assert(r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3.0) < 1e-12)
+    OpCaches.drain()
+  }
+
+  test("dsirWeights: target-vocabulary docs outweigh disjoint-vocabulary " +
+      "docs; ntok is the doc token count") {
+    import spark.implicits._
+    val target = (1L to 3L).map(i => (i, "t", "alpha beta gamma"))
+    val noise = (11L to 13L).map(i => (i, "n", "delta epsilon zeta"))
+    val probe = Seq((21L, "n", "alpha beta gamma"))
+    val docs = (target ++ noise ++ probe).toDF("doc_id", "kind", "text")
+    val w = Selection.dsirWeights(docs, col("kind") === "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(w(21L)._1 === 3L)
+    // the probe shares the target's vocabulary → strictly higher weight
+    // than every disjoint-vocab noise doc
+    assert(w(21L)._2 > w(11L)._2 && w(21L)._2 > w(12L)._2)
+    // and equal to the target docs' own weight (identical text)
+    assert(w(21L)._2 === w(1L)._2)
+    OpCaches.drain()
+  }
+
+  test("sampledTerciles: cutoffs partition the corpus into three " +
+      "monotone, non-empty buckets") {
+    import spark.implicits._
+    val scores = (1L to 300L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val b = Selection.sampledTerciles(scores)
+      .select(col("bucket"), col("score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val byB = b.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet === Set("tail", "middle", "head"))
+    assert(byB("tail").max < byB("middle").min)
+    assert(byB("middle").max < byB("head").min)
+    // sample-derived terciles: each bucket lands near a third
+    for ((_, v) <- byB)
+      assert(v.length > 60 && v.length < 140, byB.view.mapValues(_.length).toMap)
+  }
+}
