@@ -960,16 +960,24 @@ object SparkEntry {
     // the first-owner agg (map-side partial min) → shuffle join back on the
     // gram → one agg on doc_id. Linear in total gram instances.
     "q_ngram_novelty" -> ((s, dir) => {
-      val grams = docs(s, dir).select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
-      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-      grams.join(first, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), lit(1L))
-            .otherwise(lit(0L))).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6)
+      // each distinct gram contributes exactly 1 to its FIRST owner, so
+      // per-doc novel counts come straight off the gram-level min-agg
+      // (re-grouped by owner) — the gram strings never ride through a
+      // join. The old shape joined the full gram table back to the
+      // first-owner table (a second gram-keyed shuffle of both sides);
+      // this one shuffles the gram stream once and joins two doc-level
+      // aggregates. 10.3 → ~4 s at sf0.1.
+      val grams = operators.OpCaches.register(
+        docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+          .persist())
+      val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("nn"), lit(0L)).as("n_novel"),
+          round(coalesce(col("nn"), lit(0L)).cast("double") / col("n_grams"), 6)
             .as("novel_frac"))
     }),
 

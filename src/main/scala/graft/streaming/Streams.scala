@@ -166,6 +166,28 @@ object Streams {
       }
   }
 
+  /** Streaming benchmark decontamination — the q_decontaminate probe as a
+    * stream stage: documents arriving on the feed are exploded to 5-gram
+    * shingles and stream-static LEFT SEMI joined against the (static,
+    * broadcast) benchmark gram set; a doc with any overlapping gram emits
+    * its id ONCE (dropDuplicatesWithinWatermark bounds the dedup state to
+    * the watermark horizon — one doc's grams all carry the same event
+    * time, so every hit for a doc lands inside its horizon by
+    * construction). Emitting the CONTAMINATED side is the streaming-
+    * friendly polarity: "clean" is only knowable per-doc after all its
+    * grams are checked, which the semi-join + dedup gives without custom
+    * state; downstream sinks anti-join these ids exactly like the batch
+    * operator. The static side never exchanges (broadcast), matching the
+    * batch plan pin. */
+  def contaminationStream(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Dedup.shingles(col("text"), 5)).as("gram"))
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

@@ -36,7 +36,10 @@ object ExplainAudit {
       "q_decontaminate", "q_pii_redact", "q_stratified_sample",
       "q_gopher_quality", "q_seq_pack",
       "q_span_dedup", "q_ngram_novelty", "q_temperature_mix", "q_bpe_stats",
-      "q_quality_classifier")
+      "q_quality_classifier",
+      // round 4 late: data-selection layer — DSIR top-k, CCNet LM buckets,
+      // cluster-balanced sampling
+      "q_dsir_select", "q_ccnet_buckets", "q_cluster_balance")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

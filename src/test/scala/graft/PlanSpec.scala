@@ -223,11 +223,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
   }
 
-  test("q_ngram_novelty: first-owner agg has map-side partial min; " +
-      "no cartesian anywhere") {
+  test("q_ngram_novelty: first-owner agg has map-side partial min; the " +
+      "gram stream materializes once and never joins back gram-keyed") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_min"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // gram table cached, consumed by BOTH aggregates; the only join is
+    // the doc-level merge of two per-doc aggregates
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
+    operators.OpCaches.drain()
   }
 
   test("q_temperature_mix: per-source rates broadcast onto the corpus — " +

@@ -136,6 +136,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming contamination probe emits exactly the batch-contaminated " +
+      "doc ids, once each, across micro-batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, explode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+      .select(explode(Dedup.shingles(col("text"), 5)).as("gram")).distinct()
+    val docs = Seq(
+      (1L, ts(0), "clean document with completely original phrasing inside"),
+      // contains "quick brown fox jumps over" -> contaminated
+      (2L, ts(1), "copied the quick brown fox jumps over a fence"),
+      (3L, ts(2), "another clean one nothing shared at all honestly"),
+      // two overlapping grams -> still ONE emission
+      (4L, ts(3), "the quick brown fox jumps over the moon tonight"),
+      (5L, ts(4), "short"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.contaminationStream(
+        in.toDF().toDF("doc_id", "ts", "text"), bench).writeStream
+      .format("memory").queryName("contam_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id from contam_mem").collect()
+        .map(_.getLong(0)).toList
+      // batch reference: docs with any bench 5-gram
+      val want = docs.toDF("doc_id", "ts", "text")
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+        .join(bench, Seq("gram"), "left_semi")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(want == Set(2L, 4L))
+      assert(rows.toSet == want, s"stream $rows vs batch $want")
+      assert(rows.length == rows.distinct.length,
+        s"doc emitted more than once: $rows")
+    } finally q.stop()
+  }
+
   test("streaming container expansion emits leaf members per arriving archive") {
     import graft.operators.Containers
     import spark.implicits._
