@@ -403,6 +403,14 @@ object YamlLite {
       PyStr(s.substring(1, s.length - 1).replace("''", "'"))
     } else if ("[{|>&*!".contains(s.charAt(0)))
       throw new IllegalArgumentException(s"unsupported construct: $s")
+    else if ("%@`".contains(s.charAt(0)))
+      // PyYAML: '%'/'@'/'`' cannot START any token ('%' is a directive
+      // only at column 0; '@'/'`' are reserved) — probed live: 'key: %x',
+      // 'key: @x', '@key: v', '- %x' all raise; mid-plain 'a %b' is
+      // content (never routed here — the value doesn't start with it).
+      // The throw lands in SnakeYAML, whose ported scanner raises the
+      // same way -> None, like the reference's bare except.
+      throw new IllegalArgumentException(s"reserved token-start char: $s")
     else if (Bools.contains(s)) PyBool(Bools(s))
     else if (IntHex.matches(s)) {
       val neg = s.startsWith("-")

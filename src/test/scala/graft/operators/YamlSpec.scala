@@ -55,4 +55,29 @@ class YamlSpec extends AnyFunSuite {
     // dates abort both paths: the reference's json.dumps has no default=
     assert(YamlLite.loadDictFull("a: 2024-01-05").isEmpty)
   }
+
+  test("reserved token-start chars %/@/` refuse like PyYAML; mid-plain " +
+      "and quoted/block occurrences are content (live-probed, sweep-found)") {
+    // PyYAML: '%'/'@'/'`' cannot START any token ('%' is a directive only
+    // at column 0, which also errors mid-document). Fuzz seed 0x221 case
+    // 271 caught YamlLite parsing 'key: %…' as a plain scalar.
+    val errs = Seq(
+      "# comment line\nkey: %bCEf1broLv # trailing\nquoted: \"d\\ne\"\n",
+      "key: %x", "key: @x", "key: `x",
+      "@key: v", "`key: v", "%key: v",
+      "k: v\n%foo: w",
+      "key: [%x]", "key: {a: %b}",
+      "key:\n  %x", "key: # c\n  %x")
+    for (y <- errs)
+      assert(YamlLite.loadDictFull(y).isEmpty, s"should refuse: $y")
+    def dump(y: String) =
+      YamlLite.loadDictFull(y).map(PyJson.dumpsPretty(_, 2))
+    assert(dump("key: a%b") === Some("{\n  \"key\": \"a%b\"\n}"))
+    assert(dump("key: a %b") === Some("{\n  \"key\": \"a %b\"\n}"))
+    assert(dump("key: a @b") === Some("{\n  \"key\": \"a @b\"\n}"))
+    assert(dump("key: \"%x\"") === Some("{\n  \"key\": \"%x\"\n}"))
+    assert(dump("key: '%x'") === Some("{\n  \"key\": \"%x\"\n}"))
+    assert(dump("key: >\n  %block ok") ===
+      Some("{\n  \"key\": \"%block ok\"\n}"))
+  }
 }
