@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -1171,6 +1171,35 @@ object SparkEntry {
     // multimodal: batched frame-sampling stub (mapInPandas-shaped)
     "q_multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, dir)), nFrames = 3)
+    }),
+
+    // audio header metadata without decoding (AudioMeta, the ImageMeta
+    // pattern for the media axis): per-doc WAV/AIFF/FLAC bytes are
+    // synthesized with layout derived from table columns, then parsed
+    // back by the pure-JDK header reader — the construction rule is what
+    // the oracle replays (incl. the floor-division duration and the exact
+    // container byte lengths), the parse is what AudioMetaSpec pins
+    // (JDK javax.sound cross-checks WAV and AIFF independently).
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val sr = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+          val ch = (id % 2 + 1).toInt
+          val frames = (nc % 2000 + 1).toInt
+          val bytes = (id % 3) match {
+            case 0 => AudioMeta.buildWav(ch, sr, 16, frames)
+            case 1 => AudioMeta.buildAiff(ch, sr, 16, frames)
+            case _ => AudioMeta.buildFlac(ch, sr, 16, frames.toLong)
+          }
+          val info = AudioMeta.parse(bytes).get
+          (id, info.format, info.channels, info.sampleRate,
+            info.bitsPerSample, info.durationMs, bytes.length.toLong)
+        }
+        .toDF("doc_id", "audio_format", "channels", "sample_rate",
+          "bits_per_sample", "duration_ms", "payload_len")
     }),
 
     // ---------- crawler end-to-end (rows-only check: no SQL analog) ----------
@@ -2480,6 +2509,32 @@ object SparkEntry {
         |         || ' 10:30:00'
         |    ELSE '' END AS img_ts
         |FROM documents""".stripMargin,
+
+    "q_audio_meta" ->
+      // replays the construction rule: format by doc_id%3, channels by
+      // doc_id%2, rate by doc_id%4, 16-bit, frames from n_chars; duration
+      // = floor(frames*1000/rate) (for WAV the parser divides
+      // dataLen*1000/byteRate — the common factor channels*2 cancels
+      // exactly); payload_len = the builders' exact container sizes
+      // (wav 44+data, aiff 54+data, flac 42)
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+        |    n_chars % 2000 + 1 AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+        |    ELSE 'flac' END AS audio_format,
+        |  channels,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 44 + frames * channels * 2
+        |    WHEN 1 THEN 54 + frames * channels * 2
+        |    ELSE 42 END AS BIGINT) AS payload_len
+        |FROM p""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,

@@ -1,0 +1,299 @@
+package graft.operators
+
+/** Audio/video-container header metadata WITHOUT decoding — the media
+  * sibling of [[ImageMeta]] for the north rule's interleaved text+media
+  * spans: payloads stay opaque binary columns, this reads only headers
+  * (duration, channel layout, sample rate), never samples.
+  *
+  * Format references (public specs): RIFF/WAVE (Microsoft multimedia
+  * formats: 'fmt ' + 'data' chunks), AIFF (Apple/EA IFF-85: 'COMM' chunk
+  * with 80-bit IEEE 754 extended sample rate), FLAC (xiph STREAMINFO
+  * bitfields), ISO BMFF / MP4 (ISO 14496-12 'moov'/'mvhd' timescale +
+  * duration), MPEG-1 Layer III frame headers (ISO 11172-3) with ID3v2
+  * tag skip.
+  *
+  * All parsers are total: anything malformed or truncated returns None
+  * (the caller keeps the payload as an opaque media_ref, same as the
+  * ImageMeta contract). Builders emit REAL files — WAV and AIFF are
+  * independently confirmed by javax.sound.sampled.AudioSystem in the
+  * spec, the same discipline as ImageMeta's ImageIO cross-check.
+  */
+object AudioMeta {
+
+  /** channels/bitsPerSample are 0 where the container doesn't carry them
+    * (mp4 mvhd is movie-level; mp3 has no per-sample depth). */
+  final case class Info(format: String, channels: Int, sampleRate: Int,
+      bitsPerSample: Int, durationMs: Long)
+
+  def parse(bytes: Array[Byte]): Option[Info] =
+    try wav(bytes).orElse(aiff(bytes)).orElse(flac(bytes))
+      .orElse(mp4(bytes)).orElse(mp3(bytes))
+    catch { case _: Exception => None }
+
+  // ------------------------------------------------------------ helpers
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be24(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) ""
+    else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ---------------------------------------------------------------- WAV
+
+  /** RIFF chunk walk: 'fmt ' gives the PCM layout, 'data' the payload
+    * size; duration = dataLen * 1000 / byteRate (the stored byte rate —
+    * floor division, the rule the oracle replays). Odd chunk sizes pad
+    * one byte (RIFF word alignment). */
+  private def wav(b: Array[Byte]): Option[Info] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None // channels, rate, byteRate, bits
+    var dataLen = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(b, i)
+      val sz = le32(b, i + 4)
+      if (sz > b.length) return None // malformed: chunk exceeds the file
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+          le32(b, i + 16), le16(b, i + 22)))
+      else if (id == "data") dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    fmt match {
+      case Some((ch, rate, byteRate, bits))
+          if dataLen >= 0 && ch > 0 && rate > 0 && byteRate > 0 =>
+        Some(Info("wav", ch, rate, bits, dataLen * 1000L / byteRate))
+      case _ => None
+    }
+  }
+
+  // --------------------------------------------------------------- AIFF
+
+  /** IFF-85 big-endian; 'COMM' carries channels, frame count, sample
+    * size, and the sample rate as an 80-bit IEEE 754 extended float
+    * (sign 1, exponent 15, explicit-integer-bit mantissa 64). */
+  private def aiff(b: Array[Byte]): Option[Info] = {
+    if (b.length < 12 || tag(b, 0) != "FORM" || tag(b, 8) != "AIFF")
+      return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = tag(b, i)
+      val sz = be32(b, i + 4)
+      if (sz > b.length) return None // malformed: chunk exceeds the file
+      if (id == "COMM" && sz >= 18 && i + 8 + 18 <= b.length) {
+        val ch = be16(b, i + 8)
+        val frames = be32(b, i + 10)
+        val bits = be16(b, i + 14)
+        val rate = extended80(b, i + 16)
+        return if (ch > 0 && rate > 0)
+          Some(Info("aiff", ch, rate, bits, frames * 1000L / rate))
+        else None
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
+  /** 80-bit extended → int sample rate (exact for every real-world rate:
+    * the mantissa is an integer scaled by 2^(exp-16383-63)). */
+  private def extended80(b: Array[Byte], i: Int): Int = {
+    val se = be16(b, i)
+    val exp = se & 0x7fff
+    val mant = be64(b, i + 2)
+    if (exp == 0 && mant == 0L) return 0
+    val shift = exp - 16383 - 63
+    val v = if (shift >= 0) mant << shift else mant >>> -shift
+    if ((se & 0x8000) != 0) -v.toInt else v.toInt
+  }
+
+  // ---------------------------------------------------------------- FLAC
+
+  /** 'fLaC' + STREAMINFO (metadata block type 0, 34 bytes): bytes 10-17
+    * of the block pack sampleRate(20) channels-1(3) bps-1(5)
+    * totalSamples(36). */
+  private def flac(b: Array[Byte]): Option[Info] = {
+    if (b.length < 4 + 4 + 34 || tag(b, 0) != "fLaC") return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    if (be24(b, 5) < 34) return None
+    val o = 8 + 10 // start of the packed 64-bit field
+    val packed = be64(b, o)
+    val rate = (packed >>> 44).toInt // top 20 bits
+    val ch = ((packed >>> 41) & 0x7).toInt + 1
+    val bps = ((packed >>> 36) & 0x1f).toInt + 1
+    val total = packed & 0xfffffffffL // low 36 bits
+    if (rate <= 0) None
+    else Some(Info("flac", ch, rate, bps, total * 1000L / rate))
+  }
+
+  // ----------------------------------------------------------------- MP4
+
+  /** ISO BMFF box walk: top-level 'moov', child 'mvhd' (version 0 or 1)
+    * → timescale + duration. Movie-level only: no channel/bit info. */
+  private def mp4(b: Array[Byte]): Option[Info] = {
+    if (b.length < 12 || tag(b, 4) != "ftyp") return None
+    var i = 0
+    while (i + 8 <= b.length) {
+      val sz = be32(b, i)
+      if (sz < 8 || sz > b.length) return None
+      if (tag(b, i + 4) == "moov") {
+        var j = i + 8
+        val end = math.min(b.length.toLong, i + sz).toInt
+        while (j + 8 <= end) {
+          val csz = be32(b, j)
+          if (csz < 8 || csz > b.length) return None
+          if (tag(b, j + 4) == "mvhd" && j + 8 < end) {
+            val ver = b(j + 8) & 0xff
+            return if (ver == 1 && j + 8 + 4 + 16 + 12 <= end) {
+              val ts = be32(b, j + 8 + 4 + 16)
+              val dur = be64(b, j + 8 + 4 + 20)
+              if (ts > 0) Some(Info("mp4", 0, ts.toInt, 0, dur * 1000L / ts))
+              else None
+            } else if (ver == 0 && j + 8 + 4 + 8 + 8 <= end) {
+              val ts = be32(b, j + 8 + 4 + 8)
+              val dur = be32(b, j + 8 + 4 + 12)
+              if (ts > 0) Some(Info("mp4", 0, ts.toInt, 0, dur * 1000L / ts))
+              else None
+            } else None
+          }
+          j += csz.toInt
+        }
+        return None
+      }
+      i += sz.toInt
+    }
+    None
+  }
+
+  // ----------------------------------------------------------------- MP3
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbps, index 1-14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** First MPEG-1 Layer III frame header after an optional ID3v2 tag.
+    * Duration is the CBR estimate audioLen * 8 / kbps (ms) — the honest
+    * header-only figure; VBR needs a full frame scan this operator
+    * deliberately doesn't do. */
+  private def mp3(b: Array[Byte]): Option[Info] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + sz
+    }
+    if (i + 4 > b.length) return None
+    if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xfe) != 0xfa) return None
+    // 0xfa = sync + MPEG-1 (11) + Layer III (01); CRC bit free
+    val brIdx = (b(i + 2) & 0xf0) >>> 4
+    val srIdx = (b(i + 2) & 0x0c) >>> 2
+    val mode = (b(i + 3) & 0xc0) >>> 6
+    val kbps = Mp3Bitrates(brIdx)
+    val rate = Mp3Rates(srIdx)
+    if (kbps == 0 || rate == 0) return None
+    val ch = if (mode == 3) 1 else 2
+    Some(Info("mp3", ch, rate, 0, (b.length - i) * 8L / kbps))
+  }
+
+  // ------------------------------------------------------------ builders
+
+  /** Minimal PCM WAV: 'fmt ' + silent 'data' of `frames` frames. */
+  def buildWav(channels: Int, sampleRate: Int, bits: Int,
+      frames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataLen = frames * blockAlign
+    val byteRate = sampleRate * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + dataLen)
+    out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1); out.putShort(channels.toShort)
+    out.putInt(sampleRate); out.putInt(byteRate)
+    out.putShort(blockAlign.toShort); out.putShort(bits.toShort)
+    out.put("data".getBytes); out.putInt(dataLen)
+    out.array()
+  }
+
+  /** Minimal AIFF: 'COMM' with the 80-bit extended rate + silent 'SSND'. */
+  def buildAiff(channels: Int, sampleRate: Int, bits: Int,
+      frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * bits / 8
+    val ssndLen = 8 + dataLen
+    val formLen = 4 + (8 + 18) + (8 + ssndLen)
+    val out = java.nio.ByteBuffer.allocate(8 + formLen)
+    out.put("FORM".getBytes); out.putInt(formLen)
+    out.put("AIFF".getBytes)
+    out.put("COMM".getBytes); out.putInt(18)
+    out.putShort(channels.toShort); out.putInt(frames)
+    out.putShort(bits.toShort)
+    // 80-bit extended: exponent 16383+floor(log2 r), mantissa r normalized
+    // to the top (explicit integer bit at bit 63)
+    val lz = java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    val exp = 16383 + (63 - lz)
+    val mant = sampleRate.toLong << lz
+    out.putShort(exp.toShort); out.putLong(mant)
+    out.put("SSND".getBytes); out.putInt(ssndLen)
+    out.putInt(0); out.putInt(0) // offset, blockSize
+    out.array()
+  }
+
+  /** Minimal FLAC: STREAMINFO only (marked last-block). */
+  def buildFlac(channels: Int, sampleRate: Int, bits: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    out.put("fLaC".getBytes)
+    out.put(0x80.toByte) // last-block flag + type 0 (STREAMINFO)
+    out.put(0.toByte); out.put(0.toByte); out.put(34.toByte)
+    out.putShort(4096.toShort); out.putShort(4096.toShort) // block sizes
+    out.put(new Array[Byte](6)) // frame size bounds (unknown)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) | ((bits - 1).toLong << 36) |
+      (totalSamples & 0xfffffffffL)
+    out.putLong(packed)
+    out.put(new Array[Byte](16)) // md5 of samples (unset)
+    out.array()
+  }
+
+  /** Minimal MP4: 'ftyp' + 'moov'('mvhd' v0) with the given timescale
+    * and duration (in timescale units). */
+  def buildMp4(timescale: Int, duration: Long): Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(8 + 100)
+    mvhd.putInt(108); mvhd.put("mvhd".getBytes)
+    mvhd.putInt(0) // version 0 + flags
+    mvhd.putInt(0); mvhd.putInt(0) // ctime, mtime
+    mvhd.putInt(timescale); mvhd.putInt(duration.toInt)
+    mvhd.put(new Array[Byte](80)) // rate/volume/matrix/next-track
+    val out = java.nio.ByteBuffer.allocate(16 + 8 + 108)
+    out.putInt(16); out.put("ftyp".getBytes)
+    out.put("isom".getBytes); out.putInt(512)
+    out.putInt(8 + 108); out.put("moov".getBytes)
+    out.put(mvhd.array())
+    out.array()
+  }
+
+  /** One MPEG-1 Layer III frame header + padding bytes to `totalLen`. */
+  def buildMp3(bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+      totalLen: Int): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3Rates.indexOf(sampleRate)
+    require(brIdx > 0 && srIdx >= 0 && srIdx < 3, "not an MPEG-1 L3 rate")
+    val b = new Array[Byte](math.max(totalLen, 4))
+    b(0) = 0xff.toByte; b(1) = 0xfb.toByte // sync + MPEG-1 L3 + no-CRC
+    b(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+    b(3) = (if (mono) 0xc0 else 0x00).toByte
+    b
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.AudioSystem
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AudioMeta: builders emit REAL files — WAV and AIFF are independently
+  * confirmed by the JDK's own javax.sound parser (the ImageMeta/ImageIO
+  * discipline) — and the header readers round-trip every builder field.
+  * Malformed/truncated inputs must return None, never throw. */
+class AudioMetaSpec extends AnyFunSuite {
+
+  test("WAV: JDK AudioSystem independently confirms the built header") {
+    val b = AudioMeta.buildWav(channels = 2, sampleRate = 44100,
+      bits = 16, frames = 4410)
+    val f = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(b))
+    assert(f.getType.toString.toLowerCase.contains("wav"))
+    assert(f.getFormat.getChannels === 2)
+    assert(f.getFormat.getSampleRate === 44100.0f)
+    assert(f.getFormat.getSampleSizeInBits === 16)
+    assert(f.getFrameLength === 4410)
+  }
+
+  test("AIFF: JDK AudioSystem independently confirms the built header " +
+      "(incl. the 80-bit extended sample rate)") {
+    for (rate <- Seq(8000, 11025, 22050, 44100, 48000, 96000)) {
+      val b = AudioMeta.buildAiff(channels = 1, sampleRate = rate,
+        bits = 16, frames = 1000)
+      val f = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(b))
+      assert(f.getType.toString.toLowerCase.contains("aif"))
+      assert(f.getFormat.getSampleRate === rate.toFloat, s"rate $rate")
+      assert(f.getFrameLength === 1000)
+    }
+  }
+
+  test("parse round-trips every builder field") {
+    assert(AudioMeta.parse(AudioMeta.buildWav(2, 22050, 16, 2205)) ===
+      Some(AudioMeta.Info("wav", 2, 22050, 16, 100L)))
+    assert(AudioMeta.parse(AudioMeta.buildAiff(1, 8000, 8, 12000)) ===
+      Some(AudioMeta.Info("aiff", 1, 8000, 8, 1500L)))
+    assert(AudioMeta.parse(AudioMeta.buildFlac(2, 48000, 24, 96000L)) ===
+      Some(AudioMeta.Info("flac", 2, 48000, 24, 2000L)))
+    assert(AudioMeta.parse(AudioMeta.buildMp4(600, 1234L)) ===
+      Some(AudioMeta.Info("mp4", 0, 600, 0, 2056L))) // 1234*1000/600
+    val mp3 = AudioMeta.buildMp3(128, 44100, mono = false, totalLen = 16000)
+    assert(AudioMeta.parse(mp3) ===
+      Some(AudioMeta.Info("mp3", 2, 44100, 0, 1000L))) // 16000*8/128
+  }
+
+  test("duration is floor division of frames over rate") {
+    // 999 frames at 48kHz = 20.8125 ms -> 20
+    assert(AudioMeta.parse(AudioMeta.buildWav(1, 48000, 16, 999)).get
+      .durationMs === 20L)
+    assert(AudioMeta.parse(AudioMeta.buildAiff(1, 48000, 16, 999)).get
+      .durationMs === 20L)
+    assert(AudioMeta.parse(AudioMeta.buildFlac(1, 48000, 16, 999L)).get
+      .durationMs === 20L)
+  }
+
+  test("mp3: ID3v2 tag is skipped (syncsafe size) before the first frame") {
+    val frame = AudioMeta.buildMp3(192, 48000, mono = true, totalLen = 2400)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 1, 0) ++
+      new Array[Byte](128) // syncsafe 0x80 = 128 payload bytes
+    val got = AudioMeta.parse(id3 ++ frame).get
+    assert(got.format === "mp3" && got.channels === 1 &&
+      got.sampleRate === 48000)
+    assert(got.durationMs === 2400L * 8 / 192)
+  }
+
+  test("malformed inputs return None, never throw") {
+    val good = Seq(
+      AudioMeta.buildWav(2, 44100, 16, 100),
+      AudioMeta.buildAiff(2, 44100, 16, 100),
+      AudioMeta.buildFlac(2, 44100, 16, 100L),
+      AudioMeta.buildMp4(1000, 100L),
+      AudioMeta.buildMp3(128, 44100, mono = false, totalLen = 100))
+    for (g <- good) {
+      assert(AudioMeta.parse(g).isDefined)
+      // an mp3 frame header is complete at 4 bytes, so only shorter
+      // prefixes are malformed for it; the container formats all need
+      // their full header chunk
+      val minHdr = if (AudioMeta.parse(g).get.format == "mp3") 4 else 12
+      for (n <- Seq(0, 3, 7, 11) if n < g.length && n < minHdr)
+        assert(AudioMeta.parse(g.take(n)).isEmpty, s"truncated to $n")
+      val garbled = g.clone(); garbled(0) = 'X'.toByte
+      // a garbled magic may still legally parse as another format's tail,
+      // but must not throw
+      AudioMeta.parse(garbled)
+    }
+    assert(AudioMeta.parse(Array.fill[Byte](64)(0x20)).isEmpty)
+    // negative/overflowing RIFF chunk size must not loop or throw
+    val evil = AudioMeta.buildWav(1, 8000, 16, 1)
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    AudioMeta.parse(evil)
+  }
+}
