@@ -69,6 +69,15 @@ final case class CrawlConfig(
       * Semantics are identical either side of the gate (CrawlerSpec pins
       * equality across a mid-crawl flip). */
     seenIndexMinFrontier: Long = 65536,
+    /** Compact the seen index (one O(total) rewrite back to one file per
+      * bucket) every N index-maintaining waves; 0 = never. Each append
+      * adds `seenBuckets` files, so a 10^5-wave crawl accumulates 10^5×N
+      * parquet files without maintenance — the Iceberg
+      * `rewrite_data_files` action, scheduled like any table maintenance.
+      * Read-equivalent by construction (CrawlerSpec pins crawl equality
+      * with it forced on), so the default stays off for the short-wave
+      * bench loops. */
+    seenIndexCompactEvery: Int = 0,
     corpus: SyntheticCorpus.Config = SyntheticCorpus.Config()) {
   def bloomExpectedPerShard: Long = math.max(1024L, bloomExpectedKeys / bloomShards)
 }
@@ -380,6 +389,9 @@ final class Crawler(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore)
       if (indexWave) {
         if (wave == 0) store.resetSeenIndex(spark) else seenIndexUpTo(wave - 1)
         store.appendSeenIndex(wave, cfg.seenBuckets, wavecore.select($"url_hash"))
+        if (cfg.seenIndexCompactEvery > 0 && wave > 0 &&
+            wave % cfg.seenIndexCompactEvery == 0)
+          store.compactSeenIndex(spark) // table maintenance; read-equivalent
         store.seenIndex(spark)
       } else {
         if (wave == 0) store.resetSeenIndex(spark) // clear stale leftovers

@@ -132,6 +132,33 @@ final class SnapshotStore(rootDir: String) {
 
   def seenIndex(spark: SparkSession): DataFrame = spark.table(seenIndexTable)
 
+  /** Compact the seen index back to one file per bucket — the Iceberg
+    * `rewrite_data_files` maintenance action. Each wave's append adds
+    * `buckets` files, so a 10^5-wave crawl would otherwise accumulate
+    * 10^5 × N parquet files and the membership join's scan would drown in
+    * file-open overhead. The rewrite is read-equivalent by construction
+    * (same rows modulo duplicate url_hash remnants, which membership
+    * semantics never observed anyway — distinct() folds them) and
+    * crash-safe: the deduped rows materialize OUT OF PLACE first
+    * (`seenidx_compact`), so the index files being replaced are never an
+    * input to the job that deletes them; a crash between reset and
+    * re-append leaves the marker absent, which the validity check already
+    * treats as "rebuild from deltas" (the index is derived state). Marker
+    * state (wave, buckets) is preserved, so gating logic sees no change. */
+  def compactSeenIndex(spark: SparkSession): Unit =
+    seenIndexState.foreach { case (wave, buckets) =>
+      if (spark.catalog.tableExists(seenIndexTable)) {
+        val tmp = root.resolve("seenidx_compact").toString
+        seenIndex(spark).distinct()
+          .write.mode("overwrite").parquet(tmp)
+        resetSeenIndex(spark)
+        appendSeenIndex(wave, buckets, spark.read.parquet(tmp))
+        val dir = Paths.get(tmp)
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+
   /** Drop the catalog entry AND the files (DROP TABLE leaves external
     * locations in place) so a rebuild starts clean. */
   def resetSeenIndex(spark: SparkSession): Unit = {

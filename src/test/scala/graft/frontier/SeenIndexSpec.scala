@@ -71,4 +71,67 @@ class SeenIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(rebuilt == fromDeltas)
     store.resetSeenIndex(spark)
   }
+
+  test("compaction: per-wave file growth collapses to one file per bucket; " +
+      "contents, marker, and future appends unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("seenidx-compact").toString
+    val store = new SnapshotStore(dir)
+    val buckets = 8
+    for (w <- 0 until 4)
+      store.appendSeenIndex(w, buckets,
+        spark.range(w * 1000, (w + 1) * 1000)
+          .select(xxhash64($"id").as("url_hash")))
+    def dataFiles() = {
+      val d = new java.io.File(store.seenIndexPath)
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = store.seenIndex(spark).as[Long].collect().sorted.toVector
+    assert(dataFiles() == 4 * buckets, s"expected 4 appends × $buckets files")
+
+    store.compactSeenIndex(spark)
+    assert(dataFiles() == buckets, "compaction must leave one file per bucket")
+    assert(store.seenIndexState.contains((3, buckets)), "marker must survive")
+    assert(store.seenIndexValid(spark, 3, buckets))
+    val after = store.seenIndex(spark).as[Long].collect().sorted.toVector
+    assert(after == before, "compaction changed the membership set")
+
+    // the compacted table still behaves: bucketed anti-join + next append
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try SeenSet.filterUnseenExact(
+        spark.range(3500, 4500).select(xxhash64($"id").as("url_hash"),
+          lit("x").as("extra")),
+        store.seenIndex(spark)).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(p.contains("Bucketed: true"), "compacted scan lost bucketing:\n" + p)
+    store.appendSeenIndex(4, buckets,
+      spark.range(4000, 5000).select(xxhash64($"id").as("url_hash")))
+    assert(dataFiles() == 2 * buckets)
+    assert(store.seenIndex(spark).count() == 5000)
+    store.resetSeenIndex(spark)
+  }
+
+  test("crawl results are identical with per-wave compaction forced on") {
+    import spark.implicits._
+    def run(compactEvery: Int) = {
+      val cfg = CrawlConfig(nSeeds = 12, budgetPerHost = 3, maxWaves = 3,
+        salts = 4, bloomMinFrontier = 0, seenIndexMinFrontier = 0,
+        seenIndexCompactEvery = compactEvery,
+        corpus = SyntheticCorpus.Config(hosts = 10, pathBits = 6,
+          maxOutlinks = 5, secretRate = 0.25))
+      val store = new SnapshotStore(
+        Files.createTempDirectory(s"seenidx-ce$compactEvery").toString)
+      val crawler = new Crawler(spark, cfg, store)
+      val metrics = crawler.run()
+      val findings = crawler.allFindings(metrics.last.wave)
+        .select($"doc_id", $"fingerprint").as[(String, String)]
+        .collect().sorted.toVector
+      val seen = crawler.seenUpTo(metrics.last.wave)
+        .select($"url_hash").as[Long].collect().sorted.toVector
+      store.resetSeenIndex(spark)
+      (metrics.map(m => (m.wave, m.fetched, m.findings, m.newLinks)),
+        findings, seen)
+    }
+    assert(run(compactEvery = 1) == run(compactEvery = 0))
+  }
 }
