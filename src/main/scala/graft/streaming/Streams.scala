@@ -188,6 +188,48 @@ object Streams {
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** One micro-batch of the exactly-once streaming MERGE-upsert: merge
+    * `batch` into the latest committed snapshot of `table` and commit the
+    * result as wave `batchId` (atomic `_LATEST` swap). Idempotent under
+    * replay — Structured Streaming re-delivers a batch with the SAME
+    * batchId after a crash, and a batch whose wave is already committed
+    * is skipped, which is exactly the transactional-sink contract
+    * foreachBatch documents. Factored out of [[upsertStream]] so the
+    * replay path is directly testable. */
+  def upsertBatch(store: graft.state.SnapshotStore, table: String,
+      keys: Seq[String], excludeOnUpdate: Seq[String], orderCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val wave = batchId.toInt
+    val committed = store.latestWave
+    if (!committed.exists(_ >= wave)) {
+      val existing = committed match {
+        case Some(w) if store.exists(w, table) => store.read(spark, w, table)
+        case _ => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          batch.schema)
+      }
+      val merged = graft.operators.Sinks
+        .mergeUpsert(existing, batch, keys, excludeOnUpdate, col(orderCol))
+        .drop("__action")
+      store.commit(wave, Seq(table -> merged))
+    }
+  }
+
+  /** K1 as a stream stage: continuous MERGE-upsert into a SnapshotStore
+    * table via foreachBatch — each micro-batch becomes one atomically
+    * committed wave, replays are no-ops (see [[upsertBatch]]), and
+    * excluded columns keep their first-seen values across batches exactly
+    * like the batch operator (the reference's insert_update_one_exclude
+    * semantics, continuously applied). */
+  def upsertStream(docs: DataFrame, store: graft.state.SnapshotStore,
+      table: String, keys: Seq[String], excludeOnUpdate: Seq[String],
+      orderCol: String) =
+    docs.writeStream
+      .foreachBatch(upsertBatch(store, table, keys, excludeOnUpdate, orderCol) _)
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

@@ -177,6 +177,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: waves commit atomically, excluded column " +
+      "keeps first-seen, and a replayed batchId is a no-op") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-upsert").toString
+    val store = new graft.state.SnapshotStore(dir)
+    val in = MemoryStream[(String, String, String, Long)]
+    val q = Streams.upsertStream(
+      in.toDF().toDF("key", "created", "value", "seq"),
+      store, "idx", keys = Seq("key"),
+      excludeOnUpdate = Seq("created"), orderCol = "seq")
+    try {
+      in.addData(("a", "t0", "v1", 1L), ("b", "t0", "v1", 2L))
+      q.processAllAvailable()
+      // second batch updates a (created must stay t0), inserts c; within
+      // the batch the last row per key (highest seq) wins
+      in.addData(("a", "t9", "v2", 3L), ("a", "t9", "v3", 4L),
+        ("c", "t1", "v1", 5L))
+      q.processAllAvailable()
+      assert(store.latestWave === Some(1))
+      val rows = store.read(spark, 1, "idx")
+        .select("key", "created", "value").as[(String, String, String)]
+        .collect().sorted.toVector
+      assert(rows === Vector(("a", "t0", "v3"), ("b", "t0", "v1"),
+        ("c", "t1", "v1")))
+      // crash-replay: re-delivering an already-committed batchId is a no-op
+      val replay = Seq(("a", "t9", "vX", 9L)).toDF("key", "created", "value", "seq")
+      Streams.upsertBatch(store, "idx", Seq("key"), Seq("created"), "seq")(
+        replay, 1L)
+      assert(store.latestWave === Some(1))
+      val after = store.read(spark, 1, "idx")
+        .select("key", "value").as[(String, String)].collect().sorted.toVector
+      assert(after === Vector(("a", "v3"), ("b", "v1"), ("c", "v1")))
+      // ...and the NEXT batchId applies normally on top
+      Streams.upsertBatch(store, "idx", Seq("key"), Seq("created"), "seq")(
+        replay, 2L)
+      assert(store.latestWave === Some(2))
+      assert(store.read(spark, 2, "idx").filter(col("key") === "a")
+        .select("value", "created").as[(String, String)].collect().toVector ===
+        Vector(("vX", "t0")))
+    } finally q.stop()
+  }
+
   test("streaming container expansion emits leaf members per arriving archive") {
     import graft.operators.Containers
     import spark.implicits._
