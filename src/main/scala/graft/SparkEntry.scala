@@ -1019,6 +1019,39 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BPE applied (the other half of q_bpe_stats): tokenize every distinct
+    // token against the corpus-trained top-20 merge table — greedy
+    // lowest-rank-first, leftmost on ties (TextAnalysis.bpeApply). The
+    // merge table is model-as-data (a 20-row TakeOrdered collected and
+    // broadcast, the lloyd-centroids pattern), the application runs once
+    // per DISTINCT token (the token agg persists and feeds both the merge
+    // training and the apply — occurrences never re-tokenize), and the
+    // oracle replays the greedy loop as a fixed unrolled merge-step chain
+    // (≤16-char tokens converge in ≤8 steps).
+    "q_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val toks = regexp_extract_all(lower(col("text")),
+        lit(TextAnalysis.TokenPattern), lit(0))
+      val tokAgg = operators.OpCaches.register(
+        docs(s, dir).select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
+      val merges = tokAgg.filter(length(col("tok")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc).limit(20)
+        .collect().zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i + 1) }.toMap
+      val bc = s.sparkContext.broadcast(merges)
+      tokAgg.filter(length(col("tok")) <= 16)
+        .as[(String, Long)]
+        .map { case (tok, cnt) =>
+          val pieces = TextAnalysis.bpeApply(tok, bc.value)
+          (tok, cnt, pieces.mkString(" "), pieces.length)
+        }
+        .toDF("tok", "cnt", "pieces", "n_pieces")
+    }),
+
     // DSIR data selection (Xie et al., NeurIPS'23): hashed-unigram
     // importance weights vs the lang='en' target slice; keep the 200
     // highest-weighted docs. Scale: one token-stream pass into a
@@ -1260,6 +1293,51 @@ object SparkEntry {
     * codebooks, the untrained IVF bucket assignment, and ADC scoring with
     * the per-pair sums taken in subspace order (ordered list aggregate) so
     * both engines fold the same doubles in the same sequence. */
+  /** q_bpe_apply oracle: the greedy merge loop unrolled as a fixed step
+    * chain. A merge joins two SINGLE-char symbols (keys are 2-char pairs
+    * from one counting round), so a ≤16-char token converges in ≤8 steps
+    * and step 9+ would be the identity — 8 unrolled CTEs are exact, the
+    * same fixed-unroll trick as the lloyd oracles. Per step: candidate
+    * (rank, pos) per adjacent pair via a map lookup (merge table folded
+    * into a MAP), argmin by struct sort (rank, then leftmost), rebuild the
+    * symbol list around the winner. */
+  private def bpeApplyOracleSql: String = {
+    val best =
+      """list_sort(list_filter(list_transform(range(1, len(syms)), i ->
+        |      struct_pack(rnk := map_extract(mp,
+        |          syms[CAST(i AS INT)] || syms[CAST(i + 1 AS INT)])[1],
+        |        pos := i)),
+        |      x -> x.rnk IS NOT NULL))[1]""".stripMargin
+    // NOTE: no line may BEGIN with "||" — stripMargin would eat the first
+    // pipe of the list-concat operator
+    def step(prev: String, cur: String) =
+      s"""$cur AS (SELECT tok, cnt, CASE WHEN best IS NULL THEN syms ELSE
+         |    list_slice(syms, 1, CAST(best.pos AS INT) - 1) ||
+         |      [syms[CAST(best.pos AS INT)] || syms[CAST(best.pos AS INT) + 1]] ||
+         |      list_slice(syms, CAST(best.pos AS INT) + 2, len(syms)) END AS syms
+         |  FROM (SELECT tok, cnt, syms, $best AS best
+         |        FROM $prev CROSS JOIN mm))""".stripMargin
+    val steps = (1 to 8).map(k => step(s"a${k - 1}", s"a$k")).mkString(",\n")
+    s"""WITH tok AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+       |    FROM documents) GROUP BY tok),
+       |p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair, cnt
+       |  FROM tok, unnest(range(1, len(tok))) AS t(i) WHERE len(tok) >= 2),
+       |pc AS (SELECT pair, sum(cnt) AS c FROM p GROUP BY pair),
+       |mg AS (SELECT pair, CAST(row_number() OVER (ORDER BY c DESC, pair ASC)
+       |    AS INT) AS rnk
+       |  FROM pc ORDER BY c DESC, pair ASC LIMIT 20),
+       |mm AS (SELECT map_from_entries(list(struct_pack(k := pair, v := rnk)))
+       |    AS mp FROM mg),
+       |a0 AS (SELECT tok, cnt, list_transform(range(1, len(tok) + 1),
+       |    i -> substr(tok, CAST(i AS INT), 1)) AS syms
+       |  FROM tok WHERE len(tok) <= 16),
+       |$steps
+       |SELECT tok, cnt, array_to_string(syms, ' ') AS pieces,
+       |  CAST(len(syms) AS INT) AS n_pieces
+       |FROM a8""".stripMargin
+  }
+
   private def pqOracleSql: String = {
     val M = 4
     val dsub = 16
@@ -2272,6 +2350,8 @@ object SparkEntry {
          |  FROM tok WHERE len(tok) >= 2)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q_bpe_apply" -> bpeApplyOracleSql,
 
     "q_dsir_select" ->
       s"""WITH occ AS (SELECT doc_id, tgt, substr(md5(tok), 1, 2) AS b FROM (

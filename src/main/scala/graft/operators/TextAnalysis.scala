@@ -121,4 +121,32 @@ object TextAnalysis {
         .otherwise(lit(0L))),
       lit(0L), (a, v) => a + v).cast("long")
   }
+
+  /** One training round of byte-pair-encoding APPLIED: greedy
+    * lowest-rank-first merging of adjacent single-char symbols against a
+    * fixed merge table (rank 1 = most frequent pair; ties in a token go to
+    * the LEFTMOST occurrence — the (rank, pos) argmin). Merge keys are
+    * 2-char pairs from one counting round, so a merged symbol never merges
+    * again and a length-n token converges in ≤ n/2 steps — which is what
+    * lets the DuckDB oracle replay the loop as a fixed unrolled step chain
+    * (SparkEntry.bpeApplyOracleSql). Pure function over (token, rank map):
+    * runs inside a typed map with the merge table broadcast. */
+  def bpeApply(tok: String, rank: Map[String, Int]): Vector[String] = {
+    var syms = tok.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse(syms(i) + syms(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else syms = (syms.take(bestPos) :+ (syms(bestPos) + syms(bestPos + 1))) ++
+        syms.drop(bestPos + 2)
+    }
+    syms
+  }
 }

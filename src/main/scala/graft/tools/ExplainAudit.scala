@@ -39,7 +39,8 @@ object ExplainAudit {
       "q_quality_classifier",
       // round 4 late: data-selection layer — DSIR top-k, CCNet LM buckets,
       // cluster-balanced sampling
-      "q_dsir_select", "q_ccnet_buckets", "q_cluster_balance")
+      "q_dsir_select", "q_ccnet_buckets", "q_cluster_balance",
+      "q_bpe_apply", "q_audio_meta")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

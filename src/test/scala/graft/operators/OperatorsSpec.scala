@@ -322,4 +322,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.collect().map(_.toString).sorted
       .sameElements(again.collect().map(_.toString).sorted))
   }
+
+  test("bpeApply: greedy lowest-rank-first, leftmost tie-break, merged " +
+      "symbols never re-merge") {
+    val rank = Map("ab" -> 1, "bc" -> 2, "cd" -> 3)
+    // leftmost of the two 'ab's merges first; the second then merges too
+    assert(TextAnalysis.bpeApply("abcdab", rank) ===
+      Vector("ab", "cd", "ab"))
+    // rank order beats position: 'bc' (rank 2) loses to 'ab' (rank 1),
+    // and after 'ab' merges the 'b' is consumed so 'bc' never applies
+    assert(TextAnalysis.bpeApply("abc", rank) === Vector("ab", "c"))
+    // 'aab': pairs 'aa'(absent), 'ab'(1) -> a + ab
+    assert(TextAnalysis.bpeApply("aab", rank) === Vector("a", "ab"))
+    // merged 2-char symbol cannot pair again ('ab'+'cd' is not a key)
+    assert(TextAnalysis.bpeApply("abcd", rank) === Vector("ab", "cd"))
+    // no applicable merges / single char / empty
+    assert(TextAnalysis.bpeApply("xyz", rank) === Vector("x", "y", "z"))
+    assert(TextAnalysis.bpeApply("a", rank) === Vector("a"))
+    assert(TextAnalysis.bpeApply("", rank) === Vector.empty)
+  }
 }
