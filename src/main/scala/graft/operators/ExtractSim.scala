@@ -177,8 +177,14 @@ object ExtractSim {
     private def locate(path: String, follow: Boolean): Loc = {
       var hops = 0
       var cur: DirN = if (path.startsWith("/")) slash else root
+      // split with -1: a TRAILING slash must stay in the queue as a final
+      // "" component — POSIX resolves "file/" to ENOTDIR (stat, link, ...),
+      // and Scala's 1-arg split silently eats it (sweep-found: a hardlink
+      // whose linkname carried a trailing slash resolved to the FILE, where
+      // CPython's os.path.exists says False and tarfile falls back to the
+      // member-copy path)
       var queue: List[String] =
-        path.split('/').toList.dropWhile(c => path.startsWith("/") && c.isEmpty)
+        path.split("/", -1).toList.dropWhile(c => path.startsWith("/") && c.isEmpty)
       var last: Loc = AtDir(cur)
       while (queue.nonEmpty) {
         val c = queue.head

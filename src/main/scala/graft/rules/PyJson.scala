@@ -303,17 +303,38 @@ object PyJson {
       sb.toString
     }
 
+    /** CPython's C json scanner number grammar, matched exactly
+      * (NUMBER_RE: (-?(?:0|[1-9]\d+|[1-9]))(\.\d+)?([eE][-+]?\d+)? with
+      * ASCII digits): the frac part REQUIRES a digit — "-0." consumes only
+      * "-0" and the dangling '.' makes the outer parser raise, like
+      * CPython (sweep-found, seed 0x241 case 288); leading '+' never
+      * matches; after a leading '0' no more int digits match ("01" → 0 +
+      * extra data); an exponent without digits is left unconsumed
+      * ("1e" → 1 + extra data). */
     private def num(): PyVal = {
+      def dig = !eof && peek >= '0' && peek <= '9'
       val start = pos
-      if (!eof && (peek == '-' || peek == '+')) pos += 1
+      if (!eof && peek == '-') pos += 1
+      if (!dig) throw ParseError(s"bad number at $start")
+      if (peek == '0') pos += 1
+      else while (dig) pos += 1
       var isFloat = false
-      while (!eof && (peek.isDigit || peek == '.' || peek == 'e' || peek == 'E' ||
-        peek == '+' || peek == '-')) {
-        if (peek == '.' || peek == 'e' || peek == 'E') isFloat = true
+      if (!eof && peek == '.' && pos + 1 < s.length &&
+          s.charAt(pos + 1) >= '0' && s.charAt(pos + 1) <= '9') {
+        isFloat = true
         pos += 1
+        while (dig) pos += 1
+      }
+      if (!eof && (peek == 'e' || peek == 'E')) {
+        var p = pos + 1
+        if (p < s.length && (s.charAt(p) == '+' || s.charAt(p) == '-')) p += 1
+        if (p < s.length && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+          isFloat = true
+          pos = p
+          while (dig) pos += 1
+        }
       }
       val tok = s.substring(start, pos)
-      if (tok.isEmpty) throw ParseError(s"bad number at $start")
       if (isFloat) PyVal.PyFloat(tok.toDouble)
       else
         try PyVal.PyInt(tok.toLong)

@@ -11,6 +11,7 @@ get re-pinned into the permanent corpus by hand.
 Usage: python3 gen_sweep_containers.py <n_zip> <n_tar> <out.json> [seed]
 """
 import sys, os, io, json, base64, random, string, shutil, types, zipfile
+import posixpath
 import tarfile, gzip, bz2, warnings
 from pathlib import Path
 
@@ -262,7 +263,16 @@ def rand_tar_case(i):
                 else member_name(1)
             members.append(('hard', nm, tgt))
         else:
-            members.append(('fifo', nm))
+            # an escaping/absolute FIFO is HOST-STATEFUL on the reference
+            # side: mkfifo lands OUTSIDE the extraction root, persists
+            # across runs, and flips later replays to FileExistsError
+            # (sweep seed 0x242 cases 125/181) — excluded input class,
+            # like escaping symlinks. In-root fifos stay in.
+            fn = nm
+            norm = posixpath.normpath(fn)
+            if fn.startswith('/') or norm.startswith('..') or norm in ('.', ''):
+                fn = member_name(1)
+            members.append(('fifo', fn))
     fmt = rnd.choice([tarfile.GNU_FORMAT, tarfile.PAX_FORMAT,
                       tarfile.USTAR_FORMAT])
     has_surr = any(any(0xdc00 <= ord(ch) <= 0xdcff for ch in m[1]) or

@@ -1,5 +1,6 @@
 package graft.rules
 
+import scala.util
 import org.scalatest.funsuite.AnyFunSuite
 import graft.rules.PyVal._
 
@@ -91,5 +92,21 @@ class PyJsonSpec extends AnyFunSuite {
       case PyFloat(v) => assert(v == 0.0)
       case other      => fail(s"expected PyFloat, got $other")
     }
+  }
+
+  test("number grammar matches CPython's C scanner exactly " +
+      "(probed live; sweep seed 0x241 found '-0.' over-consumed)") {
+    def fails(t: String) =
+      assert(util.Try(PyJson.loads(t)).isFailure, s"should reject: $t")
+    // frac part REQUIRES a digit; the dangling tail raises Extra data
+    fails("-0."); fails("1."); fails("-0.e5"); fails("2.5.")
+    // no leading '+', no bare '.', no lone '-'
+    fails("+1"); fails(".5"); fails("-")
+    // leading zero ends the int part; exponent needs digits
+    fails("01"); fails("1e"); fails("1e+")
+    assert(PyJson.loads("-0") == PyInt(0))
+    assert(PyJson.loads("0e0") == PyFloat(0.0))
+    assert(PyJson.loads("1E5") == PyFloat(100000.0))
+    assert(PyJson.loads("0.5e-3") == PyFloat(0.0005))
   }
 }
