@@ -269,6 +269,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
+  test("q_bpe_apply: the apply stage is map-only off the cached token " +
+      "aggregate (training ran as its own job; no exchange after the cache)") {
+    val p = plan("q_bpe_apply")
+    assert(p.contains("InMemoryTableScan") && p.contains("MapElements"),
+      p.take(3000))
+    // the outer plan (before the cached relation's own child plan prints)
+    // must hold no exchange — segmentation is embarrassingly parallel
+    val outer = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!outer.contains("Exchange"), p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_audio_meta: one codegen span, no shuffle, scan pruned to " +
+      "(doc_id, n_chars)") {
+    val p = plan("q_audio_meta")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.nonEmpty && !rs.contains("text"),
+      s"scan reads unprojected columns: $rs")
+  }
+
   test("q_cluster_balance: assignment cached for census + filter; " +
       "rates broadcast; no sort-merge join anywhere") {
     val p = plan("q_cluster_balance")
