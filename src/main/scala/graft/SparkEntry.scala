@@ -1222,17 +1222,26 @@ object SparkEntry {
           val sr = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
           val ch = (id % 2 + 1).toInt
           val frames = (nc % 2000 + 1).toInt
-          val bytes = (id % 3) match {
-            case 0 => AudioMeta.buildWav(ch, sr, 16, frames)
-            case 1 => AudioMeta.buildAiff(ch, sr, 16, frames)
-            case _ => AudioMeta.buildFlac(ch, sr, 16, frames.toLong)
-          }
+          // every 5th doc is a VIDEO container (mp4 with a tkhd video
+          // track); the rest cycle the three audio formats
+          val bytes =
+            if (id % 5 == 0)
+              AudioMeta.buildMp4Video(sr, frames.toLong,
+                (nc % 500 + 1).toInt, (nc * 7 % 300 + 1).toInt)
+            else (id % 3) match {
+              case 0 => AudioMeta.buildWav(ch, sr, 16, frames)
+              case 1 => AudioMeta.buildAiff(ch, sr, 16, frames)
+              case _ => AudioMeta.buildFlac(ch, sr, 16, frames.toLong)
+            }
           val info = AudioMeta.parse(bytes).get
+          val dims = AudioMeta.mp4VideoDims(bytes).getOrElse((0, 0))
           (id, info.format, info.channels, info.sampleRate,
-            info.bitsPerSample, info.durationMs, bytes.length.toLong)
+            info.bitsPerSample, info.durationMs, dims._1, dims._2,
+            bytes.length.toLong)
         }
         .toDF("doc_id", "audio_format", "channels", "sample_rate",
-          "bits_per_sample", "duration_ms", "payload_len")
+          "bits_per_sample", "duration_ms", "video_w", "video_h",
+          "payload_len")
     }),
 
     // ---------- crawler end-to-end (rows-only check: no SQL analog) ----------
@@ -2597,23 +2606,29 @@ object SparkEntry {
       // dataLen*1000/byteRate — the common factor channels*2 cancels
       // exactly); payload_len = the builders' exact container sizes
       // (wav 44+data, aiff 54+data, flac 42)
-      """WITH p AS (SELECT doc_id,
+      """WITH p AS (SELECT doc_id, n_chars, (doc_id % 5 = 0) AS vid,
         |    CAST(doc_id % 2 + 1 AS INT) AS channels,
         |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |      WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
         |    n_chars % 2000 + 1 AS frames
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
-        |    ELSE 'flac' END AS audio_format,
-        |  channels,
+        |  CASE WHEN vid THEN 'mp4' ELSE
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+        |      ELSE 'flac' END END AS audio_format,
+        |  CAST(CASE WHEN vid THEN 0 ELSE channels END AS INT) AS channels,
         |  CAST(sample_rate AS INT) AS sample_rate,
-        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(CASE WHEN vid THEN 0 ELSE 16 END AS INT) AS bits_per_sample,
         |  CAST(frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
-        |  CAST(CASE CAST(doc_id % 3 AS INT)
-        |    WHEN 0 THEN 44 + frames * channels * 2
-        |    WHEN 1 THEN 54 + frames * channels * 2
-        |    ELSE 42 END AS BIGINT) AS payload_len
+        |  CAST(CASE WHEN vid THEN n_chars % 500 + 1 ELSE 0 END AS INT)
+        |    AS video_w,
+        |  CAST(CASE WHEN vid THEN n_chars * 7 % 300 + 1 ELSE 0 END AS INT)
+        |    AS video_h,
+        |  CAST(CASE WHEN vid THEN 232 ELSE
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 44 + frames * channels * 2
+        |      WHEN 1 THEN 54 + frames * channels * 2
+        |      ELSE 42 END END AS BIGINT) AS payload_len
         |FROM p""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -296,4 +296,84 @@ object AudioMeta {
     b(3) = (if (mono) 0xc0 else 0x00).toByte
     b
   }
+
+
+  /** First video track's pixel dimensions from 'moov'→'trak'→'tkhd'
+    * (ISO 14496-12): width/height are 16.16 fixed point at the end of the
+    * track header (v0 offsets 84/88 from the box start, v1 96/100).
+    * Returns None when no track carries nonzero dims. */
+  def mp4VideoDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || tag(b, 4) != "ftyp") return None
+    try {
+      var i = 0
+      while (i + 8 <= b.length) {
+        val sz = be32(b, i)
+        if (sz < 8 || sz > b.length) return None
+        if (tag(b, i + 4) == "moov") {
+          var j = i + 8
+          val end = math.min(b.length.toLong, i + sz).toInt
+          while (j + 8 <= end) {
+            val csz = be32(b, j)
+            if (csz < 8 || csz > b.length) return None
+            if (tag(b, j + 4) == "trak") {
+              var k = j + 8
+              val tend = math.min(end.toLong, j + csz).toInt
+              while (k + 8 <= tend) {
+                val ksz = be32(b, k)
+                if (ksz < 8 || ksz > b.length) return None
+                if (tag(b, k + 4) == "tkhd" && k + 9 <= tend) {
+                  val ver = b(k + 8) & 0xff
+                  val wOff = if (ver == 1) k + 96 else k + 84
+                  if (wOff + 8 <= tend) {
+                    val w = (be32(b, wOff) >>> 16).toInt
+                    val h = (be32(b, wOff + 4) >>> 16).toInt
+                    if (w > 0 && h > 0) return Some((w, h))
+                  }
+                }
+                k += ksz.toInt
+              }
+            }
+            j += csz.toInt
+          }
+          return None
+        }
+        i += sz.toInt
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Minimal MP4 with a video track: ftyp + moov(mvhd v0 + trak(tkhd v0
+    * with 16.16 width/height)). */
+  def buildMp4Video(timescale: Int, duration: Long, width: Int,
+      height: Int): Array[Byte] = {
+    val tkhd = java.nio.ByteBuffer.allocate(92)
+    tkhd.putInt(92); tkhd.put("tkhd".getBytes)
+    tkhd.putInt(0x000007) // version 0 + enabled/in-movie/in-preview flags
+    tkhd.putInt(0); tkhd.putInt(0) // ctime, mtime
+    tkhd.putInt(1); tkhd.putInt(0) // track id, reserved
+    tkhd.putInt(duration.toInt)
+    tkhd.put(new Array[Byte](8)) // reserved
+    tkhd.putShort(0); tkhd.putShort(0); tkhd.putShort(0); tkhd.putShort(0)
+    tkhd.putInt(0x00010000); tkhd.putInt(0); tkhd.putInt(0) // unity matrix
+    tkhd.putInt(0); tkhd.putInt(0x00010000); tkhd.putInt(0)
+    tkhd.putInt(0); tkhd.putInt(0); tkhd.putInt(0x40000000)
+    tkhd.putInt(width << 16); tkhd.putInt(height << 16)
+    val mvhd = java.nio.ByteBuffer.allocate(108)
+    mvhd.putInt(108); mvhd.put("mvhd".getBytes)
+    mvhd.putInt(0)
+    mvhd.putInt(0); mvhd.putInt(0)
+    mvhd.putInt(timescale); mvhd.putInt(duration.toInt)
+    mvhd.put(new Array[Byte](80))
+    val trakLen = 8 + 92
+    val moovLen = 8 + 108 + trakLen
+    val out = java.nio.ByteBuffer.allocate(16 + moovLen)
+    out.putInt(16); out.put("ftyp".getBytes)
+    out.put("isom".getBytes); out.putInt(512)
+    out.putInt(moovLen); out.put("moov".getBytes)
+    out.put(mvhd.array())
+    out.putInt(trakLen); out.put("trak".getBytes)
+    out.put(tkhd.array())
+    out.array()
+  }
 }

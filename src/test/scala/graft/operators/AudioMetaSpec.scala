@@ -69,6 +69,19 @@ class AudioMetaSpec extends AnyFunSuite {
     assert(got.durationMs === 2400L * 8 / 192)
   }
 
+  test("mp4 video track: tkhd 16.16 dims round-trip; mvhd duration " +
+      "unaffected; audio containers yield no dims") {
+    val b = AudioMeta.buildMp4Video(timescale = 600, duration = 1234L,
+      width = 640, height = 360)
+    assert(AudioMeta.mp4VideoDims(b) === Some((640, 360)))
+    assert(AudioMeta.parse(b) ===
+      Some(AudioMeta.Info("mp4", 0, 600, 0, 2056L)))
+    assert(AudioMeta.mp4VideoDims(AudioMeta.buildMp4(600, 1234L)).isEmpty)
+    assert(AudioMeta.mp4VideoDims(AudioMeta.buildWav(2, 44100, 16, 10)).isEmpty)
+    for (n <- Seq(0, 8, 40, 150) if n < b.length)
+      assert(AudioMeta.mp4VideoDims(b.take(n)).isEmpty, s"truncated to $n")
+  }
+
   test("malformed inputs return None, never throw") {
     val good = Seq(
       AudioMeta.buildWav(2, 44100, 16, 100),
