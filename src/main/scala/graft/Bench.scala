@@ -225,8 +225,14 @@ object Bench {
     // projected to overrun it — the r3 five-pair protocol outgrew the
     // driver's budget and rc=124 erased the whole round's perf evidence.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    // 2500 s (was 1800): a host-slow window inflates a pair to ~10-11 min
+    // and the 1800 s box then stops at TWO pairs — and a 2-pair floor is
+    // weather-fragile (the 2026-08-19 dry run read 0.72 where clean
+    // windows read 0.91/0.94). 2500 s fits the third pair in a slow
+    // window while keeping the worst-case total ≈ 49 min, under the
+    // 53-min execution the driver already accepted in round 2.
     val pairBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "1800").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "2500").toDouble
     val pairLoopStart = elapsedSec
     var stop = false
     while (pairsDone.size < nPairs && !stop) {
