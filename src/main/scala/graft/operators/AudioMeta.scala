@@ -267,20 +267,29 @@ object AudioMeta {
     out.array()
   }
 
-  /** Minimal MP4: 'ftyp' + 'moov'('mvhd' v0) with the given timescale
-    * and duration (in timescale units). */
-  def buildMp4(timescale: Int, duration: Long): Array[Byte] = {
-    val mvhd = java.nio.ByteBuffer.allocate(8 + 100)
+  /** The shared ftyp box (16 bytes) + mvhd v0 box (108 bytes) both MP4
+    * builders assemble their container from. */
+  private def mp4Header(timescale: Int, duration: Long): (Array[Byte], Array[Byte]) = {
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+    ftyp.putInt(16); ftyp.put("ftyp".getBytes)
+    ftyp.put("isom".getBytes); ftyp.putInt(512)
+    val mvhd = java.nio.ByteBuffer.allocate(108)
     mvhd.putInt(108); mvhd.put("mvhd".getBytes)
     mvhd.putInt(0) // version 0 + flags
     mvhd.putInt(0); mvhd.putInt(0) // ctime, mtime
     mvhd.putInt(timescale); mvhd.putInt(duration.toInt)
     mvhd.put(new Array[Byte](80)) // rate/volume/matrix/next-track
+    (ftyp.array(), mvhd.array())
+  }
+
+  /** Minimal MP4: 'ftyp' + 'moov'('mvhd' v0) with the given timescale
+    * and duration (in timescale units). */
+  def buildMp4(timescale: Int, duration: Long): Array[Byte] = {
+    val (ftyp, mvhd) = mp4Header(timescale, duration)
     val out = java.nio.ByteBuffer.allocate(16 + 8 + 108)
-    out.putInt(16); out.put("ftyp".getBytes)
-    out.put("isom".getBytes); out.putInt(512)
+    out.put(ftyp)
     out.putInt(8 + 108); out.put("moov".getBytes)
-    out.put(mvhd.array())
+    out.put(mvhd)
     out.array()
   }
 
@@ -359,19 +368,13 @@ object AudioMeta {
     tkhd.putInt(0); tkhd.putInt(0x00010000); tkhd.putInt(0)
     tkhd.putInt(0); tkhd.putInt(0); tkhd.putInt(0x40000000)
     tkhd.putInt(width << 16); tkhd.putInt(height << 16)
-    val mvhd = java.nio.ByteBuffer.allocate(108)
-    mvhd.putInt(108); mvhd.put("mvhd".getBytes)
-    mvhd.putInt(0)
-    mvhd.putInt(0); mvhd.putInt(0)
-    mvhd.putInt(timescale); mvhd.putInt(duration.toInt)
-    mvhd.put(new Array[Byte](80))
+    val (ftyp, mvhd) = mp4Header(timescale, duration)
     val trakLen = 8 + 92
     val moovLen = 8 + 108 + trakLen
     val out = java.nio.ByteBuffer.allocate(16 + moovLen)
-    out.putInt(16); out.put("ftyp".getBytes)
-    out.put("isom".getBytes); out.putInt(512)
+    out.put(ftyp)
     out.putInt(moovLen); out.put("moov".getBytes)
-    out.put(mvhd.array())
+    out.put(mvhd)
     out.putInt(trakLen); out.put("trak".getBytes)
     out.put(tkhd.array())
     out.array()

@@ -208,11 +208,15 @@ object ExtractSim {
                 else {
                   hops += 1
                   if (hops > 40) throw new OsErr("ELOOP")
+                  // split with -1 here too: a symlink TARGET with a
+                  // trailing slash must keep its final "" component so
+                  // the dir-ness requirement survives the splice (same
+                  // POSIX rule as the entry path above)
                   if (l.target.startsWith("/")) {
                     cur = slash
-                    queue = l.target.split('/').toList
+                    queue = l.target.split("/", -1).toList
                       .dropWhile(_.isEmpty) ::: queue
-                  } else queue = l.target.split('/').toList ::: queue
+                  } else queue = l.target.split("/", -1).toList ::: queue
                   if (queue.isEmpty) last = AtDir(cur) // link to "" edge
                 }
               case Some(other) =>

@@ -72,6 +72,22 @@ final class SnapshotStore(rootDir: String) {
   def exists(wave: Int, table: String): Boolean =
     Files.exists(Paths.get(tablePath(wave, table)))
 
+  // ------------------------------------------------- streaming sink marker
+  // Last micro-batch id applied by a streaming upsert sink (see
+  // graft.streaming.Streams.upsertBatch). Kept SEPARATE from _LATEST so
+  // replay detection works on stores pre-populated by batch jobs (where
+  // latestWave >= batchId would otherwise misread fresh batches as
+  // replays and silently drop them).
+  private val streamMarker = root.resolve("_STREAM_LASTBATCH")
+
+  def streamLastBatch: Option[Long] =
+    if (Files.exists(streamMarker))
+      Some(Files.readString(streamMarker).trim.toLong)
+    else None
+
+  def setStreamLastBatch(id: Long): Unit =
+    Files.writeString(streamMarker, id.toString)
+
   // ------------------------------------------------------ seen index
   // A bucketed (CLUSTERED BY url_hash) catalog table holding exactly the
   // union of the committed wavecore url_hash deltas. Storage-bucketed so

@@ -189,20 +189,24 @@ object Streams {
       .dropDuplicatesWithinWatermark("doc_id")
 
   /** One micro-batch of the exactly-once streaming MERGE-upsert: merge
-    * `batch` into the latest committed snapshot of `table` and commit the
-    * result as wave `batchId` (atomic `_LATEST` swap). Idempotent under
-    * replay — Structured Streaming re-delivers a batch with the SAME
-    * batchId after a crash, and a batch whose wave is already committed
-    * is skipped, which is exactly the transactional-sink contract
-    * foreachBatch documents. Factored out of [[upsertStream]] so the
-    * replay path is directly testable. */
+    * `batch` into the latest committed snapshot of `table` and commit it
+    * as the NEXT wave (atomic `_LATEST` swap), then record the batch id
+    * in the store's `_STREAM_LASTBATCH` marker. Replay detection keys on
+    * that marker — NOT on the wave number — so a store pre-populated by
+    * batch jobs (latestWave already high) still applies fresh stream
+    * batches, and a replayed batchId (Structured Streaming re-delivers
+    * the same id after a crash) is skipped. A crash between the wave
+    * seal and the marker write re-merges the SAME batch once on restart,
+    * which is value-idempotent (same keys, same values, excluded columns
+    * keep first-seen) — it costs one duplicate wave, never wrong data.
+    * Factored out of [[upsertStream]] so the replay path is directly
+    * testable. */
   def upsertBatch(store: graft.state.SnapshotStore, table: String,
       keys: Seq[String], excludeOnUpdate: Seq[String], orderCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val wave = batchId.toInt
-    val committed = store.latestWave
-    if (!committed.exists(_ >= wave)) {
+    if (!store.streamLastBatch.exists(_ >= batchId)) {
+      val committed = store.latestWave
       val existing = committed match {
         case Some(w) if store.exists(w, table) => store.read(spark, w, table)
         case _ => spark.createDataFrame(
@@ -212,7 +216,8 @@ object Streams {
       val merged = graft.operators.Sinks
         .mergeUpsert(existing, batch, keys, excludeOnUpdate, col(orderCol))
         .drop("__action")
-      store.commit(wave, Seq(table -> merged))
+      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
+      store.setStreamLastBatch(batchId)
     }
   }
 
@@ -221,14 +226,19 @@ object Streams {
     * committed wave, replays are no-ops (see [[upsertBatch]]), and
     * excluded columns keep their first-seen values across batches exactly
     * like the batch operator (the reference's insert_update_one_exclude
-    * semantics, continuously applied). */
+    * semantics, continuously applied). Pass `checkpointLocation` in
+    * production: batchIds are only monotone across RESTARTS when the
+    * query checkpoint is durable (a fresh checkpoint restarts ids at 0,
+    * which the marker would read as replays of already-applied batches). */
   def upsertStream(docs: DataFrame, store: graft.state.SnapshotStore,
       table: String, keys: Seq[String], excludeOnUpdate: Seq[String],
-      orderCol: String) =
-    docs.writeStream
+      orderCol: String, checkpointLocation: Option[String] = None) = {
+    val w = docs.writeStream
       .foreachBatch(upsertBatch(store, table, keys, excludeOnUpdate, orderCol) _)
       .outputMode(OutputMode.Update())
-      .start()
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */

@@ -221,6 +221,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming upsert onto a PRE-POPULATED store: batchId 0 is fresh " +
+      "data, not a replay — the skip marker is independent of wave history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-upsert-pre").toString
+    val store = new graft.state.SnapshotStore(dir)
+    // a batch job already committed waves 0..5 on this store
+    store.commit(5, Seq("idx" ->
+      Seq(("a", "t0", "v0", 0L)).toDF("key", "created", "value", "seq")))
+    assert(store.latestWave === Some(5))
+    // first stream batch (batchId 0) must APPLY, not be skipped
+    Streams.upsertBatch(store, "idx", Seq("key"), Seq("created"), "seq")(
+      Seq(("a", "t9", "v1", 1L), ("b", "t1", "v1", 2L))
+        .toDF("key", "created", "value", "seq"), 0L)
+    assert(store.latestWave === Some(6))
+    val rows = store.read(spark, 6, "idx")
+      .select("key", "created", "value").as[(String, String, String)]
+      .collect().sorted.toVector
+    assert(rows === Vector(("a", "t0", "v1"), ("b", "t1", "v1")))
+    // replaying batchId 0 is now a no-op
+    Streams.upsertBatch(store, "idx", Seq("key"), Seq("created"), "seq")(
+      Seq(("c", "t2", "vZ", 3L)).toDF("key", "created", "value", "seq"), 0L)
+    assert(store.latestWave === Some(6))
+  }
+
   test("streaming container expansion emits leaf members per arriving archive") {
     import graft.operators.Containers
     import spark.implicits._
