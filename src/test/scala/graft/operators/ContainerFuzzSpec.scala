@@ -37,6 +37,12 @@ import graft.rules.PyVal._
   *
   * `drop=true` goldens are the reference's bare-except → extract()=None
   * (whole container dropped); expandOnce must return None for those.
+  *
+  * r4 review-pass family (cases 269-273, labels r4-symslash-*): symlink
+  * and hardlink targets carrying a TRAILING SLASH — POSIX resolves
+  * 'file/' to ENOTDIR, so exists() is false and tarfile takes the
+  * member-copy fallback; the sim's path walk must keep the final ""
+  * component through the symlink splice too.
   */
 class ContainerFuzzSpec extends AnyFunSuite {
 
@@ -72,7 +78,7 @@ class ContainerFuzzSpec extends AnyFunSuite {
     java.util.Base64.getDecoder.decode(s)
 
   test("expandOnce matches ContainerFile.extract + walk on all goldens") {
-    assert(cases.size == 268)
+    assert(cases.size == 273)
     check(cases)
   }
 
