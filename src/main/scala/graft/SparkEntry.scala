@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -1106,6 +1106,45 @@ object SparkEntry {
             format_string("%04x", floor(col("rate") * 65536).cast("int")))
         .select(col("vec_id"), col("centroid_id"),
           round(col("rate"), 6).as("rate"))
+    }),
+
+    // ---------- retrieval / link-graph layer (operators/Retrieval, Graph) --
+
+    // inverted index: token -> (df, cf, bounded postings head). One explode
+    // + two-level hash agg with map-side partials; postings truncated
+    // per-token inside the agg row (slice), no global sort.
+    "q_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(docs(s, dir), 8)),
+
+    // Okapi BM25 top-20 with the rational idf surrogate (log dropped for
+    // bit-exact cross-engine folds — see Retrieval scaladoc). Corpus stats
+    // ride a 1-row broadcast, per-term df a <=3-row broadcast, top-k is
+    // TakeOrdered.
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25(docs(s, dir), Seq("customer", "spark", "vector"), 20)),
+
+    // exact-phrase positional intersect: "hash join" occurrences per doc.
+    // The position stream filters to the two query terms BEFORE the join
+    // and persists once; join sides are slivers of the corpus.
+    "q_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseHits(docs(s, dir), "hash", "join")),
+
+    // PageRank over the deterministic doc-link restatement (doc i links to
+    // (i*31 + 7k) mod N, k=1..3 — the synthetic-link-graph convention, like
+    // q_crawl_e2e's synthetic URLs): 3 fixed iterations, each one join +
+    // one ordered-fold agg + one left join; oracle unrolls the loop.
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nAgg = d.agg(count(lit(1)).as("n"))
+      val edges = d.select(col("doc_id")).crossJoin(broadcast(nAgg))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            pmod(col("doc_id") * lit(31L) + lit(7L * k), col("n"))): _*))
+            .as("dst"))
+        .distinct()
+      Graph.pagerank(edges, d.select(col("doc_id").as("node")), 3)
+        .orderBy(col("rank").desc, col("node").asc).limit(30)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
     }),
 
     // embedding near-dup, scale-safe shape: nearest neighbor within the
@@ -2446,6 +2485,88 @@ object SparkEntry {
          |FROM assigned a JOIN rates r ON a.centroid_id = r.centroid_id
          |WHERE r.rate >= 1.0 OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)
          |  < printf('%04x', CAST(floor(r.rate * 65536) AS INT))""".stripMargin
+    },
+
+    "q_inverted_index" ->
+      s"""WITH occ AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT tok, doc_id, count(*) AS tf FROM occ GROUP BY 1, 2)
+         |SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |  array_to_string(list_transform(
+         |    list(struct_pack(d := doc_id, t := tf) ORDER BY doc_id)[1:8],
+         |    p -> CAST(p.d AS VARCHAR) || ':' || CAST(p.t AS VARCHAR)), ' ')
+         |    AS postings_head
+         |FROM tf GROUP BY tok""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH occ AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM occ GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(dl) AS DOUBLE) AS sumdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ
+         |  WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+         |  GROUP BY 1),
+         |term AS (SELECT tf.doc_id AS doc_id, tf.tok AS tok, dl.dl AS dl,
+         |    ((g.n - dfq.df + CAST(0.5 AS DOUBLE)) /
+         |      (dfq.df + CAST(0.5 AS DOUBLE))) *
+         |    ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+         |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |        CAST(dl.dl AS DOUBLE) / (g.sumdl / g.n)))) AS ts
+         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN g)
+         |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+         |  round(list_sum(list(ts ORDER BY tok)), 9) AS score
+         |FROM term GROUP BY doc_id
+         |ORDER BY list_sum(list(ts ORDER BY tok)) DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+         |  FROM documents),
+         |p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(t)),
+         |      i -> struct_pack(pos := i, tok := t[i + 1]))) AS u
+         |    FROM d)),
+         |a AS (SELECT doc_id, pos FROM p WHERE tok = 'hash'),
+         |b AS (SELECT doc_id, pos FROM p WHERE tok = 'join')
+         |SELECT a.doc_id AS doc_id, count(*) AS n_hits,
+         |  CAST(min(a.pos) AS BIGINT) AS first_pos
+         |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |GROUP BY 1""".stripMargin,
+
+    "q_pagerank" -> {
+      // 3 unrolled power iterations; rank math mirrors Graph.pagerank
+      // op-for-op (explicit double literals, src-ordered folds) so the
+      // unrounded sort keys are bit-identical
+      val iters = (1 to 3).map { i =>
+        s"""i$i AS (SELECT dst,
+           |    list_sum(list(rank / CAST(outd AS DOUBLE) ORDER BY src)) AS m
+           |  FROM eo JOIN r${i - 1} ON eo.src = r${i - 1}.node
+           |  GROUP BY dst),
+           |r$i AS (SELECT node, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |    * coalesce(m, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM r${i - 1} LEFT JOIN i$i ON r${i - 1}.node = i$i.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, unnest([(doc_id * 31 + 7) % nn.n,
+         |    (doc_id * 31 + 14) % nn.n, (doc_id * 31 + 21) % nn.n]) AS dst
+         |  FROM documents CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+         |eo AS (SELECT e.src AS src, e.dst AS dst, od.outd AS outd
+         |  FROM e JOIN od USING (src)),
+         |r0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS rank
+         |  FROM documents),
+         |$iters
+         |SELECT node, round(rank, 9) AS rank FROM r3
+         |ORDER BY rank DESC, node ASC LIMIT 30""".stripMargin
     },
 
     "q_dedup_embedding" ->

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics. PageRank is the canonical crawl-prioritization
+  * signal (Page et al. 1999; the reference's static priority ladder is the
+  * degenerate form — see filecrawler crawlerbase.py's depth/priority
+  * ordering), and at training-pipeline scale it doubles as a quality
+  * prior over a citation/link graph.
+  *
+  * Execution shape per iteration: one hash join (ranks onto the persisted
+  * edge+outdegree table, keyed by src) + one hash aggregate (contributions
+  * grouped by dst) + one left join back onto the node set. All three are
+  * key-partitioned shuffles with map-side partials; nothing is collected
+  * to the driver and iteration count is fixed (the unrolled-iteration
+  * convention this repo uses everywhere an oracle must replay the loop —
+  * lloyd, BPE). For big iteration counts a production caller would
+  * checkpoint `ranks` every ~10 rounds to truncate lineage, the same
+  * hazard Dedup.connectedComponents handles with createDataFrame(rdd);
+  * at the fixed 3 rounds the plans stay small.
+  *
+  * Cross-engine float parity: rank updates are bit-replayable by
+  * induction — contributions `rank / outd` are single IEEE divisions,
+  * the per-dst sum folds in explicit src order (collect_list → array_sort
+  * → aggregate ≡ DuckDB `list_sum(list(x ORDER BY src))`), and the update
+  * `0.15 + 0.85 * m` uses explicit double literals (NEVER computed
+  * `1 - damping`: 1.0 - 0.85 is 0.15000000000000002 in doubles, not the
+  * 0.15 literal both engines parse).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank. `edges` = (src, dst) distinct directed
+    * edges; `nodes` = (node) the full vertex set (vertices without
+    * in-edges keep the base rank; vertices without out-edges simply leak
+    * their mass, the standard non-normalized convention). Initial rank is
+    * 1.0; update is `rank' = base + damping * Σ_in rank/outdeg`.
+    */
+  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val eo = OpCaches.register(edges.join(outd, Seq("src")).persist())
+    var ranks = nodes.select(col("node"), lit(1.0d).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = eo.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outd").cast("double")).as("c"))
+      val inc = contrib.groupBy(col("dst"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("src"), col("c")))),
+            x => x.getField("c")),
+          lit(0.0d), (acc, v) => acc + v).as("m"))
+      ranks = nodes.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0d))).as("rank"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval operators over the `documents` corpus — the index-build
+  * and query-scoring layer a training-data pipeline needs for targeted
+  * corpus slicing (pull every doc matching a benchmark query, score
+  * relevance for curriculum ordering, locate exact phrases for
+  * contamination audits).
+  *
+  *   - [[invertedIndex]]: token → postings aggregation (df, collection
+  *     frequency, a bounded postings head). One explode + a two-level hash
+  *     aggregate with map-side partials; postings are truncated per-token
+  *     with `slice` inside the aggregation row, so no global sort and no
+  *     unbounded row ever materializes.
+  *   - [[bm25]]: Okapi BM25 scoring (Robertson & Walker, SIGIR'94) with a
+  *     rational idf surrogate `(N - df + 0.5)/(df + 0.5)` — the classic
+  *     idf is the log of exactly this ratio; dropping the log keeps every
+  *     per-term score an IEEE-exact chain (see float-parity note below)
+  *     while preserving the per-term monotonicity in df. Doc lengths and
+  *     corpus stats ride a one-row broadcast; per-doc scores fold in
+  *     term order; top-k is TakeOrdered (per-partition heads + driver
+  *     merge), never a global sort.
+  *   - [[phraseHits]]: exact two-word phrase occurrences via a positional
+  *     self-join — the positional-index intersect (term A at p joined to
+  *     term B at p+1 on the same doc). The position stream is filtered to
+  *     the two query terms BEFORE the join and persisted once, so the
+  *     corpus tokenizes a single time and the join sides are slivers.
+  *
+  * Cross-engine float parity (bm25): every intermediate is a single IEEE
+  * op on identical operands in both engines (integer-valued doubles,
+  * explicit double literals, one division/multiply per step), and the
+  * per-doc sum folds in explicit term order (collect_list → array_sort →
+  * aggregate ≡ DuckDB `list_sum(list(x ORDER BY tok))`), so scores are
+  * bit-identical and the UNROUNDED top-k boundary is engine-stable. Same
+  * discipline as Selection/Similarity.
+  */
+object Retrieval {
+
+  private def toks(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TextAnalysis.TokenPattern), lit(0))
+
+  /** (doc_id, tok) occurrence stream — one row per token occurrence. */
+  def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+
+  /** Inverted index: one row per vocabulary token with document frequency,
+    * collection frequency, and a deterministic bounded postings head
+    * ("doc:tf doc:tf …", first `headLen` postings by doc_id). At 100 TB
+    * the full postings list per token can exceed a row; the head-bounded
+    * shape is what an index SAMPLE/statistics build materializes, while
+    * the (tok, doc_id, tf) intermediate IS the full index, consumable
+    * directly as a table.
+    */
+  def invertedIndex(docs: DataFrame, headLen: Int = 8): DataFrame =
+    tokenStream(docs)
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok")).agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              1, headLen),
+            p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+          " ").as("postings_head"))
+
+  /** BM25 top-k (k1 = 1.2, b = 0.75) for a disjunctive bag-of-words query.
+    * Returns (doc_id, dl, n_terms, score) for the `topK` best docs.
+    *
+    * Shape: the token stream persists once and feeds both the doc-length
+    * aggregate and the query-term tf slice; corpus-level stats (N, Σdl)
+    * are a one-row cross-join broadcast; per-term df is a ≤|terms|-row
+    * broadcast. The only corpus-sized exchanges are the two hash
+    * aggregates; scoring touches query-term postings only.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val ts = OpCaches.register(tokenStream(docs).persist())
+    val dl = ts.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sumdl"))
+    val tf = ts.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val term = tf.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("tok"), col("dl"),
+        (((col("n") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))) *
+          ((col("tf").cast("double") * lit(2.2d)) /
+            (col("tf").cast("double") + lit(1.2d) *
+              (lit(0.25d) + lit(0.75d) * col("dl").cast("double") /
+                (col("sumdl") / col("n")))))).as("ts"))
+    term.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("tok"), col("ts")))),
+            x => x.getField("ts")),
+          lit(0.0d), (acc, v) => acc + v).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        round(col("score"), 9).as("score"))
+  }
+
+  /** Exact "w1 w2" phrase occurrences per doc via positional intersect:
+    * (doc_id, n_hits, first_pos). Positions are 0-based token offsets.
+    */
+  def phraseHits(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val pos = OpCaches.register(
+      docs.select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(w1, w2))
+        .persist())
+    val a = pos.filter(col("tok") === w1).select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("tok") === w2)
+      .select(col("doc_id").as("doc_id_b"), col("pos").as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_id_b") &&
+        col("pos_b") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+}

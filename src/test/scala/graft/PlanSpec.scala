@@ -299,4 +299,38 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       p.take(3000))
     operators.OpCaches.drain()
   }
+
+  test("q_inverted_index: two-level agg keeps map-side partials, no window," +
+      " no join") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p.take(3000))
+  }
+
+  test("q_bm25: token stream cached for dl + tf; stats and df broadcast; " +
+      "top-k is TakeOrdered") {
+    val p = plan("q_bm25")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      "token stream recomputed per consumer:\n" + p.take(3000))
+    assert("Broadcast".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_phrase_search: term-filtered position sliver cached on BOTH " +
+      "join sides — the corpus tokenizes once") {
+    val p = plan("q_phrase_search")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_pagerank: edge+outdeg table cached and re-read every iteration; " +
+      "top-k is TakeOrdered, no cartesian beyond the 1-row count broadcast") {
+    val p = plan("q_pagerank")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    operators.OpCaches.drain()
+  }
 }

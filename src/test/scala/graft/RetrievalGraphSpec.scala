@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, OpCaches, Retrieval}
+
+/** Differentials for the retrieval / link-graph layer: every operator is
+  * re-computed driver-side with plain Scala (same fold order, same IEEE
+  * ops) and compared EXACTLY — the bit-parity discipline the DuckDB
+  * oracles rely on, checked here against an independent implementation.
+  */
+class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def mkDocs(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  private def tokenize(t: String): Seq[String] =
+    "[A-Za-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+
+  test("invertedIndex: postings head, df, cf on a hand corpus") {
+    val d = mkDocs(Seq(
+      (3L, "b a b c"),
+      (1L, "a b a"),
+      (2L, "c! C, a")))
+    val out = Retrieval.invertedIndex(d, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out("a") === ((3L, 4L, "1:2 2:1")))
+    assert(out("b") === ((2L, 3L, "1:1 3:2")))
+    assert(out("c") === ((2L, 3L, "2:2 3:1")))
+    OpCaches.drainAll()
+  }
+
+  test("bm25: exact parity with a driver-side replica") {
+    val texts = (0L until 40L).map { i =>
+      val ws = (0 until (3 + (i % 5)).toInt).map { j =>
+        Seq("spark", "vector", "customer", "join", "scan")(((i + j) % 5).toInt)
+      }
+      (i, ws.mkString(" "))
+    }
+    val d = mkDocs(texts)
+    val terms = Seq("customer", "spark", "vector")
+    val got = Retrieval.bm25(d, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // driver replica: identical op order and literals
+    val toks = texts.map { case (id, t) => id -> tokenize(t) }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val n = dl.size.toDouble
+    val sumdl = dl.values.sum.toDouble
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.filter(terms.contains).groupBy(identity).map { case (w, o) =>
+        (id, w, o.size.toLong) }
+    }
+    val dfq = tf.groupBy(_._2).map { case (w, rs) => w -> rs.size.toDouble }
+    val perDoc = tf.groupBy(_._1).map { case (id, rs) =>
+      val scored = rs.sortBy(_._2).map { case (_, w, f) =>
+        ((n - dfq(w) + 0.5d) / (dfq(w) + 0.5d)) *
+          ((f.toDouble * 2.2d) /
+            (f.toDouble + 1.2d *
+              (0.25d + 0.75d * dl(id).toDouble / (sumdl / n))))
+      }
+      val s = scored.foldLeft(0.0d)(_ + _)
+      (id, dl(id), rs.size.toLong, s)
+    }.toSeq
+    val want = perDoc.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+      .map { case (id, l, k, s) =>
+        (id, l, k, BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+    assert(got.toSeq === want)
+    OpCaches.drainAll()
+  }
+
+  test("phraseHits: positions and counts on a hand corpus") {
+    val d = mkDocs(Seq(
+      (1L, "hash join then hash join again"),
+      (2L, "join hash"),
+      (3L, "a hash  join b"),
+      (4L, "hash only")))
+    val out = Retrieval.phraseHits(d, "hash", "join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 0L), (3L, 1L, 1L)))
+    OpCaches.drainAll()
+  }
+
+  test("pagerank: exact parity with driver-side power iteration") {
+    // seeded pseudo-random digraph, 30 nodes, ~90 edges
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap { u =>
+      (1 to 3).map(k => (u, (u * 13 + k * 5 + (u * u) % 7) % 30))
+    }.distinct
+    val eDf = edges.toDF("src", "dst")
+    val nDf = nodes.toDF("node")
+    val got = Graph.pagerank(eDf, nDf, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val outd = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var rank = nodes.map(_ -> 1.0d).toMap
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        // fold in src order — the operator's ordered-sum contract
+        v -> es.map(_._1).sorted
+          .foldLeft(0.0d)((a, u) => a + rank(u) / outd(u).toDouble)
+      }
+      rank = nodes.map(v => v -> (0.15d + 0.85d * in.getOrElse(v, 0.0d))).toMap
+    }
+    assert(got === rank)
+    OpCaches.drainAll()
+  }
+
+  test("pagerank: mass conservation on a strongly-regular graph") {
+    // every node has out-degree 1 and in-degree 1 (a single cycle) — ranks
+    // stay exactly 1.0 through every iteration
+    val nodes = (0L until 16L)
+    val eDf = nodes.map(u => (u, (u + 1) % 16)).toDF("src", "dst")
+    val got = Graph.pagerank(eDf, nodes.toDF("node"), 3).collect()
+      .map(r => r.getDouble(1))
+    assert(got.forall(_ === 1.0d))
+    OpCaches.drainAll()
+  }
+}
