@@ -50,6 +50,19 @@ object SparkEntry {
       when(docId % 5 === 0, ghpPlant).otherwise(lit("")))
   }
 
+  /** Deterministic doc-link restatement shared by q_pagerank / q_hits:
+    * doc i links to (i*31 + 7k) mod N for k = 1..3 (distinct edges; N
+    * rides a 1-row count broadcast, never a driver action). */
+  private def linkGraph(d: DataFrame): DataFrame = {
+    val nAgg = d.agg(count(lit(1)).as("n"))
+    d.select(col("doc_id")).crossJoin(broadcast(nAgg))
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(k =>
+          pmod(col("doc_id") * lit(31L) + lit(7L * k), col("n"))): _*))
+          .as("dst"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational core (scan/filter/join/agg/window/limit) ----------
 
@@ -1135,17 +1148,34 @@ object SparkEntry {
     // one ordered-fold agg + one left join; oracle unrolls the loop.
     "q_pagerank" -> ((s, dir) => {
       val d = docs(s, dir)
-      val nAgg = d.agg(count(lit(1)).as("n"))
-      val edges = d.select(col("doc_id")).crossJoin(broadcast(nAgg))
-        .select(col("doc_id").as("src"),
-          explode(array((1 to 3).map(k =>
-            pmod(col("doc_id") * lit(31L) + lit(7L * k), col("n"))): _*))
-            .as("dst"))
-        .distinct()
-      Graph.pagerank(edges, d.select(col("doc_id").as("node")), 3)
+      Graph.pagerank(linkGraph(d), d.select(col("doc_id").as("node")), 3)
         .orderBy(col("rank").desc, col("node").asc).limit(30)
         .select(col("node"), round(col("rank"), 9).as("rank"))
     }),
+
+    // HITS hubs/authorities over the same link restatement: 2 fixed
+    // iterations, |V|-scaled instead of L2-normalized (ranking-preserving;
+    // see Graph.hits scaladoc for why the L2 norm is the one global fold
+    // this repo won't ship). Top-20 by authority.
+    "q_hits" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.hits(linkGraph(d), d.select(col("doc_id").as("node")), 2)
+        .orderBy(col("a").desc, col("node").asc).limit(20)
+        .select(col("node"), round(col("a"), 9).as("auth"),
+          round(col("h"), 9).as("hub"))
+    }),
+
+    // RAG sliding-window chunking: 32-token windows, stride 24 (8-token
+    // overlap). Map-only — PlanSpec pins zero exchanges.
+    "q_chunk_windows" -> ((s, dir) =>
+      Retrieval.chunkWindows(docs(s, dir), 32, 24)),
+
+    // UniMax language sampling (Chung et al.'23): water-filling doc budget
+    // (3/5 of the corpus, epoch cap 2) over the lang census; the census
+    // collects to the driver (model-as-data) and the oracle replays the
+    // water-fill as a recursive CTE.
+    "q_unimax" -> ((s, dir) =>
+      Selection.unimax(docs(s, dir), 3, 5, 2)),
 
     // embedding near-dup, scale-safe shape: nearest neighbor within the
     // vector's IVF centroid bucket (bucket count should grow ~sqrt(n); here
@@ -2568,6 +2598,74 @@ object SparkEntry {
          |SELECT node, round(rank, 9) AS rank FROM r3
          |ORDER BY rank DESC, node ASC LIMIT 30""".stripMargin
     },
+
+    "q_hits" -> {
+      // 2 unrolled HITS rounds; auth from OLD hubs, hubs from NEW auths,
+      // each |V|-scaled — mirrors Graph.hits op-for-op
+      val iters = (1 to 2).map { i =>
+        s"""a${i}i AS (SELECT dst, list_sum(list(h ORDER BY src)) AS s
+           |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY dst),
+           |a$i AS (SELECT node, coalesce(s, CAST(0.0 AS DOUBLE)) / nv AS a
+           |  FROM h${i - 1} LEFT JOIN a${i}i ON h${i - 1}.node = a${i}i.dst
+           |  CROSS JOIN nvt),
+           |h${i}i AS (SELECT src, list_sum(list(a ORDER BY dst)) AS s
+           |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY src),
+           |h$i AS (SELECT a$i.node AS node,
+           |    coalesce(s, CAST(0.0 AS DOUBLE)) / nv AS h
+           |  FROM a$i LEFT JOIN h${i}i ON a$i.node = h${i}i.src
+           |  CROSS JOIN nvt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, unnest([(doc_id * 31 + 7) % nn.n,
+         |    (doc_id * 31 + 14) % nn.n, (doc_id * 31 + 21) % nn.n]) AS dst
+         |  FROM documents CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |nvt AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM documents),
+         |h0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS h
+         |  FROM documents),
+         |$iters
+         |SELECT a2.node AS node, round(a2.a, 9) AS auth,
+         |  round(h2.h, 9) AS hub
+         |FROM a2 JOIN h2 ON a2.node = h2.node
+         |ORDER BY a2.a DESC, a2.node ASC LIMIT 20""".stripMargin
+    },
+
+    "q_chunk_windows" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, u.win_id AS win_id, u.win AS win FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(0, (len(t) - 1) // 24 + 1),
+         |      w -> struct_pack(win_id := w,
+         |        win := t[(w * 24 + 1):(w * 24 + 32)]))) AS u
+         |    FROM d WHERE len(t) > 0))
+         |SELECT doc_id, win_id, CAST(len(win) AS BIGINT) AS n_tok,
+         |  array_to_string(win, ' ') AS win_text
+         |FROM w""".stripMargin,
+
+    "q_unimax" ->
+      s"""WITH RECURSIVE census AS (SELECT lang, count(*) AS n
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS k FROM census),
+         |ord AS (SELECT lang, n,
+         |    row_number() OVER (ORDER BY n ASC, lang ASC) AS rn
+         |  FROM census),
+         |alloc AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS lang,
+         |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS quota,
+         |    (SELECT total * 3 // 5 FROM tot) AS remaining,
+         |    (SELECT k FROM tot) AS langs_left
+         |  UNION ALL
+         |  SELECT o.rn, o.lang, o.n,
+         |    least(o.n * 2, a.remaining // a.langs_left),
+         |    a.remaining - least(o.n * 2, a.remaining // a.langs_left),
+         |    a.langs_left - 1
+         |  FROM alloc a JOIN ord o ON o.rn = a.rn + 1)
+         |SELECT lang, n AS n_docs, quota,
+         |  round(CAST(quota AS DOUBLE) / CAST(n AS DOUBLE), 6) AS epochs
+         |FROM alloc WHERE rn > 0""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH assigned AS (

@@ -36,6 +36,41 @@ object Graph {
     * their mass, the standard non-normalized convention). Initial rank is
     * 1.0; update is `rank' = base + damping * Σ_in rank/outdeg`.
     */
+  /** Fixed-iteration HITS (Kleinberg, JACM 1999): authority = scaled sum
+    * of hub over in-edges, then hub = scaled sum of the NEW authority over
+    * out-edges (the standard update order). Per-round scaling divides by
+    * the exact integer |V| instead of the L2 norm — any positive per-round
+    * scaling preserves the hub/authority ranking (the iteration converges
+    * to the same principal eigenvectors up to scale), and dividing by an
+    * integer-valued double keeps every score an IEEE-exact chain without
+    * the global ordered fold over ALL nodes an L2 norm would need (a
+    * collect_list of N scores into one row — the one shape this repo
+    * never ships). Returns (node, a, h).
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    def orderedSum(key: String, v: String) = aggregate(
+      transform(array_sort(collect_list(struct(col(key), col(v)))),
+        x => x.getField(v)),
+      lit(0.0d), (acc, x) => acc + x)
+    val e = OpCaches.register(edges.persist())
+    val nAgg = nodes.agg(count(lit(1)).cast("double").as("nv"))
+    var hub = nodes.select(col("node"), lit(1.0d).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aIn = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(orderedSum("src", "h").as("s"))
+      auth = nodes.join(aIn.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(col("node"), (coalesce(col("s"), lit(0.0d)) / col("nv")).as("a"))
+      val hOut = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(orderedSum("dst", "a").as("s"))
+      hub = nodes.join(hOut.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(nAgg))
+        .select(col("node"), (coalesce(col("s"), lit(0.0d)) / col("nv")).as("h"))
+    }
+    auth.join(hub, Seq("node"))
+  }
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))

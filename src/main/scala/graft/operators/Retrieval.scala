@@ -105,6 +105,26 @@ object Retrieval {
         round(col("score"), 9).as("score"))
   }
 
+  /** RAG-style sliding-window chunking: fixed `win`-token windows with
+    * stride `stride` (so consecutive windows overlap by `win - stride`
+    * tokens), truncated at doc end — the embedding-passage splitter of a
+    * retrieval pipeline. Pure projection + explode: no shuffle, no state,
+    * embarrassingly parallel at any scale (contrast Chunking.withChunkIds,
+    * which numbers GLOBAL byte chunks and needs the two-pass offsets).
+    * Returns (doc_id, win_id, n_tok, win_text).
+    */
+  def chunkWindows(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(t) - 1) div $stride")),
+          w => slice(col("t"), w * stride + 1, lit(win))))
+          .as(Seq("win_id", "win")))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        size(col("win")).cast("long").as("n_tok"),
+        array_join(col("win"), " ").as("win_text"))
+
   /** Exact "w1 w2" phrase occurrences per doc via positional intersect:
     * (doc_id, n_hits, first_pos). Positions are 0-based token offsets.
     */

@@ -172,4 +172,41 @@ object Selection {
           .otherwise(lit("head")))
       .drop("cut1", "cut2")
   }
+
+  /** UniMax language sampling (Chung et al., 2023, arXiv:2304.09151):
+    * water-filling budget allocation over languages. Languages are visited
+    * smallest-first; each gets `min(n_l * maxEpochs, remaining / left)` —
+    * small languages take their epoch-capped full size, and whatever they
+    * leave on the table flows to the larger languages, which end up
+    * sharing the residual evenly. All arithmetic is integer (docs, not
+    * fractional tokens), so the allocation is exactly replayable as a
+    * recursive CTE.
+    *
+    * The census is a ≤|langs|-row aggregate collected to the driver and
+    * the water-filling loop runs there (model-as-data, the lloyd/BPE-merge
+    * pattern) — at 100 TB the census is still tiny, and the resulting
+    * quota table is what a sampler joins back (broadcast) onto the corpus.
+    * Budget = total * budgetNum / budgetDen docs.
+    * Returns (lang, n_docs, quota, epochs = quota/n_docs).
+    */
+  def unimax(docs: DataFrame, budgetNum: Long = 3, budgetDen: Long = 5,
+             maxEpochs: Long = 2): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n, l) }
+    val total = census.map(_._2).sum
+    var remaining = total * budgetNum / budgetDen
+    var langsLeft = census.length.toLong
+    val rows = census.map { case (l, n) =>
+      val quota = math.min(n * maxEpochs, remaining / langsLeft)
+      remaining -= quota
+      langsLeft -= 1
+      (l, n, quota, quota.toDouble / n.toDouble)
+    }
+    rows.toSeq.toDF("lang", "n_docs", "quota", "epochs_raw")
+      .select(col("lang"), col("n_docs"), col("quota"),
+        round(col("epochs_raw"), 6).as("epochs"))
+  }
 }

@@ -333,4 +333,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p.take(4000))
     operators.OpCaches.drain()
   }
+
+  test("q_hits: edge table cached, read on all four per-round joins; " +
+      "top-k is TakeOrdered") {
+    val p = plan("q_hits")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4, p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_chunk_windows: map-only — zero exchanges, zero joins") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+  }
 }

@@ -112,6 +112,61 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
     OpCaches.drainAll()
   }
 
+  test("hits: exact parity with a driver-side replica (|V|-scaled rounds)") {
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap { u =>
+      (1 to 3).map(k => (u, (u * 13 + k * 5 + (u * u) % 7) % 30))
+    }.distinct
+    val got = Graph.hits(edges.toDF("src", "dst"), nodes.toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2))))
+      .toMap
+
+    val nv = nodes.size.toDouble
+    var hub = nodes.map(_ -> 1.0d).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val aIn = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(_._1).sorted.foldLeft(0.0d)((a, u) => a + hub(u)) }
+      auth = nodes.map(v => v -> (aIn.getOrElse(v, 0.0d) / nv)).toMap
+      val hOut = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(_._2).sorted.foldLeft(0.0d)((a, v) => a + auth(v)) }
+      hub = nodes.map(u => u -> (hOut.getOrElse(u, 0.0d) / nv)).toMap
+    }
+    assert(got === nodes.map(v => v -> ((auth(v), hub(v)))).toMap)
+    OpCaches.drainAll()
+  }
+
+  test("chunkWindows: stride/overlap/truncation on a hand doc") {
+    val d = mkDocs(Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, "solo")))
+    val out = Retrieval.chunkWindows(d, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 1L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 4L, "w6 w7 w8 w9"),
+      (1L, 3L, 1L, "w9"),
+      (2L, 0L, 1L, "solo")))
+  }
+
+  test("unimax: water-filling allocation on a hand census") {
+    // langs a:2 b:10 c:30 — total 42, budget 25, epoch cap 2:
+    // a takes min(4, 25/3=8)=4; b min(20, 21/2=10)=10; c min(60, 11)=11
+    val rows = (0L until 2L).map(i => (i, "a")) ++
+      (100L until 110L).map(i => (i, "b")) ++
+      (200L until 230L).map(i => (i, "c"))
+    val d = rows.toDF("doc_id", "lang")
+    val out = graft.operators.Selection.unimax(d, 3, 5, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("a", 2L, 4L, 2.0d),
+      ("b", 10L, 10L, 1.0d),
+      ("c", 30L, 11L, 0.366667d)))
+  }
+
   test("pagerank: mass conservation on a strongly-regular graph") {
     // every node has out-degree 1 and in-degree 1 (a single cycle) — ranks
     // stay exactly 1.0 through every iteration
