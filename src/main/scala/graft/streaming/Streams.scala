@@ -240,6 +240,55 @@ object Streams {
     w.start()
   }
 
+  /** Incremental inverted-index maintenance, the streaming dual of
+    * Retrieval.invertedIndex's (tok, doc_id, tf) base table: each
+    * micro-batch aggregates its own postings delta, which merges into the
+    * committed index by SUMMING tf on colliding (tok, doc_id) keys and
+    * unioning fresh ones — append-only doc growth across batches sums
+    * correctly (a re-crawled doc is upstream's job to tombstone first).
+    * One atomic snapshot wave per batch, batchId-idempotent exactly like
+    * [[upsertBatch]] (same skip-marker contract, replay = no-op). At
+    * scale the delta is micro-batch-sized and the merge is a
+    * key-partitioned full-outer join against the committed index — the
+    * same O(delta)-exchange principle as the bucketed seen index (a
+    * production table would be bucketed by tok so only the delta side
+    * exchanges). */
+  def indexMaintBatch(store: graft.state.SnapshotStore, table: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!store.streamLastBatch.exists(_ >= batchId)) {
+      val delta = graft.operators.Retrieval.tokenStream(batch)
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val committed = store.latestWave
+      val existing = committed match {
+        case Some(w) if store.exists(w, table) => store.read(spark, w, table)
+        case _ => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          delta.schema)
+      }
+      val merged = existing.withColumnRenamed("tf", "tf_old")
+        .join(delta.withColumnRenamed("tf", "tf_new"),
+          Seq("tok", "doc_id"), "full_outer")
+        .select(col("tok"), col("doc_id"),
+          (coalesce(col("tf_old"), lit(0L)) +
+            coalesce(col("tf_new"), lit(0L))).as("tf"))
+      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
+      store.setStreamLastBatch(batchId)
+    }
+  }
+
+  /** Continuous inverted-index maintenance via foreachBatch — see
+    * [[indexMaintBatch]]. Pass `checkpointLocation` in production (same
+    * batchId-monotonicity caveat as [[upsertStream]]). */
+  def indexMaintStream(docs: DataFrame, store: graft.state.SnapshotStore,
+      table: String, checkpointLocation: Option[String] = None) = {
+    val w = docs.writeStream
+      .foreachBatch(indexMaintBatch(store, table) _)
+      .outputMode(OutputMode.Update())
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

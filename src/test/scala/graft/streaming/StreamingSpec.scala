@@ -245,6 +245,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(store.latestWave === Some(6))
   }
 
+  test("streaming index maintenance: 3 micro-batches converge to the batch " +
+      "inverted-index base table; replay is a no-op; growth sums tf") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-idx").toString
+    val store = new graft.state.SnapshotStore(dir)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c"), (4L, "d"),
+      (5L, "b d b"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.indexMaintStream(
+      in.toDF().toDF("doc_id", "text"), store, "inv")
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+      in.addData(docs.drop(4): _*); q.processAllAvailable()
+      val got = store.read(spark, store.latestWave.get, "inv")
+        .as[(String, Long, Long)].collect().toSet
+      val want = graft.operators.Retrieval
+        .tokenStream(docs.toDF("doc_id", "text"))
+        .groupBy("tok", "doc_id").count()
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === want)
+      // replay: batchId 2 already applied — wave count must not move
+      val w0 = store.latestWave
+      Streams.indexMaintBatch(store, "inv")(
+        Seq((9L, "zzz")).toDF("doc_id", "text"), 2L)
+      assert(store.latestWave === w0)
+      // append-only growth: doc 1 gains one more "a" in a later batch
+      Streams.indexMaintBatch(store, "inv")(
+        Seq((1L, "a")).toDF("doc_id", "text"), 3L)
+      val after = store.read(spark, store.latestWave.get, "inv")
+        .filter(col("tok") === "a" && col("doc_id") === 1L)
+        .select("tf").as[Long].collect().toList
+      assert(after === List(3L))
+    } finally q.stop()
+  }
+
   test("streaming container expansion emits leaf members per arriving archive") {
     import graft.operators.Containers
     import spark.implicits._
