@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, SliceText, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, SliceText, Temporal, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -652,6 +652,37 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(col("session")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // AS-OF join (view → click): for each click, the latest view at or
+    // before it per user — tagged union + running max over ONE window
+    // shuffle, never a per-row inequality join (operators/Temporal; the
+    // kdb-style sort-merge AS-OF expressed declaratively).
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      Temporal.withAsofTs(e, "user_id", "ts", "event_id",
+          col("event_type") === "view", "last_view_ts")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"), col("last_view_ts"))
+    }),
+
+    // range join: clicks within [view_ts, view_ts + 1h] per user, via the
+    // bucketed equi-join decomposition (bucket width == window width ⇒ 2
+    // candidate buckets per probe; exact timestamp filter after). The
+    // oracle states the semantics as the plain inequality join; the Spark
+    // plan must stay a hash join — PlanSpec pins no nested-loop.
+    "q_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      Temporal.rangeJoinCount(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("v_ts")),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts")),
+        "user_id", "v_ts", "c_ts", 3600, "view_id")
     }),
 
     // 2.6 salted two-phase aggregation (skew path; result == plain groupBy)
@@ -2119,6 +2150,28 @@ object SparkEntry {
         |  FROM f)
         |SELECT user_id, CAST(max(session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events FROM g GROUP BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        |  FROM e)
+        |SELECT event_id AS click_id, user_id, ts AS click_ts, last_view_ts
+        |FROM r WHERE event_type = 'click'""".stripMargin,
+
+    "q_range_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT v.view_id, v.user_id,
+        |  CAST(count(c.c_ts) AS BIGINT) AS n_in_window
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 3600 SECOND
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS cnt

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins — the two time-series join shapes Spark has no native
+  * operator for (the brief's "as-of join, range join" line), built by
+  * composition so Catalyst keeps optimizing them (preference (a) of the
+  * custom-operator ladder; no custom SparkPlan needed):
+  *
+  *   - AS-OF join ([[withAsofTs]]): for each probe row, the latest build
+  *     timestamp at or before it, per key. Restated as a tagged UNION +
+  *     running max over a per-key window — the answer rides ONE shuffle
+  *     (the window partition by key), never a per-row inequality join.
+  *     This is the sort-merge AS-OF algorithm (kdb/QuestDB-style)
+  *     expressed declaratively: the union sort IS the merge.
+  *   - range join ([[rangeJoinCount]]): probe rows within
+  *     `[t, t + winSec]` of each build row, per key. Decomposed into an
+  *     EQUI-join on (key, time-bucket) with bucket width == window width
+  *     (each probe lands in exactly 2 candidate buckets), then an exact
+  *     timestamp filter — the standard bucketed range-join decomposition
+  *     (what Databricks' range-join hint does under the hood). The plan
+  *     is a hash join on (key, bucket); a naive inequality join would be
+  *     BroadcastNestedLoop, O(n·m) per key.
+  *
+  * Bucket soundness (winSec-wide window, winSec-wide buckets): with
+  * integer epoch seconds s_b ≤ s_p ≤ s_b + winSec, floor(s_p/winSec) −
+  * floor(s_b/winSec) ∈ {0, 1}, so probing buckets {b_p, b_p − 1} is a
+  * candidate superset; the exact filter compares full microsecond
+  * timestamps, so truncation only ever widens candidates.
+  */
+object Temporal {
+
+  /** AS-OF kernel over a tagged union: appends `out` = the latest `tsCol`
+    * among rows where `isBuildSide` holds, at or before the current row
+    * in (tsCol, ordCol) order per `keyCol`. Ties resolve by `ordCol`
+    * (must be unique — e.g. an event id), making the result
+    * partition-invariant. Filter the probe side afterwards. */
+  def withAsofTs(tagged: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, isBuildSide: Column,
+      out: String = "asof_ts"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn(out, max(when(isBuildSide, col(tsCol))).over(w))
+  }
+
+  /** Per-build-row count of probe rows with ts in `[t, t + winSec]` on
+    * the same key. `idCol` identifies build rows (unique). Build rows
+    * with no probe in range keep n_in_window = 0. */
+  def rangeJoinCount(build: DataFrame, probe: DataFrame, keyCol: String,
+      tsB: String, tsP: String, winSec: Int, idCol: String): DataFrame = {
+    // unix_micros(cast(... as timestamp)): NTZ columns (parquet without a
+    // zone) reinterpret in the session zone (pinned UTC) — bucketing is
+    // internal candidate generation only, the exact filter below compares
+    // the original timestamps
+    val winMicros = winSec * 1000000L
+    val lb = build.withColumn("vb",
+      expr(s"unix_micros(cast($tsB as timestamp)) div ${winMicros}L"))
+    val pb = expr(s"unix_micros(cast($tsP as timestamp)) div ${winMicros}L")
+    val rb = probe.select(col(keyCol), col(tsP),
+      explode(array(pb, pb - 1)).as("vb"))
+    val counted = lb.join(rb, Seq(keyCol, "vb"))
+      .filter(col(tsP) >= col(tsB) &&
+        col(tsP) <= col(tsB) + expr(s"INTERVAL $winSec SECONDS"))
+      .groupBy(col(idCol), col(keyCol))
+      .agg(count(lit(1)).as("n_in_window"))
+    build.select(col(idCol), col(keyCol))
+      .join(counted, Seq(idCol, keyCol), "left")
+      .select(col(idCol), col(keyCol),
+        coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
+  }
+}

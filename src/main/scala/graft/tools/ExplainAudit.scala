@@ -40,7 +40,13 @@ object ExplainAudit {
       // round 4 late: data-selection layer — DSIR top-k, CCNet LM buckets,
       // cluster-balanced sampling
       "q_dsir_select", "q_ccnet_buckets", "q_cluster_balance",
-      "q_bpe_apply", "q_audio_meta")
+      "q_bpe_apply", "q_audio_meta",
+      // round 4 session end: retrieval / link-graph / temporal layer —
+      // cached token stream + broadcast stats (bm25), per-iteration cache
+      // reuse (pagerank/hits), window-kernel AS-OF, bucketed range join
+      "q_inverted_index", "q_bm25", "q_phrase_search", "q_pagerank",
+      "q_hits", "q_chunk_windows", "q_unimax", "q_asof_join",
+      "q_range_join")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

@@ -347,4 +347,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_chunk_windows")
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
   }
+
+  test("q_asof_join: the AS-OF rides ONE window shuffle — no join operator " +
+      "in the plan at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p.take(2500))
+    assert(p.contains("Window"), p.take(2500))
+  }
+
+  test("q_range_join: bucketed decomposition keeps hash/merge joins — " +
+      "never a nested loop or cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }

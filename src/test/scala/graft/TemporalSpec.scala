@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Driver-side differentials for the temporal joins: a seeded event set
+  * replayed with plain Scala (naive O(n·m) semantics — the definition,
+  * not the decomposition) must match the single-shuffle AS-OF window and
+  * the bucketed range join exactly, including window-boundary timestamps
+  * (the bucket decomposition's edge cases: probe exactly at t, exactly at
+  * t + winSec, one microsecond past).
+  */
+class TemporalSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // seeded deterministic events: (user, epochMicros, id, kind)
+  private val base = 1700000000000000L // epoch micros
+  private def lcg(x: Long): Long = (x * 6364136223846793005L + 1442695040888963407L)
+  private val win = 3600L * 1000000L
+  private val events: Seq[(Long, Long, Long, String)] =
+    (0L until 400L).map { i =>
+      val r = lcg(i)
+      val user = math.floorMod(r, 5)
+      // cluster timestamps over 3 days so windows genuinely overlap
+      val off =
+        if (i % 7 == 0) (i / 7) * 3600L * 1000000L
+        else math.floorMod(lcg(r), 3 * 24 * 3600L) * 1000000L + (i % 3)
+      val kind = if (math.floorMod(lcg(r + 1), 2) == 0) "view" else "click"
+      (user, base + off, i, kind)
+    } ++ Seq(
+      // planted window-boundary cases: a click at EXACTLY the view's ts
+      // (higher id — the view sorts first), at exactly ts + winSec (in),
+      // and one microsecond past (out)
+      (0L, base, 400L, "view"),
+      (0L, base, 401L, "click"),
+      (0L, base + win, 402L, "click"),
+      (0L, base + win + 1L, 403L, "click"))
+
+  test("asof: window kernel matches the naive latest-at-or-before scan") {
+    val d = events.map { case (u, ts, id, k) => (u, tsOf(ts), id, k) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.withAsofTs(d, "user_id", "ts", "event_id",
+        col("event_type") === "view", "last_view_ts")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("last_view_ts"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getTimestamp(1)).map(_.getTime)).toMap
+
+    val want = events.filter(_._4 == "click").map { case (u, ts, id, _) =>
+      // naive: latest view at-or-before in (ts, id) order for this user
+      val cands = events.filter(e => e._1 == u && e._4 == "view" &&
+        (e._2 < ts || (e._2 == ts && e._3 < id)))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.map(_._2).max / 1000)) // ms, like getTime
+    }.toMap
+    assert(got === want)
+  }
+
+  test("range join: bucketed decomposition matches the naive count, " +
+      "including both window boundaries") {
+    val v = events.filter(_._4 == "view")
+      .map { case (u, ts, id, _) => (id, u, tsOf(ts)) }
+      .toDF("view_id", "user_id", "v_ts")
+    val c = events.filter(_._4 == "click")
+      .map { case (u, ts, _, _) => (u, tsOf(ts)) }
+      .toDF("user_id", "c_ts")
+    val got = Temporal.rangeJoinCount(v, c, "user_id", "v_ts", "c_ts",
+        3600, "view_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val want = events.filter(_._4 == "view").map { case (u, ts, id, _) =>
+      id -> events.count(e => e._1 == u && e._4 == "click" &&
+        e._2 >= ts && e._2 <= ts + win).toLong
+    }.toMap
+    assert(got === want)
+    // the planted boundary view (id 400) counts its same-instant click
+    // and the exactly-at-t+win click, not the one-microsecond-late one
+    assert(want(400L) >= 2L)
+  }
+
+  private def tsOf(micros: Long): Timestamp = {
+    val t = new Timestamp(micros / 1000000L * 1000L)
+    t.setNanos(((micros % 1000000L) * 1000L).toInt)
+    t
+  }
+}
