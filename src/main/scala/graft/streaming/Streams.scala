@@ -240,6 +240,28 @@ object Streams {
     w.start()
   }
 
+  /** Stream-stream event-time interval join (the click-attribution /
+    * impression-conversion shape): each click joins every view it follows
+    * within `winSec` seconds on the same user — the streaming dual of
+    * Temporal.rangeJoinCount's containment predicate. Both sides carry
+    * watermarks, so Spark's stream-stream join can PURGE state: a
+    * buffered view is dropped once the click watermark passes
+    * `v_ts + winSec` (the range condition gives the engine the state
+    * bound; without it the join state grows forever). Inner join in
+    * append mode — matches emit as soon as both sides arrive, the
+    * watermark only governs state cleanup. */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame,
+      winSec: Int, watermark: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("v_ts"),
+      col("view_id")).withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("c_ts"),
+      col("click_id")).withWatermark("c_ts", watermark)
+    v.join(c, expr(s"""v_user = c_user AND c_ts >= v_ts
+        AND c_ts <= v_ts + interval $winSec seconds"""))
+      .select(col("view_id"), col("click_id"),
+        col("v_user").as("user_id"), col("v_ts"), col("c_ts"))
+  }
+
   /** Incremental inverted-index maintenance, the streaming dual of
     * Retrieval.invertedIndex's (tok, doc_id, tf) base table: each
     * micro-batch aggregates its own postings delta, which merges into the

@@ -245,6 +245,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(store.latestWave === Some(6))
   }
 
+  test("stream-stream interval join: attributed pairs converge to the " +
+      "batch inequality join, across out-of-order micro-batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L // epoch millis
+    def ts(m: Long) = new Timestamp(base + m * 60000L)
+    // (user, ts, id): views u1@0,u1@90,u2@10; clicks u1@30(in),u1@61(out),
+    // u1@95(in for view@90), u2@70(in at exactly +60min), u2@71(out)
+    val views = Seq((1L, ts(0), 100L), (1L, ts(90), 101L), (2L, ts(10), 102L))
+    val clicks = Seq((1L, ts(30), 200L), (1L, ts(61), 201L),
+      (1L, ts(95), 202L), (2L, ts(70), 203L), (2L, ts(71), 204L))
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+      vIn.toDF().toDF("user_id", "v_ts", "view_id"),
+      cIn.toDF().toDF("user_id", "c_ts", "click_id"), 3600)
+    val q = joined.writeStream.format("memory").queryName("attr_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // clicks for view@90 arrive BEFORE that view (cross-stream disorder)
+      vIn.addData(views.take(1): _*); cIn.addData(clicks.take(3): _*)
+      q.processAllAvailable()
+      vIn.addData(views.drop(1): _*); cIn.addData(clicks.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select view_id, click_id from attr_mem")
+        .as[(Long, Long)].collect().toSet
+      val want = views.toDF("user_id", "v_ts", "view_id")
+        .join(clicks.toDF("user_id", "c_ts", "click_id"), "user_id")
+        .filter(col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 3600 seconds"))
+        .select(col("view_id"), col("click_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(want === Set((100L, 200L), (101L, 202L), (102L, 203L)))
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: 3 micro-batches converge to the batch " +
       "inverted-index base table; replay is a no-op; growth sums tf") {
     import spark.implicits._
