@@ -1196,6 +1196,12 @@ object SparkEntry {
           round(col("h"), 9).as("hub"))
     }),
 
+    // per-node triangle counts over the undirected link restatement —
+    // node-iterator as two hash joins (wedge build + semi-join closure),
+    // each triangle counted once via the a<b<c ordering.
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangles(linkGraph(docs(s, dir)))),
+
     // RAG sliding-window chunking: 32-token windows, stride 24 (8-token
     // overlap). Map-only — PlanSpec pins zero exchanges.
     "q_chunk_windows" -> ((s, dir) =>
@@ -2682,6 +2688,28 @@ object SparkEntry {
          |FROM a2 JOIN h2 ON a2.node = h2.node
          |ORDER BY a2.a DESC, a2.node ASC LIMIT 20""".stripMargin
     },
+
+    "q_triangles" ->
+      // the edge list is UNION ALL (not unnest) here: DuckDB 1.0.0 has an
+      // internal binder bug applying scalar expressions (!=, least) to an
+      // unnest-derived column; the pagerank/hits oracles only ever join or
+      // group on dst, which binds fine. The e3 join is the semi-join
+      // closure — (a,b) is unique in u, so inner multiplicity is 1.
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst
+         |    FROM documents CROSS JOIN nn
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 14) % nn.n
+         |    FROM documents CROSS JOIN nn
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 21) % nn.n
+         |    FROM documents CROSS JOIN nn),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM u e1 JOIN u e2 ON e1.b = e2.a
+         |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t)
+         |SELECT node, count(*) AS n_tri FROM c GROUP BY 1""".stripMargin,
 
     "q_chunk_windows" ->
       s"""WITH d AS (SELECT doc_id,

@@ -71,6 +71,32 @@ object Graph {
     auth.join(hub, Seq("node"))
   }
 
+  /** Per-node triangle participation counts over an UNDIRECTED simple
+    * graph given as directed (src, dst) pairs — self-loops dropped,
+    * direction collapsed to ordered pairs a < b. The node-iterator
+    * algorithm as two hash joins: wedges a−b−c with a < b < c (join on
+    * the shared middle vertex), closed by a left-semi probe of the third
+    * edge (a, c); each triangle materializes exactly once, then explodes
+    * to its three corners. All integer arithmetic — trivially
+    * engine-stable. At scale this is the standard distributed triangle
+    * count; the a<b<c ordering is what keeps the wedge table from
+    * tripling (and is why high-degree hubs land on the RIGHT of most of
+    * their edges, the classic skew mitigation). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = OpCaches.register(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().persist())
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(und.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))

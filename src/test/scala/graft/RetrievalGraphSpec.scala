@@ -167,6 +167,27 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
       ("c", 30L, 11L, 0.366667d)))
   }
 
+  test("triangles: per-node counts match a brute-force enumeration") {
+    val nodes = (0L until 24L)
+    val edges = nodes.flatMap { u =>
+      (1 to 3).map(k => (u, (u * 13 + k * 5 + (u * u) % 7) % 24))
+    }
+    val got = Graph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)
+    assert(tris.nonEmpty, "test graph has no triangles — regenerate")
+    val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got === want)
+    OpCaches.drainAll()
+  }
+
   test("pagerank: mass conservation on a strongly-regular graph") {
     // every node has out-degree 1 and in-degree 1 (a single cycle) — ranks
     // stay exactly 1.0 through every iteration
