@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, SliceText, Temporal, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -62,6 +62,18 @@ object SparkEntry {
           .as("dst"))
       .distinct()
   }
+
+  /** Skewed deterministic doc-link restatement for the peeling/community
+    * operators (q_kcore / q_label_prop): three out-edges per doc with
+    * SMALL moduli (499/97/251), so low ids become hubs — degrees range
+    * 3..11 instead of linkGraph's near-regular 6, giving the k-core peel
+    * and label propagation real dynamics to verify. */
+  private def skewGraph(d: DataFrame): DataFrame =
+    d.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * lit(31L) + lit(7L), lit(499L)),
+        pmod(col("doc_id"), lit(97L)),
+        pmod(col("doc_id") * lit(17L) + lit(3L), lit(251L)))).as("dst"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational core (scan/filter/join/agg/window/limit) ----------
@@ -1201,6 +1213,115 @@ object SparkEntry {
     // each triangle counted once via the a<b<c ordering.
     "q_triangles" -> ((s, dir) =>
       Graph.triangles(linkGraph(docs(s, dir)))),
+
+    // fixed-round k-core peeling (k=4, 3 rounds) over the skewed link
+    // restatement: each round drops degree<4 nodes and their edges
+    // simultaneously; survivors with their residual degree.
+    "q_kcore" -> ((s, dir) =>
+      Graph.kcore(skewGraph(docs(s, dir)), 4, 3)),
+
+    // deterministic synchronous label propagation (2 rounds, most-frequent
+    // neighbor label, min-label tie-break) — community detection over the
+    // skewed link restatement.
+    "q_label_prop" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.labelProp(skewGraph(d), d.select(col("doc_id").as("node")), 2)
+    }),
+
+    // deterministic HyperLogLog distinct-count sketch over order keys:
+    // 256 hex-prefix registers + the raw harmonic estimate. All 256
+    // register rows are output (estimate/exact ride along as repeated
+    // columns) so the oracle re-derives the ENTIRE register construction,
+    // not just the scalar.
+    "q_hll_distinct" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val regs = operators.OpCaches.register(
+        Sketches.hllRegisters(li, "l_orderkey").persist())
+      val est = Sketches.hllEstimate(regs)
+        .select(round(col("sum_inv"), 9).as("sum_inv"),
+          round(col("est"), 3).as("est"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+    }),
+
+    // count-min-sketch heavy hitters (d=4 rows x 256 hex-prefix columns)
+    // over the token frequency table: top-20 by min-over-rows estimate,
+    // true count alongside (est >= cnt — the CMS one-sided error).
+    "q_cms_heavy" -> ((s, dir) => {
+      val tokCnt = docs(s, dir)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.TokenPattern), lit(0))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      Sketches.cmsTopK(tokCnt, 4, 20)
+    }),
+
+    // ROLLUP aggregation (per-flag/status subtotals + grand total) —
+    // rolled-up levels surfaced as 'ALL' (the data has no NULL group
+    // keys, so coalesce is unambiguous). Quantities are integer-valued
+    // doubles: every partial sum is exact, so the unordered sum is
+    // engine-stable without rounding.
+    "q_rollup_pricing" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("cnt"))),
+
+    // pivot (cross-tab): quantity by line status x return flag, explicit
+    // pivot values so the output schema is static in both engines.
+    "q_pivot_returns" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))),
+
+    // exact distributed per-group median (lower median, deterministic
+    // tie order) via ONE per-key window shuffle: row_number + partition
+    // count over the same window spec, keep rank == floor((n+1)/2).
+    "q_group_median" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val part = Window.partitionBy(col("l_suppkey"))
+      val ord = part.orderBy(col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+      li.select(col("l_suppkey"), col("l_quantity"),
+          row_number().over(ord).as("r"),
+          count(lit(1)).over(part).as("n"))
+        .filter(col("r") === floor((col("n") + lit(1)) / lit(2)))
+        .select(col("l_suppkey"), col("n"),
+          col("l_quantity").as("median_qty"))
+    }),
+
+    // PMI-surrogate collocation mining: adjacent-token bigrams scored by
+    // cnt_xy * N / (cnt_x * cnt_y) (classic PMI minus the log and the
+    // constant N/Nb scaling — ranking-identical, and the bigint products
+    // keep every score ONE exact division). Bigrams come from a zero-join
+    // transform over the persisted token arrays; min support 5; top-20.
+    "q_pmi_collocations" -> ((s, dir) => {
+      val d = operators.OpCaches.register(docs(s, dir).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.TokenPattern), lit(0)).as("t")).persist())
+      val uni = d.select(explode(col("t")).as("w"))
+      val cx = operators.OpCaches.register(
+        uni.groupBy(col("w")).agg(count(lit(1)).as("c")).persist())
+      val nt = uni.agg(count(lit(1)).as("n"))
+      val big = d.filter(size(col("t")) >= 2).select(explode(
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cxy = big.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5)
+      val scored = cxy
+        .join(cx.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(cx.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("cxy"),
+          ((col("cxy") * col("n")).cast("double") /
+            (col("c1") * col("c2")).cast("double")).as("s"))
+      scored.orderBy(col("s").desc, col("w1").asc, col("w2").asc).limit(20)
+        .select(col("w1"), col("w2"), col("cxy"), round(col("s"), 9).as("pmi"))
+    }),
 
     // RAG sliding-window chunking: 32-token windows, stride 24 (8-token
     // overlap). Map-only — PlanSpec pins zero exchanges.
@@ -2710,6 +2831,154 @@ object SparkEntry {
          |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
          |  UNION ALL SELECT z FROM t)
          |SELECT node, count(*) AS n_tri FROM c GROUP BY 1""".stripMargin,
+
+    "q_kcore" -> {
+      // 3 unrolled peel rounds over the skewed restatement; g0 is the
+      // undirected both-directions edge list (UNION ALL, not unnest —
+      // same DuckDB binder workaround as q_triangles)
+      val rounds = (1 to 3).map { i =>
+        s"""k$i AS (SELECT u FROM g${i - 1} GROUP BY u
+           |  HAVING count(*) >= 4),
+           |g$i AS (SELECT g.u AS u, g.v AS v FROM g${i - 1} g
+           |  JOIN k$i x ON g.u = x.u JOIN k$i y ON g.v = y.u)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |    SELECT doc_id AS src, (doc_id * 31 + 7) % 499 AS dst
+         |      FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 97 FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % 251 FROM documents),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g0 AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |$rounds
+         |SELECT u AS node, count(*) AS deg FROM g3 GROUP BY u""".stripMargin
+    },
+
+    "q_label_prop" -> {
+      // 2 unrolled synchronous LPA rounds: per-neighbor label counts →
+      // max count → min label among the argmax set; isolated keep old
+      val rounds = (1 to 2).map { i =>
+        s"""nb$i AS (SELECT v, label, count(*) AS cnt
+           |  FROM g0 JOIN l${i - 1} ON g0.u = l${i - 1}.node
+           |  GROUP BY v, label),
+           |mx$i AS (SELECT v, max(cnt) AS mx FROM nb$i GROUP BY v),
+           |up$i AS (SELECT nb$i.v AS v, min(label) AS nl
+           |  FROM nb$i JOIN mx$i ON nb$i.v = mx$i.v AND nb$i.cnt = mx$i.mx
+           |  GROUP BY nb$i.v),
+           |l$i AS (SELECT node, coalesce(nl, label) AS label
+           |  FROM l${i - 1} LEFT JOIN up$i ON l${i - 1}.node = up$i.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |    SELECT doc_id AS src, (doc_id * 31 + 7) % 499 AS dst
+         |      FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 97 FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % 251 FROM documents),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g0 AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT node, label FROM l2""".stripMargin
+    },
+
+    "q_hll_distinct" ->
+      // register construction mirrors Sketches.hllRegisters op-for-op:
+      // 2-hex-char bucket, rho = 1 + leading zero bits of the 48-bit
+      // slice via ltrim + hex-digit CASE ladder; harmonic sum folds in
+      // bucket order with shift-built exact powers of two
+      s"""WITH h AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |occ AS (SELECT substr(h, 1, 2) AS bucket,
+         |    CASE WHEN ltrim(substr(h, 3, 12), '0') = '' THEN 49
+         |      ELSE 4 * (12 - len(ltrim(substr(h, 3, 12), '0'))) +
+         |        (CASE
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '8'
+         |            THEN 1
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '4'
+         |            THEN 2
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '2'
+         |            THEN 3
+         |          ELSE 4 END) END AS rho
+         |  FROM h),
+         |rb AS (SELECT printf('%02x', CAST(i AS INT)) AS bucket
+         |  FROM (SELECT unnest(range(256)) AS i)),
+         |regs AS (SELECT rb.bucket AS bucket, coalesce(max(occ.rho), 0) AS rho
+         |  FROM rb LEFT JOIN occ ON rb.bucket = occ.bucket
+         |  GROUP BY rb.bucket),
+         |s AS (SELECT
+         |    round(list_sum(list(CAST(1.0 AS DOUBLE)
+         |      / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+         |      ORDER BY bucket)), 9) AS sum_inv,
+         |    round(CAST(${Sketches.HllAlpha} AS DOUBLE)
+         |        * CAST(65536.0 AS DOUBLE)
+         |      / list_sum(list(CAST(1.0 AS DOUBLE)
+         |        / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+         |        ORDER BY bucket)), 3) AS est
+         |  FROM regs),
+         |x AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+         |SELECT regs.bucket, regs.rho, s.sum_inv, s.est, x.n_exact
+         |FROM regs CROSS JOIN s CROSS JOIN x""".stripMargin,
+
+    "q_cms_heavy" ->
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[A-Za-z0-9]+')) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |pr AS (SELECT tok, cnt, r,
+         |    substr(md5('r' || CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS c
+         |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+         |sk AS (SELECT r, c, sum(cnt) AS cell FROM pr GROUP BY r, c),
+         |est AS (SELECT tok, min(cell) AS est, max(cnt) AS cnt
+         |  FROM pr JOIN sk USING (r, c) GROUP BY tok)
+         |SELECT tok, est, cnt FROM est
+         |ORDER BY est DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "q_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot_returns" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_group_median" ->
+      """WITH r AS (SELECT l_suppkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS r,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM lineitem)
+        |SELECT l_suppkey, n, l_quantity AS median_qty FROM r
+        |WHERE r = floor((n + 1) / 2)""".stripMargin,
+
+    "q_pmi_collocations" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+         |  FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM d),
+         |cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |nt AS (SELECT count(*) AS n FROM uni),
+         |big AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)), i ->
+         |      struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+         |    FROM d WHERE len(t) >= 2)),
+         |cxy AS (SELECT w1, w2, count(*) AS cxy FROM big
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, cxy,
+         |  round(CAST(cxy * n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE), 9)
+         |    AS pmi
+         |FROM cxy JOIN cx a ON cxy.w1 = a.w JOIN cx b ON cxy.w2 = b.w
+         |CROSS JOIN nt
+         |ORDER BY CAST(cxy * n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) DESC,
+         |  w1 ASC, w2 ASC LIMIT 20""".stripMargin,
 
     "q_chunk_windows" ->
       s"""WITH d AS (SELECT doc_id,

@@ -97,6 +97,67 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Directed (src, dst) pairs → the undirected simple graph as BOTH
+    * directions (u, v): self-loops dropped, parallel/reverse duplicates
+    * collapsed. Degree of u == count of rows with that u. */
+  def undirected(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+  }
+
+  /** Fixed-round k-core peeling (Seidman 1983; the distributed peel is
+    * Montresor et al.'s round-synchronous form): each round drops every
+    * node with degree < k and all its edges, simultaneously. After
+    * `rounds` rounds, returns (node, deg) for the survivors — the exact
+    * k-core once a round removes nothing. Per round: one hash aggregate
+    * (degree, map-side partials) + two left-semi joins; O(E) per round,
+    * no driver materialization. The surviving edge set persists per
+    * round (each round's input is consumed by the degree agg AND both
+    * semi-joins) and is OpCaches-registered for the caller's drain. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = undirected(edges)
+    for (_ <- 1 to rounds) {
+      val cur = OpCaches.register(e.persist())
+      val keep = cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      e = cur.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
+
+  /** Fixed-round synchronous label propagation (Raghavan et al. PRE'07,
+    * made deterministic): label_0(v) = v; each round every node adopts
+    * the most frequent label among its neighbors, ties broken by MIN
+    * label (the determinism the async original lacks); isolated nodes
+    * keep their label. Per round: one join (labels onto the persisted
+    * undirected edges) + two hash aggregates (per-(node,label) count,
+    * then per-node max) + the argmax join — all integer, engine-exact.
+    * Returns (node, label) after `rounds` rounds. */
+  def labelProp(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val und = OpCaches.register(undirected(edges).persist())
+    var lbl = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = OpCaches.register(
+        und.join(lbl.select(col("node").as("u"), col("label")), Seq("u"))
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+          .persist())
+      val mx = nb.groupBy(col("v")).agg(max(col("cnt")).as("mx"))
+      val upd = nb.join(mx, Seq("v"))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("v")).agg(min(col("label")).as("nl"))
+      lbl = lbl.join(upd.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    }
+    lbl
+  }
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))

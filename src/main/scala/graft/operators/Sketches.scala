@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic summary sketches — the cardinality / heavy-hitter
+  * statistics layer a 100-TB crawl needs for profiling (distinct-URL
+  * estimates per host shard, hot-token detection before index builds)
+  * without a corpus-wide exact aggregation.
+  *
+  * Both sketches are DETERMINISTIC replicas of their textbook forms
+  * (Flajolet et al. AofA'07 HyperLogLog; Cormode & Muthukrishnan
+  * J.Alg'05 count-min), built on md5 so every register/cell is
+  * replayable by the DuckDB oracle:
+  *
+  *   - buckets/columns are HEX-PREFIX STRINGS (first 2 md5 hex chars =
+  *     256 buckets), never hex→int conversions — both engines compare
+  *     and group the 2-char strings directly, so no conv()/parse
+  *     portability surface exists;
+  *   - HLL's rho (1 + leading-zero bits of a 48-bit hash slice) is
+  *     computed with ltrim('0') + one hex-digit CASE ladder — pure
+  *     string ops, exact in any engine;
+  *   - the harmonic sum folds 1/2^rho in bucket order (collect_list →
+  *     array_sort → aggregate ≡ DuckDB list_sum(... ORDER BY bucket)),
+  *     and 2^rho is an integer SHIFT, not pow() — every term and every
+  *     partial sum is an exact power of two, so the final double chain
+  *     is bit-identical cross-engine.
+  *
+  * Scale shape: HLL is two hash aggregates (occurrence → per-bucket max,
+  * then a 256-row fold); the per-bucket max has map-side partials, so at
+  * 10^10 keys the shuffle carries at most 256 rows per map task — the
+  * textbook mergeable-sketch property, materialized through Catalyst's
+  * partial aggregation rather than a custom accumulator. CMS is one
+  * bounded d×256-cell aggregate plus a broadcast probe join.
+  */
+object Sketches {
+
+  /** Number of HLL registers (2-hex-char bucket prefix). */
+  val HllM = 256
+
+  /** alpha_256 = 0.7213 / (1 + 1.079/256) — the standard HLL bias
+    * constant for m = 256; computed once in doubles here and embedded
+    * as a literal in the oracle SQL (Double round-trips through its
+    * shortest decimal repr, so both engines parse the identical bits). */
+  val HllAlpha: Double = 0.7213d / (1.0d + 1.079d / 256.0d)
+
+  /** rho = 1 + number of leading zero BITS in the 48-bit slice taken
+    * from md5-hex chars 3..14; 49 when the slice is all zeros. The hex
+    * string is left-trimmed of '0' digits (4 zero bits each) and the
+    * first surviving digit contributes via a 4-way CASE ladder — lower
+    * hex digits sort after '9' only for letters, but every boundary
+    * ('8', '4', '2') compares identically as ASCII in both engines. */
+  private def rho48(hexCol: Column): Column = {
+    val t = ltrim(substring(hexCol, 3, 12), "0")
+    val c = substring(t, 1, 1)
+    when(length(t) === 0, lit(49))
+      .otherwise(lit(4) * (lit(12) - length(t)) +
+        when(c >= "8", lit(1))
+          .when(c >= "4", lit(2))
+          .when(c >= "2", lit(3))
+          .otherwise(lit(4)))
+  }
+
+  /** The 256 HLL registers for the values of `keyCol`: one row per
+    * bucket `00`..`ff` with the max rho observed (0 for empty buckets —
+    * empty registers MUST contribute 2^0 to the harmonic sum). */
+  def hllRegisters(keys: DataFrame, keyCol: String): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val occ = keys.select(substring(h, 1, 2).as("bucket"), rho48(h).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+    val all = keys.sparkSession.range(HllM)
+      .select(format_string("%02x", col("id").cast("int")).as("bucket"))
+    all.join(occ, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** Raw HLL estimate (no small/large-range correction — the raw
+    * estimator is what the registers determine, and corrections are
+    * trivial post-hoc branches a caller applies): one row
+    * (sum_inv, est). `sum_inv` folds in bucket order; `est` is
+    * alpha * m^2 / sum_inv with alpha and m^2 as exact literals. */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("bucket"), col("rho")))),
+          x => lit(1.0d) /
+            call_function("shiftleft", lit(1L), x.getField("rho"))
+              .cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("sum_inv"))
+      .select(col("sum_inv"),
+        (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"))
+
+  /** Count-min-sketch heavy hitters over a pre-aggregated (tok, cnt)
+    * frequency table: d hash rows × 256 hex-prefix columns, row i's
+    * column for a token = first 2 hex chars of md5("r<i>:" + tok).
+    * Estimate = min over the d probed cells; returns the `topK`
+    * largest estimates with the true count alongside (on this exact
+    * input est >= cnt always — the CMS one-sided error).
+    *
+    * Shape: the probe stream (4 rows per distinct token) persists once
+    * and feeds both the cell aggregate (bounded: d*256 rows, map-side
+    * partials) and the probe join; the sketch side broadcasts. */
+  def cmsTopK(tokCnt: DataFrame, d: Int = 4, topK: Int = 20): DataFrame = {
+    val probes = OpCaches.register(tokCnt.select(
+      col("tok"), col("cnt"),
+      explode(array((0 until d).map(i => struct(
+        lit(i).as("r"),
+        substring(md5(concat(lit(s"r$i:"), col("tok"))), 1, 2).as("c"))): _*))
+        .as("p"))
+      .select(col("tok"), col("cnt"), col("p.r").as("r"), col("p.c").as("c"))
+      .persist())
+    val sketch = probes.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cell"))
+    probes.join(broadcast(sketch), Seq("r", "c"))
+      .groupBy(col("tok"))
+      .agg(min(col("cell")).as("est"), max(col("cnt")).as("cnt"))
+      .orderBy(col("est").desc, col("tok").asc)
+      .limit(topK)
+  }
+}

@@ -361,4 +361,76 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q_hll_distinct: per-bucket max aggregates with map-side partials; " +
+      "estimate and exact ride 1-row broadcasts; registers cached for " +
+      "output + fold") {
+    val p = plan("q_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("max#") ||
+      "HashAggregate.*max".r.findFirstIn(p).isDefined, p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2 &&
+      p.contains("Broadcast"), p.take(3000))
+    assert(p.contains("InMemoryTableScan"),
+      "registers recomputed per consumer:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_cms_heavy: the d*256-cell sketch broadcasts onto the probe " +
+      "side; top-20 is TakeOrdered; probe stream cached for both " +
+      "consumers") {
+    val p = plan("q_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_kcore: every per-round edge set reads from cache (degree agg + " +
+      "both semi-joins); semi-joins stay hash joins") {
+    val p = plan("q_kcore")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_label_prop: undirected edges and per-round neighbor counts " +
+      "cached; no cartesian") {
+    val p = plan("q_label_prop")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_rollup_pricing: ONE Expand-fed aggregate with map-side " +
+      "partials — no join, single exchange") {
+    val p = plan("q_rollup_pricing")
+    assert(p.contains("Expand"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+  }
+
+  test("q_pivot_returns: pivot compiles to one hash aggregate — no join, " +
+      "no window, scan pruned to the 3 touched columns") {
+    val p = plan("q_pivot_returns")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"pivot scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_group_median: rank + count ride ONE per-key window shuffle") {
+    val p = plan("q_group_median")
+    assert(p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+  }
+
+  test("q_pmi_collocations: token arrays + unigram counts cached; corpus " +
+      "total broadcasts; top-20 is TakeOrdered") {
+    val p = plan("q_pmi_collocations")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    operators.OpCaches.drain()
+  }
 }

@@ -1,0 +1,202 @@
+package graft
+
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, OpCaches, Sketches}
+
+/** Differentials for the sketch layer (HLL, CMS) and the peeling /
+  * community graph operators — each recomputed driver-side in plain
+  * Scala with the same math, compared exactly.
+  */
+class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  // ---- HyperLogLog ----
+
+  private def hllReplica(keys: Seq[String]): Array[Int] = {
+    val regs = Array.fill(256)(0)
+    keys.foreach { k =>
+      val h = md5hex(k)
+      val b = Integer.parseInt(h.substring(0, 2), 16)
+      val z = java.lang.Long.parseLong(h.substring(2, 14), 16)
+      val rho = if (z == 0L) 49 else 48 - (63 - java.lang.Long.numberOfLeadingZeros(z))
+      regs(b) = math.max(regs(b), rho)
+    }
+    regs
+  }
+
+  test("hllRegisters: exact parity with a driver-side replica") {
+    val rnd = new Random(1234)
+    val keys = (0 until 5000).map(_ => rnd.nextLong().toString).distinct
+    val df = keys.toDF("k")
+    val got = Sketches.hllRegisters(df, "k").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got.size === 256)
+    val want = hllReplica(keys)
+    (0 until 256).foreach { b =>
+      assert(got(f"$b%02x") === want(b), s"bucket $b")
+    }
+  }
+
+  test("hllEstimate: harmonic fold matches the replica; error in band") {
+    val rnd = new Random(77)
+    val keys = (0 until 20000).map(_ => rnd.nextInt(100000).toString).distinct
+    val regs = Sketches.hllRegisters(keys.toDF("k"), "k")
+    val Array((sumInv, est)) = Sketches.hllEstimate(regs).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val want = hllReplica(keys)
+    val wantSum = want.foldLeft(0.0)((acc, r) => acc + 1.0 / (1L << r))
+    assert(sumInv === wantSum) // bit-exact: same fold order (bucket asc)
+    assert(est === Sketches.HllAlpha * 65536.0 / wantSum)
+    // raw-estimator band: 3 sigma of 1.04/sqrt(256)
+    val rel = math.abs(est - keys.size) / keys.size.toDouble
+    assert(rel < 3 * 1.04 / 16.0, s"relative error $rel")
+  }
+
+  test("hllRegisters: empty buckets materialize with rho 0") {
+    // 1 key occupies at most 1 bucket; the other 255 must still be rows
+    val regs = Sketches.hllRegisters(Seq("only").toDF("k"), "k").collect()
+    assert(regs.length === 256)
+    assert(regs.count(_.getInt(1) === 0) >= 255)
+  }
+
+  // ---- count-min ----
+
+  test("cmsTopK: one-sided error, exactness without collisions, " +
+    "partitioning invariance") {
+    val rnd = new Random(5)
+    val toks = (0 until 400).map(i => (s"w${rnd.nextInt(60)}", ()))
+      .groupBy(_._1).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val df = toks.toDF("tok", "cnt")
+    val got = Sketches.cmsTopK(df, 4, 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    OpCaches.drainAll()
+    assert(got.nonEmpty)
+    got.foreach { case (w, est, cnt) =>
+      assert(est >= cnt, s"$w CMS underestimated") }
+    // partitioning invariance: same result from a repartitioned input
+    val got2 = Sketches.cmsTopK(df.repartition(7), 4, 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    OpCaches.drainAll()
+    assert(got.sortBy(_._1) === got2.sortBy(_._1))
+    // 60 keys in 256 columns x 4 rows: min-over-rows collides away with
+    // high probability for SOME key only if all 4 rows collide — verify
+    // against the exact replica instead of assuming
+    val cells = Array.fill(4)(collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L))
+    toks.foreach { case (w, c) =>
+      (0 until 4).foreach { r =>
+        val col = md5hex(s"r$r:$w").substring(0, 2)
+        cells(r)(col) += c
+      }
+    }
+    val cnts = toks.toMap
+    got.foreach { case (w, est, _) =>
+      val want = (0 until 4).map(r => cells(r)(md5hex(s"r$r:$w").substring(0, 2))).min
+      assert(est === want, s"$w sketch estimate")
+      assert(cnts(w) <= est)
+    }
+  }
+
+  // ---- k-core / label propagation ----
+
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+  }
+
+  /** Driver-side round-synchronous peel on the undirected simple graph. */
+  private def kcoreReplica(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+  : Map[Long, Int] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      .flatMap(e => Seq(e, e.swap))
+    for (_ <- 1 to rounds) {
+      val deg = und.groupBy(_._1).map { case (u, g) => (u, g.size) }
+      val keep = deg.filter(_._2 >= k).keySet
+      und = und.filter(e => keep(e._1) && keep(e._2))
+    }
+    und.groupBy(_._1).map { case (u, g) => (u, g.size) }
+  }
+
+  test("kcore: exact parity with a driver-side peel, random graphs") {
+    for (seed <- Seq(11, 22, 33)) {
+      val es = randomEdges(seed, 60, 260)
+      val got = Graph.kcore(es.toDF("src", "dst"), 3, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+      OpCaches.drainAll()
+      assert(got === kcoreReplica(es, 3, 4), s"seed $seed")
+    }
+  }
+
+  test("kcore: fixpoint — an extra round changes nothing once converged") {
+    // path graph P6 has empty 2-core; a 4-clique survives any rounds
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val path = (10L to 14L).map(i => (i, i + 1))
+    val es = (clique ++ path).toDF("src", "dst")
+    val r3 = Graph.kcore(es, 3, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = Graph.kcore(es, 3, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    OpCaches.drainAll()
+    assert(r3 === r5)
+    assert(r3.map(_._1) === Set(0L, 1L, 2L, 3L))
+    assert(r3.forall(_._2 === 3L)) // 3 clique neighbors each
+  }
+
+  /** Driver-side synchronous LPA: most-frequent neighbor label, min
+    * tie-break, isolated nodes keep their label. */
+  private def lpaReplica(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                         rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      .flatMap(e => Seq(e, e.swap))
+    val nbrs = und.groupBy(_._2).map { case (v, g) => (v, g.map(_._1)) }
+    var lbl = nodes.map(n => (n, n)).toMap
+    for (_ <- 1 to rounds) {
+      lbl = lbl.map { case (v, old) =>
+        nbrs.get(v) match {
+          case None => (v, old)
+          case Some(us) =>
+            val hist = us.map(lbl).groupBy(identity)
+              .map { case (l, g) => (l, g.size) }
+            val mx = hist.values.max
+            (v, hist.filter(_._2 == mx).keys.min)
+        }
+      }
+    }
+    lbl
+  }
+
+  test("labelProp: exact parity with a driver-side replica") {
+    for (seed <- Seq(7, 8)) {
+      val es = randomEdges(seed, 50, 140)
+      val nodes = (0L until 50L).toSeq
+      val got = Graph.labelProp(es.toDF("src", "dst"),
+          nodes.toDF("node"), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      OpCaches.drainAll()
+      assert(got === lpaReplica(es, nodes, 3), s"seed $seed")
+    }
+  }
+
+  test("labelProp: two disjoint cliques converge to two min-id labels") {
+    val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val c2 = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
+    val nodes = ((0L to 4L) ++ (10L to 14L) :+ 99L).toSeq // 99 isolated
+    val got = Graph.labelProp((c1 ++ c2).toDF("src", "dst"),
+        nodes.toDF("node"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    OpCaches.drainAll()
+    (0L to 4L).foreach(n => assert(got(n) === 0L))
+    (10L to 14L).foreach(n => assert(got(n) === 10L))
+    assert(got(99L) === 99L)
+  }
+}
