@@ -311,6 +311,48 @@ object Streams {
     w.start()
   }
 
+  /** Incremental HyperLogLog maintenance — the streaming dual of
+    * Sketches.hllRegisters, exercising the sketch's defining MERGE
+    * property: each micro-batch builds its own 256-register delta and
+    * merges into the committed registers by per-bucket MAX, so the
+    * committed sketch always equals the batch sketch of every key seen
+    * so far (exactly — max is associative/commutative/idempotent, which
+    * also makes at-least-once replay harmless even without the batchId
+    * skip marker; the marker still keeps wave numbering stable). The
+    * merged table is always exactly 256 rows — the exchange cost per
+    * batch is the delta aggregation only, the textbook reason HLL is the
+    * scale answer for streaming distinct counts. */
+  def hllMaintBatch(store: graft.state.SnapshotStore, table: String,
+      keyCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!store.streamLastBatch.exists(_ >= batchId)) {
+      val delta = graft.operators.Sketches.hllRegisters(batch, keyCol)
+      val committed = store.latestWave
+      val merged = committed match {
+        case Some(w) if store.exists(w, table) =>
+          store.read(spark, w, table).withColumnRenamed("rho", "rho_old")
+            .join(delta.withColumnRenamed("rho", "rho_new"), Seq("bucket"))
+            .select(col("bucket"),
+              greatest(col("rho_old"), col("rho_new")).as("rho"))
+        case _ => delta
+      }
+      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
+      store.setStreamLastBatch(batchId)
+    }
+  }
+
+  /** Continuous distinct-count sketch maintenance via foreachBatch — see
+    * [[hllMaintBatch]]. */
+  def hllMaintStream(keys: DataFrame, store: graft.state.SnapshotStore,
+      table: String, keyCol: String,
+      checkpointLocation: Option[String] = None) = {
+    val w = keys.writeStream
+      .foreachBatch(hllMaintBatch(store, table, keyCol) _)
+      .outputMode(OutputMode.Update())
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Wire a docs stream end-to-end to an in-memory findings sink; returns
     * the query name to poll. */
   def startFindingsQuery(spark: SparkSession, docs: DataFrame, name: String) =

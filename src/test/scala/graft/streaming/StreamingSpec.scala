@@ -344,4 +344,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         ("notes.txt.gz", "notes.txt.gz"))) // junk.zip expands to nothing
     } finally q.stop()
   }
+
+  test("streaming HLL maintenance: merged registers equal the batch sketch " +
+      "of all keys seen; replay is a no-op; duplicate keys are absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-hll").toString
+    val store = new graft.state.SnapshotStore(dir)
+    val keys = (0L until 900L).map(i => i % 300L) // every key seen 3x
+    val in = MemoryStream[Long]
+    val q = Streams.hllMaintStream(in.toDF().toDF("k"), store, "hll", "k")
+    try {
+      in.addData(keys.take(300): _*); q.processAllAvailable()
+      in.addData(keys.slice(300, 600): _*); q.processAllAvailable()
+      in.addData(keys.drop(600): _*); q.processAllAvailable()
+      val got = store.read(spark, store.latestWave.get, "hll")
+        .as[(String, Int)].collect().toMap
+      val want = graft.operators.Sketches
+        .hllRegisters(keys.toDF("k"), "k")
+        .as[(String, Int)].collect().toMap
+      assert(got === want) // merge property: stream-of-parts == whole
+      assert(got.size === 256)
+      // replay of an already-applied batchId: wave count must not move
+      val w0 = store.latestWave
+      Streams.hllMaintBatch(store, "hll", "k")(
+        Seq(999999L).toDF("k"), 2L)
+      assert(store.latestWave === w0)
+      // idempotent growth: re-sending ONLY known keys changes no register
+      Streams.hllMaintBatch(store, "hll", "k")(
+        keys.take(10).toDF("k"), 3L)
+      val after = store.read(spark, store.latestWave.get, "hll")
+        .as[(String, Int)].collect().toMap
+      assert(after === want)
+    } finally q.stop()
+  }
 }
