@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Layout, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -1291,6 +1291,27 @@ object SparkEntry {
         .select(col("l_suppkey"), col("n"),
           col("l_quantity").as("median_qty"))
     }),
+
+    // Z-order layout manifest: Morton-interleave (l_partkey, l_suppkey),
+    // bucket by z >> 12 (64-wide tiles in each dim — non-degenerate over
+    // every SF's key range), emit per-bucket count + min/max of BOTH
+    // dims — the file-skipping stats a z-clustered write yields.
+    "q_zorder_stats" -> ((s, dir) =>
+      Layout.zorderStats(s.read.parquet(t(dir, "lineitem")),
+        "l_partkey", "l_suppkey", 20)),
+
+    // deterministic training-order shuffle: 256 md5-prefix shards +
+    // in-shard rank — a partitioning-invariant total order with no
+    // global sort (the only exchange is the per-shard window).
+    "q_shuffle_shards" -> ((s, dir) =>
+      Layout.shuffleShards(docs(s, dir), "doc_id", ":shuffle")),
+
+    // histogram-quantile telemetry: fixed 10-unit bins per event type,
+    // p50/p95 = lower boundary of the first bin whose running cumulative
+    // reaches q*n (error bounded by the bin width).
+    "q_hist_quantile" -> ((s, dir) =>
+      Sketches.histQuantiles(events(s, dir), "event_type", "value",
+        10.0, Seq(0.5, 0.95))),
 
     // PMI-surrogate collocation mining: adjacent-token bigrams scored by
     // cnt_xy * N / (cnt_x * cnt_y) (classic PMI minus the log and the
@@ -2958,6 +2979,44 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_suppkey, n, l_quantity AS median_qty FROM r
         |WHERE r = floor((n + 1) / 2)""".stripMargin,
+
+    "q_zorder_stats" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |    (${Layout.zValueSql("l_partkey", "l_suppkey")}) AS z
+         |  FROM lineitem),
+         |b AS (SELECT l_partkey, l_suppkey, z >> 12 AS bucket FROM z)
+         |SELECT bucket, count(*) AS cnt,
+         |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+         |FROM b GROUP BY bucket""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS h
+        |  FROM documents)
+        |SELECT doc_id, substr(h, 1, 2) AS shard,
+        |  row_number() OVER (PARTITION BY substr(h, 1, 2)
+        |    ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
+
+    "q_hist_quantile" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type,
+        |  min(CASE WHEN CAST(cum AS DOUBLE)
+        |      >= CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    THEN CAST(bin AS DOUBLE) * CAST(10.0 AS DOUBLE) END) AS p50,
+        |  min(CASE WHEN CAST(cum AS DOUBLE)
+        |      >= CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    THEN CAST(bin AS DOUBLE) * CAST(10.0 AS DOUBLE) END) AS p95,
+        |  max(n) AS n
+        |FROM c GROUP BY event_type""".stripMargin,
 
     "q_pmi_collocations" ->
       s"""WITH d AS (SELECT doc_id,

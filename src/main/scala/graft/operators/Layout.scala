@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — how a 100-TB table gets ORGANIZED so scans
+  * can prune. None of these change row values; they compute the keys a
+  * writer clusters by and the statistics a manifest stores.
+  *
+  *   - [[zValue]] / [[zorderStats]]: Morton/Z-order interleaving of two
+  *     integer dimensions (the Iceberg/Delta OPTIMIZE ZORDER key) and the
+  *     per-bucket min/max manifest a z-clustered write yields. The point
+  *     of Z-order is that EVERY interleaved dimension gets tight
+  *     per-file min/max ranges, so a predicate on either column prunes
+  *     ~sqrt-style instead of only the leading sort column pruning.
+  *     The interleave is 16+16 unrolled shift/mask/multiply terms —
+  *     exact integer ops, identical in any engine.
+  *   - [[shuffleShards]]: the deterministic global shuffle a training
+  *     run needs for example order — shard = md5 hex prefix (256
+  *     shards), position = rank of the full hash within the shard.
+  *     (shard, pos) is a total order that is partitioning-invariant and
+  *     seedable via the salt, and the only exchange is the per-shard
+  *     window (never a global sort).
+  */
+object Layout {
+
+  /** 32-bit Morton code: bit i of `a` lands at position 2i+1, bit i of
+    * `b` at position 2i (i = 0..15). Inputs are masked to 16 bits. The
+    * unrolled form is (bit << k) as multiplication by an exact power-of-
+    * two literal — portable integer arithmetic, no variable shifts. */
+  def zValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL text (for oracles / other engines). */
+  def zValueSql(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+        s"(($b >> $i) & 1) * ${1L << (2 * i)})"
+    }.mkString(" + ")
+
+  /** Per-bucket layout manifest after clustering rows by z-value: bucket
+    * = z >> (32 - log2(buckets)); one row per occupied bucket with count
+    * and min/max of BOTH dimensions — exactly the stats a file-skipping
+    * reader prunes on. One hash aggregate with map-side partials. */
+  def zorderStats(df: DataFrame, aCol: String, bCol: String,
+      bucketBits: Int = 10): DataFrame =
+    df.select(col(aCol), col(bCol),
+        zValue(col(aCol), col(bCol)).as("z"))
+      .select(col(aCol), col(bCol),
+        shiftright(col("z"), 32 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
+        min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"))
+
+  /** Deterministic training-order shuffle: shard = first 2 hex chars of
+    * md5(key || salt) (256 shards), pos = dense 1-based rank of (full
+    * hash, key) within the shard. Output (key, shard, pos) defines the
+    * total order (shard asc, pos asc). */
+  def shuffleShards(df: DataFrame, keyCol: String, salt: String): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(keyCol))
+    df.select(col(keyCol), h.as("h"))
+      .select(col(keyCol), substring(col("h"), 1, 2).as("shard"), col("h"))
+      .select(col(keyCol), col("shard"), row_number().over(w).as("pos"))
+  }
+}

@@ -91,6 +91,35 @@ object Sketches {
       .select(col("sum_inv"),
         (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"))
 
+  /** Fixed-width histogram quantile estimates per group — the telemetry
+    * p50/p95 shape (error bounded by the bin width, the classic
+    * monitoring trade): bin = floor(value/width), then the per-group
+    * running cumulative over bin order picks the lower boundary of the
+    * first bin where cum >= q*n. One hash aggregate collapses rows to
+    * bins (map-side partials carry at most |bins| rows per task); the
+    * window runs over the BINNED table, so its per-key sort is bounded
+    * by bin count, not row count. Returns one row per group with a
+    * `p<q*100>` column per requested quantile plus `n`. */
+  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      width: Double, qs: Seq[Double]): DataFrame = {
+    val binned = df.select(col(groupCol),
+        floor(col(valCol) / lit(width)).as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cum = binned.select(col(groupCol), col("bin"), col("cnt"),
+      sum(col("cnt")).over(w).as("cum"),
+      sum(col("cnt")).over(tot).as("n"))
+    val pCols = qs.map(q =>
+      min(when(col("cum").cast("double") >= lit(q) * col("n").cast("double"),
+        col("bin").cast("double") * lit(width)))
+        .as(s"p${(q * 100).round.toInt}"))
+    cum.groupBy(col(groupCol)).agg(pCols.head, (pCols.tail :+
+      max(col("n")).as("n")): _*)
+  }
+
   /** Count-min-sketch heavy hitters over a pre-aggregated (tok, cnt)
     * frequency table: d hash rows × 256 hex-prefix columns, row i's
     * column for a token = first 2 hex chars of md5("r<i>:" + tok).

@@ -426,6 +426,33 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("q_zorder_stats: ONE hash aggregate with map-side partials over a " +
+      "codegen'd interleave — no join, no window, single exchange") {
+    val p = plan("q_zorder_stats")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"),
+      s"zorder scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_shuffle_shards: the only exchange is the per-shard window — " +
+      "no global sort operator") {
+    val p = plan("q_shuffle_shards")
+    assert(p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
+
+  test("q_hist_quantile: the window runs over the BINNED table (post-agg)" +
+      " — the binning aggregate sits BELOW the window") {
+    val p = plan("q_hist_quantile")
+    assert(p.contains("Window"), p.take(2500))
+    val winIdx = p.indexOf("Window")
+    assert(p.lastIndexOf("HashAggregate") > winIdx,
+      "window should consume the binning aggregate's output (plans print "
+        + "top-down):\n" + p.take(3000))
+  }
+
   test("q_pmi_collocations: token arrays + unigram counts cached; corpus " +
       "total broadcasts; top-20 is TakeOrdered") {
     val p = plan("q_pmi_collocations")

@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Layout operators: Morton interleave parity + locality, shuffle-shard
+  * total order, histogram quantile accuracy vs exact percentiles.
+  */
+class LayoutSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def mortonReplica(a: Long, b: Long): Long =
+    (0 until 16).map { i =>
+      (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+
+  test("zValue: exact parity with a driver-side interleave + known points") {
+    val rnd = new Random(42)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFL, 0xFFFFL),
+      (0xFFFFL, 0L), (0L, 0xFFFFL)) ++
+      (0 until 200).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b")
+      .select(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"),
+        Layout.zValue(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 0L)) === 0L)
+    assert(got((1L, 0L)) === 2L)
+    assert(got((0L, 1L)) === 1L)
+    assert(got((0xFFFFL, 0xFFFFL)) === 0xFFFFFFFFL)
+    pts.foreach { p => assert(got(p) === mortonReplica(p._1, p._2), p) }
+  }
+
+  test("zorderStats: every bucket bounds BOTH dimensions to its 2^k tile " +
+      "— the pruning property") {
+    val rnd = new Random(7)
+    val df = (0 until 4000)
+      .map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("a", "b")
+    // bucketBits 10 => shift 22 => tiles span 2^11 in each dimension
+    val stats = Layout.zorderStats(df, "a", "b", 10).collect()
+    assert(stats.length > 100) // uniform 16-bit data occupies many tiles
+    stats.foreach { r =>
+      assert(r.getLong(2) / 2048 === r.getLong(3) / 2048,
+        s"a range crosses tiles: $r")
+      assert(r.getLong(4) / 2048 === r.getLong(5) / 2048,
+        s"b range crosses tiles: $r")
+    }
+    // totals conserved
+    assert(stats.map(_.getLong(1)).sum === 4000L)
+  }
+
+  test("shuffleShards: a partitioning-invariant total order covering every " +
+      "key once, contiguous in-shard positions, md5-replica parity") {
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+    val keys = (0L until 700L).toDF("k")
+    val got = Layout.shuffleShards(keys, "k", ":s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.map(_._1).toSet === (0L until 700L).toSet)
+    // replica: group by hash prefix, rank by (hash, key)
+    val repl = (0L until 700L).map(k => (k, md5hex(s"$k:s")))
+      .groupBy(_._2.substring(0, 2))
+      .flatMap { case (shard, g) =>
+        g.sortBy(t => (t._2, t._1)).map(_._1).zipWithIndex
+          .map { case (k, i) => (k, shard, i + 1) }
+      }.toSet
+    assert(got.toSet === repl)
+    val got2 = Layout.shuffleShards(keys.repartition(7), "k", ":s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got2 === repl)
+  }
+
+  test("histQuantiles: estimates land within one bin width of the exact " +
+      "percentile; n per group exact") {
+    val rnd = new Random(3)
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", rnd.nextDouble() * rnd.nextDouble() * 100.0)
+    }
+    val got = Sketches.histQuantiles(rows.toDF("g", "v"), "g", "v",
+        5.0, Seq(0.5, 0.95)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val (p50e, p95e) = (sorted((sorted.size * 0.5).toInt - 1),
+        sorted((sorted.size * 0.95).toInt - 1))
+      val (p50, p95, n) = got(g)
+      assert(n === vs.size)
+      assert(math.abs(p50 - p50e) <= 5.0, s"$g p50 $p50 vs exact $p50e")
+      assert(math.abs(p95 - p95e) <= 5.0, s"$g p95 $p95 vs exact $p95e")
+    }
+  }
+}
