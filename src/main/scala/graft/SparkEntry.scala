@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, Graph, ImageMeta, Layout, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, EventAnalytics, Graph, ImageMeta, Layout, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -696,6 +696,23 @@ object SparkEntry {
           .select(col("user_id"), col("ts").as("c_ts")),
         "user_id", "v_ts", "c_ts", 3600, "view_id")
     }),
+
+    // strict-order conversion funnel view -> signup -> purchase: step i+1
+    // counts only events strictly after the user's step-i completion.
+    "q_funnel_steps" -> ((s, dir) =>
+      EventAnalytics.funnelSteps(events(s, dir),
+        Seq("view", "signup", "purchase"))),
+
+    // weekly purchase cohorts: cohort = first active week (integer
+    // floor-division of epoch micros), cell = distinct users active
+    // offset weeks later.
+    "q_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(events(s, dir), "purchase")),
+
+    // trailing debounce: drop events of the same (user, type) within 1
+    // day of the previous raw event; one per-key window shuffle.
+    "q_event_debounce" -> ((s, dir) =>
+      EventAnalytics.debounce(events(s, dir), 86400)),
 
     // 2.6 salted two-phase aggregation (skew path; result == plain groupBy)
     "q_salted_agg" -> ((s, dir) => {
@@ -2979,6 +2996,37 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_suppkey, n, l_quantity AS median_qty FROM r
         |WHERE r = floor((n + 1) / 2)""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |    WHERE e.event_type = 'signup' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_step1,
+        |  (SELECT count(*) FROM s2) AS n_step2,
+        |  (SELECT count(*) FROM s3) AS n_step3""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act
+        |  GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk, count(*) AS n_users
+        |FROM act JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_event_debounce" ->
+      """WITH l AS (SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts FROM l
+        |WHERE prev_ts IS NULL
+        |  OR ts > prev_ts + INTERVAL 86400 SECOND""".stripMargin,
 
     "q_zorder_stats" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the (event_id, ts, user_id, event_type)
+  * shape — the product-analytics layer (funnels, cohorts, debounce) that
+  * completes the events family next to windowed counts, sessionization,
+  * AS-OF and range joins.
+  *
+  * All three operators are pure relational compositions with exact
+  * integer/timestamp semantics (no floats at all), so the DuckDB oracle
+  * states them directly:
+  *   - [[funnelSteps]]: strict-order funnel — step i+1 counts only
+  *     events STRICTLY AFTER the user's step-i completion time (the
+  *     classic conversion-funnel semantics). Each stage is one filtered
+  *     aggregate joined to the previous stage's per-user completion
+  *     time; stage frames persist once (consumed by the next stage and
+  *     by the final count).
+  *   - [[cohortRetention]]: weekly activity cohorts — cohort = a user's
+  *     first active week (integer floor-division of epoch micros; both
+  *     engines divide positive integers identically), retention cell
+  *     (cohort, offset) = distinct users active offset weeks later.
+  *   - [[debounce]]: drop events of the same (user, type) within
+  *     `gapSec` of the PREVIOUS RAW event (trailing debounce — the
+  *     lag-window form; an anchor-based debounce that measures from the
+  *     previous KEPT event is a stateful scan, deliberately not this
+  *     operator). One per-key window shuffle, deterministic tie order
+  *     by event_id.
+  */
+object EventAnalytics {
+
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val stages = steps.foldLeft(List.empty[DataFrame]) { (acc, st) =>
+      val evs = events.filter(col("event_type") === st)
+        .select(col("user_id"), col("ts"))
+      val stage = acc.headOption match {
+        case None =>
+          evs.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        case Some(prev) =>
+          evs.join(prev.select(col("user_id"), col("t").as("tp")),
+              Seq("user_id"))
+            .filter(col("ts") > col("tp"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      }
+      OpCaches.register(stage.persist()) :: acc
+    }.reverse
+    stages.zipWithIndex
+      .map { case (s, i) => s.agg(count(lit(1)).as(s"n_step${i + 1}")) }
+      .reduce((a, b) => a.crossJoin(b))
+  }
+
+  /** One row per (cohort_wk, offset_wk) with the distinct active users.
+    * Offset 0 is the cohort size itself. */
+  def cohortRetention(events: DataFrame, eventType: String): DataFrame = {
+    val wk = expr("unix_micros(cast(ts as timestamp)) div 604800000000L")
+    val act = OpCaches.register(
+      events.filter(col("event_type") === eventType)
+        .select(col("user_id"), wk.as("wk")).distinct().persist())
+    val coh = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    act.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def debounce(events: DataFrame, gapSec: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), lag(col("ts"), 1).over(w).as("prev_ts"))
+      .filter(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr(s"INTERVAL $gapSec SECONDS"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+  }
+}

@@ -426,6 +426,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("q_funnel_steps: every stage frame is cached — consumed by the " +
+      "next stage AND its count") {
+    val p = plan("q_funnel_steps")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_cohort_retention: the (user, week) activity set is cached for " +
+      "cohort derivation + the retention join") {
+    val p = plan("q_cohort_retention")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_event_debounce: ONE per-key window exchange, no join") {
+    val p = plan("q_event_debounce")
+    assert(p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+  }
+
   test("q_zorder_stats: ONE hash aggregate with map-side partials over a " +
       "codegen'd interleave — no join, no window, single exchange") {
     val p = plan("q_zorder_stats")

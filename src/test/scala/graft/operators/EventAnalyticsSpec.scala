@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Driver-side replicas for the event-analytics operators: strict-order
+  * funnel, weekly cohort retention, trailing debounce.
+  */
+class EventAnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z millis
+
+  private def ts(min: Long) = new Timestamp(base + min * 60000L)
+
+  private def mkEvents(seed: Int, n: Int, users: Int)
+  : Seq[(Long, Long, String, Timestamp)] = {
+    val rnd = new Random(seed)
+    val types = Seq("view", "signup", "purchase", "click")
+    (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(users).toLong,
+        types(rnd.nextInt(types.size)), ts(rnd.nextInt(60 * 24 * 40)))
+    }
+  }
+
+  private def toDf(evs: Seq[(Long, Long, String, Timestamp)]) =
+    evs.toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnelSteps: strict-after semantics vs a driver replica") {
+    val evs = mkEvents(31, 600, 25)
+    val got = EventAnalytics.funnelSteps(toDf(evs),
+        Seq("view", "signup", "purchase")).collect().head
+    OpCaches.drainAll()
+    val byUser = evs.groupBy(_._2)
+    var s1 = Map.empty[Long, Long]; var s2 = Map.empty[Long, Long]
+    var s3 = Map.empty[Long, Long]
+    byUser.foreach { case (u, es) =>
+      val t1 = es.filter(_._3 == "view").map(_._4.getTime)
+        .sorted.headOption
+      t1.foreach { a =>
+        s1 += u -> a
+        val t2 = es.filter(e => e._3 == "signup" && e._4.getTime > a)
+          .map(_._4.getTime).sorted.headOption
+        t2.foreach { b =>
+          s2 += u -> b
+          es.filter(e => e._3 == "purchase" && e._4.getTime > b)
+            .map(_._4.getTime).sorted.headOption
+            .foreach(c => s3 += u -> c)
+        }
+      }
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((s1.size.toLong, s2.size.toLong, s3.size.toLong)))
+    // planted: a user whose purchase PRECEDES signup must not reach step 3
+    val planted = Seq(
+      (0L, 100L, "view", ts(0)), (1L, 100L, "purchase", ts(5)),
+      (2L, 100L, "signup", ts(10)))
+    val g2 = EventAnalytics.funnelSteps(toDf(planted),
+      Seq("view", "signup", "purchase")).collect().head
+    OpCaches.drainAll()
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2)) === ((1L, 1L, 0L)))
+  }
+
+  test("cohortRetention: weekly cohorts vs a driver replica") {
+    val evs = mkEvents(7, 800, 30)
+    val got = EventAnalytics.cohortRetention(toDf(evs), "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    OpCaches.drainAll()
+    val act = evs.filter(_._3 == "purchase")
+      .map(e => (e._2, e._4.getTime * 1000L / 604800000000L)).distinct
+    val coh = act.groupBy(_._1).map { case (u, ws) => (u, ws.map(_._2).min) }
+    val want = act.groupBy(a => (coh(a._1), a._2 - coh(a._1)))
+      .map { case (k, g) => k -> g.size.toLong }
+    assert(got === want)
+    // offset-0 cells sum to the number of purchasing users
+    assert(got.filter(_._1._2 == 0L).values.sum === coh.size.toLong)
+  }
+
+  test("debounce: trailing-gap filter vs a driver replica; tie order by " +
+      "event_id") {
+    val evs = mkEvents(9, 500, 8) // dense per key so drops actually happen
+    val gap = 600 // seconds
+    val got = EventAnalytics.debounce(toDf(evs), gap).collect()
+      .map(_.getLong(0)).toSet
+    val want = evs.groupBy(e => (e._2, e._3)).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4.getTime, e._1))
+      sorted.zip(None +: sorted.map(e => Some(e._4.getTime)).init)
+        .collect { case (e, prev)
+          if prev.forall(p => e._4.getTime > p + gap * 1000L) => e._1 }
+    }.toSet
+    assert(got === want)
+    assert(want.size < evs.size) // the window actually dropped something
+  }
+}
