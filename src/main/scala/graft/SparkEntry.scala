@@ -1330,6 +1330,58 @@ object SparkEntry {
       Sketches.histQuantiles(events(s, dir), "event_type", "value",
         10.0, Seq(0.5, 0.95))),
 
+    // EXACT set-similarity self-join by prefix filtering (All-Pairs):
+    // candidates must share a rare-prefix shingle — lossless for
+    // J >= 7/10; verify is integer cross-multiplication (no floats).
+    "q_setsim_join" -> ((s, dir) =>
+      Dedup.setSimJoin(docs(s, dir), col("doc_id"), col("text"), 3, 7, 10)),
+
+    // per-group dispersion stats + outlier census: mean/std from exact
+    // integer-valued power sums (every partial is exact, so the unordered
+    // sums are engine-stable), sqrt is IEEE-correctly-rounded (unlike
+    // ln/pow), outliers = |q - mean| > 1.5 std via a broadcast stats join.
+    "q_group_stats" -> ((s, dir) => {
+      val li = operators.OpCaches.register(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_suppkey"), col("l_quantity")).persist())
+      val nd = col("n").cast("double")
+      val st = li.groupBy(col("l_suppkey")).agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("l_suppkey"), col("n"),
+          (col("s1") / nd).as("mean"),
+          sqrt(col("s2") / nd - (col("s1") / nd) * (col("s1") / nd)).as("std"))
+      li.join(broadcast(st), Seq("l_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("n")).as("n"),
+          round(max(col("mean")), 9).as("mean_qty"),
+          round(max(col("std")), 9).as("std_qty"),
+          sum(when(abs(col("l_quantity") - col("mean")) >
+            lit(1.5d) * col("std"), 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
+    // TPC-H Q3 (shipping priority): segment-filtered customer broadcast
+    // onto orders, date filters pushed to both scans, top-10 by rounded
+    // revenue (round-2 sort key keeps the boundary engine-stable;
+    // o_orderkey breaks residual ties).
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
+        .select(col("o_orderkey"), col("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
     // PMI-surrogate collocation mining: adjacent-token bigrams scored by
     // cnt_xy * N / (cnt_x * cnt_y) (classic PMI minus the log and the
     // constant N/Nb scaling — ranking-identical, and the bigint products
@@ -2996,6 +3048,61 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_suppkey, n, l_quantity AS median_qty FROM r
         |WHERE r = floor((n + 1) / 2)""".stripMargin,
+
+    "q_setsim_join" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+         |  FROM documents),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${shinglesSql(3)}) AS sh FROM d)),
+         |dfc AS (SELECT sh, count(*) AS df FROM sets GROUP BY sh),
+         |rk AS (SELECT s.doc_id, s.sh,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |      ORDER BY dfc.df, s.sh) AS rk,
+         |    count(*) OVER (PARTITION BY s.doc_id) AS n
+         |  FROM sets s JOIN dfc ON s.sh = dfc.sh),
+         |pre AS (SELECT doc_id, sh FROM rk
+         |  WHERE rk <= n - ((7 * n + 9) // 10) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM pre a JOIN pre b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS inter
+         |  FROM cand c JOIN sets x ON x.doc_id = c.da
+         |  JOIN sets y ON y.doc_id = c.db AND y.sh = x.sh
+         |  GROUP BY c.da, c.db),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id)
+         |SELECT i.da, i.db, i.inter, sa.n AS na, sb.n AS nb
+         |FROM inter i JOIN sz sa ON i.da = sa.doc_id
+         |JOIN sz sb ON i.db = sb.doc_id
+         |WHERE 10 * i.inter >= 7 * (sa.n + sb.n - i.inter)""".stripMargin,
+
+    "q_group_stats" ->
+      """WITH st AS (SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS s1,
+        |    sum(l_quantity * l_quantity) AS s2 FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_suppkey, n,
+        |    s1 / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(s2 / CAST(n AS DOUBLE)
+        |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS std
+        |  FROM st)
+        |SELECT m.l_suppkey, max(m.n) AS n, round(max(m.mean), 9) AS mean_qty,
+        |  round(max(m.std), 9) AS std_qty,
+        |  CAST(sum(CASE WHEN abs(l.l_quantity - m.mean)
+        |    > CAST(1.5 AS DOUBLE) * m.std THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM m JOIN lineitem l ON l.l_suppkey = m.l_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

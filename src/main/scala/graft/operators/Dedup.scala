@@ -116,6 +116,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs") — the third member
+    * of the near-dup candidate-generation family next to MinHash-LSH
+    * (probabilistic recall) and SimHash blocks (Hamming pigeonhole):
+    * prefix filtering is LOSSLESS for Jaccard ≥ θ. Order every doc's
+    * shingle set by global rarity (ascending df, shingle as tie-break);
+    * if J(A,B) ≥ θ then A and B must share an element in their first
+    * |X| − ⌈θ·|X|⌉ + 1 elements, so the candidate join runs only on the
+    * (rare-element) prefixes. θ = num/den is rational end to end: the
+    * prefix bound uses integer ceil ((num·n + den − 1) div den) and the
+    * verify is integer cross-multiplication den·|∩| ≥ num·(|A|+|B|−|∩|)
+    * — not one float in the whole plan.
+    *
+    * Scale shape: the distinct (doc, shingle) set persists once and
+    * feeds df-counts, ranks, intersection, and sizes; the prefix table
+    * persists once and self-joins (prefixes are short and rare-first, so
+    * bucket skew concentrates in COMMON elements, which prefixes
+    * specifically exclude); the verify aggregate touches candidate pairs
+    * only. Returns (da, db, inter, na, nb) with da < db. */
+  def setSimJoin(docs: DataFrame, id: Column, text: Column,
+      w: Int, num: Int, den: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sets = OpCaches.register(
+      docs.select(id.as("doc_id"), explode(shingles(text, w)).as("sh"))
+        .distinct().persist())
+    val dfc = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rk = sets.join(dfc, Seq("sh"))
+      .select(col("doc_id"), col("sh"),
+        row_number().over(
+          W.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))).as("rk"),
+        count(lit(1)).over(W.partitionBy(col("doc_id"))).as("n"))
+    val pre = OpCaches.register(rk
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + lit(1))
+      .select(col("doc_id"), col("sh")).persist())
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sets.select(col("doc_id").as("da"), col("sh")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(col("inter") * den >=
+        (col("na") + col("nb") - col("inter")) * num)
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+
   /** SimHash near-duplicate pairs (Manku et al., WWW'07): the simhash
     * equivalent of [[verifiedNearDups]] — candidate generation by exact
     * byte-block match, then exact Hamming verify on just the candidates.

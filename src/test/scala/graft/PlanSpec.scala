@@ -426,6 +426,37 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("q_setsim_join: shingle sets and prefixes each cached (sets feed " +
+      "df/rank/intersect/size; prefixes feed both self-join sides); no " +
+      "cartesian") {
+    val p = plan("q_setsim_join")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_group_stats: per-group stats broadcast back onto the cached " +
+      "base; scan pruned to the two touched columns") {
+    val p = plan("q_group_stats")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"stats scan reads unprojected columns: $readSchema")
+    operators.OpCaches.drain()
+  }
+
+  test("q_tpch_q3: customer broadcast; date filters pushed to both scans; " +
+      "top-10 is TakeOrdered") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined, p.take(3000))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("q_funnel_steps: every stage frame is cached — consumed by the " +
       "next stage AND its count") {
     val p = plan("q_funnel_steps")

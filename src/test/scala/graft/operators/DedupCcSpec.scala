@@ -108,4 +108,38 @@ class DedupCcSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == Set(1L, 2L, 4L, 6L, 7L)) // one keeper per cluster + singletons
     OpCaches.drain()
   }
+
+  test("setSimJoin: prefix filtering is LOSSLESS — output equals the " +
+      "brute-force all-pairs join, random corpora at two thresholds") {
+    import spark.implicits._
+    def tokenize(t: String): Seq[String] =
+      "[A-Za-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    def shingleSet(t: String, w: Int): Set[String] =
+      tokenize(t).sliding(w).filter(_.size == w).map(_.mkString(" ")).toSet
+    for ((seed, num, den) <- Seq((1, 7, 10), (2, 3, 5), (3, 9, 10))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      val baseDocs = (0L until 60L).map { i =>
+        (i, (0 until 12 + rnd.nextInt(10))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant near-dups: copies with one word appended
+      val docs = baseDocs ++ baseDocs.take(12).map { case (i, t) =>
+        (i + 100L, t + " w" + rnd.nextInt(30))
+      }
+      val got = Dedup.setSimJoin(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 3, num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      OpCaches.drainAll()
+      val sets = docs.map { case (i, t) => (i, shingleSet(t, 3)) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty
+        inter = (sa & sb).size
+        if den * inter >= num * (sa.size + sb.size - inter)
+      } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got === want, s"seed $seed theta $num/$den")
+      assert(want.nonEmpty, s"vacuous corpus at seed $seed")
+    }
+  }
 }
