@@ -118,8 +118,17 @@ object Graph {
     * no driver materialization. The surviving edge set persists per
     * round (each round's input is consumed by the degree agg AND both
     * semi-joins) and is OpCaches-registered for the caller's drain. */
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = undirected(edges)
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val und = OpCaches.register(undirected(edges).persist())
+    // scale-aware hybrid (same pattern as Dedup.connectedComponents): the
+    // materializing count is the first job either way; a toy-scale graph
+    // peels on the driver (a multi-round distributed peel is pure
+    // scheduling overhead there), the big-graph path stays the
+    // round-synchronous O(E)/round plan. Both paths pinned equal in
+    // SketchGraphSpec.
+    if (und.count() <= localThreshold) return localKcore(und, k, rounds)
+    var e: DataFrame = und
     for (_ <- 1 to rounds) {
       val cur = OpCaches.register(e.persist())
       val keep = cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -130,6 +139,26 @@ object Graph {
     }
     e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
+  }
+
+  private def localKcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    val dt = edges.schema("u").dataType
+    var es = edges.collect().map(r => (r.get(0), r.get(1))).toSeq
+    edges.unpersist(false)
+    for (_ <- 1 to rounds) {
+      val deg = es.groupBy(_._1).map { case (u, g) => (u, g.size) }
+      val keep = deg.filter(_._2 >= k).keySet
+      es = es.filter(p => keep(p._1) && keep(p._2))
+    }
+    val out = es.groupBy(_._1)
+      .map { case (u, g) => org.apache.spark.sql.Row(u, g.size.toLong) }.toSeq
+    spark.createDataFrame(out.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Fixed-round synchronous label propagation (Raghavan et al. PRE'07,

@@ -385,12 +385,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
-  test("q_kcore: every per-round edge set reads from cache (degree agg + " +
-      "both semi-joins); semi-joins stay hash joins") {
+  test("q_kcore: toy scale takes the driver-local hybrid path (the edge " +
+      "count is the one job); the distributed path keeps per-round cache " +
+      "reads and hash-only semi-joins") {
     val p = plan("q_kcore")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p.take(4000))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("LocalTableScan") && !p.contains("Exchange"),
+      "expected the local short-circuit at sf0.001:\n" + p.take(2500))
+    operators.OpCaches.drain()
+    // distributed path shape, forced
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val edges = d.selectExpr("doc_id AS src",
+      "explode(array((doc_id*31+7)%499, doc_id%97, (doc_id*17+3)%251)) AS dst")
+    val pd = operators.Graph.kcore(edges, 4, 3, localThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(pd).size >= 6, pd.take(4000))
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"), pd.take(4000))
     operators.OpCaches.drain()
   }
 

@@ -128,13 +128,20 @@ class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
     und.groupBy(_._1).map { case (u, g) => (u, g.size) }
   }
 
-  test("kcore: exact parity with a driver-side peel, random graphs") {
+  test("kcore: exact parity with a driver-side peel, random graphs — " +
+      "BOTH hybrid paths (driver-local and distributed)") {
     for (seed <- Seq(11, 22, 33)) {
       val es = randomEdges(seed, 60, 260)
-      val got = Graph.kcore(es.toDF("src", "dst"), 3, 4).collect()
+      val want = kcoreReplica(es, 3, 4)
+      val local = Graph.kcore(es.toDF("src", "dst"), 3, 4).collect()
         .map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
       OpCaches.drainAll()
-      assert(got === kcoreReplica(es, 3, 4), s"seed $seed")
+      assert(local === want, s"seed $seed (local path)")
+      val dist = Graph.kcore(es.toDF("src", "dst"), 3, 4,
+          localThreshold = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+      OpCaches.drainAll()
+      assert(dist === want, s"seed $seed (distributed path)")
     }
   }
 
