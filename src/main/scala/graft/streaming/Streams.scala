@@ -341,6 +341,53 @@ object Streams {
     }
   }
 
+  /** Incremental count-min maintenance — the CMS dual of
+    * [[hllMaintBatch]], exercising the OTHER mergeable-sketch algebra:
+    * cells merge by SUM (a linear sketch), so the committed sketch
+    * equals the batch sketch of the concatenated stream. Unlike max,
+    * sum is NOT idempotent — replay protection is load-bearing here,
+    * which is exactly what the batchId skip marker provides (and the
+    * test pins). The committed table is bounded at d×256 rows; the
+    * per-batch exchange is the delta's bounded cell aggregate. */
+  def cmsMaintBatch(store: graft.state.SnapshotStore, table: String,
+      tokCol: String, d: Int = 4)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!store.streamLastBatch.exists(_ >= batchId)) {
+      val delta = batch.select(col(tokCol).as("tok"))
+        .select(explode(array((0 until d).map(i => struct(
+          lit(i).as("r"),
+          substring(md5(concat(lit(s"r$i:"), col("tok"))), 1, 2).as("c"))): _*))
+          .as("p"))
+        .groupBy(col("p.r").as("r"), col("p.c").as("c"))
+        .agg(count(lit(1)).as("cell"))
+      val committed = store.latestWave
+      val merged = committed match {
+        case Some(w) if store.exists(w, table) =>
+          store.read(spark, w, table).withColumnRenamed("cell", "cell_old")
+            .join(delta.withColumnRenamed("cell", "cell_new"),
+              Seq("r", "c"), "full_outer")
+            .select(col("r"), col("c"),
+              (coalesce(col("cell_old"), lit(0L)) +
+                coalesce(col("cell_new"), lit(0L))).as("cell"))
+        case _ => delta
+      }
+      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
+      store.setStreamLastBatch(batchId)
+    }
+  }
+
+  /** Continuous heavy-hitter sketch maintenance via foreachBatch — see
+    * [[cmsMaintBatch]]. */
+  def cmsMaintStream(toks: DataFrame, store: graft.state.SnapshotStore,
+      table: String, tokCol: String,
+      checkpointLocation: Option[String] = None) = {
+    val w = toks.writeStream
+      .foreachBatch(cmsMaintBatch(store, table, tokCol) _)
+      .outputMode(OutputMode.Update())
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Continuous distinct-count sketch maintenance via foreachBatch — see
     * [[hllMaintBatch]]. */
   def hllMaintStream(keys: DataFrame, store: graft.state.SnapshotStore,

@@ -46,7 +46,17 @@ object ExplainAudit {
       // reuse (pagerank/hits), window-kernel AS-OF, bucketed range join
       "q_inverted_index", "q_bm25", "q_phrase_search", "q_pagerank",
       "q_hits", "q_chunk_windows", "q_unimax", "q_asof_join",
-      "q_range_join")
+      "q_range_join",
+      // round 4 session end: sketches (partial-max registers, broadcast
+      // CMS probe), peel/LPA graph rounds, layout (single-exchange
+      // z-order manifest, per-shard window shuffle), event analytics
+      // (staged funnel, cached cohorts, one-window debounce), lossless
+      // prefix-filter set-similarity, broadcast stats outliers, Q3
+      "q_hll_distinct", "q_cms_heavy", "q_kcore", "q_label_prop",
+      "q_zorder_stats", "q_shuffle_shards", "q_hist_quantile",
+      "q_group_median", "q_rollup_pricing", "q_pivot_returns",
+      "q_pmi_collocations", "q_funnel_steps", "q_cohort_retention",
+      "q_event_debounce", "q_setsim_join", "q_group_stats", "q_tpch_q3")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"\n================ $name ================")

@@ -378,4 +378,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(after === want)
     } finally q.stop()
   }
+
+  test("streaming CMS maintenance: summed cells equal a driver replica of " +
+      "the whole stream; replayed batchId is a no-op (sum is NOT " +
+      "idempotent — the skip marker is load-bearing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val dir = java.nio.file.Files.createTempDirectory("stream-cms").toString
+    val store = new graft.state.SnapshotStore(dir)
+    val toks = (0 until 500).map(i => s"w${i % 40}")
+    val in = MemoryStream[String]
+    val q = Streams.cmsMaintStream(in.toDF().toDF("tok"), store, "cms", "tok")
+    try {
+      in.addData(toks.take(200): _*); q.processAllAvailable()
+      in.addData(toks.slice(200, 350): _*); q.processAllAvailable()
+      in.addData(toks.drop(350): _*); q.processAllAvailable()
+      val got = store.read(spark, store.latestWave.get, "cms")
+        .as[(Int, String, Long)].collect()
+        .map { case (r, c, v) => (r, c) -> v }.toMap
+      val want = collection.mutable.Map[(Int, String), Long]()
+        .withDefaultValue(0L)
+      toks.foreach { t =>
+        (0 until 4).foreach { r =>
+          want((r, md5hex(s"r$r:$t").substring(0, 2))) += 1L
+        }
+      }
+      assert(got === want.toMap)
+      // replay: batchId 1 already applied — cells must NOT double-count
+      val w0 = store.latestWave
+      Streams.cmsMaintBatch(store, "cms", "tok")(
+        toks.take(200).toDF("tok"), 1L)
+      assert(store.latestWave === w0)
+      assert(store.read(spark, store.latestWave.get, "cms")
+        .as[(Int, String, Long)].collect()
+        .map { case (r, c, v) => (r, c) -> v }.toMap === want.toMap)
+    } finally q.stop()
+  }
 }
