@@ -1261,6 +1261,22 @@ object SparkEntry {
       regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
     }),
 
+    // per-GROUP HLL: distinct users per event type as a 256-register
+    // sketch per group (the per-host cardinality-stats shape a crawl
+    // planner sizes partitions with); raw estimate + zero-register count
+    // (the linear-counting small-range correction needs ln — left as a
+    // driver-side branch on these exact inputs), exact rides along.
+    "q_hll_groups" -> ((s, dir) => {
+      val e = events(s, dir)
+      val regs = Sketches.hllGroupRegisters(e, "event_type", "user_id")
+      val est = Sketches.hllGroupEstimate(regs, "event_type")
+        .select(col("event_type"), round(col("sum_inv"), 9).as("sum_inv"),
+          round(col("est"), 3).as("est"), col("zeros"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(broadcast(exact), Seq("event_type"))
+    }),
+
     // count-min-sketch heavy hitters (d=4 rows x 256 hex-prefix columns)
     // over the token frequency table: top-20 by min-over-rows estimate,
     // true count alongside (est >= cnt — the CMS one-sided error).
@@ -3012,6 +3028,49 @@ object SparkEntry {
          |x AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
          |SELECT regs.bucket, regs.rho, s.sum_inv, s.est, x.n_exact
          |FROM regs CROSS JOIN s CROSS JOIN x""".stripMargin,
+
+    "q_hll_groups" ->
+      s"""WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |occ AS (SELECT event_type, substr(h, 1, 2) AS bucket,
+         |    CASE WHEN ltrim(substr(h, 3, 12), '0') = '' THEN 49
+         |      ELSE 4 * (12 - len(ltrim(substr(h, 3, 12), '0'))) +
+         |        (CASE
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '8'
+         |            THEN 1
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '4'
+         |            THEN 2
+         |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '2'
+         |            THEN 3
+         |          ELSE 4 END) END AS rho
+         |  FROM h),
+         |om AS (SELECT event_type, bucket, max(rho) AS rho FROM occ
+         |  GROUP BY 1, 2),
+         |rb AS (SELECT printf('%02x', CAST(i AS INT)) AS bucket
+         |  FROM (SELECT unnest(range(256)) AS i)),
+         |g AS (SELECT DISTINCT event_type FROM events),
+         |regs AS (SELECT g.event_type AS event_type, rb.bucket AS bucket,
+         |    coalesce(om.rho, 0) AS rho
+         |  FROM g CROSS JOIN rb
+         |  LEFT JOIN om ON g.event_type = om.event_type
+         |    AND rb.bucket = om.bucket),
+         |s AS (SELECT event_type,
+         |    round(list_sum(list(CAST(1.0 AS DOUBLE)
+         |      / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+         |      ORDER BY bucket)), 9) AS sum_inv,
+         |    round(CAST(${Sketches.HllAlpha} AS DOUBLE)
+         |        * CAST(65536.0 AS DOUBLE)
+         |      / list_sum(list(CAST(1.0 AS DOUBLE)
+         |        / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+         |        ORDER BY bucket)), 3) AS est,
+         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zeros
+         |  FROM regs GROUP BY event_type),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT s.event_type AS event_type, s.sum_inv, s.est, s.zeros,
+         |  x.n_exact
+         |FROM s JOIN x ON s.event_type = x.event_type""".stripMargin,
 
     "q_cms_heavy" ->
       s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),

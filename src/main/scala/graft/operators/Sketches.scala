@@ -91,6 +91,46 @@ object Sketches {
       .select(col("sum_inv"),
         (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"))
 
+  /** Per-GROUP HLL registers — the per-host / per-shard cardinality
+    * stats table a crawl planner sizes partitions with (distinct URLs
+    * per host, distinct users per event type) without a per-group exact
+    * distinct. One hash aggregate keyed (group, bucket): map-side
+    * partials carry ≤256 rows per group per task; the full register
+    * domain materializes per group via a broadcast 256-row cross join. */
+  def hllGroupRegisters(keys: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val occ = keys
+      .select(col(groupCol), substring(h, 1, 2).as("bucket"), rho48(h).as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("rho"))
+    val all = keys.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(keys.sparkSession.range(HllM)
+        .select(format_string("%02x", col("id").cast("int")).as("bucket"))))
+    all.join(occ, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** Per-group raw estimate + the zero-register count V. The raw
+    * estimator overshoots in the small-range regime (est ≤ 2.5m); the
+    * standard fix is linear counting m·ln(m/V), but ln is NOT
+    * IEEE-correctly-rounded cross-engine, so this emits the exact
+    * INPUTS (est, V) and leaves the correction as a driver-side branch
+    * — same discipline as the rational-idf BM25. */
+  def hllGroupEstimate(registers: DataFrame, groupCol: String): DataFrame =
+    registers.groupBy(col(groupCol)).agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("bucket"), col("rho")))),
+          x => lit(1.0d) /
+            call_function("shiftleft", lit(1L), x.getField("rho"))
+              .cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("sum_inv"),
+      sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"))
+      .select(col(groupCol), col("sum_inv"),
+        (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"),
+        col("zeros"))
+
   /** Fixed-width histogram quantile estimates per group — the telemetry
     * p50/p95 shape (error bounded by the bin width, the classic
     * monitoring trade): bin = floor(value/width), then the per-group

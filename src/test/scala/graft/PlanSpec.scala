@@ -375,6 +375,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
+  test("q_hll_groups: the 256-bucket domain and the exact-count dim ride " +
+      "broadcasts; the register agg keeps map-side partials") {
+    val p = plan("q_hll_groups")
+    assert("Broadcast".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("partial_max") || p.contains("max("), p.take(3000))
+  }
+
   test("q_cms_heavy: the d*256-cell sketch broadcasts onto the probe " +
       "side; top-20 is TakeOrdered; probe stream cached for both " +
       "consumers") {

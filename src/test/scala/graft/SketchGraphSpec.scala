@@ -69,6 +69,33 @@ class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(regs.count(_.getInt(1) === 0) >= 255)
   }
 
+  test("hllGroupRegisters/Estimate: per-group registers equal per-group " +
+      "replicas; zeros and fold are consistent") {
+    val rnd = new Random(99)
+    val rows = (0 until 4000).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(800).toString))
+    val regs = Sketches.hllGroupRegisters(rows.toDF("g", "k"), "g", "k")
+    val got = regs.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got.size === 3 * 256)
+    val byG = rows.groupBy(_._1)
+    byG.foreach { case (g, rs) =>
+      val want = hllReplica(rs.map(_._2).distinct)
+      (0 until 256).foreach(b => assert(got((g, f"$b%02x")) === want(b), s"$g/$b"))
+    }
+    val est = Sketches.hllGroupEstimate(regs, "g").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    byG.foreach { case (g, rs) =>
+      val want = hllReplica(rs.map(_._2).distinct)
+      val wantSum = want.foldLeft(0.0)((acc, r) => acc + 1.0 / (1L << r))
+      val (sumInv, e, zeros) = est(g)
+      assert(sumInv === wantSum)
+      assert(e === Sketches.HllAlpha * 65536.0 / wantSum)
+      assert(zeros === want.count(_ == 0).toLong)
+    }
+  }
+
   // ---- count-min ----
 
   test("cmsTopK: one-sided error, exactness without collisions, " +
