@@ -79,6 +79,27 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(got2 === repl)
   }
 
+  test("exact group median (the q_group_median shape): lower median with " +
+      "deterministic tie order vs a driver replica") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(21)
+    val rows = (0 until 2000).map(i =>
+      (i % 7L, rnd.nextInt(40).toDouble, i.toLong))
+    val part = Window.partitionBy(col("g"))
+    val ord = part.orderBy(col("v"), col("id"))
+    val got = rows.toDF("g", "v", "id")
+      .select(col("g"), col("v"), row_number().over(ord).as("r"),
+        count(lit(1)).over(part).as("n"))
+      .filter(col("r") === floor((col("n") + lit(1)) / lit(2)))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(t => (t._2, t._3)).sortBy(identity _)
+      val want = sorted((rs.size + 1) / 2 - 1)._1
+      assert(got(g) === ((want, rs.size.toLong)), s"group $g")
+    }
+  }
+
   test("histQuantiles: estimates land within one bin width of the exact " +
       "percentile; n per group exact") {
     val rnd = new Random(3)
