@@ -697,6 +697,24 @@ object SparkEntry {
         "user_id", "v_ts", "c_ts", 3600, "view_id")
     }),
 
+    // semi-structured access: JSON path extraction from the props column
+    // (codegen'd get_json_object, no UDF) + integer stats per event type.
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))),
+
+    // temporal SQL surface: calendar rollup by year/month of the ship
+    // date (session timezone pinned UTC on both engines).
+    "q_time_rollup" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))),
+
     // strict-order conversion funnel view -> signup -> purchase: step i+1
     // counts only events strictly after the user's step-i completion.
     "q_funnel_steps" -> ((s, dir) =>
@@ -3162,6 +3180,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 3, 4
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(k) AS n, min(k) AS k_min,
+        |  max(k) AS k_max, sum(k) AS k_sum
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q_time_rollup" ->
+      """SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

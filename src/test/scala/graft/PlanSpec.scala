@@ -474,6 +474,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       p.take(3000))
   }
 
+  test("q_json_extract: JSON path access is a codegen'd projection (no " +
+      "UDF), one aggregate exchange, scan pruned to (event_type, props)") {
+    val p = plan("q_json_extract")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("value"),
+      s"json scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_time_rollup: ONE aggregate over year/month expressions — no " +
+      "join, no window") {
+    val p = plan("q_time_rollup")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+  }
+
   test("q_funnel_steps: every stage frame is cached — consumed by the " +
       "next stage AND its count") {
     val p = plan("q_funnel_steps")
