@@ -1319,6 +1319,16 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("sum_qty"), col("cnt"))),
 
+    // CUBE: all four grouping combinations (the ROLLUP superset) — one
+    // Expand-fed aggregate; rolled-up levels surfaced as 'ALL'.
+    "q_cube_pricing" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("cnt"))),
+
     // pivot (cross-tab): quantity by line status x return flag, explicit
     // pivot values so the output schema is static in both engines.
     "q_pivot_returns" -> ((s, dir) =>
@@ -3109,6 +3119,13 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_pivot_returns" ->
       """SELECT l_linestatus,

@@ -427,6 +427,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
   }
 
+  test("q_cube_pricing: CUBE is one Expand-fed aggregate — no join") {
+    val p = plan("q_cube_pricing")
+    assert(p.contains("Expand"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+  }
+
   test("q_pivot_returns: pivot compiles to one hash aggregate — no join, " +
       "no window, scan pruned to the 3 touched columns") {
     val p = plan("q_pivot_returns")
