@@ -59,6 +59,18 @@ CASE_DIR = '/tmp/fuzz_pytar_work'
 def ref_expand(name, raw):
     shutil.rmtree(CASE_DIR, ignore_errors=True)
     os.makedirs(CASE_DIR)
+    # host-state hygiene: the random pool emits '../up' symlink targets,
+    # and a member extracted THROUGH such a symlink writes /tmp/up on the
+    # HOST (the reference extracts under /tmp). That file persists across
+    # cases and runs, silently flipping every later dangling-'../up'
+    # golden (the walk follows the symlink to the leftover). Remove the
+    # known escape artifact before every case so each golden depends only
+    # on its own archive. (Caught by the 0x265 sweep: two goldens carried
+    # a phantom '../up(0B)' from a prior case's write-through.)
+    try:
+        os.unlink('/tmp/up')
+    except OSError:
+        pass
     fp = os.path.join(CASE_DIR, name)
     with open(fp, 'wb') as fh:
         fh.write(raw)
