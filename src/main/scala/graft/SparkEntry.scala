@@ -3107,7 +3107,8 @@ object SparkEntry {
          |pr AS (SELECT tok, cnt, r,
          |    substr(md5('r' || CAST(r AS VARCHAR) || ':' || tok), 1, 2) AS c
          |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
-         |sk AS (SELECT r, c, sum(cnt) AS cell FROM pr GROUP BY r, c),
+         |sk AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM pr GROUP BY r, c),
          |est AS (SELECT tok, min(cell) AS est, max(cnt) AS cnt
          |  FROM pr JOIN sk USING (r, c) GROUP BY tok)
          |SELECT tok, est, cnt FROM est
@@ -3200,7 +3201,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type, count(k) AS n, min(k) AS k_min,
-        |  max(k) AS k_max, sum(k) AS k_sum
+        |  max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum
         |FROM (SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events)
@@ -3267,8 +3268,9 @@ object SparkEntry {
         |    count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
         |c AS (SELECT event_type, bin, cnt,
-        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
         |  FROM b)
         |SELECT event_type,
         |  min(CASE WHEN CAST(cum AS DOUBLE)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 compare.py <sfDir> <verifyOutDir> [only,names]
+For each query dir under outDir: load the Spark parquet result, run the
+oracle SQL from oracle_sql.json against the sf tables, sort columns by
+name, sort rows, and compare values (floats exact after the query's own
+rounding; NaN==NaN).
+"""
+import sys, os, json, math
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+oracle = json.load(open(os.path.join(out, 'oracle_sql.json')))
+
+TABLES = ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return 'NaN'
+        return repr(v)
+    return repr(v)
+
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only: continue
+    qdir = os.path.join(out, name)
+    if not os.path.isdir(qdir):
+        print(f'{name}: MISSING spark output'); fails += 1; continue
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f'{sf}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    try:
+        o = con.sql(oracle[name])
+        ocols = [c.lower() for c in o.columns]
+        # Tripwire: the driver's hasher formats HUGEINT/DECIMAL output
+        # columns differently from BIGINT/DOUBLE, so an oracle must never
+        # emit them (uncast sum(BIGINT) is the classic trap — r4 shipped
+        # exactly three of these). Fail loudly here, before the driver does.
+        badtypes = [(c, str(t)) for c, t in zip(o.columns, o.types)
+                    if 'HUGEINT' in str(t).upper() or 'DECIMAL' in str(t).upper()]
+        if badtypes:
+            print(f'{name}: ORACLE TYPE tripwire (cast these to BIGINT/DOUBLE): {badtypes}')
+            fails += 1; continue
+        odata = o.fetchall()
+    except Exception as e:
+        print(f'{name}: ORACLE ERROR {e}'); fails += 1; continue
+    s = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+    scols = [c.lower() for c in s.columns]
+    sdata = s.fetchall()
+    if sorted(scols) != sorted(ocols):
+        print(f'{name}: SCHEMA mismatch spark={sorted(scols)} oracle={sorted(ocols)}')
+        fails += 1; continue
+    # reorder both to sorted column order
+    sperm = [scols.index(c) for c in sorted(scols)]
+    operm = [ocols.index(c) for c in sorted(ocols)]
+    srows = sorted(tuple(norm(r[i]) for i in sperm) for r in sdata)
+    orows = sorted(tuple(norm(r[i]) for i in operm) for r in odata)
+    if len(srows) != len(orows):
+        print(f'{name}: ROWS {len(srows)} vs {len(orows)}'); fails += 1; continue
+    if srows != orows:
+        bad = [(a,b) for a,b in zip(srows,orows) if a!=b][:3]
+        print(f'{name}: VALUE mismatch e.g. {bad}'); fails += 1; continue
+    print(f'{name}: OK ({len(srows)} rows)')
+print('FAILURES:', fails)
+sys.exit(1 if fails else 0)
