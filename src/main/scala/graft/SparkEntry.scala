@@ -1182,7 +1182,9 @@ object SparkEntry {
     // both the cluster census and the final filter; rates broadcast.
     "q_cluster_balance" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = Similarity.lloyd(e, e.filter(col("vec_id") < 8), 2)
+      val cents = Similarity.lloyd(
+        e.filter(Similarity.trainSample(col("vec_id"))),
+        e.filter(col("vec_id") < 8), 2)
         .select(col("centroid_id").as("vec_id"), col("embedding"))
       val assigned = operators.OpCaches.register(
         Similarity.ivfAssign(e, cents)
@@ -1486,10 +1488,15 @@ object SparkEntry {
 
     // ANN scale path: IVF bucket probe with TRAINED centroids — two Lloyd
     // iterations (DataFrame aggs; centroids become data, so the oracle
-    // unrolls the identical training in SQL) seeded from vec_id < 8
+    // unrolls the identical training in SQL) seeded from vec_id < 8.
+    // The trainer reads a deterministic md5-prefix 25% sample (the 100-TB
+    // rule: only the final assignment sees the full table); the oracle
+    // trains over the identically-sampled CTE.
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = Similarity.lloyd(e, e.filter(col("vec_id") < 8), 2)
+      val cents = Similarity.lloyd(
+        e.filter(Similarity.trainSample(col("vec_id"))),
+        e.filter(col("vec_id") < 8), 2)
         .select(col("centroid_id").as("vec_id"), col("embedding"))
       Similarity.ivfTopK(e, cents, col("vec_id") % 97 === 0, 3)
     }),
@@ -1501,12 +1508,15 @@ object SparkEntry {
     // ANN compression path: IVF-PQ — coarse buckets (vec_id % 97
     // centroids) + product-quantized ADC scoring with trained per-subspace
     // codebooks (4 × 16 dims, two Lloyd iterations seeded from vec_id < 6);
-    // the scoring join touches codes and a broadcast LUT, never embeddings
+    // the scoring join touches codes and a broadcast LUT, never embeddings.
+    // Codebook training reads a deterministic md5-prefix 25% sample —
+    // encode/assignment stay full-corpus (the 100-TB trainer rule).
     "q_ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 97 === 0),
         col("vec_id") < 6, col("vec_id") % 89 === 0,
-        subspaces = 4, dsub = 16, iters = 2, k = 3)
+        subspaces = 4, dsub = 16, iters = 2, k = 3,
+        trainPred = Similarity.trainSample(col("vec_id")))
     }),
 
     // SemDeDup (Abbas et al. '23, arXiv:2303.09540): cluster embeddings
@@ -1526,7 +1536,9 @@ object SparkEntry {
           transform(col("embedding"),
             x => x * lit(1.0009d) + lit(0.0001d)).as("embedding"))
       val corpus = base.unionByName(dups)
-      val cents = Similarity.lloyd(corpus, corpus.filter(col("vec_id") < 8), 2)
+      val cents = Similarity.lloyd(
+        corpus.filter(Similarity.trainSample(col("vec_id"))),
+        corpus.filter(col("vec_id") < 8), 2)
         .select(col("centroid_id").as("vec_id"), col("embedding"))
       Similarity.semDedup(corpus, cents, 0.9)
     }),
@@ -1624,6 +1636,10 @@ object SparkEntry {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** SQL replay of Similarity.trainSample (md5-prefix 25% trainer sample). */
+  private def trainSampleSql(id: String): String =
+    s"substr(md5(CAST($id AS VARCHAR) || ':train'), 1, 1) < '4'"
+
   private val shinglesSql: Int => String = w =>
     s"""CASE WHEN len(toks) >= $w
        | THEN list_transform(range(0, len(toks)-${w - 1}),
@@ -1715,12 +1731,12 @@ object SparkEntry {
       s"list_sum(list_transform(range(1,${d + 1}), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
     def cosN(a: String, b: String, d: Int) =
       s"(${dotN(a, b, d)} / (sqrt(${dotN(a, a, d)}) * sqrt(${dotN(b, b, d)})))"
-    def assignSub(m: Int, cents: String) =
+    def assignSub(src: String, cents: String) =
       s"""SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT v.vec_id, v.embedding, c.centroid_id,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY ${cosN("v.embedding", "c.embedding", dsub)} DESC, c.centroid_id ASC) AS rn
-         |    FROM s$m v, $cents c)
+         |    FROM $src v, $cents c)
          |  WHERE rn = 1""".stripMargin
     def meanSub(a: String) =
       s"""SELECT centroid_id, list(mm ORDER BY pos) AS embedding FROM (
@@ -1732,9 +1748,11 @@ object SparkEntry {
       s"""s$m AS (SELECT vec_id, list_slice(embedding, ${m * dsub + 1}, ${(m + 1) * dsub}) AS embedding
          |  FROM embeddings),
          |c${m}_0 AS (SELECT vec_id AS centroid_id, embedding FROM s$m WHERE vec_id < 6),
-         |a${m}_1 AS (${assignSub(m, s"c${m}_0")}),
+         |t$m AS (SELECT vec_id, embedding FROM s$m
+         |  WHERE ${trainSampleSql("vec_id")}),
+         |a${m}_1 AS (${assignSub(s"t$m", s"c${m}_0")}),
          |c${m}_1 AS (${meanSub(s"a${m}_1")}),
-         |a${m}_2 AS (${assignSub(m, s"c${m}_1")}),
+         |a${m}_2 AS (${assignSub(s"t$m", s"c${m}_1")}),
          |c${m}_2 AS (${meanSub(s"a${m}_2")}),
          |e$m AS (SELECT vec_id, centroid_id AS code FROM (
          |    SELECT v.vec_id, c.centroid_id,
@@ -2799,14 +2817,15 @@ object SparkEntry {
          |FROM sc CROSS JOIN cuts""".stripMargin,
 
     "q_cluster_balance" -> {
-      // the q_ann_ivf Lloyd unroll (assign → 9dp mean ×2 → final assign),
-      // then the per-cluster census + md5-threshold keep rule
-      def assign(cents: String) =
+      // the q_ann_ivf Lloyd unroll (assign → 9dp mean ×2 → final assign;
+      // training over the md5-sampled trainv), then the per-cluster census
+      // + md5-threshold keep rule
+      def assign(src: String, cents: String) =
         s"""SELECT vec_id, embedding, centroid_id FROM (
            |    SELECT v.vec_id, v.embedding, c.centroid_id,
            |      row_number() OVER (PARTITION BY v.vec_id
            |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
-           |    FROM embeddings v, $cents c)
+           |    FROM $src v, $cents c)
            |  WHERE rn = 1""".stripMargin
       def mean(a: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
@@ -2816,11 +2835,13 @@ object SparkEntry {
            |  GROUP BY 1""".stripMargin
       s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding
          |            FROM embeddings WHERE vec_id < 8),
-         |a1 AS (${assign("c0")}),
+         |trainv AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE ${trainSampleSql("vec_id")}),
+         |a1 AS (${assign("trainv", "c0")}),
          |c1 AS (${mean("a1")}),
-         |a2 AS (${assign("c1")}),
+         |a2 AS (${assign("trainv", "c1")}),
          |c2 AS (${mean("a2")}),
-         |assigned AS (${assign("c2")}),
+         |assigned AS (${assign("embeddings", "c2")}),
          |rates AS (SELECT centroid_id,
          |    least(CAST(1.0 AS DOUBLE),
          |      CAST(32.0 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rate
@@ -3403,13 +3424,14 @@ object SparkEntry {
 
     "q_ann_ivf" -> {
       // the same two Lloyd iterations the Spark side runs, unrolled:
-      // assign -> per-dim mean (round 9) -> assign -> mean -> final assign
-      def assign(cents: String) =
+      // assign -> per-dim mean (round 9) -> assign -> mean -> final assign;
+      // training assigns over the md5-sampled trainv, final over the table
+      def assign(src: String, cents: String) =
         s"""SELECT vec_id, embedding, centroid_id FROM (
            |    SELECT v.vec_id, v.embedding, c.centroid_id,
            |      row_number() OVER (PARTITION BY v.vec_id
            |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
-           |    FROM embeddings v, $cents c)
+           |    FROM $src v, $cents c)
            |  WHERE rn = 1""".stripMargin
       def mean(a: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
@@ -3419,11 +3441,13 @@ object SparkEntry {
            |  GROUP BY 1""".stripMargin
       s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding
          |            FROM embeddings WHERE vec_id < 8),
-         |a1 AS (${assign("c0")}),
+         |trainv AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE ${trainSampleSql("vec_id")}),
+         |a1 AS (${assign("trainv", "c0")}),
          |c1 AS (${mean("a1")}),
-         |a2 AS (${assign("c1")}),
+         |a2 AS (${assign("trainv", "c1")}),
          |c2 AS (${mean("a2")}),
-         |assigned AS (${assign("c2")}),
+         |assigned AS (${assign("embeddings", "c2")}),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
          |      FROM assigned WHERE vec_id % 97 = 0)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
@@ -3437,14 +3461,15 @@ object SparkEntry {
     },
 
     "q_semdedup" -> {
-      // q_ann_ivf's Lloyd unroll over the planted-dup corpus CTE, then the
-      // greedy within-cluster keeper rule as plain relational algebra
-      def assign(cents: String) =
+      // q_ann_ivf's Lloyd unroll over the planted-dup corpus CTE (training
+      // assigns over the md5-sampled trainc), then the greedy
+      // within-cluster keeper rule as plain relational algebra
+      def assign(src: String, cents: String) =
         s"""SELECT vec_id, embedding, centroid_id FROM (
            |    SELECT v.vec_id, v.embedding, c.centroid_id,
            |      row_number() OVER (PARTITION BY v.vec_id
            |        ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC, c.centroid_id ASC) AS rn
-           |    FROM corpus v, $cents c)
+           |    FROM $src v, $cents c)
            |  WHERE rn = 1""".stripMargin
       def mean(a: String) =
         s"""SELECT centroid_id, list(m ORDER BY pos) AS embedding FROM (
@@ -3462,11 +3487,13 @@ object SparkEntry {
          |      x -> CAST(x AS DOUBLE) * 1.0009e0 + 0.0001e0)
          |  FROM embeddings WHERE vec_id % 7 = 0),
          |c0 AS (SELECT vec_id AS centroid_id, embedding FROM corpus WHERE vec_id < 8),
-         |a1 AS (${assign("c0")}),
+         |trainc AS (SELECT vec_id, embedding FROM corpus
+         |           WHERE ${trainSampleSql("vec_id")}),
+         |a1 AS (${assign("trainc", "c0")}),
          |c1 AS (${mean("a1")}),
-         |a2 AS (${assign("c1")}),
+         |a2 AS (${assign("trainc", "c1")}),
          |c2 AS (${mean("a2")}),
-         |assigned AS (${assign("c2")}),
+         |assigned AS (${assign("corpus", "c2")}),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id AS vec_id FROM assigned a JOIN assigned b
          |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id

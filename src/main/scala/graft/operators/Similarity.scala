@@ -140,6 +140,19 @@ object Similarity {
     * n·dim; at 100-TB scale you train on a sample and only the final
     * assignment sees the full table. A centroid that captures no vectors
     * drops out (both engines agree). */
+  /** Deterministic md5-prefix training sample: keep rows whose
+    * md5("<id>:<salt>") first hex digit is below `hexBound` (lowercase hex
+    * on both engines; "4" keeps 4/16 = 25%). The k-means TRAINER is the
+    * only place the ANN stack would otherwise consume the full corpus per
+    * iteration — at 100 TB each Lloyd round is a full-table pass unless the
+    * trainer input is bounded, while assignment/encoding legitimately see
+    * the whole table exactly once. Same engine-portable md5-threshold rule
+    * as Selection.sampledTerciles; the oracle replays it verbatim. */
+  def trainSample(id: Column, salt: String = "train",
+      hexBound: String = "4"): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 1) <
+      lit(hexBound)
+
   def lloyd(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cents = init.select(col("vec_id").as("centroid_id"), col("embedding"))
     for (_ <- 0 until iters) {
@@ -177,11 +190,13 @@ object Similarity {
     * Neighbor Search", TPAMI'11). Deterministic + oracle-replayable for
     * the same reasons lloyd is. Returns (m, centroid_id, embedding). */
   def pqTrain(vectors: DataFrame, initPred: Column, subspaces: Int,
-      dsub: Int, iters: Int): DataFrame =
+      dsub: Int, iters: Int, trainPred: Column = lit(true)): DataFrame =
     (0 until subspaces).map { m =>
       val sub = vectors.select(col("vec_id"),
         slice(col("embedding"), m * dsub + 1, dsub).as("embedding"))
-      lloyd(sub, sub.filter(initPred), iters)
+      // trainer sees only the sample; init stays full-table so the seed
+      // set is independent of the sampling rate
+      lloyd(sub.filter(trainPred), sub.filter(initPred), iters)
         .select(lit(m).as("m"), col("centroid_id"), col("embedding"))
     }.reduce(_ unionByName _)
 
@@ -216,10 +231,10 @@ object Similarity {
     * Output shape matches [[bruteForceTopK]] (cos rounded to 6dp). */
   def ivfPqTopK(vectors: DataFrame, centroids: DataFrame, initPred: Column,
       queryPred: Column, subspaces: Int, dsub: Int, iters: Int,
-      k: Int): DataFrame = {
+      k: Int, trainPred: Column = lit(true)): DataFrame = {
     val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
     val cb = OpCaches.register(
-      pqTrain(vectors, initPred, subspaces, dsub, iters).persist())
+      pqTrain(vectors, initPred, subspaces, dsub, iters, trainPred).persist())
     val enc = pqEncode(vectors, cb, subspaces, dsub)
       .join(assigned.select(col("vec_id"), col("centroid_id").as("cid")),
         Seq("vec_id"))
