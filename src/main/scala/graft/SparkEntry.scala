@@ -3248,7 +3248,8 @@ object SparkEntry {
 
     "q_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 604800000000 AS wk
+        |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000)
+        |       % 604800000000) // 604800000000 AS wk
         |  FROM events WHERE event_type = 'purchase'),
         |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act
         |  GROUP BY user_id)

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     time; stage frames persist once (consumed by the next stage and
   *     by the final count).
   *   - [[cohortRetention]]: weekly activity cohorts — cohort = a user's
-  *     first active week (integer floor-division of epoch micros; both
-  *     engines divide positive integers identically), retention cell
-  *     (cohort, offset) = distinct users active offset weeks later.
+  *     first active week (true FLOOR division of epoch micros via pmod,
+  *     matching DuckDB's `//` for any sign, pre-1970 included),
+  *     retention cell (cohort, offset) = distinct users active offset
+  *     weeks later.
   *   - [[debounce]]: drop events of the same (user, type) within
   *     `gapSec` of the PREVIOUS RAW event (trailing debounce — the
   *     lag-window form; an anchor-based debounce that measures from the
@@ -55,7 +56,12 @@ object EventAnalytics {
   /** One row per (cohort_wk, offset_wk) with the distinct active users.
     * Offset 0 is the cohort size itself. */
   def cohortRetention(events: DataFrame, eventType: String): DataFrame = {
-    val wk = expr("unix_micros(cast(ts as timestamp)) div 604800000000L")
+    // floor division for ANY sign: Spark's `div` truncates toward zero,
+    // DuckDB's `//` floors — subtracting the (always non-negative) pmod
+    // first makes the dividend an exact multiple, so div == floor on both
+    // sides of the oracle even for pre-1970 timestamps
+    val us = "unix_micros(cast(ts as timestamp))"
+    val wk = expr(s"($us - pmod($us, 604800000000L)) div 604800000000L")
     val act = OpCaches.register(
       events.filter(col("event_type") === eventType)
         .select(col("user_id"), wk.as("wk")).distinct().persist())

@@ -126,8 +126,10 @@ object Graph {
     // peels on the driver (a multi-round distributed peel is pure
     // scheduling overhead there), the big-graph path stays the
     // round-synchronous O(E)/round plan. Both paths pinned equal in
-    // SketchGraphSpec.
-    if (und.count() <= localThreshold) return localKcore(und, k, rounds)
+    // SketchGraphSpec. und holds BOTH directions (2 rows per undirected
+    // edge), so halve its count to phrase the gate in undirected edges —
+    // the same unit as connectedComponents' deduped-edge threshold.
+    if (und.count() / 2 <= localThreshold) return localKcore(und, k, rounds)
     var e: DataFrame = und
     for (_ <- 1 to rounds) {
       val cur = OpCaches.register(e.persist())

@@ -72,6 +72,15 @@ final class SnapshotStore(rootDir: String) {
   def exists(wave: Int, table: String): Boolean =
     Files.exists(Paths.get(tablePath(wave, table)))
 
+  /** Newest committed wave that CONTAINS `table`, scanning back from
+    * _LATEST. A store shared by several jobs interleaves waves with
+    * different table sets — a maintained sketch/index must resume from
+    * the newest wave holding ITS table, not assume the latest wave does
+    * (reading only latestWave would silently discard the committed
+    * history whenever another job sealed an unrelated wave in between). */
+  def latestWaveWith(table: String): Option[Int] =
+    latestWave.flatMap(w => (w to 0 by -1).find(exists(_, table)))
+
   // ------------------------------------------------- streaming sink marker
   // Last micro-batch id applied by a streaming upsert sink (see
   // graft.streaming.Streams.upsertBatch). Kept SEPARATE from _LATEST so
@@ -87,6 +96,22 @@ final class SnapshotStore(rootDir: String) {
 
   def setStreamLastBatch(id: Long): Unit =
     Files.writeString(streamMarker, id.toString)
+
+  // Per-table replay markers for maintained tables (index/HLL/CMS
+  // maintenance streams): two maintenance streams sharing one store must
+  // not skip each other's batchIds, so each maintained table tracks its
+  // own last applied micro-batch. Table names are catalog identifiers
+  // (alphanumeric), safe as marker-file suffixes.
+  private def tableMarker(table: String): Path =
+    root.resolve(s"_STREAM_LASTBATCH_$table")
+
+  def streamLastBatch(table: String): Option[Long] = {
+    val m = tableMarker(table)
+    if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+  }
+
+  def setStreamLastBatch(table: String, id: Long): Unit =
+    Files.writeString(tableMarker(table), id.toString)
 
   // ------------------------------------------------------ seen index
   // A bucketed (CLUSTERED BY url_hash) catalog table holding exactly the

@@ -269,7 +269,11 @@ object Streams {
     * unioning fresh ones — append-only doc growth across batches sums
     * correctly (a re-crawled doc is upstream's job to tombstone first).
     * One atomic snapshot wave per batch, batchId-idempotent exactly like
-    * [[upsertBatch]] (same skip-marker contract, replay = no-op). At
+    * [[upsertBatch]] (same skip-marker contract, replay = no-op — but the
+    * marker is PER MAINTAINED TABLE, so several maintenance streams can
+    * share one store without skipping each other's batchIds, and the
+    * committed state is read from the newest wave CONTAINING the table,
+    * surviving interleaved waves committed by other jobs). At
     * scale the delta is micro-batch-sized and the merge is a
     * key-partitioned full-outer join against the committed index — the
     * same O(delta)-exchange principle as the bucketed seen index (a
@@ -278,12 +282,15 @@ object Streams {
   def indexMaintBatch(store: graft.state.SnapshotStore, table: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (!store.streamLastBatch.exists(_ >= batchId)) {
+    // per-table replay marker + scan-back read: a store shared with other
+    // jobs interleaves waves without this table (and other maintenance
+    // streams commit their own batchIds) — resume from the newest wave
+    // that HOLDS the index, skip only THIS table's replays
+    if (!store.streamLastBatch(table).exists(_ >= batchId)) {
       val delta = graft.operators.Retrieval.tokenStream(batch)
         .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      val committed = store.latestWave
-      val existing = committed match {
-        case Some(w) if store.exists(w, table) => store.read(spark, w, table)
+      val existing = store.latestWaveWith(table) match {
+        case Some(w) => store.read(spark, w, table)
         case _ => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           delta.schema)
@@ -294,8 +301,9 @@ object Streams {
         .select(col("tok"), col("doc_id"),
           (coalesce(col("tf_old"), lit(0L)) +
             coalesce(col("tf_new"), lit(0L))).as("tf"))
-      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
-      store.setStreamLastBatch(batchId)
+      store.commit(store.latestWave.map(_ + 1).getOrElse(0),
+        Seq(table -> merged))
+      store.setStreamLastBatch(table, batchId)
     }
   }
 
@@ -325,19 +333,20 @@ object Streams {
   def hllMaintBatch(store: graft.state.SnapshotStore, table: String,
       keyCol: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (!store.streamLastBatch.exists(_ >= batchId)) {
+    // per-table marker + latestWaveWith: see indexMaintBatch
+    if (!store.streamLastBatch(table).exists(_ >= batchId)) {
       val delta = graft.operators.Sketches.hllRegisters(batch, keyCol)
-      val committed = store.latestWave
-      val merged = committed match {
-        case Some(w) if store.exists(w, table) =>
+      val merged = store.latestWaveWith(table) match {
+        case Some(w) =>
           store.read(spark, w, table).withColumnRenamed("rho", "rho_old")
             .join(delta.withColumnRenamed("rho", "rho_new"), Seq("bucket"))
             .select(col("bucket"),
               greatest(col("rho_old"), col("rho_new")).as("rho"))
         case _ => delta
       }
-      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
-      store.setStreamLastBatch(batchId)
+      store.commit(store.latestWave.map(_ + 1).getOrElse(0),
+        Seq(table -> merged))
+      store.setStreamLastBatch(table, batchId)
     }
   }
 
@@ -352,7 +361,9 @@ object Streams {
   def cmsMaintBatch(store: graft.state.SnapshotStore, table: String,
       tokCol: String, d: Int = 4)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (!store.streamLastBatch.exists(_ >= batchId)) {
+    // per-table marker + latestWaveWith: see indexMaintBatch — doubly
+    // load-bearing here because sum-merge is NOT idempotent
+    if (!store.streamLastBatch(table).exists(_ >= batchId)) {
       val delta = batch.select(col(tokCol).as("tok"))
         .select(explode(array((0 until d).map(i => struct(
           lit(i).as("r"),
@@ -360,9 +371,8 @@ object Streams {
           .as("p"))
         .groupBy(col("p.r").as("r"), col("p.c").as("c"))
         .agg(count(lit(1)).as("cell"))
-      val committed = store.latestWave
-      val merged = committed match {
-        case Some(w) if store.exists(w, table) =>
+      val merged = store.latestWaveWith(table) match {
+        case Some(w) =>
           store.read(spark, w, table).withColumnRenamed("cell", "cell_old")
             .join(delta.withColumnRenamed("cell", "cell_new"),
               Seq("r", "c"), "full_outer")
@@ -371,8 +381,9 @@ object Streams {
                 coalesce(col("cell_new"), lit(0L))).as("cell"))
         case _ => delta
       }
-      store.commit(committed.map(_ + 1).getOrElse(0), Seq(table -> merged))
-      store.setStreamLastBatch(batchId)
+      store.commit(store.latestWave.map(_ + 1).getOrElse(0),
+        Seq(table -> merged))
+      store.setStreamLastBatch(table, batchId)
     }
   }
 

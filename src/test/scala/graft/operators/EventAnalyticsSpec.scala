@@ -67,17 +67,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert((g2.getLong(0), g2.getLong(1), g2.getLong(2)) === ((1L, 1L, 0L)))
   }
 
-  test("cohortRetention: weekly cohorts vs a driver replica") {
-    val evs = mkEvents(7, 800, 30)
+  test("cohortRetention: weekly cohorts vs a driver replica (incl. " +
+      "pre-1970 timestamps — floor division, not trunc)") {
+    // planted pre-1970 rows: trunc-toward-zero would put a 1969 event in
+    // week 0 alongside 1970 events; floor division puts it in week -1
+    val pre = Seq(
+      (9001L, 7L, "purchase", new Timestamp(-3L * 86400000L)), // 1969-12-29
+      (9002L, 7L, "purchase", new Timestamp(10L * 86400000L)))
+    val evs = mkEvents(7, 800, 30) ++ pre
     val got = EventAnalytics.cohortRetention(toDf(evs), "purchase")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     OpCaches.drainAll()
     val act = evs.filter(_._3 == "purchase")
-      .map(e => (e._2, e._4.getTime * 1000L / 604800000000L)).distinct
+      .map(e => (e._2, Math.floorDiv(e._4.getTime * 1000L, 604800000000L)))
+      .distinct
     val coh = act.groupBy(_._1).map { case (u, ws) => (u, ws.map(_._2).min) }
     val want = act.groupBy(a => (coh(a._1), a._2 - coh(a._1)))
       .map { case (k, g) => k -> g.size.toLong }
     assert(got === want)
+    assert(coh(7L) === -1L) // the pre-1970 cohort really floored
     // offset-0 cells sum to the number of purchasing users
     assert(got.filter(_._1._2 == 0L).values.sum === coh.size.toLong)
   }

@@ -417,4 +417,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         .map { case (r, c, v) => (r, c) -> v }.toMap === want.toMap)
     } finally q.stop()
   }
+
+  test("maintenance streams share one store: per-table batch markers " +
+      "don't skip each other; interleaved foreign waves don't reset the " +
+      "committed sketch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-shared").toString
+    val store = new graft.state.SnapshotStore(dir)
+    // two maintained tables, interleaved batchIds on ONE store — a global
+    // marker would make cms batch 0 skip because hll already applied 0
+    Streams.hllMaintBatch(store, "hll", "k")((0L until 100L).toDF("k"), 0L)
+    Streams.cmsMaintBatch(store, "cms", "tok")(
+      (0 until 100).map(i => s"w${i % 10}").toDF("tok"), 0L)
+    Streams.hllMaintBatch(store, "hll", "k")((100L until 200L).toDF("k"), 1L)
+    // a FOREIGN job seals an unrelated wave on the same store: the next
+    // merge must still read the newest wave CONTAINING its table instead
+    // of falling back to delta-only (which would discard history)
+    store.commit(store.latestWave.get + 1,
+      Seq("other" -> Seq((1L, "x")).toDF("id", "v")))
+    Streams.hllMaintBatch(store, "hll", "k")((200L until 300L).toDF("k"), 2L)
+    Streams.cmsMaintBatch(store, "cms", "tok")(
+      (0 until 50).map(i => s"w${i % 10}").toDF("tok"), 1L)
+    val hll = store.read(spark,
+        store.latestWaveWith("hll").get, "hll")
+      .as[(String, Int)].collect().toMap
+    val wantHll = graft.operators.Sketches
+      .hllRegisters((0L until 300L).toDF("k"), "k")
+      .as[(String, Int)].collect().toMap
+    assert(hll === wantHll) // all three hll batches merged across the gap
+    val cms = store.read(spark,
+        store.latestWaveWith("cms").get, "cms")
+      .as[(Int, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cms.values.sum === 4L * 150L) // both cms batches counted once
+    // replay protection still per-table: hll batch 1 replay is a no-op
+    val w0 = store.latestWave
+    Streams.hllMaintBatch(store, "hll", "k")((100L until 200L).toDF("k"), 1L)
+    assert(store.latestWave === w0)
+  }
 }
