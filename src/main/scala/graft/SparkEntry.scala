@@ -1276,7 +1276,9 @@ object SparkEntry {
         Sketches.hllRegisters(li, "l_orderkey").persist())
       val est = Sketches.hllEstimate(regs)
         .select(round(col("sum_inv"), 9).as("sum_inv"),
-          round(col("est"), 3).as("est"))
+          round(col("est"), 3).as("est"), col("zeros"),
+          round(Sketches.hllCorrect(col("est"), col("zeros")), 3)
+            .as("est_corr"))
       val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
       regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
     }),
@@ -1284,14 +1286,17 @@ object SparkEntry {
     // per-GROUP HLL: distinct users per event type as a 256-register
     // sketch per group (the per-host cardinality-stats shape a crawl
     // planner sizes partitions with); raw estimate + zero-register count
-    // (the linear-counting small-range correction needs ln — left as a
-    // driver-side branch on these exact inputs), exact rides along.
+    // + the small-range-corrected estimate (linear counting through the
+    // literal LcTable lookup — no engine ever evaluates ln), exact
+    // rides along.
     "q_hll_groups" -> ((s, dir) => {
       val e = events(s, dir)
       val regs = Sketches.hllGroupRegisters(e, "event_type", "user_id")
       val est = Sketches.hllGroupEstimate(regs, "event_type")
         .select(col("event_type"), round(col("sum_inv"), 9).as("sum_inv"),
-          round(col("est"), 3).as("est"), col("zeros"))
+          round(col("est"), 3).as("est"), col("zeros"),
+          round(Sketches.hllCorrect(col("est"), col("zeros")), 3)
+            .as("est_corr"))
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       est.join(broadcast(exact), Seq("event_type"))
@@ -1639,6 +1644,20 @@ object SparkEntry {
   /** SQL replay of Similarity.trainSample (md5-prefix 25% trainer sample). */
   private def trainSampleSql(id: String): String =
     s"substr(md5(CAST($id AS VARCHAR) || ':train'), 1, 1) < '4'"
+
+  // HLL oracle fragments (aggregates over a `regs`-shaped relation with
+  // bucket/rho): harmonic fold in bucket order over shift-built exact
+  // powers of two, the raw alpha·m²/sum estimator, and the zero-register
+  // count V the linear-counting branch consumes.
+  private val hllSumInvSql: String =
+    """list_sum(list(CAST(1.0 AS DOUBLE)
+      |      / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+      |      ORDER BY bucket))""".stripMargin
+  private val hllRawEstSql: String =
+    s"""(CAST(${Sketches.HllAlpha} AS DOUBLE)
+       |      * CAST(65536.0 AS DOUBLE) / $hllSumInvSql)""".stripMargin
+  private val hllZerosSql: String =
+    "sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)"
 
   private val shinglesSql: Int => String = w =>
     s"""CASE WHEN len(toks) >= $w
@@ -3065,17 +3084,18 @@ object SparkEntry {
          |  FROM rb LEFT JOIN occ ON rb.bucket = occ.bucket
          |  GROUP BY rb.bucket),
          |s AS (SELECT
-         |    round(list_sum(list(CAST(1.0 AS DOUBLE)
-         |      / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
-         |      ORDER BY bucket)), 9) AS sum_inv,
-         |    round(CAST(${Sketches.HllAlpha} AS DOUBLE)
-         |        * CAST(65536.0 AS DOUBLE)
-         |      / list_sum(list(CAST(1.0 AS DOUBLE)
-         |        / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
-         |        ORDER BY bucket)), 3) AS est
+         |    round($hllSumInvSql, 9) AS sum_inv,
+         |    round($hllRawEstSql, 3) AS est,
+         |    CAST($hllZerosSql AS BIGINT) AS zeros,
+         |    round(CASE WHEN $hllRawEstSql <= CAST(640.0 AS DOUBLE)
+         |        AND $hllZerosSql > 0
+         |      THEN CAST((${Sketches.lcTableSql})[CAST($hllZerosSql AS INT)]
+         |        AS DOUBLE)
+         |      ELSE $hllRawEstSql END, 3) AS est_corr
          |  FROM regs),
          |x AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
-         |SELECT regs.bucket, regs.rho, s.sum_inv, s.est, x.n_exact
+         |SELECT regs.bucket, regs.rho, s.sum_inv, s.est, s.zeros,
+         |  s.est_corr, x.n_exact
          |FROM regs CROSS JOIN s CROSS JOIN x""".stripMargin,
 
     "q_hll_groups" ->
@@ -3104,21 +3124,19 @@ object SparkEntry {
          |  LEFT JOIN om ON g.event_type = om.event_type
          |    AND rb.bucket = om.bucket),
          |s AS (SELECT event_type,
-         |    round(list_sum(list(CAST(1.0 AS DOUBLE)
-         |      / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
-         |      ORDER BY bucket)), 9) AS sum_inv,
-         |    round(CAST(${Sketches.HllAlpha} AS DOUBLE)
-         |        * CAST(65536.0 AS DOUBLE)
-         |      / list_sum(list(CAST(1.0 AS DOUBLE)
-         |        / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
-         |        ORDER BY bucket)), 3) AS est,
-         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS zeros
+         |    round($hllSumInvSql, 9) AS sum_inv,
+         |    round($hllRawEstSql, 3) AS est,
+         |    CAST($hllZerosSql AS BIGINT) AS zeros,
+         |    round(CASE WHEN $hllRawEstSql <= CAST(640.0 AS DOUBLE)
+         |        AND $hllZerosSql > 0
+         |      THEN CAST((${Sketches.lcTableSql})[CAST($hllZerosSql AS INT)]
+         |        AS DOUBLE)
+         |      ELSE $hllRawEstSql END, 3) AS est_corr
          |  FROM regs GROUP BY event_type),
          |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
          |  FROM events GROUP BY 1)
          |SELECT s.event_type AS event_type, s.sum_inv, s.est, s.zeros,
-         |  x.n_exact
+         |  s.est_corr, x.n_exact
          |FROM s JOIN x ON s.event_type = x.event_type""".stripMargin,
 
     "q_cms_heavy" ->

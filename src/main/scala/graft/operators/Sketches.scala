@@ -74,11 +74,35 @@ object Sketches {
       .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
-  /** Raw HLL estimate (no small/large-range correction — the raw
-    * estimator is what the registers determine, and corrections are
-    * trivial post-hoc branches a caller applies): one row
-    * (sum_inv, est). `sum_inv` folds in bucket order; `est` is
-    * alpha * m^2 / sum_inv with alpha and m^2 as exact literals. */
+  /** Linear-counting lookup m·ln(m/V) for V = 1..m, computed ONCE here
+    * and embedded as literal data on both engines. ln is not
+    * IEEE-correctly-rounded cross-engine, but a double literal
+    * round-trips bit-exactly through its shortest decimal repr — so the
+    * small-range correction becomes a 256-entry table lookup instead of
+    * a per-engine ln call, keeping the whole HLL chain bit-replayable. */
+  val LcTable: IndexedSeq[Double] =
+    (1 to HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+
+  /** LcTable as a DuckDB list literal of VARCHAR (cast the selected
+    * element to DOUBLE at the use site — a bare decimal list literal
+    * would bind as DECIMAL and lose the exact bits). */
+  def lcTableSql: String = LcTable.map(d => s"'$d'").mkString("[", ", ", "]")
+
+  /** Small-range-corrected estimate (the HLL E* branch, Flajolet et al.
+    * AofA'07 Fig. 3): when the raw estimate is ≤ 2.5m AND zero registers
+    * exist, linear counting m·ln(m/V) replaces the raw value — looked up
+    * from [[LcTable]], so both engines take the branch on the identical
+    * raw double and return the identical corrected double. `est` must be
+    * the UNROUNDED raw estimate. */
+  def hllCorrect(est: Column, zeros: Column): Column =
+    when(est <= lit(2.5d * HllM) && zeros > 0,
+      element_at(typedLit(LcTable), zeros.cast("int"))).otherwise(est)
+
+  /** Raw HLL estimate (small-range correction is the post-hoc
+    * [[hllCorrect]] branch over the emitted inputs): one row
+    * (sum_inv, est, zeros). `sum_inv` folds in bucket order; `est` is
+    * alpha * m^2 / sum_inv with alpha and m^2 as exact literals; `zeros`
+    * is the zero-register count V the correction consumes. */
   def hllEstimate(registers: DataFrame): DataFrame =
     registers.agg(
       aggregate(
@@ -87,9 +111,11 @@ object Sketches {
           x => lit(1.0d) /
             call_function("shiftleft", lit(1L), x.getField("rho"))
               .cast("double")),
-        lit(0.0d), (acc, v) => acc + v).as("sum_inv"))
+        lit(0.0d), (acc, v) => acc + v).as("sum_inv"),
+      sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"))
       .select(col("sum_inv"),
-        (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"))
+        (lit(HllAlpha) * lit(65536.0d) / col("sum_inv")).as("est"),
+        col("zeros"))
 
   /** Per-GROUP HLL registers — the per-host / per-shard cardinality
     * stats table a crawl planner sizes partitions with (distinct URLs
@@ -112,11 +138,9 @@ object Sketches {
   }
 
   /** Per-group raw estimate + the zero-register count V. The raw
-    * estimator overshoots in the small-range regime (est ≤ 2.5m); the
-    * standard fix is linear counting m·ln(m/V), but ln is NOT
-    * IEEE-correctly-rounded cross-engine, so this emits the exact
-    * INPUTS (est, V) and leaves the correction as a driver-side branch
-    * — same discipline as the rational-idf BM25. */
+    * estimator overshoots in the small-range regime (est ≤ 2.5m); apply
+    * [[hllCorrect]] over (est, zeros) for the linear-counting branch —
+    * float-free cross-engine via the literal [[LcTable]]. */
   def hllGroupEstimate(registers: DataFrame, groupCol: String): DataFrame =
     registers.groupBy(col(groupCol)).agg(
       aggregate(

@@ -62,6 +62,30 @@ class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(rel < 3 * 1.04 / 16.0, s"relative error $rel")
   }
 
+  test("hllCorrect: linear counting fires below 2.5m via the literal " +
+      "LcTable; raw estimate passes through above") {
+    import org.apache.spark.sql.functions.col
+    val keys = (0 until 60).map(i => s"k$i")
+    val regs = Sketches.hllRegisters(keys.toDF("k"), "k")
+    val row = Sketches.hllEstimate(regs)
+      .select(col("est"), col("zeros"),
+        Sketches.hllCorrect(col("est"), col("zeros")).as("corr"))
+      .collect().head
+    val (est, zeros, corr) =
+      (row.getDouble(0), row.getLong(1), row.getDouble(2))
+    assert(est <= 640.0 && zeros > 0) // the small-range regime
+    // the corrected value IS the table entry m*ln(m/V) — bit-exact
+    assert(corr === Sketches.LcTable(zeros.toInt - 1))
+    // and it's an accurate estimate where the raw one overshoots
+    assert(math.abs(corr - 60.0) / 60.0 < 0.15)
+    assert(math.abs(corr - 60.0) <= math.abs(est - 60.0))
+    // pass-through branch: a big synthetic estimate is returned unchanged
+    val big = Seq((2000.0, 0L)).toDF("est", "zeros")
+      .select(Sketches.hllCorrect(col("est"), col("zeros")))
+      .collect().head.getDouble(0)
+    assert(big === 2000.0)
+  }
+
   test("hllRegisters: empty buckets materialize with rho 0") {
     // 1 key occupies at most 1 bucket; the other 255 must still be rows
     val regs = Sketches.hllRegisters(Seq("only").toDF("k"), "k").collect()
