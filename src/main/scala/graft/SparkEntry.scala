@@ -1336,6 +1336,21 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("sum_qty"), col("cnt"))),
 
+    // arbitrary GROUPING SETS (neither a rollup nor a cube: the pair
+    // plus BOTH single-column marginals, NO grand total — the one
+    // SQL-surface shape ROLLUP/CUBE can't express) — still ONE
+    // Expand-fed aggregate, not a union of three aggregates.
+    "q_grouping_sets" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("cnt"))),
+
     // pivot (cross-tab): quantity by line status x return flag, explicit
     // pivot values so the output schema is static in both engines.
     "q_pivot_returns" -> ((s, dir) =>
@@ -3166,6 +3181,14 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_pivot_returns" ->
       """SELECT l_linestatus,

@@ -433,6 +433,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("q_grouping_sets: arbitrary set list is ONE Expand-fed aggregate " +
+      "— no join, no union of per-set aggregates, single exchange") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), p.take(2500))
+    assert(!p.contains("Join") && !p.contains("Union"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+  }
+
   test("q_pivot_returns: pivot compiles to one hash aggregate — no join, " +
       "no window, scan pruned to the 3 touched columns") {
     val p = plan("q_pivot_returns")
