@@ -75,6 +75,28 @@ object SparkEntry {
         pmod(col("doc_id"), lit(97L)),
         pmod(col("doc_id") * lit(17L) + lit(3L), lit(251L)))).as("dst"))
 
+  /** Power-law doc-link restatement — graph stress family #2: out-edge k
+    * of doc i targets (i·a_k + c_k) mod 2^(1 + ((i·p_k + q_k) mod 12)) —
+    * GEOMETRIC moduli 2..4096, so in-degree decays roughly like 1/id from
+    * thousand-edge hubs at ids 0..1 down to degree-3 leaves (the web's
+    * household heavy tail), versus skewGraph's mild 3..11 degree range.
+    * The node-iterator operators survive these hubs because the a<b
+    * canonical ordering puts a hub's adjacency on the 'a' side: wedge
+    * work per center is deg_b·deg_a, and hubs (smallest ids) have
+    * deg_b ≈ 0 — pinned numerically in SketchGraphSpec. */
+  private def powerGraph(d: DataFrame): DataFrame = {
+    def edge(a: Long, c: Long, p: Long, q: Long) =
+      pmod(col("doc_id") * lit(a) + lit(c),
+        call_function("shiftleft", lit(1L),
+          (pmod(col("doc_id") * lit(p) + lit(q), lit(12L)) + lit(1L))
+            .cast("int")))
+    d.select(col("doc_id").as("src"),
+      explode(array(
+        edge(1L, 0L, 1L, 0L),
+        edge(31L, 7L, 13L, 5L),
+        edge(17L, 3L, 7L, 11L))).as("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational core (scan/filter/join/agg/window/limit) ----------
 
@@ -1265,6 +1287,21 @@ object SparkEntry {
       Graph.labelProp(skewGraph(d), d.select(col("doc_id").as("node")), 2)
     }),
 
+    // ---- power-law stress family: the same peel/community/triangle
+    // operators over geometric-moduli hubs (in-degree ~1/id, maxima in
+    // the hundreds at sf0.1) — degrees hostile enough that a wedge join
+    // NOT riding the a<b ordering would blow up quadratically at a hub.
+    "q_kcore_power" -> ((s, dir) =>
+      Graph.kcore(powerGraph(docs(s, dir)), 4, 3)),
+
+    "q_label_prop_power" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.labelProp(powerGraph(d), d.select(col("doc_id").as("node")), 2)
+    }),
+
+    "q_triangles_power" -> ((s, dir) =>
+      Graph.triangles(powerGraph(docs(s, dir)))),
+
     // deterministic HyperLogLog distinct-count sketch over order keys:
     // 256 hex-prefix registers + the raw harmonic estimate. All 256
     // register rows are output (estimate/exact ride along as repeated
@@ -1673,6 +1710,18 @@ object SparkEntry {
        |      * CAST(65536.0 AS DOUBLE) / $hllSumInvSql)""".stripMargin
   private val hllZerosSql: String =
     "sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)"
+
+  /** SQL replay of powerGraph's directed edge list (UNION ALL, not
+    * unnest — the DuckDB 1.0.0 binder workaround the other graph oracles
+    * document). */
+  private val powerE0Sql: String =
+    """SELECT doc_id AS src, doc_id % (CAST(1 AS BIGINT)
+      |      << CAST((doc_id % 12) + 1 AS INT)) AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id * 31 + 7) % (CAST(1 AS BIGINT)
+      |      << CAST(((doc_id * 13 + 5) % 12) + 1 AS INT)) FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % (CAST(1 AS BIGINT)
+      |      << CAST(((doc_id * 7 + 11) % 12) + 1 AS INT)) FROM documents"""
+      .stripMargin
 
   private val shinglesSql: Int => String = w =>
     s"""CASE WHEN len(toks) >= $w
@@ -3073,6 +3122,62 @@ object SparkEntry {
          |$rounds
          |SELECT node, label FROM l2""".stripMargin
     },
+
+    "q_kcore_power" -> {
+      // the q_kcore unroll over the power-law restatement (geometric
+      // moduli 2..4096 — see powerGraph)
+      val rounds = (1 to 3).map { i =>
+        s"""k$i AS (SELECT u FROM g${i - 1} GROUP BY u
+           |  HAVING count(*) >= 4),
+           |g$i AS (SELECT g.u AS u, g.v AS v FROM g${i - 1} g
+           |  JOIN k$i x ON g.u = x.u JOIN k$i y ON g.v = y.u)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS ($powerE0Sql),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g0 AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |$rounds
+         |SELECT u AS node, count(*) AS deg FROM g3 GROUP BY u""".stripMargin
+    },
+
+    "q_label_prop_power" -> {
+      // the q_label_prop unroll over the power-law restatement
+      val rounds = (1 to 2).map { i =>
+        s"""nb$i AS (SELECT v, label, count(*) AS cnt
+           |  FROM g0 JOIN l${i - 1} ON g0.u = l${i - 1}.node
+           |  GROUP BY v, label),
+           |mx$i AS (SELECT v, max(cnt) AS mx FROM nb$i GROUP BY v),
+           |up$i AS (SELECT nb$i.v AS v, min(label) AS nl
+           |  FROM nb$i JOIN mx$i ON nb$i.v = mx$i.v AND nb$i.cnt = mx$i.mx
+           |  GROUP BY nb$i.v),
+           |l$i AS (SELECT node, coalesce(nl, label) AS label
+           |  FROM l${i - 1} LEFT JOIN up$i ON l${i - 1}.node = up$i.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS ($powerE0Sql),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g0 AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT node, label FROM l2""".stripMargin
+    },
+
+    "q_triangles_power" ->
+      // the q_triangles node-iterator over the power-law restatement —
+      // the family whose hubs make the a<b ordering load-bearing
+      s"""WITH e0 AS ($powerE0Sql),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM u e1 JOIN u e2 ON e1.b = e2.a
+         |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t)
+         |SELECT node, count(*) AS n_tri FROM c GROUP BY 1""".stripMargin,
 
     "q_hll_distinct" ->
       // register construction mirrors Sketches.hllRegisters op-for-op:

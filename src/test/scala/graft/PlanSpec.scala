@@ -419,6 +419,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
+  test("power-law family: q_triangles_power wedge joins are equi-joins " +
+      "riding the a<b ordering (no cartesian, no nested-loop); peel/LPA " +
+      "stay cached hash plans under hub degrees") {
+    for (q <- Seq("q_triangles_power", "q_kcore_power", "q_label_prop_power")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n" + p.take(3000))
+      operators.OpCaches.drain()
+    }
+  }
+
   test("q_rollup_pricing: ONE Expand-fed aggregate with map-side " +
       "partials — no join, single exchange") {
     val p = plan("q_rollup_pricing")

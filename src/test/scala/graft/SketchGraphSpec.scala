@@ -245,6 +245,39 @@ class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("power-law family: hubs are real (max degree in the hundreds) and " +
+      "the a<b wedge ordering collapses per-center work by orders of " +
+      "magnitude vs naive center-at-every-node") {
+    // driver replica of SparkEntry.powerGraph over 5000 ids (sf0.1 scale)
+    val n = 5000L
+    def m(p: Long, q: Long, i: Long) = 1L << (((i * p + q) % 12) + 1).toInt
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, i % m(1, 0, i)), (i, (i * 31 + 7) % m(13, 5, i)),
+        (i, (i * 17 + 3) % m(7, 11, i)))
+    }
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val degA = und.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      .withDefaultValue(0L)
+    val degB = und.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      .withDefaultValue(0L)
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct
+    val deg = nodes.map(c => c -> (degA(c) + degB(c))).toMap
+    assert(deg.values.max >= 300L, s"hubs too mild: max ${deg.values.max}")
+    // wedge work at the hottest center: ordered = deg_b*deg_a (what the
+    // node-iterator join does); naive = deg*(deg-1)/2 (center at every
+    // node regardless of ordering)
+    val ordered = nodes.map(c => degB(c) * degA(c)).max
+    val naive = nodes.map(c => deg(c) * (deg(c) - 1) / 2).max
+    assert(ordered * 10 <= naive,
+      s"a<b ordering should collapse hub wedges: ordered=$ordered naive=$naive")
+    // total wedge work is bounded too, not just the max
+    val orderedTot = nodes.map(c => degB(c) * degA(c)).sum
+    val naiveTot = nodes.map(c => deg(c) * (deg(c) - 1) / 2).sum
+    assert(orderedTot * 4 <= naiveTot,
+      s"total wedge work: ordered=$orderedTot naive=$naiveTot")
+  }
+
   test("labelProp: two disjoint cliques converge to two min-id labels") {
     val c1 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
     val c2 = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
