@@ -151,33 +151,53 @@ object Dedup {
       .filter(col("rk") <=
         col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + lit(1))
       .select(col("doc_id"), col("sh"), col("rk"), col("n")).persist())
-    // PPJoin filters (Xiao et al. WWW'08), both lossless and integer:
+    // PPJoin filters (Xiao et al. WWW'08), all lossless and integer:
     //  - length: J >= θ forces num·max(|A|,|B|) <= den·min(|A|,|B|)
-    //  - position: the globally-first shared element (same global order
-    //    on both sides ⇒ minimal rank in BOTH sets, and provably inside
-    //    both prefixes for any qualifying pair) bounds the overlap by
-    //    1 + min(|A|-ra, |B|-rb), which must reach the equivalent-overlap
-    //    threshold α = ceil(num·(|A|+|B|) / (num+den)).
-    // Measured at sf0.1/θ=7/10: raw prefix candidates 209k → 33k, same
-    // 256 verified pairs; DedupCcSpec's brute-force equality re-proves
-    // losslessness on every run.
+    //    (pair-uniform — safe to apply per shared-element row).
+    //  - accumulated positional bound (round 5; strictly tighter than
+    //    the per-row single-element form it replaces): group the shared
+    //    prefix-element rows per pair. The global rarity order is the
+    //    SAME on both sides, so the shared both-prefix elements appear
+    //    in the same relative order in A and B; any OTHER shared element
+    //    x (at most one prefix contains it) is globally after the last
+    //    both-prefix shared element t — if x were before t, x's position
+    //    in the side where it's suffix-only would precede t's in-prefix
+    //    position, contradicting x being past that prefix. Hence
+    //    overlap ≤ cnt + min(|A|−ra_last, |B|−rb_last), which must reach
+    //    the equivalent-overlap threshold
+    //    α = ceil(num·(|A|+|B|) / (num+den)). Each extra shared prefix
+    //    element adds 1 to cnt but ≥1 to both rank gaps, so this bound
+    //    is ≤ the old first-element bound 1 + min(|A|−ra₁, |B|−rb₁) —
+    //    never admits more pairs, often far fewer.
+    // Measured at sf0.1/θ=7/10 (tools.SetSimProbe): length-filtered
+    // prefix pairs 104,502 → 33,389 (single-element form, round 4) →
+    // 32,515 (accumulated bound), same 256 verified pairs — candidates
+    // are no longer the bottleneck, so PPJoin+'s suffix filter (a
+    // per-pair binary-search probe into suffixes) would buy ~nothing
+    // here; the structural win of this round is the group-by replacing
+    // the old distinct() (same shuffle) while carrying |A|,|B| forward,
+    // deleting the two size re-joins the verify used to pay
+    // (warmed 6.4 → 6.16 s end to end). DedupCcSpec's brute-force
+    // equality re-proves losslessness on every run.
     val cand = pre.as("a").join(pre.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .filter(lit(num) * greatest(col("a.n"), col("b.n")) <=
         lit(den) * least(col("a.n"), col("b.n")))
-      .filter(lit(1) +
-        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
-        expr(s"(($num * (a.n + b.n)) + ${num + den - 1}) DIV ${num + den}"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.rk")).as("ra_last"), max(col("b.rk")).as("rb_last"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(col("cnt") +
+        least(col("na") - col("ra_last"), col("nb") - col("rb_last")) >=
+        expr(s"(($num * (na + nb)) + ${num + den - 1}) DIV ${num + den}"))
+      .select(col("da"), col("db"), col("na"), col("nb"))
     val inter = cand
       .join(sets.select(col("doc_id").as("da"), col("sh")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
     inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .filter(col("inter") * den >=
         (col("na") + col("nb") - col("inter")) * num)
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))

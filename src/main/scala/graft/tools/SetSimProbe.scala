@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, OpCaches}
+
+/** Temporary round-5 probe: candidate counts for the setsim positional
+  * filters at a given SF (single-element bound vs accumulated bound),
+  * plus warmed end-to-end timing. Results recorded in BENCH.md. */
+object SetSimProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-setsim-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (w, num, den) = (3, 7, 10) // q_setsim_join's exact parameters
+
+    // rebuild the prefix table exactly as Dedup.setSimJoin does
+    val W = org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), w)).as("sh"))
+      .distinct().persist()
+    val dfc = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rk = sets.join(dfc, Seq("sh"))
+      .select(col("doc_id"), col("sh"),
+        row_number().over(
+          W.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))).as("rk"),
+        count(lit(1)).over(W.partitionBy(col("doc_id"))).as("n"))
+    val pre = rk.filter(col("rk") <=
+        col("n") - expr(s"(n * $num + ${den - 1}) DIV $den") + lit(1))
+      .select(col("doc_id"), col("sh"), col("rk"), col("n")).persist()
+
+    val joined = pre.as("a").join(pre.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(lit(num) * greatest(col("a.n"), col("b.n")) <=
+        lit(den) * least(col("a.n"), col("b.n")))
+    val raw = joined.select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val single = joined
+      .filter(lit(1) +
+        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >=
+        expr(s"(($num * (a.n + b.n)) + ${num + den - 1}) DIV ${num + den}"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val accum = joined
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.rk")).as("ra_last"), max(col("b.rk")).as("rb_last"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(col("cnt") +
+        least(col("na") - col("ra_last"), col("nb") - col("rb_last")) >=
+        expr(s"(($num * (na + nb)) + ${num + den - 1}) DIV ${num + den}"))
+      .count()
+    println(s"PROBE candidates raw=$raw single=$single accum=$accum")
+    sets.unpersist(); pre.unpersist()
+
+    // warmed end-to-end timing of the shipped operator
+    Dedup.setSimJoin(docs, col("doc_id"), col("text"), w, num, den).count()
+    OpCaches.drain()
+    val t0 = System.nanoTime()
+    val pairs =
+      Dedup.setSimJoin(docs, col("doc_id"), col("text"), w, num, den).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    OpCaches.drain()
+    println(f"PROBE setsim warmed pairs=$pairs sec=$sec%.2f")
+    spark.stop()
+  }
+}

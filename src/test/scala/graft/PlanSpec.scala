@@ -469,8 +469,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("q_setsim_join: shingle sets and prefixes each cached (sets feed " +
-      "df/rank/intersect/size; prefixes feed both self-join sides); no " +
-      "cartesian") {
+      "df/rank/intersect; prefixes feed both self-join sides; sizes ride " +
+      "the candidate agg — no size re-joins); no cartesian") {
     val p = plan("q_setsim_join")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
