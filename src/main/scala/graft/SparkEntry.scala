@@ -688,6 +688,26 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // RANGE-frame window aggregation: per-user trailing 5-minute event-time
+    // frame — the frame is defined by VALUE distance on the ordering key
+    // (micros), not row counts, the one window-frame surface the other
+    // event queries don't cover. Ties on ts are RANGE peers and share the
+    // frame identically in both engines. The monetary sum rides as integer
+    // cents (floor(value·100): floor is IEEE-exact; a raw double→long CAST
+    // truncates in Spark but rounds in DuckDB). Scale: one shuffle on
+    // user_id; the frame evaluates as a sliding two-pointer accumulator
+    // per partition, never re-scanning the frame per row.
+    "q_window_range" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-300000000L, 0L)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_5m"),
+        sum(col("cents")).over(w).as("cents_5m"))
+    }),
+
     // AS-OF join (view → click): for each click, the latest view at or
     // before it per user — tagged union + running max over ONE window
     // shuffle, never a per-row inequality join (operators/Temporal; the
@@ -930,6 +950,22 @@ object SparkEntry {
       Dedup.assignComponents(d, col("doc_id"), pairs)
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .select(col("component").as("doc_id"), col("cluster_size"))
+    }),
+
+    // cross-corpus INCREMENTAL dedup: an ingestion batch (the md5-split
+    // "new" half) is LSH-bucketed against the already-ingested corpus (the
+    // "old" half) and dropped on an exact-Jaccard ≥ 1/2 verified match —
+    // dedup the delta against the lake, never the lake against itself.
+    // The threshold compare is integer cross-multiplication (2·|∩| ≥ |∪|),
+    // no float boundary to drift cross-engine. Scale: at 100 TB the old
+    // side's band table is a materialized artifact appended per batch;
+    // each batch exchanges only its own bands + matched candidates.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Dedup.incrementalNewDocs(d.filter(h >= "8"), d.filter(h < "8"),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("lang"), col("source"))
     }),
 
     // decontamination: drop training docs sharing ANY 5-gram with the
@@ -1237,6 +1273,29 @@ object SparkEntry {
     // TakeOrdered.
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25(docs(s, dir), Seq("customer", "spark", "vector"), 20)),
+
+    // per-doc top-3 TF-IDF terms (sparse feature extraction for quality /
+    // topic classifiers): idf enters as the exact rational N/df — one IEEE
+    // division after an exact integer product, so the score doubles are
+    // bit-identical cross-engine (no ln; the q_bm25 policy). Scale: token
+    // explode → (doc,tok) agg → tok-keyed df agg joined back on tok → one
+    // row_number window on doc_id; the 1-row corpus count broadcasts.
+    "q_tfidf_vectors" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 1)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"),
+          round(col("score"), 6).as("score"))
+    }),
 
     // exact-phrase positional intersect: "hash join" occurrences per doc.
     // The position stream filters to the two query terms BEFORE the join
@@ -2513,6 +2572,16 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events FROM g GROUP BY 1""".stripMargin,
 
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_5m,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cents_5m
+        |FROM events""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
         |  WHERE event_type IN ('view', 'click')),
@@ -2714,6 +2783,36 @@ object SparkEntry {
          |  FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id)
          |SELECT component AS doc_id, count(*) AS cluster_size
          |FROM asg GROUP BY component""".stripMargin,
+
+    "q_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+         |  FROM documents),
+         |sh3 AS (SELECT doc_id, h, ${shinglesSql(3)} AS shingles FROM d),
+         |sigs AS (SELECT doc_id, h,
+         |  list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig0,
+         |  list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig1,
+         |  list_min(list_transform(shingles, s -> md5('2|' || s))) AS sig2,
+         |  list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig3
+         |  FROM sh3),
+         |bands AS (
+         |  SELECT doc_id, h, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, h, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs),
+         |cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+         |  FROM bands n JOIN bands o
+         |    ON n.band = o.band AND n.bucket = o.bucket
+         |   AND n.h >= '8' AND o.h < '8'),
+         |sh2 AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM d),
+         |dup AS (SELECT DISTINCT c.id_new
+         |  FROM cand c JOIN sh2 a ON c.id_new = a.doc_id
+         |              JOIN sh2 b ON c.id_old = b.doc_id
+         |  WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+         |    AND 2 * len(list_intersect(a.sh, b.sh))
+         |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+         |SELECT doc_id, lang, source FROM d
+         |WHERE h >= '8' AND doc_id NOT IN (SELECT id_new FROM dup)""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,
@@ -2972,6 +3071,23 @@ object SparkEntry {
          |FROM term GROUP BY doc_id
          |ORDER BY list_sum(list(ts ORDER BY tok)) DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
+
+    "q_tfidf_vectors" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id AS doc_id, tf.tok AS tok,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfc.df AS score
+        |  FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, tok) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, tok, round(score, 6) AS score
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "q_phrase_search" ->
       s"""WITH d AS (SELECT doc_id,

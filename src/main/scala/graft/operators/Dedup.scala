@@ -116,6 +116,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Cross-corpus incremental dedup: drop incoming documents that are
+    * near-duplicates of an ALREADY-INGESTED corpus — the shape a continuously
+    * fed training pipeline runs on every ingestion batch (dedup the delta
+    * against the lake, never the lake against itself). Candidates come from
+    * an LSH band-bucket join between the NEW side's bands and the OLD side's
+    * bands (no self-joins anywhere: the old corpus is only touched through
+    * its band table and the per-candidate shingle lookups, both keyed
+    * equi-joins). Verification is exact n-gram Jaccard ≥ num/den computed in
+    * INTEGER cross-multiplied form (den·|∩| ≥ num·|∪|) — no float
+    * threshold compare to drift cross-engine. Returns the surviving rows of
+    * `newDf` (all its columns) via a left-anti join on the verified ids.
+    *
+    * Scale: at 100 TB the old corpus's band table is a materialized
+    * artifact (built once, appended per batch — the seen-index pattern);
+    * each ingestion batch exchanges only its OWN bands plus the matched
+    * candidates. Nothing here is quadratic: bucket join + O(candidates)
+    * verify. */
+  def incrementalNewDocs(newDf: DataFrame, oldDf: DataFrame, id: Column,
+      text: Column, w: Int = 3, k: Int = 4, bandsOf: Int = 2, vw: Int = 2,
+      thetaNum: Int = 1, thetaDen: Int = 2): DataFrame = {
+    val nb = lshBands(newDf, id, text, w, k, bandsOf)
+    val ob = lshBands(oldDf, id, text, w, k, bandsOf)
+    val cands = nb.select(col("band"), col("bucket"), col("id").as("id_new"))
+      .join(ob.select(col("band"), col("bucket"), col("id").as("id_old")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
+    val shNew = newDf.select(id.as("id_new"),
+      array_distinct(shingles(text, vw)).as("sh_n"))
+    val shOld = oldDf.select(id.as("id_old"),
+      array_distinct(shingles(text, vw)).as("sh_o"))
+    val inter = size(array_intersect(col("sh_n"), col("sh_o"))).cast("long")
+    val union = size(col("sh_n")).cast("long") + size(col("sh_o")) - inter
+    val dupIds = cands.join(shNew, Seq("id_new")).join(shOld, Seq("id_old"))
+      .filter(union > 0 && inter * thetaDen >= union * thetaNum)
+      .select(col("id_new")).distinct()
+    newDf.join(dupIds.withColumnRenamed("id_new", "_dup_id"),
+      id === col("_dup_id"), "left_anti")
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
     * al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs") — the third member
     * of the near-dup candidate-generation family next to MinHash-LSH

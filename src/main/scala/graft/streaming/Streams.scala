@@ -262,6 +262,25 @@ object Streams {
         col("v_user").as("user_id"), col("v_ts"), col("c_ts"))
   }
 
+  /** Event-time gap-merged session windows over a (user_id, ts) event
+    * stream via the built-in `session_window` — the EVENT-TIME dual of
+    * [[hostSessions]]' processing-order mapGroupsWithState: out-of-order
+    * events within the watermark merge sessions retroactively in the
+    * state store (two sessions bridged by a late arrival collapse into
+    * one), and a session emits exactly once, when the watermark passes
+    * its end. Session end = last event + gap (built-in semantics: windows
+    * merge while the next event starts BEFORE the current end, i.e. the
+    * strict `ts' < prev + gap` rule). Scale: state is one merged window
+    * per open (user, session) — bounded by the watermark horizon, never
+    * by stream length. Identical on batch frames (how the spec pins it). */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Incremental inverted-index maintenance, the streaming dual of
     * Retrieval.invertedIndex's (tok, doc_id, tf) base table: each
     * micro-batch aggregates its own postings delta, which merges into the

@@ -572,4 +572,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     operators.OpCaches.drain()
   }
+
+  test("q_window_range: RANGE frame rides ONE per-user exchange, no join") {
+    val p = plan("q_window_range")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("Join"), "range frame should not plan a join:\n" + p.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one exchange (user_id) expected:\n" + p.take(2500))
+  }
+
+  test("q_tfidf_vectors: corpus count broadcasts; tok/df joins stay " +
+      "equi-joins (no cartesian)") {
+    val p = plan("q_tfidf_vectors")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row corpus count should broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_incremental_dedup: band-bucket + shingle lookups are equi-joins; " +
+      "survivors leave via LeftAnti — nothing quadratic") {
+    val p = plan("q_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental dedup degraded to a non-equi join:\n" + p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
 }

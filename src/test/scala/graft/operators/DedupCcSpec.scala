@@ -142,4 +142,57 @@ class DedupCcSpec extends AnyFunSuite with SparkTestSession {
       assert(want.nonEmpty, s"vacuous corpus at seed $seed")
     }
   }
+
+  test("incrementalNewDocs equals the pure-Scala LSH+verify replica " +
+      "(band recall and integer-Jaccard verify both replayed)") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def tokenize(t: String): Seq[String] =
+      "[A-Za-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    def shingleSeq(t: String, w: Int): Seq[String] =
+      tokenize(t).sliding(w).filter(_.size == w).map(_.mkString(" ")).toSeq
+    def bands(t: String): Seq[(Int, String)] = {
+      val sh = shingleSeq(t, 3)
+      if (sh.isEmpty) Seq.empty // null sigs -> null bucket -> no candidates
+      else {
+        val sigs = (0 until 4).map(i => sh.map(s => md5Hex(s"$i|" + s)).min)
+        Seq(0 -> md5Hex(sigs(0) + sigs(1)), 1 -> md5Hex(sigs(2) + sigs(3)))
+      }
+    }
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 25).map(i => s"w$i")
+      val olds = (0L until 40L).map { i =>
+        (i, (0 until 14 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // new batch: fresh docs + near-copies of old docs (one word appended)
+      val news = (100L until 130L).map { i =>
+        (i, (0 until 14 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      } ++ olds.take(10).map { case (i, t) => (i + 200L, t + " w3") }
+      val got = Dedup.incrementalNewDocs(
+          news.toDF("doc_id", "text"), olds.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      OpCaches.drainAll()
+      val oldBands = olds.flatMap { case (i, t) => bands(t).map(b => (b, i)) }
+        .groupMap(_._1)(_._2)
+      val oldSh = olds.map { case (i, t) => i -> shingleSeq(t, 2).toSet }.toMap
+      val want = news.filterNot { case (ni, nt) =>
+        val cands = bands(nt).flatMap(oldBands.getOrElse(_, Seq.empty)).distinct
+        val sn = shingleSeq(nt, 2).toSet
+        cands.exists { oi =>
+          val so = oldSh(oi); val inter = (sn & so).size
+          val union = sn.size + so.size - inter
+          union > 0 && 2 * inter >= union
+        }
+      }.map(_._1).toSet
+      assert(got === want, s"seed $seed")
+      assert(want.size < news.size, s"vacuous: nothing dropped at seed $seed")
+      assert(want.nonEmpty, s"vacuous: everything dropped at seed $seed")
+    }
+  }
 }

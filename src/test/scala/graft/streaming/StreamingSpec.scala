@@ -454,4 +454,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     Streams.hllMaintBatch(store, "hll", "k")((100L until 200L).toDF("k"), 1L)
     assert(store.latestWave === w0)
   }
+
+  test("session windows: out-of-order stream (incl. a session-bridging " +
+      "late event) equals the batch session_window result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streams.sessionWindowStream(in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two bursts that a LATE ts(20) event bridges into ONE session;
+    // user 2: two separate sessions (gap 45 > 30); events out of order
+    val evs = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(40)), (1L, ts(45)),
+      (2L, ts(5)), (2L, ts(95)), (2L, ts(0)))
+    try {
+      in.addData(evs.take(4): _*); q.processAllAvailable()
+      in.addData(evs.drop(4): _*); q.processAllAvailable()
+      in.addData((1L, ts(20))); q.processAllAvailable() // bridges 10 -> 40
+      // advance the watermark (2h) far enough to close every session,
+      // then once more so the closed windows actually emit
+      in.addData((9L, ts(300))); q.processAllAvailable()
+      in.addData((9L, ts(301))); q.processAllAvailable()
+      val got = spark.sql(
+          "select user_id, session_start, session_end, n_events from sess_win")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+        .filter(_._1 != 9L)
+      val want = Streams.sessionWindowStream(
+          (evs :+ (1L, ts(20))).toDF("user_id", "ts"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got === want)
+      assert(want.count(_._1 == 1L) == 1, "late event failed to bridge")
+      assert(want.count(_._2 == 2L) <= want.size) // sanity
+      assert(want.exists { case (u, _, _, n) => u == 1L && n == 5L })
+    } finally q.stop()
+  }
 }
