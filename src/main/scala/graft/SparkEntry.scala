@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{canonicalize_url, detect_secrets, shannon_entropy}
 import graft.frontier.{CrawlConfig, Crawler, Scheduler}
-import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, EventAnalytics, Graph, ImageMeta, Layout, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, YamlLite}
+import graft.operators.{AudioMeta, Chunking, Containers, Dedup, Email, Entities, EventAnalytics, Graph, ImageMeta, Layout, Mime, Multimodal, Office, Ole, OleBuild, Parsers, Pdf, Retrieval, Selection, Sidecar, Similarity, Sinks, Sketches, SliceText, Temporal, TextAnalysis, Winnow, YamlLite}
 import graft.sources.{GitHistory, JdbcSource, SyntheticCorpus}
 import graft.state.SnapshotStore
 
@@ -1297,6 +1297,43 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // winnowing document fingerprints (Schleimer SIGMOD'03 / MOSS): base-131
+    // rolling token hashes → base-1009 4-gram hashes → per-5-window minimum
+    // with the rightmost tie-break, all bounded-integer math (two <2^20
+    // moduli, literal weight tables) so DuckDB replays exact values. The
+    // output pins each doc's whole selected set via (count, sum, xor, min,
+    // max) of the packed (hash, pos) keys — one HOF projection + one
+    // groupBy, no UDF, partitioning-independent.
+    "q_winnow_fingerprint" -> ((s, dir) =>
+      Winnow.fingerprintSummary(docs(s, dir), col("doc_id"), col("text"))),
+
+    // winnowing near-dup pairs: self-join ONLY on selected fingerprints
+    // (~2/(w+1) of gram hashes), with fingerprints in >10 docs dropped
+    // first (the MOSS common-code filter, which is also the skew guard —
+    // a boilerplate run shared by half the corpus never enters the join).
+    "q_winnow_dups" -> ((s, dir) =>
+      Winnow.winnowDups(docs(s, dir), col("doc_id"), col("text"))),
+
+    // 2D Pareto skyline per brand (minimize size, minimize price) via two
+    // cumulative-min windows — the sort-based linear skyline, never the
+    // quadratic dominance self-join: a part survives iff no strictly
+    // smaller size beats its price (RANGE-to-1-PRECEDING running min) and
+    // it holds the min price within its own size group.
+    "q_skyline" -> ((s, dir) => {
+      val w1 = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      s.read.parquet(t(dir, "part"))
+        .select(col("p_brand"), col("p_size"), col("p_partkey"),
+          col("p_retailprice"),
+          min(col("p_retailprice")).over(w1).as("m1"),
+          min(col("p_retailprice"))
+            .over(Window.partitionBy(col("p_brand"), col("p_size"))).as("m2"))
+        .filter((col("m1").isNull || col("m1") > col("p_retailprice")) &&
+          col("p_retailprice") === col("m2"))
+        .select(col("p_brand"), col("p_size"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+    }),
+
     // exact-phrase positional intersect: "hash join" occurrences per doc.
     // The position stream filters to the two query terms BEFORE the join
     // and persists once; join sides are slivers of the corpus.
@@ -1796,6 +1833,40 @@ object SparkEntry {
          | CASE WHEN ((strpos('0123456789abcdef', substr(h, $nib, 1)) - 1) >> $bit) & 1 = 1
          | THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  /** Shared winnowing CTE chain ending in fp(doc_id, fp_key) — the DuckDB
+    * replay of operators/Winnow: token char-poly hashes (131-weights mod
+    * 1048573, first 6 chars), packed 1009-weight 4-gram keys, distinct
+    * 5-window minima. range() yields BIGINTs, so lambda indices cast to
+    * INTEGER for substr/list_slice; the hash sums stay < 2^51 (BIGINT-safe,
+    * list_aggregate 'sum' HUGEINT cast back down). */
+  private def winnowCtes: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |th AS (SELECT doc_id, len(toks) AS n,
+      |    list_transform(toks, t ->
+      |      CAST(list_aggregate(list_transform(
+      |        range(1, least(len(t), 6) + 1),
+      |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)) *
+      |          ([1,131,17161,2248091,294499921,38579489651])
+      |            [least(len(t), 6) - CAST(i AS INTEGER) + 1]),
+      |      'sum') AS BIGINT) % 1048573) AS ths
+      |  FROM d),
+      |gk AS (SELECT doc_id,
+      |    list_transform(range(0, n - 4 + 1), j ->
+      |      ((ths[CAST(j AS INTEGER) + 1] * 1027243729 +
+      |        ths[CAST(j AS INTEGER) + 2] * 1018081 +
+      |        ths[CAST(j AS INTEGER) + 3] * 1009 +
+      |        ths[CAST(j AS INTEGER) + 4]) % 1048573) * 1048576
+      |      + (1048575 - CAST(j AS BIGINT))) AS keys
+      |  FROM th WHERE n >= 8),
+      |fp AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(0, len(keys) - 5 + 1), j ->
+      |      list_aggregate(list_slice(keys,
+      |        CAST(j AS INTEGER) + 1, CAST(j AS INTEGER) + 5), 'min'))))
+      |    AS fp_key
+      |  FROM gk)""".stripMargin
 
   private def simhashOracleSql: String =
     s"""WITH d AS (SELECT doc_id,
@@ -3088,6 +3159,38 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, rnk, tok, round(score, 6) AS score
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // winnowing: the CTE chain replays the exact bounded-integer pipeline —
+    // base-131 char-poly token hashes (literal weight table, mod 1048573),
+    // base-1009 4-gram hashes packed with the 20-bit position complement,
+    // 5-window list_slice minima, distinct per doc.
+    "q_winnow_fingerprint" ->
+      s"""$winnowCtes
+         |SELECT doc_id, count(*) AS n_fp,
+         |  CAST(sum(fp_key) AS BIGINT) AS fp_sum,
+         |  bit_xor(fp_key) AS fp_xor,
+         |  min(fp_key) AS fp_min, max(fp_key) AS fp_max
+         |FROM fp GROUP BY 1""".stripMargin,
+
+    "q_winnow_dups" ->
+      s"""$winnowCtes,
+         |fpg AS (SELECT DISTINCT doc_id, fp_key // 1048576 AS g2 FROM fp),
+         |rare AS (SELECT g2 FROM fpg GROUP BY 1 HAVING count(*) <= 10),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fpg a JOIN rare USING (g2) JOIN fpg b USING (g2)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, count(*) AS n_shared FROM pr
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q_skyline" ->
+      """WITH w AS (SELECT p_brand, p_size, p_partkey, p_retailprice,
+        |    min(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    min(p_retailprice) OVER (PARTITION BY p_brand, p_size) AS m2
+        |  FROM part)
+        |SELECT p_brand, p_size, p_partkey, round(p_retailprice, 2) AS price
+        |FROM w WHERE (m1 IS NULL OR m1 > p_retailprice)
+        |  AND p_retailprice = m2""".stripMargin,
 
     "q_phrase_search" ->
       s"""WITH d AS (SELECT doc_id,

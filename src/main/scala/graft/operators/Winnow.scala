@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): polynomial rolling hashes over k-gram token windows,
+  * then per-window minimum selection with the rightmost tie-break. The
+  * guarantee: any shared token run of length ≥ k+w-1 between two documents
+  * yields at least one shared selected fingerprint, while only ~2/(w+1) of
+  * all gram hashes are kept — the classic local-fingerprinting scheme for
+  * plagiarism / near-dup detection at corpus scale (the reference's own
+  * dedup is whole-content sha1, SURVEY §2.3 D1; winnowing is its
+  * sub-document refinement for the training-pipeline layer).
+  *
+  * Everything is bounded integer math (two moduli < 2^20, literal weight
+  * tables) so the DuckDB oracle replays the exact same values: no float, no
+  * engine-specific hash. A selected fingerprint packs (gramHash, gramPos)
+  * into one long — `key = g * 2^20 + (2^20-1 - pos)` — so "minimum with
+  * rightmost tie-break" is a plain `array_min` over the packed window
+  * (larger pos ⇒ smaller complement ⇒ wins equal-g ties), exactly the
+  * paper's robust-winnowing rule.
+  *
+  * Scale: the per-document work is one codegen'd higher-order-function
+  * projection (no shuffle, no UDF); document order and partitioning never
+  * matter. The pair detector joins ONLY on selected fingerprints (~2/(w+1)
+  * density) and drops fingerprints shared by more than `maxDf` documents
+  * first — the standard MOSS common-code filter, which is also what keeps
+  * the self-join skew-free when a boilerplate run appears in half the
+  * corpus.
+  */
+object Winnow {
+
+  /** Token-hash char weights 131^0..131^5 (token truncated to 6 chars;
+    * tokens are [a-z0-9]+ so codes ≤ 122 and the sum stays < 2^45). */
+  private val CharW = Seq(1L, 131L, 17161L, 2248091L, 294499921L, 38579489651L)
+
+  /** Gram-hash token weights 1009^3..1009^0. */
+  private val GramW = Seq(1027243729L, 1018081L, 1009L, 1L)
+
+  /** Both hash moduli: the largest prime < 2^20, so a gram hash packs into
+    * the high bits of a long next to a 20-bit position complement. */
+  val Mod = 1048573L
+  val PosSpan = 1048576L // 2^20
+
+  val K = 4 // gram width (tokens)
+  val W = 5 // winnowing window (grams)
+
+  /** Array of per-token polynomial hashes for the lowercased [a-z0-9]+
+    * token stream of `text`. h(tok) = Σ code_i · 131^(L-1-i) mod Mod over
+    * the first L = min(6, len) chars — a true base-131 rolling-hash value,
+    * computed with a literal weight table so both engines do the identical
+    * bounded-integer arithmetic. */
+  def tokenHashes(text: Column): Column = {
+    val charW = array(CharW.map(lit): _*)
+    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    transform(toks, t => {
+      val l = least(length(t), lit(6))
+      aggregate(sequence(lit(1), l), lit(0L),
+        (acc, i) => acc + ascii(t.substr(i, lit(1))).cast("long") *
+          element_at(charW, (l - i + 1).cast("int"))) % lit(Mod)
+    })
+  }
+
+  /** Packed k-gram keys from a token-hash array: for gram j (0-based),
+    * `((Σ th_{j+t}·1009^(K-1-t)) mod Mod) · 2^20 + (2^20-1 - j)`. Assumes
+    * size(ths) ≥ K (callers gate on the window requirement anyway). */
+  def gramKeys(ths: Column): Column = {
+    val m = size(ths) - (K - 1)
+    transform(sequence(lit(0), m - 1), j => {
+      val g = (0 until K).map(t =>
+        element_at(ths, (j + t + 1).cast("int")) * lit(GramW(t)))
+        .reduce(_ + _) % lit(Mod)
+      g * lit(PosSpan) + (lit(PosSpan - 1) - j.cast("long"))
+    })
+  }
+
+  /** let-binding for array expressions inside ONE projection: the value of
+    * `x` is materialized exactly once per row as a lambda variable, and
+    * every reference inside `f` is an O(1) variable read. Staged Projects
+    * are NOT enough — higher-order functions are interpreted (no codegen,
+    * no subexpression elimination), and the optimizer inlined the staged
+    * attributes into the downstream lambdas, re-running the whole token
+    * pipeline once per gram and once per window (a single sf0.001 task ran
+    * minutes; jstack showed tokenHashes nested inside gramKeys' transform).
+    * A lambda variable cannot be inlined through, so this pins linear
+    * per-doc cost structurally. */
+  private def bindArr(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
+  /** Exploded (doc_id, fp_key) fingerprint rows: the distinct window-min
+    * packed keys over all W-gram windows. Documents with fewer than K+W-1
+    * tokens have no complete window and contribute nothing (both engines).
+    * One projection; `ths` and `keys` are let-bound (see bindArr) so the
+    * per-doc cost is O(n·(K+W)), never quadratic. */
+  def fingerprintKeys(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        bindArr(tokenHashes(text)) { ths =>
+          when(size(ths) >= lit(K + W - 1),
+            bindArr(gramKeys(ths)) { keys =>
+              array_distinct(transform(sequence(lit(0), size(keys) - W),
+                j => array_min(slice(keys, (j + 1).cast("int"), lit(W)))))
+            })
+            .otherwise(array().cast("array<bigint>"))
+        }.as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp_key"))
+
+  /** Per-document fingerprint summary — pins the whole selected set
+    * (count + sum + xor + min + max of packed keys) without materializing
+    * ~15 rows/doc into the battery output. */
+  def fingerprintSummary(df: DataFrame, id: Column, text: Column): DataFrame =
+    fingerprintKeys(df, id, text)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("fp_key")).as("fp_sum"),
+        expr("bit_xor(fp_key)").as("fp_xor"),
+        min(col("fp_key")).as("fp_min"),
+        max(col("fp_key")).as("fp_max"))
+
+  /** Near-dup pairs by shared winnowing fingerprints (gram hash only — two
+    * docs sharing content select the same g at possibly different
+    * positions). Fingerprints in more than `maxDf` docs are dropped before
+    * the self-join (MOSS common-code filter + skew guard); pairs must share
+    * at least `minShared` distinct fingerprints. */
+  def winnowDups(df: DataFrame, id: Column, text: Column,
+                 maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    val fps = OpCaches.register(
+      fingerprintKeys(df, id, text)
+        .select(col("doc_id"), shiftright(col("fp_key"), 20).as("g"))
+        .distinct()
+        .persist())
+    val rare = fps.groupBy(col("g"))
+      .agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= maxDf)
+      .select(col("g"))
+    fps.join(rare, Seq("g"))
+      .select(col("g"), col("doc_id").as("id_a"))
+      .join(fps.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

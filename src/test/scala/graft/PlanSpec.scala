@@ -596,4 +596,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "incremental dedup degraded to a non-equi join:\n" + p.take(3000))
     assert(p.contains("LeftAnti"), p.take(3000))
   }
+
+  test("q_winnow_fingerprint: one HOF projection + one groupBy — no join, " +
+      "no window, no UDF") {
+    val p = plan("q_winnow_fingerprint")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "winnowing must stay expression-only:\n" + p.take(2500))
+  }
+
+  test("q_winnow_dups: fingerprint rows persisted and read from cache on " +
+      "all three references (df filter + both self-join sides); joins stay " +
+      "equi-joins") {
+    val p = plan("q_winnow_dups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "winnow pair join degraded to a non-equi join:\n" + p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "fp rows should be computed once and cached:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_skyline: window-based linear skyline — no join operator anywhere") {
+    val p = plan("q_skyline")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("Join"), "skyline must not plan a dominance join:\n"
+      + p.take(2500))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Winnowing differential: the DataFrame pipeline (HOF expressions) must
+  * equal a direct Scala replay of the Schleimer/Wilkerson/Aiken scheme on
+  * the same strings, plus the paper's guarantee — any shared token run of
+  * length ≥ k+w-1 yields at least one shared selected gram hash. */
+class WinnowSpec extends AnyFunSuite with SparkTestSession {
+
+  private val CharW = Array(1L, 131L, 17161L, 2248091L, 294499921L, 38579489651L)
+  private val GramW = Array(1027243729L, 1018081L, 1009L, 1L)
+  private val Mod = 1048573L
+
+  private def tokHash(t: String): Long = {
+    val s = t.take(6)
+    (0 until s.length).map(i => s(i).toLong * CharW(s.length - 1 - i)).sum % Mod
+  }
+
+  /** Reference replay: selected packed keys (rightmost-min winnowing). */
+  private def fpKeys(text: String): Set[Long] = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    if (toks.size < Winnow.K + Winnow.W - 1) return Set.empty
+    val ths = toks.map(tokHash)
+    val keys = (0 to ths.size - Winnow.K).map { j =>
+      val g = (0 until Winnow.K).map(t => ths(j + t) * GramW(t)).sum % Mod
+      g * 1048576L + (1048575L - j)
+    }
+    // min of the packed key IS rightmost-min of the gram hash: equal g ⇒
+    // larger pos ⇒ smaller complement ⇒ wins
+    (0 to keys.size - Winnow.W).map(j => keys.slice(j, j + Winnow.W).min).toSet
+  }
+
+  private val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+    "fox", "golf", "hotel", "india", "j7", "kilo", "l1m2a", "mike", "nov",
+    "oscar", "papa", "q", "romeo", "sierra", "tango", "verylongtokenword")
+
+  private def randText(rnd: scala.util.Random, n: Int): String =
+    Vector.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+
+  test("DataFrame fingerprints == Scala replay on random token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5105)
+    val docs = (0L until 120L).map { i =>
+      // include sub-window docs (no fingerprints) and long ones
+      (i, randText(rnd, rnd.nextInt(40)))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Winnow.fingerprintKeys(df, col("doc_id"), col("text"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = fpKeys(text)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id: '$text'")
+    }
+  }
+
+  test("guarantee: a shared run of k+w-1 tokens shares a fingerprint hash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5106)
+    val run = Vector.fill(Winnow.K + Winnow.W - 1)(words(rnd.nextInt(words.size)))
+    val docs = (0L until 20L).map { i =>
+      val pre = Vector.fill(rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+      val post = Vector.fill(rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+      (i, (pre ++ run ++ post).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val gs = Winnow.fingerprintKeys(df, col("doc_id"), col("text"))
+      .select(col("doc_id"), shiftright(col("fp_key"), 20).as("g"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared = docs.map(d => gs(d._1)).reduce(_ intersect _)
+    assert(shared.nonEmpty,
+      "every doc embeds the same 8-token run; a common fingerprint is the " +
+        "winnowing guarantee")
+  }
+
+  test("winnowDups == brute-force shared-rare-fingerprint pair counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5107)
+    // seed clusters of near-dups: same base stream with light edits
+    val bases = Vector.fill(6)(Vector.fill(25)(words(rnd.nextInt(words.size))))
+    val docs = (0L until 60L).map { i =>
+      val b = bases(rnd.nextInt(bases.size))
+      val mutated = b.map(w =>
+        if (rnd.nextInt(10) == 0) words(rnd.nextInt(words.size)) else w)
+      (i, mutated.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Winnow.winnowDups(df, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    OpCaches.drain()
+    // replica
+    val gsets = docs.map { case (id, tx) => id -> fpKeys(tx).map(_ >> 20) }.toMap
+    val dfCount = gsets.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rare = dfCount.filter(_._2 <= 10).keySet
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      shared = (gsets(a) intersect gsets(b)) intersect rare
+      if shared.size >= 2
+    } yield (a, b) -> shared.size.toLong).toMap
+    assert(got === want)
+  }
+}
