@@ -1038,6 +1038,27 @@ object SparkEntry {
             col("uniq_raw") >= 0.2).as("keep"))
     }),
 
+    // lexical diversity as Gini impurity over the per-doc unigram
+    // distribution — the entropy-style quality signal in a float-free
+    // form (1 - Σp² needs no ln, so unlike token entropy it is an exact
+    // integer ratio: num = n² - Σc², den = n²). Two-level aggregate with
+    // map-side partials; the double `gini` is one division, IEEE-exact
+    // cross-engine.
+    "q_gini_diversity" -> ((s, dir) => {
+      val tf = Retrieval.tokenStream(docs(s, dir))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      tf.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("cnt")) * sum(col("cnt")) - sum(col("cnt") * col("cnt")))
+          .as("gini_num"),
+        (sum(col("cnt")) * sum(col("cnt"))).as("gini_den"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("gini_num"), col("gini_den"),
+          (col("gini_num").cast("double") / col("gini_den").cast("double"))
+            .as("gini"))
+    }),
+
     // sequence packing: greedy first-fit of docs into 128-token training
     // windows, packed independently per source shard in doc_id order —
     // the shape real pretraining pipelines use (packing is sequential
@@ -1397,6 +1418,27 @@ object SparkEntry {
 
     "q_triangles_power" -> ((s, dir) =>
       Graph.triangles(powerGraph(docs(s, dir)))),
+
+    // multi-source BFS min-hop distances (the Pregel frontier-expansion
+    // shape): seeds = every 97th doc, 3 fixed supersteps over the regular
+    // link restatement; each round is frontier-sized (join + distinct +
+    // anti-join), never |V|-sized. Oracle unrolls the rounds with EXCEPT.
+    "q_bfs_hops" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.bfsHops(linkGraph(d),
+        d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("node")), 3)
+    }),
+
+    // deterministic DeepWalk-style walk corpus (graph-embedding training
+    // data): one walk per seed (every 53rd doc), 4 steps; next hop =
+    // out-neighbor minimizing md5("walk:step:neighbor") — the hash-argmin
+    // derandomization both engines replay exactly. Per step: one edge
+    // join + one per-walk min(struct) aggregate.
+    "q_random_walks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.deterministicWalks(linkGraph(d),
+        d.filter(col("doc_id") % 53 === 0).select(col("doc_id").as("node")), 4)
+    }),
 
     // deterministic HyperLogLog distinct-count sketch over order keys:
     // 256 hex-prefix registers + the raw harmonic estimate. All 256
@@ -2918,6 +2960,24 @@ object SparkEntry {
          |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
          |FROM p""".stripMargin,
 
+    "q_gini_diversity" ->
+      // integer-exact Gini impurity: CAST every sum — DuckDB sum(BIGINT)
+      // is HUGEINT (the round-4 tripwire class); the double is ONE division
+      s"""WITH occ AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM occ GROUP BY 1, 2),
+         |g AS (SELECT doc_id,
+         |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)
+         |      - CAST(sum(cnt * cnt) AS BIGINT) AS gini_num,
+         |    CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT) AS gini_den
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, gini_num, gini_den,
+         |  CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE) AS gini
+         |FROM g""".stripMargin,
+
     "q_gopher_quality" ->
       s"""WITH d AS (SELECT doc_id,
          |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
@@ -3397,6 +3457,55 @@ object SparkEntry {
          |c AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
          |  UNION ALL SELECT z FROM t)
          |SELECT node, count(*) AS n_tri FROM c GROUP BY 1""".stripMargin,
+
+    "q_bfs_hops" -> {
+      // 3 unrolled BFS supersteps: frontier_r = distinct neighbors of
+      // frontier_{r-1} EXCEPT everything already visited — mirrors
+      // Graph.bfsHops round-for-round
+      val rounds = (1 to 3).map { r =>
+        s"""f$r AS (SELECT DISTINCT e.dst AS node
+           |    FROM e JOIN f${r - 1} ON e.src = f${r - 1}.node
+           |  EXCEPT SELECT node FROM d${r - 1}),
+           |d$r AS (SELECT node, hop FROM d${r - 1}
+           |  UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, unnest([(doc_id * 31 + 7) % nn.n,
+         |    (doc_id * 31 + 14) % nn.n, (doc_id * 31 + 21) % nn.n]) AS dst
+         |  FROM documents CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |f0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM f0),
+         |$rounds
+         |SELECT node, hop FROM d3""".stripMargin
+    },
+
+    "q_random_walks" -> {
+      // 4 unrolled walk steps; the hash-argmin next hop is a row_number
+      // over (md5, dst) — mirrors Graph.deterministicWalks' min(struct)
+      val steps = (1 to 4).map { st =>
+        s"""w$st AS (SELECT walk_id, dst,
+           |    md5(CAST(walk_id AS VARCHAR) || ':$st:' ||
+           |      CAST(dst AS VARCHAR)) AS h
+           |  FROM e JOIN c${st - 1} ON e.src = c${st - 1}.node),
+           |c$st AS (SELECT walk_id, dst AS node FROM (SELECT walk_id, dst,
+           |    row_number() OVER (PARTITION BY walk_id ORDER BY h, dst)
+           |      AS rn FROM w$st) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val outs = (0 to 4).map(st =>
+        s"SELECT walk_id, CAST($st AS BIGINT) AS step, node FROM c$st")
+        .mkString("\n UNION ALL ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, unnest([(doc_id * 31 + 7) % nn.n,
+         |    (doc_id * 31 + 14) % nn.n, (doc_id * 31 + 21) % nn.n]) AS dst
+         |  FROM documents CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |c0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents
+         |  WHERE doc_id % 53 = 0),
+         |$steps
+         |$outs""".stripMargin
+    },
 
     "q_hll_distinct" ->
       // register construction mirrors Sketches.hllRegisters op-for-op:

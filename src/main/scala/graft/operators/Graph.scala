@@ -189,6 +189,73 @@ object Graph {
     lbl
   }
 
+  /** Multi-source BFS min-hop distances — the Pregel frontier-expansion
+    * shape (Malewicz et al. SIGMOD'10), `rounds` fixed synchronous
+    * supersteps. Returns (node, hop) for every node reached within
+    * `rounds` hops of any seed (seeds at hop 0; a node's hop is the FIRST
+    * round that reached it, which is the minimum hop by induction).
+    *
+    * Per round: one hash join (edges keyed by src against the previous
+    * frontier), one distinct, one left-anti against the visited set — all
+    * frontier-sized exchanges, never |V|-sized; the edge table persists
+    * once and is re-read every round. The visited set is a union of the
+    * per-round persisted frontiers, so the anti-join scans cached rows
+    * (at production depth, checkpoint it every ~10 rounds — the same
+    * lineage hazard connectedComponents truncates). Oracle replay:
+    * frontier_r = distinct(neighbors of frontier_{r-1}) EXCEPT visited,
+    * unrolled per round in SQL. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = OpCaches.register(edges.persist())
+    var dist = seeds.select(col("node"), lit(0L).as("hop"))
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val nxt = OpCaches.register(
+        e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .persist())
+      dist = dist.unionByName(nxt.select(col("node"), lit(r.toLong).as("hop")))
+      frontier = nxt
+    }
+    dist
+  }
+
+  /** Deterministic graph-walk corpus (the DeepWalk/node2vec training-data
+    * generator, Perozzi et al. KDD'14, derandomized): one walk per seed,
+    * `steps` fixed steps; the next hop from node u in walk w at step s is
+    * the out-neighbor minimizing md5("w:s:neighbor") — a hash-argmin that
+    * both engines replay bit-exactly, standing in for the uniform random
+    * choice (every neighbor is "equally hashed"; varying s re-rolls per
+    * step, varying w decorrelates walks through shared nodes). Returns
+    * (walk_id, step, node) — step 0 is the seed. A walk ending on a node
+    * with no out-edges stops (no row emitted at later steps).
+    *
+    * Per step: one hash join (edges keyed by src against the walk heads)
+    * + one per-walk min(struct(hash, dst)) aggregate — walk-count-sized
+    * state, out-degree-bounded join fan-out; nothing global. At 100 TB
+    * this is the standard embarrassingly-parallel walk fan-out: W walks
+    * advance one superstep per round at O(W·avg_outdeg) shuffle rows. */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame,
+      steps: Int): DataFrame = {
+    val e = OpCaches.register(edges.persist())
+    var cur: DataFrame = seeds.select(col("node").as("walk_id"), col("node"))
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (st <- 1 to steps) {
+      val nxt = OpCaches.register(
+        e.join(cur.select(col("walk_id"), col("node").as("src")), Seq("src"))
+          .select(col("walk_id"), col("dst"),
+            md5(concat_ws(":", col("walk_id"), lit(st), col("dst"))).as("h"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("h"), col("dst"))).as("m"))
+          .select(col("walk_id"), col("m").getField("dst").as("node"))
+          .persist())
+      out = out.unionByName(
+        nxt.select(col("walk_id"), lit(st.toLong).as("step"), col("node")))
+      cur = nxt
+    }
+    out
+  }
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))

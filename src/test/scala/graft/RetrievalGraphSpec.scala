@@ -198,4 +198,84 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_ === 1.0d))
     OpCaches.drainAll()
   }
+
+  test("bfsHops: min-hop distances match a driver-side BFS") {
+    // deterministic pseudo-random sparse digraph incl. unreachable nodes
+    val nodes = (0L until 60L)
+    val edges = nodes.flatMap(u =>
+      Seq((u, (u * 7 + 3) % 60), (u, (u * 13 + 11) % 60)))
+      .filter { case (_, v) => v < 50 } // ids 50..59 have in-edges only via few paths
+    val seeds = Seq(0L, 17L, 42L)
+    val got = Graph.bfsHops(edges.toDF("src", "dst"),
+      seeds.toDF("node"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (r <- 1 to 3) {
+      val nxt = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ nxt.map(_ -> r.toLong)
+      frontier = nxt
+    }
+    assert(got === dist)
+    OpCaches.drainAll()
+  }
+
+  test("deterministicWalks: hash-argmin steps match a driver-side replica") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nodes = (0L until 40L)
+    // node 39 is a sink (no out-edges): a walk reaching it stops early
+    val edges = nodes.filter(_ != 39L).flatMap(u =>
+      Seq((u, (u * 7 + 3) % 40), (u, (u * 13 + 11) % 40), (u, (u + 19) % 40)))
+      .distinct
+    val seeds = Seq(1L, 8L, 23L, 31L)
+    val got = Graph.deterministicWalks(edges.toDF("src", "dst"),
+      seeds.toDF("node"), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val want = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for (w <- seeds) {
+      var cur = w
+      want += ((w, 0L, w))
+      var st = 1
+      var alive = true
+      while (st <= 4 && alive) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            cur = ns.minBy(d => (md5hex(s"$w:$st:$d"), d))
+            want += ((w, st.toLong, cur))
+          case None => alive = false
+        }
+        st += 1
+      }
+    }
+    assert(got === want)
+    OpCaches.drainAll()
+  }
+
+  test("q_gini_diversity: integer Gini ratio matches a driver replica " +
+      "on the sf0.001 corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_gini_diversity")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    val docsRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docsRows.nonEmpty)
+    docsRows.foreach { r =>
+      val cnts = tokenize(r.getString(1)).groupBy(identity)
+        .map(_._2.size.toLong)
+      val n = cnts.sum
+      val num = n * n - cnts.map(c => c * c).sum
+      assert(got(r.getLong(0)) ===
+        ((n, cnts.size.toLong, num, n * n, num.toDouble / (n * n).toDouble)))
+    }
+    OpCaches.drainAll()
+  }
 }
