@@ -622,4 +622,35 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), "skyline must not plan a dominance join:\n"
       + p.take(2500))
   }
+
+  test("q_gini_diversity: two-level aggregate only — no join, no window, " +
+      "map-side partials present") {
+    val p = plan("q_gini_diversity")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final aggs at both levels:\n" + p.take(2500))
+  }
+
+  test("q_bfs_hops: per-round frontier expansion stays equi-join + " +
+      "LeftAnti; edges persisted and read from cache every round") {
+    val p = plan("q_bfs_hops")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "edge table should be cached and re-read per round:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_random_walks: per-step hash-argmin stays equi-join + aggregate; " +
+      "edges persisted and read from cache every step") {
+    val p = plan("q_random_walks")
+    // linkGraph's 1-row corpus count legitimately plans a BNLJ broadcast
+    // (same as q_tfidf_vectors); only a CartesianProduct would be wrong
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortAggregate"),
+      "min(struct) hash-argmin should plan a sort aggregate:\n" + p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "edge table should be cached and re-read per step:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
 }
