@@ -561,25 +561,14 @@ object ExtractSim {
         // validates block structure, EOS magic, and combined CRC even past
         // the file_size output point (fuzz-found: a tail bit-flip drops the
         // member where the old usize-capped read extracted it) — but a
-        // TRUNCATED stream returns partial output silently. Commons is
-        // pull-based, so drive it to EOF and classify its exception by
-        // whether the input was exhausted (truncation ⇒ partial).
-        val inPos = new java.io.ByteArrayInputStream(comp) {
-          def remaining: Int = this.available()
-        }
+        // TRUNCATED stream returns partial output silently. PyBz2 replays
+        // libbz2's exact DATA-ERROR-vs-NEEDS-INPUT distinction (the old
+        // commons-based exhaustion proxy misclassified corrupt streams
+        // commons reads further into than libbz2 does).
         val out = new java.io.ByteArrayOutputStream(math.min(usize, 1 << 20))
-        try {
-          val in = new org.apache.commons.compress.compressors.bzip2
-            .BZip2CompressorInputStream(inPos)
-          val chunk = new Array[Byte](8192)
-          var k = 0
-          while (k >= 0) {
-            k = in.read(chunk)
-            if (k > 0) out.write(chunk, 0, k)
-          }
-        } catch {
-          case NonFatal(_) if inPos.remaining > 0 => throw new BadArchive
-          case NonFatal(_) => // input exhausted: truncation, partial kept
+        PyBz2.decode(comp, 0, out).end match {
+          case PyBz2.DataError(_) => throw new BadArchive
+          case _ => // StreamEnd (trailing unused ignored) or truncation
         }
         val all = out.toByteArray
         if (all.length > usize) java.util.Arrays.copyOfRange(all, 0, usize)
@@ -765,22 +754,6 @@ object ExtractSim {
     if (start % 8192 == 0) start.toLong + 8192
     else (start / 8192 + 1).toLong * 8192
 
-  /** Does bytes[start..] match the bzip2 stream+block magic as far as it
-    * goes? (A truncated-but-plausible prefix makes libbz2 buffer and wait
-    * for more input — exhaustion is then EOFError, not an eager reject.) */
-  private def bz2PrefixPlausible(bytes: Array[Byte], start: Int): Boolean = {
-    val magic = Array('B'.toInt, 'Z'.toInt, 'h'.toInt, -1,
-      0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
-    var i = 0
-    while (i < magic.length && start + i < bytes.length) {
-      val b = bytes(start + i) & 0xff
-      if (magic(i) == -1) { if (b < '1' || b > '9') return false }
-      else if (b != magic(i)) return false
-      i += 1
-    }
-    true
-  }
-
   private def xzPrefixPlausible(bytes: Array[Byte], start: Int): Boolean = {
     val magic = Array(0xfd, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0)
     var i = 0
@@ -791,7 +764,8 @@ object ExtractSim {
     true
   }
 
-  /** Shared multi-stream loop for bz2/xz (_compression.DecompressReader):
+  /** Multi-stream loop for xz/lzma (_compression.DecompressReader; the bz2
+    * path uses PyBz2's exact error positions instead — see bunzipPyEx):
     * streams decompress back-to-back; a TRAILING stream whose FIRST
     * decompress() call raises is silently ignored — and that call's output
     * is lost, so the result truncates back to the stream start; exhausting
@@ -841,12 +815,49 @@ object ExtractSim {
   }
 
   /** CPython BZ2File multi-stream read (DecompressReader with
-    * trailing_error=OSError). */
-  def bunzipPyEx(bytes: Array[Byte]): (Array[Byte], Boolean) =
-    multiStreamPy(bytes,
-      in => new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorInputStream(in, false),
-      bz2PrefixPlausible)
+    * trailing_error=OSError), driven by the exact libbz2 replica: PyBz2
+    * reports DATA-ERROR-at-position vs NEEDS-INPUT precisely, so the
+    * trailing-stream rule needs no plausibility proxy — a trailing stream
+    * whose first decompress call raises (error byte inside the first
+    * chunk-aligned call window) is ignored WITH its output; an error in a
+    * later call is the pending OSError (output truncated to what the
+    * reader returned before the raising call); input exhaustion mid-stream
+    * is the EOFError, wherever it happens. */
+  def bunzipPyEx(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    // EMPTY input: the very first read gets b'' with eof unset -> EOFError
+    if (bytes.isEmpty) return (Array.empty[Byte], true)
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var first = true
+    while (pos < bytes.length) {
+      val outAtStart = out.size()
+      val r = PyBz2.decode(bytes, pos, out, callBoundaries(pos, bytes.length))
+      r.end match {
+        case PyBz2.StreamEnd(c) =>
+          pos += c
+          first = false
+        case PyBz2.NeedsInput =>
+          return (out.toByteArray, true)
+        case PyBz2.DataError(e) =>
+          if (!first && e < firstCallEnd(pos))
+            return (java.util.Arrays.copyOf(out.toByteArray, outAtStart), false)
+          else
+            return (java.util.Arrays.copyOf(out.toByteArray, r.visibleOut), true)
+      }
+    }
+    (out.toByteArray, false)
+  }
+
+  /** DecompressReader call-end offsets for a stream starting at `start`:
+    * the first call sees the rest of the 8192-aligned chunk containing
+    * `start` (or a fresh chunk when aligned), later calls one chunk each. */
+  private def callBoundaries(start: Int, len: Int): Array[Long] = {
+    val bs = Array.newBuilder[Long]
+    var b = firstCallEnd(start)
+    while (b < len) { bs += b; b += 8192 }
+    bs += len.toLong
+    bs.result()
+  }
 
   /** Strict bz2 (extract_bz2's copyfileobj reads to EOF). */
   def bunzipPy(bytes: Array[Byte]): Array[Byte] = {

@@ -1,0 +1,523 @@
+package graft.operators
+
+import scala.util.control.NoStackTrace
+
+/** Pure-Scala bzip2 decompressor replicating libbz2 1.0.8's `decompress.c`
+  * EXACTLY — including every `BZ_DATA_ERROR` / `BZ_DATA_ERROR_MAGIC`
+  * validation point, the bit position at which each error is detected, and
+  * the needs-more-input condition. CPython's `bz2.BZ2Decompressor` (what
+  * the reference engine runs via `bz2file.py` → tarfile / zipfile /
+  * BZ2File; see `/root/reference/filecrawler/parsers/containerfile.py`)
+  * maps both error codes to `OSError("Invalid data stream")`, so the
+  * DATA-ERROR-vs-NEEDS-INPUT distinction decides drop-vs-partial in every
+  * container path. commons-compress' BZip2CompressorInputStream is MORE
+  * LENIENT than libbz2 (fuzz-found, seed 0x266: it read a corrupt stream
+  * to input exhaustion where libbz2 raised BZ_DATA_ERROR mid-input, so the
+  * trailing-stream classification misfired) — which is why this decoder
+  * exists and commons is gone from the bz2 path.
+  *
+  * Behavioral spec: bzip2-1.0.8 decompress.c (public domain-ish BSD-style,
+  * Julian Seward), replicated check-for-check:
+  *  - stream header 'B''Z''h'[1-9] byte-at-a-time (DATA_ERROR_MAGIC per
+  *    byte);
+  *  - block magic 0x314159265359 / end magic 0x177245385090 byte-at-a-time
+  *    (first byte 0x17 routes to the end-header path);
+  *  - origPtr > 10 + 100000·blockSize100k;
+  *  - nInUse == 0; nGroups ∉ [2,6]; nSelectors < 1; selector-MTF run ≥
+  *    nGroups; >BZ_MAX_SELECTORS selectors read-then-ignored (1.0.8
+  *    CVE-2019-12900 behavior);
+  *  - Huffman length curr ∉ [1,20]; zn > 20 while walking limit[]; decoded
+  *    index ∉ [0, 258);
+  *  - RUNA/RUNB N ≥ 2·1024·1024; nblock ≥ nblockMAX; groupNo ≥ nSelectors;
+  *  - post-EOB origPtr ≥ nblock; cftab range + monotonicity (CVE-2010-0405
+  *    checks); un-RLE nblock_used > nblock+1;
+  *  - block CRC (bzip2's MSB-first 0x04c11db7 table) and stream combined
+  *    CRC mismatches;
+  *  - randomized blocks derandomized via the BZ2_rNums table (extracted
+  *    from the system libbz2 binary, == randtable.c).
+  *
+  * Output-visibility bookkeeping: CPython's `_compression.DecompressReader`
+  * feeds 8192-byte rawblocks; output produced by the decompress() call
+  * that raises is LOST. `boundaries` (absolute input offsets of call ends)
+  * lets the caller recover the output size visible before the erroring
+  * call: we snapshot `out.size` whenever the bit reader first fetches a
+  * byte at-or-past the next boundary. */
+object PyBz2 {
+
+  sealed trait End
+  /** Stream ended cleanly; `consumed` bytes were used from `start`
+    * (byte-aligned past the final combined CRC — libbz2 discards the
+    * residual bits of the last byte; unused_data starts right after). */
+  final case class StreamEnd(consumed: Int) extends End
+  /** BZ_DATA_ERROR(_MAGIC) detected while consuming the byte at absolute
+    * input index `errPos`. */
+  final case class DataError(errPos: Int) extends End
+  /** Input exhausted mid-stream (decompressor would buffer and wait). */
+  case object NeedsInput extends End
+
+  /** `visibleOut`: on DataError, out.size as of the last completed call
+    * boundary (== what CPython's reader returned before the raising call);
+    * on StreamEnd/NeedsInput, the full out.size. Only meaningful when
+    * `boundaries` was supplied; otherwise equals the full out.size. */
+  final case class Result(end: End, visibleOut: Int)
+
+  private final class NeedMore extends Exception with NoStackTrace
+  private final class Bad extends Exception with NoStackTrace
+
+  private val BzMaxSelectors = 2 + 900000 / 50 // 18002
+  private val BzMaxCodeLen = 23
+  private val BzMaxAlpha = 258
+
+  /** bzip2's CRC-32: MSB-first, poly 0x04c11db7 (crctable.c). */
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i << 24
+      var k = 0
+      while (k < 8) {
+        c = (c << 1) ^ (if ((c & 0x80000000) != 0) 0x04c11db7 else 0)
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  /** randtable.c (BZ2_rNums), extracted from libbz2.so 1.0.8. */
+  private val rNums: Array[Int] = Array(
+    619, 720, 127, 481, 931, 816, 813, 233, 566, 247, 985, 724,
+    205, 454, 863, 491, 741, 242, 949, 214, 733, 859, 335, 708,
+    621, 574, 73, 654, 730, 472, 419, 436, 278, 496, 867, 210,
+    399, 680, 480, 51, 878, 465, 811, 169, 869, 675, 611, 697,
+    867, 561, 862, 687, 507, 283, 482, 129, 807, 591, 733, 623,
+    150, 238, 59, 379, 684, 877, 625, 169, 643, 105, 170, 607,
+    520, 932, 727, 476, 693, 425, 174, 647, 73, 122, 335, 530,
+    442, 853, 695, 249, 445, 515, 909, 545, 703, 919, 874, 474,
+    882, 500, 594, 612, 641, 801, 220, 162, 819, 984, 589, 513,
+    495, 799, 161, 604, 958, 533, 221, 400, 386, 867, 600, 782,
+    382, 596, 414, 171, 516, 375, 682, 485, 911, 276, 98, 553,
+    163, 354, 666, 933, 424, 341, 533, 870, 227, 730, 475, 186,
+    263, 647, 537, 686, 600, 224, 469, 68, 770, 919, 190, 373,
+    294, 822, 808, 206, 184, 943, 795, 384, 383, 461, 404, 758,
+    839, 887, 715, 67, 618, 276, 204, 918, 873, 777, 604, 560,
+    951, 160, 578, 722, 79, 804, 96, 409, 713, 940, 652, 934,
+    970, 447, 318, 353, 859, 672, 112, 785, 645, 863, 803, 350,
+    139, 93, 354, 99, 820, 908, 609, 772, 154, 274, 580, 184,
+    79, 626, 630, 742, 653, 282, 762, 623, 680, 81, 927, 626,
+    789, 125, 411, 521, 938, 300, 821, 78, 343, 175, 128, 250,
+    170, 774, 972, 275, 999, 639, 495, 78, 352, 126, 857, 956,
+    358, 619, 580, 124, 737, 594, 701, 612, 669, 112, 134, 694,
+    363, 992, 809, 743, 168, 974, 944, 375, 748, 52, 600, 747,
+    642, 182, 862, 81, 344, 805, 988, 739, 511, 655, 814, 334,
+    249, 515, 897, 955, 664, 981, 649, 113, 974, 459, 893, 228,
+    433, 837, 553, 268, 926, 240, 102, 654, 459, 51, 686, 754,
+    806, 760, 493, 403, 415, 394, 687, 700, 946, 670, 656, 610,
+    738, 392, 760, 799, 887, 653, 978, 321, 576, 617, 626, 502,
+    894, 679, 243, 440, 680, 879, 194, 572, 640, 724, 926, 56,
+    204, 700, 707, 151, 457, 449, 797, 195, 791, 558, 945, 679,
+    297, 59, 87, 824, 713, 663, 412, 693, 342, 606, 134, 108,
+    571, 364, 631, 212, 174, 643, 304, 329, 343, 97, 430, 751,
+    497, 314, 983, 374, 822, 928, 140, 206, 73, 263, 980, 736,
+    876, 478, 430, 305, 170, 514, 364, 692, 829, 82, 855, 953,
+    676, 246, 369, 970, 294, 750, 807, 827, 150, 790, 288, 923,
+    804, 378, 215, 828, 592, 281, 565, 555, 710, 82, 896, 831,
+    547, 261, 524, 462, 293, 465, 502, 56, 661, 821, 976, 991,
+    658, 869, 905, 758, 745, 193, 768, 550, 608, 933, 378, 286,
+    215, 979, 792, 961, 61, 688, 793, 644, 986, 403, 106, 366,
+    905, 644, 372, 567, 466, 434, 645, 210, 389, 550, 919, 135,
+    780, 773, 635, 389, 707, 100, 626, 958, 165, 504, 920, 176,
+    193, 713, 857, 265, 203, 50, 668, 108, 645, 990, 626, 197,
+    510, 357, 358, 850, 858, 364, 936, 638
+  )
+
+  /** Decode ONE bzip2 stream starting at `start`, appending its output to
+    * `out`. `boundaries`: sorted absolute input offsets of DecompressReader
+    * call ends (null = single-call semantics, e.g. zipfile's one-shot). */
+  def decode(bytes: Array[Byte], start: Int,
+      out: java.io.ByteArrayOutputStream,
+      boundaries: Array[Long] = null): Result = {
+    var bitPos = 0L // bits consumed relative to `start`
+    // out.size at the last completed call boundary; starts at the CURRENT
+    // out.size so prior streams' accumulated output stays visible
+    var visible = out.size()
+    var bIdx = 0
+
+    def getBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIdx = start + (bitPos >> 3).toInt
+        if (byteIdx >= bytes.length) throw new NeedMore
+        if ((bitPos & 7L) == 0L && boundaries != null) {
+          while (bIdx < boundaries.length && byteIdx >= boundaries(bIdx)) {
+            visible = out.size(); bIdx += 1
+          }
+        }
+        v = (v << 1) | ((bytes(byteIdx) >> (7 - (bitPos & 7L).toInt)) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def getUChar(): Int = getBits(8)
+    def bad(): Nothing = throw new Bad
+
+    try {
+      // ---- stream header (BZ_X_MAGIC_1..4) ----
+      if (getUChar() != 'B') bad()
+      if (getUChar() != 'Z') bad()
+      if (getUChar() != 'h') bad()
+      val lvl = getUChar()
+      if (lvl < '1' || lvl > '9') bad()
+      val blockSize100k = lvl - '0'
+      val nblockMAX = 100000 * blockSize100k
+      var combinedCRC = 0
+
+      var streamDone = false
+      while (!streamDone) {
+        // ---- block / end header, byte-at-a-time ----
+        val b0 = getUChar()
+        if (b0 == 0x17) {
+          // end-of-stream magic tail + combined CRC
+          if (getUChar() != 0x72) bad()
+          if (getUChar() != 0x45) bad()
+          if (getUChar() != 0x38) bad()
+          if (getUChar() != 0x50) bad()
+          if (getUChar() != 0x90) bad()
+          var stored = 0
+          var i = 0
+          while (i < 4) { stored = (stored << 8) | getUChar(); i += 1 }
+          if (stored != combinedCRC) bad()
+          streamDone = true
+        } else {
+          if (b0 != 0x31) bad()
+          if (getUChar() != 0x41) bad()
+          if (getUChar() != 0x59) bad()
+          if (getUChar() != 0x26) bad()
+          if (getUChar() != 0x53) bad()
+          if (getUChar() != 0x59) bad()
+
+          var storedBlockCRC = 0
+          var i = 0
+          while (i < 4) {
+            storedBlockCRC = (storedBlockCRC << 8) | getUChar(); i += 1
+          }
+          val blockRandomised = getBits(1) != 0
+          var origPtr = 0
+          i = 0
+          while (i < 3) { origPtr = (origPtr << 8) | getUChar(); i += 1 }
+          if (origPtr < 0 || origPtr > 10 + nblockMAX) bad()
+
+          // ---- mapping table ----
+          val inUse = new Array[Boolean](256)
+          val inUse16 = getBits(16)
+          i = 0
+          while (i < 16) {
+            if ((inUse16 & (0x8000 >>> i)) != 0) {
+              val w = getBits(16)
+              var j = 0
+              while (j < 16) {
+                if ((w & (0x8000 >>> j)) != 0) inUse(i * 16 + j) = true
+                j += 1
+              }
+            }
+            i += 1
+          }
+          val seqToUnseq = new Array[Int](256)
+          var nInUse = 0
+          i = 0
+          while (i < 256) {
+            if (inUse(i)) { seqToUnseq(nInUse) = i; nInUse += 1 }
+            i += 1
+          }
+          if (nInUse == 0) bad()
+          val alphaSize = nInUse + 2
+
+          // ---- selectors ----
+          val nGroups = getBits(3)
+          if (nGroups < 2 || nGroups > 6) bad()
+          val nSelectors0 = getBits(15)
+          if (nSelectors0 < 1) bad()
+          val selectorMtf = new Array[Int](BzMaxSelectors)
+          i = 0
+          while (i < nSelectors0) {
+            var j = 0
+            var more = true
+            while (more) {
+              if (getBits(1) == 0) more = false
+              else { j += 1; if (j >= nGroups) bad() }
+            }
+            if (i < BzMaxSelectors) selectorMtf(i) = j
+            i += 1
+          }
+          val nSelectors = math.min(nSelectors0, BzMaxSelectors)
+          val selector = new Array[Int](nSelectors)
+          val posArr = Array.tabulate(nGroups)(identity)
+          i = 0
+          while (i < nSelectors) {
+            var v = selectorMtf(i)
+            val tmp = posArr(v)
+            while (v > 0) { posArr(v) = posArr(v - 1); v -= 1 }
+            posArr(0) = tmp
+            selector(i) = tmp
+            i += 1
+          }
+
+          // ---- Huffman code lengths ----
+          val len = Array.ofDim[Int](nGroups, alphaSize)
+          var t = 0
+          while (t < nGroups) {
+            var curr = getBits(5)
+            i = 0
+            while (i < alphaSize) {
+              var more = true
+              while (more) {
+                if (curr < 1 || curr > 20) bad()
+                if (getBits(1) == 0) more = false
+                else if (getBits(1) == 0) curr += 1
+                else curr -= 1
+              }
+              len(t)(i) = curr
+              i += 1
+            }
+            t += 1
+          }
+
+          // ---- decode tables (BZ2_hbCreateDecodeTables) ----
+          val limit = Array.ofDim[Int](nGroups, BzMaxCodeLen)
+          val base = Array.ofDim[Int](nGroups, BzMaxCodeLen)
+          val perm = Array.ofDim[Int](nGroups, BzMaxAlpha)
+          val minLens = new Array[Int](nGroups)
+          t = 0
+          while (t < nGroups) {
+            var minLen = 32
+            var maxLen = 0
+            i = 0
+            while (i < alphaSize) {
+              if (len(t)(i) > maxLen) maxLen = len(t)(i)
+              if (len(t)(i) < minLen) minLen = len(t)(i)
+              i += 1
+            }
+            var pp = 0
+            var l = minLen
+            while (l <= maxLen) {
+              i = 0
+              while (i < alphaSize) {
+                if (len(t)(i) == l) { perm(t)(pp) = i; pp += 1 }
+                i += 1
+              }
+              l += 1
+            }
+            i = 0
+            while (i < BzMaxCodeLen) { base(t)(i) = 0; i += 1 }
+            i = 0
+            while (i < alphaSize) { base(t)(len(t)(i) + 1) += 1; i += 1 }
+            i = 1
+            while (i < BzMaxCodeLen) { base(t)(i) += base(t)(i - 1); i += 1 }
+            i = 0
+            while (i < BzMaxCodeLen) { limit(t)(i) = 0; i += 1 }
+            var vec = 0
+            l = minLen
+            while (l <= maxLen) {
+              vec += base(t)(l + 1) - base(t)(l)
+              limit(t)(l) = vec - 1
+              vec <<= 1
+              l += 1
+            }
+            l = minLen + 1
+            while (l <= maxLen) {
+              base(t)(l) = ((limit(t)(l - 1) + 1) << 1) - base(t)(l)
+              l += 1
+            }
+            minLens(t) = minLen
+            t += 1
+          }
+
+          // ---- MTF value stream ----
+          var groupNo = -1
+          var groupPos = 0
+          var gSel = 0
+          def getMtf(): Int = {
+            if (groupPos == 0) {
+              groupNo += 1
+              if (groupNo >= nSelectors) bad()
+              groupPos = 50 // BZ_G_SIZE
+              gSel = selector(groupNo)
+            }
+            groupPos -= 1
+            var zn = minLens(gSel)
+            var zvec = getBits(zn)
+            // GET_MTF_VAL's loop: the zn>20 check sits at the TOP, so the
+            // bit extending zvec to length 21 is READ before the error —
+            // input ending exactly there is NeedsInput, not DataError
+            var brk = false
+            while (!brk) {
+              if (zn > 20) bad()
+              if (zvec <= limit(gSel)(zn)) brk = true
+              else { zn += 1; zvec = (zvec << 1) | getBits(1) }
+            }
+            val idx = zvec - base(gSel)(zn)
+            if (idx < 0 || idx >= BzMaxAlpha) bad()
+            perm(gSel)(idx)
+          }
+
+          val eob = alphaSize - 1
+          val unzftab = new Array[Int](256)
+          val mtfv = new Array[Int](nInUse)
+          i = 0
+          while (i < nInUse) { mtfv(i) = i; i += 1 }
+          val tt = new Array[Int](nblockMAX)
+          var nblock = 0
+          var nextSym = getMtf()
+          while (nextSym != eob) {
+            if (nextSym == 0 || nextSym == 1) { // BZ_RUNA / BZ_RUNB
+              var es = -1
+              var n = 1
+              var more = true
+              while (more) {
+                if (n >= 2 * 1024 * 1024) bad()
+                if (nextSym == 0) es += n else es += 2 * n
+                n *= 2
+                nextSym = getMtf()
+                more = nextSym == 0 || nextSym == 1
+              }
+              es += 1
+              val uc = seqToUnseq(mtfv(0))
+              unzftab(uc) += es
+              while (es > 0) {
+                if (nblock >= nblockMAX) bad()
+                tt(nblock) = uc
+                nblock += 1
+                es -= 1
+              }
+            } else {
+              if (nblock >= nblockMAX) bad()
+              var nn = nextSym - 1
+              val v = mtfv(nn)
+              while (nn > 0) { mtfv(nn) = mtfv(nn - 1); nn -= 1 }
+              mtfv(0) = v
+              val uc = seqToUnseq(v)
+              unzftab(uc) += 1
+              tt(nblock) = uc
+              nblock += 1
+              nextSym = getMtf()
+            }
+          }
+
+          // ---- post-EOB sanity + inverse BWT setup ----
+          if (origPtr < 0 || origPtr >= nblock) bad()
+          val cftab = new Array[Int](257)
+          i = 1
+          while (i <= 256) { cftab(i) = unzftab(i - 1); i += 1 }
+          i = 1
+          while (i <= 256) { cftab(i) += cftab(i - 1); i += 1 }
+          i = 0
+          while (i <= 256) {
+            if (cftab(i) < 0 || cftab(i) > nblock) bad()
+            i += 1
+          }
+          i = 1
+          while (i <= 256) {
+            if (cftab(i - 1) > cftab(i)) bad()
+            i += 1
+          }
+          i = 0
+          while (i < nblock) {
+            val uc = tt(i) & 0xff
+            tt(cftab(uc)) |= (i << 8)
+            cftab(uc) += 1
+            i += 1
+          }
+
+          var tPos = tt(origPtr) >>> 8
+          var nblockUsed = 0
+          var rNToGo = 0
+          var rTPos = 0
+          def getFast(): Int = {
+            if (tPos >= nblockMAX) bad() // BZ_GET_FAST range guard
+            tPos = tt(tPos)
+            var c = tPos & 0xff
+            tPos = tPos >>> 8
+            nblockUsed += 1
+            if (blockRandomised) {
+              if (rNToGo == 0) {
+                rNToGo = rNums(rTPos)
+                rTPos += 1
+                if (rTPos == 512) rTPos = 0
+              }
+              rNToGo -= 1
+              c ^= (if (rNToGo == 1) 1 else 0)
+            }
+            c
+          }
+
+          // ---- un-RLE output (unRLE_obuf_to_output_FAST grammar) ----
+          var blockCRC = 0xffffffff
+          def emit(ch: Int, cnt: Int): Unit = {
+            var k = 0
+            while (k < cnt) {
+              blockCRC = (blockCRC << 8) ^
+                crcTable(((blockCRC >>> 24) ^ ch) & 0xff)
+              out.write(ch)
+              k += 1
+            }
+          }
+          // unRLE_obuf_to_output_FAST grammar, transcribed structurally:
+          // the pending run is emitted at the LOOP TOP, the block-complete
+          // check (nblock_used == nblockPP, i.e. the phantom +1 fetch)
+          // comes BEFORE the k1!=k0 compare at every stage, and the
+          // length-4 overrun emits its garbage run before the
+          // nblock_used > nblockPP corruption check fires
+          val nblockPP = nblock + 1
+          var stateOutLen = 0
+          var stateOutCh = 0
+          var k0 = getFast()
+          var blockDone = false
+          while (!blockDone) {
+            if (stateOutLen > 0) { emit(stateOutCh, stateOutLen); stateOutLen = 0 }
+            if (nblockUsed == nblockPP) blockDone = true
+            else if (nblockUsed > nblockPP) bad()
+            else {
+              stateOutLen = 1
+              stateOutCh = k0
+              var k1 = getFast()
+              var cont = false
+              if (nblockUsed == nblockPP) cont = true
+              else if (k1 != k0) { k0 = k1; cont = true }
+              if (!cont) {
+                stateOutLen = 2
+                k1 = getFast()
+                if (nblockUsed == nblockPP) cont = true
+                else if (k1 != k0) { k0 = k1; cont = true }
+                if (!cont) {
+                  stateOutLen = 3
+                  k1 = getFast()
+                  if (nblockUsed == nblockPP) cont = true
+                  else if (k1 != k0) { k0 = k1; cont = true }
+                  if (!cont) {
+                    k1 = getFast() // run-length byte
+                    stateOutLen = k1 + 4
+                    k0 = getFast()
+                  }
+                }
+              }
+            }
+          }
+
+          val calc = ~blockCRC
+          if (calc != storedBlockCRC) bad()
+          combinedCRC = ((combinedCRC << 1) | (combinedCRC >>> 31)) ^ calc
+        }
+      }
+      Result(StreamEnd(((bitPos + 7) >> 3).toInt), out.size())
+    } catch {
+      case _: NeedMore => Result(NeedsInput, out.size())
+      case _: Bad =>
+        val errPos = start + ((bitPos - 1) >> 3).toInt
+        Result(DataError(errPos),
+          if (boundaries == null) out.size() else visible)
+    }
+  }
+}

@@ -83,7 +83,8 @@ class ContainerFuzzSpec extends AnyFunSuite {
   }
 
   test("gz/bz2/xz replay + pure-Scala tar scan match the reference") {
-    assert(casesGzTar.size == 226)
+    assert(casesGzTar.size == 227) // +1: seed-0x266 bz2-rand (libbz2
+    // BZ_DATA_ERROR where commons reads to exhaustion — the PyBz2 case)
     check(casesGzTar)
   }
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+
+/** Unit pins for the pure-Scala libbz2 replica. The live-CPython
+  * differential lives in the sweep corpora (fuzz_containers_gztar.json
+  * incl. the seed-0x266 case where commons-compress read a corrupt stream
+  * to exhaustion while libbz2 raised BZ_DATA_ERROR mid-input, plus the
+  * gen_sweep_gzbz fresh-seed runners); these tests pin the structural
+  * properties that don't need the reference: round-trips, multi-stream
+  * accumulation, truncation totality, and error classification shapes. */
+class PyBz2Spec extends AnyFunSuite {
+
+  private def bz(data: Array[Byte], level: Int = 9): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new BZip2CompressorOutputStream(bos, level)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private def rndBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Byte](n)
+    r.nextBytes(a)
+    a
+  }
+
+  test("round-trips: random and runny payloads, all block sizes") {
+    val payloads = Seq(
+      Array.empty[Byte],
+      "hello bzip2".getBytes("UTF-8"),
+      rndBytes(10, 1L),
+      rndBytes(70000, 2L),
+      Array.fill[Byte](300000)('a'), // long RLE runs + length-4 grammar
+      (0 until 120000).map(i => (i % 7).toByte).toArray,
+      rndBytes(250000, 3L) // spans >1 block at level 1
+    )
+    for (p <- payloads; lvl <- Seq(1, 9)) {
+      val comp = bz(p, lvl)
+      val out = new java.io.ByteArrayOutputStream()
+      val r = PyBz2.decode(comp, 0, out)
+      assert(r.end === PyBz2.StreamEnd(comp.length),
+        s"payload ${p.length} lvl $lvl")
+      assert(out.toByteArray.sameElements(p), s"payload ${p.length} lvl $lvl")
+      val (viaReader, err) = ExtractSim.bunzipPyEx(comp)
+      assert(!err && viaReader.sameElements(p))
+    }
+  }
+
+  test("multi-stream: concatenated streams accumulate; trailing garbage " +
+      "after a clean stream is ignored; plausible-truncated tail is fatal") {
+    val a = "first stream ".getBytes("UTF-8")
+    val b = "second stream".getBytes("UTF-8")
+    val both = bz(a) ++ bz(b)
+    val (out, err) = ExtractSim.bunzipPyEx(both)
+    assert(!err && out.sameElements(a ++ b))
+
+    // junk tail whose FIRST decompress raises -> ignored (CPython
+    // trailing_error rule)
+    val junkTail = bz(a) ++ "not a stream".getBytes("UTF-8")
+    val (o2, e2) = ExtractSim.bunzipPyEx(junkTail)
+    assert(!e2 && o2.sameElements(a))
+
+    // a truncated-but-valid PREFIX of a real stream as the tail: libbz2
+    // buffers waiting for more input, EOF -> EOFError (fatal)
+    val prefTail = bz(a) ++ bz(b).take(14)
+    val (o3, e3) = ExtractSim.bunzipPyEx(prefTail)
+    assert(e3 && o3.sameElements(a))
+  }
+
+  test("truncations are total and classified, output is a prefix") {
+    val p = rndBytes(5000, 7L) ++ Array.fill[Byte](4000)('x')
+    val comp = bz(p)
+    val full = { // reference full decode
+      val o = new java.io.ByteArrayOutputStream()
+      PyBz2.decode(comp, 0, o); o.toByteArray
+    }
+    for (n <- 0 until comp.length) {
+      val o = new java.io.ByteArrayOutputStream()
+      val r = PyBz2.decode(java.util.Arrays.copyOf(comp, n), 0, o)
+      assert(r.end match {
+        case PyBz2.NeedsInput | PyBz2.DataError(_) => true
+        case PyBz2.StreamEnd(_) => false
+      }, s"truncation at $n")
+      val got = o.toByteArray
+      assert(got.sameElements(full.take(got.length)), s"truncation at $n")
+    }
+  }
+
+  test("corruption is detected: CRC flips and mid-block flips -> DataError") {
+    val p = rndBytes(20000, 11L)
+    val comp = bz(p)
+    // flip one bit in the final combined-CRC region
+    val tail = comp.clone(); tail(tail.length - 2) = (tail(tail.length - 2) ^ 0x10).toByte
+    val o1 = new java.io.ByteArrayOutputStream()
+    assert(PyBz2.decode(tail, 0, o1).end.isInstanceOf[PyBz2.DataError])
+    // flip one bit mid-block (huffman region): DataError or block-CRC error
+    val mid = comp.clone(); mid(comp.length / 2) = (mid(comp.length / 2) ^ 0x04).toByte
+    val o2 = new java.io.ByteArrayOutputStream()
+    val r = PyBz2.decode(mid, 0, o2)
+    assert(r.end.isInstanceOf[PyBz2.DataError] || r.end == PyBz2.NeedsInput)
+    // bunzipPyEx: first-stream corruption is always the pending OSError
+    val (_, err) = ExtractSim.bunzipPyEx(tail)
+    assert(err)
+  }
+
+  test("randomised-bit flip stays deterministic and total") {
+    // flipping the blockRandomised bit makes libbz2 derandomize real data:
+    // garbage output then (almost surely) a CRC DataError — must not crash
+    // and must be deterministic
+    val comp = bz(rndBytes(8000, 13L))
+    // blockRandomised is the bit right after the 48-bit block magic and
+    // 32-bit CRC: byte offset 4+6+4=14, top bit
+    val mut = comp.clone(); mut(14) = (mut(14) ^ 0x80).toByte
+    val o1 = new java.io.ByteArrayOutputStream()
+    val o2 = new java.io.ByteArrayOutputStream()
+    val r1 = PyBz2.decode(mut, 0, o1)
+    val r2 = PyBz2.decode(mut, 0, o2)
+    assert(r1 == r2 && o1.toByteArray.sameElements(o2.toByteArray))
+  }
+
+  test("empty and header-only inputs") {
+    val (e0, f0) = ExtractSim.bunzipPyEx(Array.empty[Byte])
+    assert(e0.isEmpty && f0)
+    val o = new java.io.ByteArrayOutputStream()
+    assert(PyBz2.decode("BZh9".getBytes("UTF-8"), 0, o).end ===
+      PyBz2.NeedsInput)
+    val o2 = new java.io.ByteArrayOutputStream()
+    assert(PyBz2.decode("BZx9".getBytes("UTF-8"), 0, o2).end ===
+      PyBz2.DataError(2))
+  }
+}
