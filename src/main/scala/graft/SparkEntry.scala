@@ -1098,6 +1098,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // exactly-k per-stratum sample (the eval-set/holdout construction
+    // q_stratified_sample's RATE thresholds can't give): deterministic
+    // rank by a salted md5 within each language, keep the first 20. One
+    // per-stratum window shuffle, no global sort, no RNG state — the
+    // sample is partitioning-invariant and replayable in any engine.
+    "q_fixed_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":fs"))),
+          col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("r"))
+        .filter(col("r") <= 20)
+    }),
+
     // exact-substring dedup at 8-token window granularity (the Lee et al.
     // 2022 "Deduplicating Training Data" shape, window-quantized): every
     // non-overlapping 8-token window is hashed corpus-wide and only the
@@ -1122,6 +1136,38 @@ object SparkEntry {
           array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("w")))),
             x => x.getField("w")), " ").as("text"))
+    }),
+
+    // repeated-segment removal (the RefinedWeb/CCNet "line-wise dedup"
+    // restated over 8-token segments — the corpus has no newlines): a
+    // segment occurring in ≥2 DISTINCT docs is boilerplate and is dropped
+    // from EVERY doc (unlike q_span_dedup, which keeps the first
+    // instance); docs are reassembled from surviving segments. The tail
+    // partial segment rides along (ceil split). Scale: segments persisted
+    // once, one shuffle for the df agg, one equi-join back, one doc-level
+    // reassembly agg — linear in total segments.
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")),
+        lit(operators.TextAnalysis.TokenPattern), lit(0))
+      val segs = operators.OpCaches.register(
+        docs(s, dir).select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 1)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), ((size(col("t")) + lit(7)) / lit(8))
+                .cast("int") - 1),
+              i => concat_ws(" ", slice(col("t"), i * 8 + 1, lit(8))))))
+          .toDF("doc_id", "pos", "seg")
+          .persist())
+      val freq = segs.groupBy("seg").agg(countDistinct("doc_id").as("df"))
+      segs.join(freq, Seq("seg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("df") < 2, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("df") < 2, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("text"))
     }),
 
     // per-doc n-gram novelty (memorization scan): the fraction of a doc's
@@ -1419,6 +1465,13 @@ object SparkEntry {
     "q_triangles_power" -> ((s, dir) =>
       Graph.triangles(powerGraph(docs(s, dir)))),
 
+    // link prediction: common-neighbor counts for unconnected pairs
+    // (integer core of Adamic-Adar; ≥2 shared neighbors) over the regular
+    // link restatement — wedge self-join with a<b ordering + left-anti
+    // against the edge set, all equi-joins.
+    "q_common_neighbors" -> ((s, dir) =>
+      Graph.commonNeighbors(linkGraph(docs(s, dir)), 2)),
+
     // multi-source BFS min-hop distances (the Pregel frontier-expansion
     // shape): seeds = every 97th doc, 3 fixed supersteps over the regular
     // link restatement; each round is frontier-sized (join + distinct +
@@ -1600,6 +1653,32 @@ object SparkEntry {
           round(max(col("std")), 9).as("std_qty"),
           sum(when(abs(col("l_quantity") - col("mean")) >
             lit(1.5d) * col("std"), 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
+    // winsorization (percentile clipping): per-source exact nearest-rank
+    // p5/p95 of n_chars, every doc's length clipped into [p5, p95] — the
+    // outlier-normalization pass a feature pipeline runs before length
+    // buckets. Rank = ceil(p·n) in pure integer math (`div`), so the
+    // cut rows are exact order statistics, no interpolation floats.
+    // Scale: ONE per-source window shuffle (the q_group_median pattern),
+    // stats broadcast back onto the corpus.
+    "q_winsorize" -> ((s, dir) => {
+      val part = Window.partitionBy(col("source"))
+      val ord = part.orderBy(col("n_chars"), col("doc_id"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = d.select(col("source"), col("n_chars"),
+        row_number().over(ord).as("r"), count(lit(1)).over(part).as("n"))
+      val r5 = expr("(5*n + 99) div 100")
+      val r95 = expr("(95*n + 99) div 100")
+      val stats = ranked.filter(col("r") === r5 || col("r") === r95)
+        .groupBy(col("source"))
+        .agg(min(when(col("r") === r5, col("n_chars"))).as("p5"),
+          min(when(col("r") === r95, col("n_chars"))).as("p95"))
+      d.join(broadcast(stats), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("p5"), col("p95"),
+          least(greatest(col("n_chars"), col("p5")), col("p95"))
+            .as("clipped"))
     }),
 
     // TPC-H Q3 (shipping priority): segment-filtered customer broadcast
@@ -3025,6 +3104,13 @@ object SparkEntry {
          |  CASE WHEN lang = 'en' THEN '8000'
          |       WHEN lang = 'zh' THEN '4000' ELSE '2000' END""".stripMargin,
 
+    "q_fixed_sample" ->
+      s"""SELECT doc_id, lang, r FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':fs'), doc_id) AS r
+         |  FROM documents)
+         |WHERE r <= 20""".stripMargin,
+
     "q_span_dedup" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
          |    FROM documents),
@@ -3040,6 +3126,29 @@ object SparkEntry {
          |SELECT d0 AS doc_id, count(*) AS n_kept,
          |  string_agg(w, ' ' ORDER BY p0) AS text
          |FROM k2 GROUP BY d0""".stripMargin,
+
+    "q_line_dedup" ->
+      // ceil split via (len+7)//8; string_agg skips the NULL (dropped)
+      // segments, COALESCE('') matches Spark's empty array_join when a
+      // doc loses every segment
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+         |  FROM documents),
+         |s0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(t)+7)//8),
+         |    i -> struct_pack(pos := i,
+         |      seg := array_to_string(t[(i*8+1):(i*8+8)], ' ')))) AS u
+         |  FROM d WHERE len(t) >= 1),
+         |segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM s0),
+         |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+         |SELECT s.doc_id AS doc_id,
+         |  CAST(sum(CASE WHEN f.df < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  COALESCE(string_agg(CASE WHEN f.df < 2 THEN s.seg END,
+         |    ' ' ORDER BY s.pos), '') AS text
+         |FROM segs s JOIN f ON s.seg = f.seg
+         |GROUP BY 1""".stripMargin,
 
     "q_ngram_novelty" ->
       s"""WITH d AS (SELECT doc_id,
@@ -3458,6 +3567,27 @@ object SparkEntry {
          |  UNION ALL SELECT z FROM t)
          |SELECT node, count(*) AS n_tri FROM c GROUP BY 1""".stripMargin,
 
+    "q_common_neighbors" ->
+      // UNION ALL edge list (q_triangles binder workaround); wedge join
+      // with l.x < r.x counts each unordered pair once
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst
+         |    FROM documents CROSS JOIN nn
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 14) % nn.n
+         |    FROM documents CROSS JOIN nn
+         |  UNION ALL SELECT doc_id, (doc_id * 31 + 21) % nn.n
+         |    FROM documents CROSS JOIN nn),
+         |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |adj AS (SELECT a AS z, b AS x FROM u
+         |  UNION ALL SELECT b AS z, a AS x FROM u),
+         |c AS (SELECT l.x AS a, r.x AS b, count(*) AS cn
+         |  FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT c.a AS a, c.b AS b, c.cn AS cn FROM c
+         |WHERE NOT EXISTS (SELECT 1 FROM u
+         |  WHERE u.a = c.a AND u.b = c.b)""".stripMargin,
+
     "q_bfs_hops" -> {
       // 3 unrolled BFS supersteps: frontier_r = distinct neighbors of
       // frontier_{r-1} EXCEPT everything already visited — mirrors
@@ -3681,6 +3811,24 @@ object SparkEntry {
         |    AS n_outliers
         |FROM m JOIN lineitem l ON l.l_suppkey = m.l_suppkey
         |GROUP BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      // nearest-rank ceil(p*n) in integer math; DuckDB // == Spark div on
+      // positives
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents),
+         |st AS (SELECT source,
+         |    min(CASE WHEN r = (5*n + 99) // 100 THEN n_chars END) AS p5,
+         |    min(CASE WHEN r = (95*n + 99) // 100 THEN n_chars END) AS p95
+         |  FROM r
+         |  WHERE r = (5*n + 99) // 100 OR r = (95*n + 99) // 100
+         |  GROUP BY 1)
+         |SELECT d.doc_id, d.source, d.n_chars, st.p5, st.p95,
+         |  least(greatest(d.n_chars, st.p5), st.p95) AS clipped
+         |FROM documents d JOIN st ON d.source = st.source""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT o_orderkey,

@@ -641,6 +641,43 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
+  test("q_line_dedup: segments persisted and read from cache on both the " +
+      "df agg and the join back; equi-joins only") {
+    val p = plan("q_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "segment rows should be computed once and cached:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_fixed_sample: one per-stratum window exchange, no join") {
+    val p = plan("q_fixed_sample")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one exchange (lang) expected:\n" + p.take(2500))
+  }
+
+  test("q_winsorize: one window shuffle for the order statistics; the " +
+      "per-source stats broadcast back onto the corpus") {
+    val p = plan("q_winsorize")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "stats dim should broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_common_neighbors: wedge self-join + anti stay equi-joins; " +
+      "adjacency cached and re-read") {
+    val p = plan("q_common_neighbors")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "und/adj should be computed once and cached:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
   test("q_random_walks: per-step hash-argmin stays equi-join + aggregate; " +
       "edges persisted and read from cache every step") {
     val p = plan("q_random_walks")

@@ -258,6 +258,27 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
     OpCaches.drainAll()
   }
 
+  test("commonNeighbors: counts match a brute-force enumeration and " +
+      "exclude existing edges") {
+    val nodes = (0L until 50L)
+    val edges = nodes.flatMap(u =>
+      Seq((u, (u * 7 + 3) % 50), (u, (u * 13 + 11) % 50)))
+    val got = Graph.commonNeighbors(edges.toDF("src", "dst"), 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    val und = edges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val adj = nodes.map(u => u ->
+      und.collect { case (a, b) if a == u => b; case (a, b) if b == u => a })
+      .toMap
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !und.contains((a, b))
+      cn = (adj(a) intersect adj(b)).size if cn >= 2
+    } yield (a, b) -> cn.toLong).toMap
+    assert(got === want)
+    OpCaches.drainAll()
+  }
+
   test("q_gini_diversity: integer Gini ratio matches a driver replica " +
       "on the sf0.001 corpus") {
     val dir = "/root/testdata/sf0.001"
