@@ -1530,6 +1530,50 @@ object SparkEntry {
       est.join(broadcast(exact), Seq("event_type"))
     }),
 
+    // HLL set algebra: the mergeability story sketches exist for — union
+    // = per-bucket register MAX (exactly how a 1000-executor fleet merges
+    // per-partition sketches), intersection via inclusion-exclusion on
+    // the corrected estimates. Two overlapping order-key sets (returnflag
+    // R / linestatus F), three estimates from the same float-free
+    // register folds as q_hll_distinct, exact counts ride along. Scale:
+    // the key stream shuffles once per set into 256-row registers;
+    // everything after is constant-size.
+    "q_hll_union" -> ((s, dir) => {
+      val li = operators.OpCaches.register(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+          .persist())
+      val regsA = operators.OpCaches.register(
+        Sketches.hllRegisters(li.filter(col("l_returnflag") === "R"),
+          "l_orderkey").persist())
+      val regsB = operators.OpCaches.register(
+        Sketches.hllRegisters(li.filter(col("l_linestatus") === "F"),
+          "l_orderkey").persist())
+      val regsU = regsA.withColumnRenamed("rho", "ra")
+        .join(regsB.withColumnRenamed("rho", "rb"), Seq("bucket"))
+        .select(col("bucket"), greatest(col("ra"), col("rb")).as("rho"))
+      def corr(regs: org.apache.spark.sql.DataFrame, n: String) =
+        Sketches.hllEstimate(regs)
+          .select(round(Sketches.hllCorrect(col("est"), col("zeros")), 3)
+            .as(n))
+      val ex = li.agg(
+        countDistinct(when(col("l_returnflag") === "R", col("l_orderkey")))
+          .as("n_a"),
+        countDistinct(when(col("l_linestatus") === "F", col("l_orderkey")))
+          .as("n_b"),
+        countDistinct(when(col("l_returnflag") === "R" ||
+          col("l_linestatus") === "F", col("l_orderkey"))).as("n_union"),
+        countDistinct(when(col("l_returnflag") === "R" &&
+          col("l_linestatus") === "F", col("l_orderkey"))).as("n_inter"))
+      corr(regsA, "est_a").crossJoin(broadcast(corr(regsB, "est_b")))
+        .crossJoin(broadcast(corr(regsU, "est_u")))
+        .crossJoin(broadcast(ex))
+        .select(col("est_a"), col("est_b"), col("est_u"),
+          round(col("est_a") + col("est_b") - col("est_u"), 3)
+            .as("est_inter"),
+          col("n_a"), col("n_b"), col("n_union"), col("n_inter"))
+    }),
+
     // count-min-sketch heavy hitters (d=4 rows x 256 hex-prefix columns)
     // over the token frequency table: top-20 by min-over-rows estimate,
     // true count alongside (est >= cnt — the CMS one-sided error).
@@ -1539,6 +1583,53 @@ object SparkEntry {
           lit(TextAnalysis.TokenPattern), lit(0))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       Sketches.cmsTopK(tokCnt, 4, 20)
+    }),
+
+    // Bloom-filter membership audit: per-priority 1024-word × 63-bit
+    // blooms over the distinct customer set that placed orders at that
+    // priority (63 bits/word so no engine ever shifts into the sign
+    // bit), k=2 LCG hash positions — integer math both engines replay
+    // exactly. Every customer probes every priority's filter; output =
+    // per-priority probe/maybe/actual/false-positive counts, the
+    // precision audit a seen-set deployment runs before sizing. Scale:
+    // the bloom is a ≤5120-row broadcastable sketch; probes never
+    // shuffle wider than (probe × k) rows; fp rate degrades gracefully
+    // as n/m grows with SF (the audit's whole point).
+    "q_bloom_membership" -> ((s, dir) => {
+      def positions(k: Column): Column = array(
+        (k * lit(2654435761L) + lit(104729L)) % lit(64512L),
+        (k * lit(1779033703L) + lit(15485863L)) % lit(64512L))
+      def wordMask: Seq[Column] = Seq(
+        (col("h") / lit(63)).cast("long").as("word"),
+        call_function("shiftleft", lit(1L),
+          (col("h") % lit(63)).cast("int")).as("mask"))
+      val keys = operators.OpCaches.register(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderpriority").as("prio"),
+            col("o_custkey").as("k"))
+          .distinct().persist())
+      val bloom = operators.OpCaches.register(
+        keys.select(col("prio"), explode(positions(col("k"))).as("h"))
+          .select(col("prio") +: wordMask: _*)
+          .groupBy(col("prio"), col("word"))
+          .agg(expr("bit_or(mask)").as("bw")).persist())
+      val prios = keys.select(col("prio")).distinct()
+      val probeBits = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey").as("k")).crossJoin(broadcast(prios))
+        .select(col("prio"), col("k"), explode(positions(col("k"))).as("h"))
+        .select(Seq(col("prio"), col("k")) ++ wordMask: _*)
+      val hits = probeBits
+        .join(broadcast(bloom), Seq("prio", "word"), "left")
+        .groupBy(col("prio"), col("k"))
+        .agg(min(when(coalesce(col("bw"), lit(0L))
+          .bitwiseAND(col("mask")) =!= 0L, 1L).otherwise(0L)).as("maybe"))
+      hits.join(keys.withColumn("actual", lit(1L)), Seq("prio", "k"), "left")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_probed"),
+          sum(col("maybe")).as("n_maybe"),
+          sum(coalesce(col("actual"), lit(0L))).as("n_actual"),
+          sum(when(col("maybe") === 1L && col("actual").isNull, 1L)
+            .otherwise(0L)).as("n_fp"))
     }),
 
     // ROLLUP aggregation (per-flag/status subtotals + grand total) —
@@ -3717,6 +3808,61 @@ object SparkEntry {
          |  s.est_corr, x.n_exact
          |FROM s JOIN x ON s.event_type = x.event_type""".stripMargin,
 
+    "q_hll_union" -> {
+      // one register-table CTE per set (A, B, union=per-bucket max),
+      // each estimated through the same corrected fold as q_hll_distinct
+      def occ(pred: String, nm: String): String =
+        s"""occ$nm AS (SELECT substr(h, 1, 2) AS bucket,
+           |    max(CASE WHEN ltrim(substr(h, 3, 12), '0') = '' THEN 49
+           |      ELSE 4 * (12 - len(ltrim(substr(h, 3, 12), '0'))) +
+           |        (CASE
+           |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '8'
+           |            THEN 1
+           |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '4'
+           |            THEN 2
+           |          WHEN substr(ltrim(substr(h, 3, 12), '0'), 1, 1) >= '2'
+           |            THEN 3
+           |          ELSE 4 END) END) AS rho
+           |  FROM (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h
+           |    FROM lineitem WHERE $pred) GROUP BY 1),
+           |regs$nm AS (SELECT rb.bucket AS bucket,
+           |    coalesce(occ$nm.rho, 0) AS rho
+           |  FROM rb LEFT JOIN occ$nm ON rb.bucket = occ$nm.bucket)"""
+          .stripMargin
+      def est(nm: String, as: String): String =
+        s"""e$as AS (SELECT
+           |    round(CASE WHEN $hllRawEstSql <= CAST(640.0 AS DOUBLE)
+           |        AND $hllZerosSql > 0
+           |      THEN CAST((${Sketches.lcTableSql})[CAST($hllZerosSql AS INT)]
+           |        AS DOUBLE)
+           |      ELSE $hllRawEstSql END, 3) AS est_$as
+           |  FROM regs$nm)""".stripMargin
+      s"""WITH rb AS (SELECT printf('%02x', CAST(i AS INT)) AS bucket
+         |  FROM (SELECT unnest(range(256)) AS i)),
+         |${occ("l_returnflag = 'R'", "A")},
+         |${occ("l_linestatus = 'F'", "B")},
+         |regsU AS (SELECT a.bucket AS bucket,
+         |    greatest(a.rho, b.rho) AS rho
+         |  FROM regsA a JOIN regsB b ON a.bucket = b.bucket),
+         |${est("A", "a")},
+         |${est("B", "b")},
+         |${est("U", "u")},
+         |x AS (SELECT
+         |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+         |      THEN l_orderkey END) AS n_a,
+         |    count(DISTINCT CASE WHEN l_linestatus = 'F'
+         |      THEN l_orderkey END) AS n_b,
+         |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+         |      OR l_linestatus = 'F' THEN l_orderkey END) AS n_union,
+         |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+         |      AND l_linestatus = 'F' THEN l_orderkey END) AS n_inter
+         |  FROM lineitem)
+         |SELECT est_a, est_b, est_u,
+         |  round(est_a + est_b - est_u, 3) AS est_inter,
+         |  n_a, n_b, n_union, n_inter
+         |FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN x""".stripMargin
+    },
+
     "q_cms_heavy" ->
       s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[A-Za-z0-9]+')) AS tok FROM documents),
@@ -3730,6 +3876,43 @@ object SparkEntry {
          |  FROM pr JOIN sk USING (r, c) GROUP BY tok)
          |SELECT tok, est, cnt FROM est
          |ORDER BY est DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "q_bloom_membership" ->
+      // hash positions expanded via UNION ALL (not unnest — the
+      // q_triangles binder workaround applies to //, % on unnest cols)
+      s"""WITH keys AS (SELECT DISTINCT o_orderpriority AS prio,
+         |    o_custkey AS k FROM orders),
+         |kb AS (SELECT prio, k,
+         |    (k * 2654435761 + 104729) % 64512 AS h FROM keys
+         |  UNION ALL SELECT prio, k,
+         |    (k * 1779033703 + 15485863) % 64512 FROM keys),
+         |bits AS (SELECT prio, h // 63 AS word,
+         |    (CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS mask FROM kb),
+         |bloom AS (SELECT prio, word, bit_or(mask) AS bw
+         |  FROM bits GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT prio FROM keys),
+         |pb0 AS (SELECT pr.prio AS prio, c.c_custkey AS k
+         |  FROM customer c CROSS JOIN pr),
+         |pb AS (SELECT prio, k,
+         |    (k * 2654435761 + 104729) % 64512 AS h FROM pb0
+         |  UNION ALL SELECT prio, k,
+         |    (k * 1779033703 + 15485863) % 64512 FROM pb0),
+         |pbits AS (SELECT prio, k, h // 63 AS word,
+         |    (CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS mask FROM pb),
+         |hits AS (SELECT p.prio AS prio, p.k AS k,
+         |    min(CASE WHEN (coalesce(b.bw, 0) & p.mask) != 0
+         |      THEN 1 ELSE 0 END) AS maybe
+         |  FROM pbits p LEFT JOIN bloom b
+         |    ON p.prio = b.prio AND p.word = b.word
+         |  GROUP BY 1, 2),
+         |a AS (SELECT prio, k, 1 AS actual FROM keys)
+         |SELECT h.prio AS prio, count(*) AS n_probed,
+         |  CAST(sum(h.maybe) AS BIGINT) AS n_maybe,
+         |  CAST(sum(coalesce(a.actual, 0)) AS BIGINT) AS n_actual,
+         |  CAST(sum(CASE WHEN h.maybe = 1 AND a.actual IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         |FROM hits h LEFT JOIN a ON h.prio = a.prio AND h.k = a.k
+         |GROUP BY 1""".stripMargin,
 
     "q_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -382,6 +382,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_max") || p.contains("max("), p.take(3000))
   }
 
+  test("q_hll_union: lineitem and both register tables cached and " +
+      "re-read; everything after the folds is 1-row broadcasts") {
+    val p = plan("q_hll_union")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5,
+      "li (3 consumers) + regsA/regsB (2 each) should read from cache:\n"
+        + p.take(3000))
+    assert(p.contains("Broadcast"), p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_bloom_membership: the bloom sketch and priority dim broadcast " +
+      "onto the probe side; key set cached; no cartesian beyond the " +
+      "5-row priority cross") {
+    val p = plan("q_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"),
+      "bloom words should broadcast-join the probe bits:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "distinct key set should be cached:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
   test("q_cms_heavy: the d*256-cell sketch broadcasts onto the probe " +
       "side; top-20 is TakeOrdered; probe stream cached for both " +
       "consumers") {

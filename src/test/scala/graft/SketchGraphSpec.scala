@@ -47,6 +47,38 @@ class SketchGraphSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hll union: per-bucket register max equals the union-set " +
+      "registers (the sketch-merge identity a fleet relies on)") {
+    import org.apache.spark.sql.functions.{col, greatest}
+    val rnd = new Random(99)
+    val a = (0 until 3000).map(_ => rnd.nextInt(50000).toString).distinct
+    val b = (0 until 3000).map(_ => rnd.nextInt(50000).toString).distinct
+    val regsA = Sketches.hllRegisters(a.toDF("k"), "k")
+    val regsB = Sketches.hllRegisters(b.toDF("k"), "k")
+    val merged = regsA.withColumnRenamed("rho", "ra")
+      .join(regsB.withColumnRenamed("rho", "rb"), Seq("bucket"))
+      .select(col("bucket"), greatest(col("ra"), col("rb")).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val direct = Sketches.hllRegisters((a ++ b).distinct.toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(merged === direct)
+    OpCaches.drainAll()
+  }
+
+  test("q_bloom_membership: no false negatives; counts reconcile") {
+    val rows = graft.SparkEntry.queries("q_bloom_membership")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (probed, maybe, actual, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every actual member must probe positive: maybe ∧ actual == actual
+      assert(maybe - fp === actual, r.toString)
+      assert(maybe <= probed && fp >= 0, r.toString)
+    }
+    OpCaches.drainAll()
+  }
+
   test("hllEstimate: harmonic fold matches the replica; error in band") {
     val rnd = new Random(77)
     val keys = (0 until 20000).map(_ => rnd.nextInt(100000).toString).distinct
