@@ -262,6 +262,29 @@ object Streams {
         col("v_user").as("user_id"), col("v_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution — the unmatched-emission dual
+    * of [[intervalJoinStream]]: every view emits at least once; a view
+    * with NO click in its window emits (view_id, NULL) exactly when the
+    * watermark passes the window end and the state store can prove no
+    * match can still arrive (Spark's outer-join null emission is
+    * watermark-driven — results are eventually complete, not instant;
+    * StreamingSpec drives the watermark forward to observe it). Same
+    * bounded interval condition on both sides, so both states evict at
+    * the horizon. The conversion-RATE question ("which views did NOT
+    * convert?") is only answerable with this shape — an inner join never
+    * says never. */
+  def attributionOuterStream(views: DataFrame, clicks: DataFrame,
+      winSec: Int, watermark: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("v_ts"),
+      col("view_id")).withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("c_ts"),
+      col("click_id")).withWatermark("c_ts", watermark)
+    v.join(c, expr(s"""v_user = c_user AND c_ts >= v_ts
+        AND c_ts <= v_ts + interval $winSec seconds"""), "left_outer")
+      .select(col("view_id"), col("click_id"),
+        col("v_user").as("user_id"), col("v_ts"), col("c_ts"))
+  }
+
   /** Event-time gap-merged session windows over a (user_id, ts) event
     * stream via the built-in `session_window` — the EVENT-TIME dual of
     * [[hostSessions]]' processing-order mapGroupsWithState: out-of-order

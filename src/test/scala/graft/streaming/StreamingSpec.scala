@@ -283,6 +283,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER attribution: unmatched views emit NULL " +
+      "once the watermark passes their window end") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(m: Long) = new Timestamp(base + m * 60000L)
+    val vIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.attributionOuterStream(
+      vIn.toDF().toDF("user_id", "v_ts", "view_id"),
+      cIn.toDF().toDF("user_id", "c_ts", "click_id"), 3600)
+    val q = joined.writeStream.format("memory").queryName("attr_outer_mem")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1's view converts in-window; u3 never clicks; u2 clicks at +65min
+      // (outside the 60-min window) — both of the latter must emit NULL,
+      // but only after the watermark proves no match can still arrive
+      vIn.addData((1L, ts(0), 100L), (3L, ts(5), 103L), (2L, ts(10), 102L))
+      cIn.addData((1L, ts(30), 200L), (2L, ts(75), 204L))
+      q.processAllAvailable()
+      // sentinels push both watermarks far past every window end; the
+      // second round forces the eviction micro-batch that flushes nulls
+      vIn.addData((99L, ts(1000), 999L)); cIn.addData((99L, ts(1000), 998L))
+      q.processAllAvailable()
+      vIn.addData((99L, ts(1001), 997L)); cIn.addData((99L, ts(1001), 996L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "select view_id, click_id from attr_outer_mem where view_id < 900")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got === Set((100L, 200L), (103L, -1L), (102L, -1L)))
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: 3 micro-batches converge to the batch " +
       "inverted-index base table; replay is a no-op; growth sums tf") {
     import spark.implicits._
