@@ -708,6 +708,49 @@ object SparkEntry {
         sum(col("cents")).over(w).as("cents_5m"))
     }),
 
+    // batch gap sessionization (the session_window stream's SQL-surface
+    // dual): a 30-min silence starts a new session; session id = running
+    // count of boundary flags (lag + cumulative sum over the SAME
+    // partition+order → ONE per-user exchange), then one agg for
+    // start/end/size. Epoch-micros arithmetic keeps both engines
+    // integer-exact.
+    "q_sessionize" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val lagged = lag(col("ts_us"), 1).over(w)
+      val flagged = e.select(col("user_id"), col("event_id"), col("ts_us"),
+        when(lagged.isNull ||
+          col("ts_us") - lagged > lit(1800000000L), 1L)
+          .otherwise(0L).as("new_sess"))
+      flagged.select(col("user_id"), col("ts_us"),
+          sum(col("new_sess"))
+            .over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_us"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_no"))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // analytic-rank window surface: percent_rank / cume_dist / ntile per
+    // supplier over a fully-deterministic ordering (unique triple ⇒ no
+    // peer groups, and the rank ratios are single divisions of exact
+    // integers — engine-stable doubles). One window exchange.
+    "q_rank_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("tile"))
+    }),
+
     // AS-OF join (view → click): for each click, the latest view at or
     // before it per user — tagged union + running max over ONE window
     // shuffle, never a per-row inequality join (operators/Temporal; the
@@ -2864,6 +2907,33 @@ object SparkEntry {
         |      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cents_5m
         |FROM events""".stripMargin,
+
+    "q_sessionize" ->
+      // session_no is a window sum(BIGINT) → HUGEINT in DuckDB: CAST
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, min(ts_us) AS start_us,
+        |  max(ts_us) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_rank_windows" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS tile
+        |FROM lineitem WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events

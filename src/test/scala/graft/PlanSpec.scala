@@ -603,6 +603,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "exactly one exchange (user_id) expected:\n" + p.take(2500))
   }
 
+  test("q_sessionize: lag + running-sum + session agg all ride ONE " +
+      "per-user exchange, no join") {
+    val p = plan("q_sessionize")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "hashpartitioning(user_id) should satisfy the windows AND the "
+        + "(user_id, session_no) aggregate:\n" + p.take(3000))
+  }
+
+  test("q_rank_windows: percent_rank/cume_dist/ntile share one window " +
+      "exchange, no join") {
+    val p = plan("q_rank_windows")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
   test("q_tfidf_vectors: corpus count broadcasts; tok/df joins stay " +
       "equi-joins (no cartesian)") {
     val p = plan("q_tfidf_vectors")
