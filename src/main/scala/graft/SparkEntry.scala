@@ -1789,6 +1789,35 @@ object SparkEntry {
             lit(1.5d) * col("std"), 1L).otherwise(0L)).as("n_outliers"))
     }),
 
+    // edit-distance-1 pair mining via FastSS deletion neighborhoods
+    // (Bocek et al. 2007 — the typo/OCR-noise candidate generator): each
+    // string indexes under itself + every single-deletion variant; two
+    // strings within edit distance 1 MUST share a variant (identity
+    // catches substitutions, deletions catch indels), so candidates come
+    // from an equi-join on the variant — never an O(n²) distance join —
+    // and exact levenshtein verifies only candidates. Variants persisted
+    // once and self-joined from cache.
+    "q_typo_pairs" -> ((s, dir) => {
+      val v = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey").as("k"), col("c_name").as("tok"))
+      val vars = operators.OpCaches.register(
+        v.select(col("k"), col("tok"),
+          explode(array_distinct(concat(
+            array(col("tok")),
+            transform(sequence(lit(1), length(col("tok"))),
+              i => concat(
+                call_function("substr", col("tok"), lit(1), i - 1),
+                call_function("substr", col("tok"), i + 1)))))).as("v"))
+          .persist())
+      vars.select(col("k").as("a_key"), col("tok").as("name_a"), col("v"))
+        .join(vars.select(col("k").as("b_key"), col("tok").as("name_b"),
+          col("v")), Seq("v"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("a_key"), col("b_key"), col("name_a"), col("name_b"))
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    }),
+
     // winsorization (percentile clipping): per-source exact nearest-rank
     // p5/p95 of n_chars, every doc's length clipped into [p5, p95] — the
     // outlier-normalization pass a feature pipeline runs before length
@@ -4064,6 +4093,22 @@ object SparkEntry {
         |    AS n_outliers
         |FROM m JOIN lineitem l ON l.l_suppkey = m.l_suppkey
         |GROUP BY 1""".stripMargin,
+
+    "q_typo_pairs" ->
+      // deletion variants built inside list_transform (lambda var, not
+      // unnest output — the established binder-bug-safe construction)
+      s"""WITH v AS (SELECT c_custkey AS k, c_name AS tok FROM customer),
+         |vars0 AS (SELECT k, tok, unnest(list_distinct(list_prepend(tok,
+         |    list_transform(range(1, len(tok) + 1),
+         |      i -> substr(tok, 1, CAST(i - 1 AS INT))
+         |        || substr(tok, CAST(i + 1 AS INT), 1000))))) AS var
+         |  FROM v),
+         |p AS (SELECT DISTINCT a.k AS a_key, b.k AS b_key,
+         |    a.tok AS name_a, b.tok AS name_b
+         |  FROM vars0 a JOIN vars0 b ON a.var = b.var
+         |  WHERE a.tok < b.tok)
+         |SELECT a_key, b_key, name_a, name_b FROM p
+         |WHERE levenshtein(name_a, name_b) = 1""".stripMargin,
 
     "q_winsorize" ->
       // nearest-rank ceil(p*n) in integer math; DuckDB // == Spark div on

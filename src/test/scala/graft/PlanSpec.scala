@@ -700,6 +700,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "exactly one exchange (lang) expected:\n" + p.take(2500))
   }
 
+  test("q_typo_pairs: candidates come from the variant equi-join — " +
+      "never a distance cross-join; variants cached on both sides") {
+    val p = plan("q_typo_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "FastSS degraded to a distance join:\n" + p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "variant rows should be computed once and cached:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
   test("q_winsorize: one window shuffle for the order statistics; the " +
       "per-source stats broadcast back onto the corpus") {
     val p = plan("q_winsorize")
