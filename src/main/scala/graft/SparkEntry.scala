@@ -1745,6 +1745,15 @@ object SparkEntry {
       Layout.zorderStats(s.read.parquet(t(dir, "lineitem")),
         "l_partkey", "l_suppkey", 20)),
 
+    // Hilbert-curve layout manifest over the SAME dims/bucketing as
+    // q_zorder_stats — the locality-preserving alternative (consecutive
+    // indexes are edge-adjacent cells, no Morton quadrant jumps), so the
+    // two manifests' per-bucket extents compare directly. 16 unrolled
+    // let-bound integer stages; one hash aggregate.
+    "q_hilbert_stats" -> ((s, dir) =>
+      Layout.hilbertStats(s.read.parquet(t(dir, "lineitem")),
+        "l_partkey", "l_suppkey", 20)),
+
     // deterministic training-order shuffle: 256 md5-prefix shards +
     // in-shard rank — a partitioning-invariant total order with no
     // global sort (the only exchange is the per-shard window).
@@ -4194,6 +4203,16 @@ object SparkEntry {
          |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
          |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
          |FROM b GROUP BY bucket""".stripMargin,
+
+    "q_hilbert_stats" ->
+      s"""WITH src AS (SELECT l_partkey AS a, l_suppkey AS b FROM lineitem),
+         |h0 AS (SELECT a, b, a & 65535 AS x0, b & 65535 AS y0,
+         |    CAST(0 AS BIGINT) AS d0 FROM src),
+         |${Layout.hilbertSqlStages()}
+         |SELECT d16 >> 12 AS bucket, count(*) AS cnt,
+         |  min(a) AS a_min, max(a) AS a_max,
+         |  min(b) AS b_min, max(b) AS b_max
+         |FROM h16 GROUP BY 1""".stripMargin,
 
     "q_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

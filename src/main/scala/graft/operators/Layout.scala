@@ -56,6 +56,73 @@ object Layout {
         min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
         min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"))
 
+  /** 32-bit Hilbert index (order-16 curve) of two 16-bit dims — the
+    * locality-preserving alternative to [[zValue]]: consecutive Hilbert
+    * indexes are always edge-adjacent cells (no Morton quadrant jumps),
+    * so a clustered write's buckets have tighter per-dimension extents.
+    * Canonical xy2d (Hamilton's compact form): 16 unrolled
+    * quadrant-code + rotate/flip stages. Each stage is let-bound through
+    * a single-element-array transform (the Winnow bindArr trick) —
+    * without it the optimizer inlines stage k into k+1 and the
+    * expression tree duplicates subtrees ~4^16-fold. Pure integer ops,
+    * identical in any engine; [[hilbertSqlStages]] emits the same maths
+    * as chained SQL CTEs. */
+  def hilbertValue(a: Column, b: Column): Column = {
+    def bind(x: Column)(f: Column => Column): Column =
+      element_at(transform(array(x), f), 1)
+    val init = array(a.bitwiseAND(lit(65535L)), b.bitwiseAND(lit(65535L)),
+      lit(0L))
+    val fin = (15 to 0 by -1).foldLeft(init) { (st, i) =>
+      val s = 1L << i
+      bind(st) { v =>
+        val x = element_at(v, 1)
+        val y = element_at(v, 2)
+        val d = element_at(v, 3)
+        val rx = when(x.bitwiseAND(lit(s)) =!= 0L, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(lit(s)) =!= 0L, lit(1L)).otherwise(lit(0L))
+        val d2 = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+        val nx = when(ry === 0L,
+          when(rx === 1L, lit(65535L) - y).otherwise(y)).otherwise(x)
+        val ny = when(ry === 0L,
+          when(rx === 1L, lit(65535L) - x).otherwise(x)).otherwise(y)
+        array(nx, ny, d2)
+      }
+    }
+    element_at(fin, 3)
+  }
+
+  /** The same 16 Hilbert stages as chained ANSI SQL CTEs over a relation
+    * `h0(a, b, x0, y0, d0)`; the final index is `d16` in `h16`. Columns
+    * a/b ride through for the stats. */
+  def hilbertSqlStages(prefix: String = "h"): String =
+    (1 to 16).map { k =>
+      val s = 1L << (16 - k)
+      val (px, py, pd) = (s"x${k - 1}", s"y${k - 1}", s"d${k - 1}")
+      s"""$prefix$k AS (SELECT a, b,
+         |  CASE WHEN ($py & $s) = 0 THEN (CASE WHEN ($px & $s) != 0
+         |    THEN 65535 - $py ELSE $py END) ELSE $px END AS x$k,
+         |  CASE WHEN ($py & $s) = 0 THEN (CASE WHEN ($px & $s) != 0
+         |    THEN 65535 - $px ELSE $px END) ELSE $py END AS y$k,
+         |  $pd + CAST(${s * s} AS BIGINT) *
+         |    xor(CASE WHEN ($px & $s) != 0 THEN 3 ELSE 0 END,
+         |        CASE WHEN ($py & $s) != 0 THEN 1 ELSE 0 END) AS d$k
+         |  FROM $prefix${k - 1})""".stripMargin
+    }.mkString(",\n")
+
+  /** Per-bucket manifest after clustering by Hilbert index — same shape
+    * as [[zorderStats]] so the two layouts' bucket extents compare
+    * directly. */
+  def hilbertStats(df: DataFrame, aCol: String, bCol: String,
+      bucketBits: Int = 10): DataFrame =
+    df.select(col(aCol), col(bCol),
+        hilbertValue(col(aCol), col(bCol)).as("d"))
+      .select(col(aCol), col(bCol),
+        shiftright(col("d"), 32 - bucketBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
+        min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"))
+
   /** Deterministic training-order shuffle: shard = first 2 hex chars of
     * md5(key || salt) (256 shards), pos = dense 1-based rank of (full
     * hash, key) within the shard. Output (key, shard, pos) defines the

@@ -560,6 +560,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("q_hilbert_stats: ONE hash aggregate, no join/window, single " +
+      "exchange; column pruning reaches the scan") {
+    val p = plan("q_hilbert_stats")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"),
+      s"hilbert scan reads unprojected columns: $readSchema")
+  }
+
   test("q_zorder_stats: ONE hash aggregate with map-side partials over a " +
       "codegen'd interleave — no join, no window, single exchange") {
     val p = plan("q_zorder_stats")

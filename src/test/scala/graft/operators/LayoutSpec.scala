@@ -38,6 +38,58 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     pts.foreach { p => assert(got(p) === mortonReplica(p._1, p._2), p) }
   }
 
+  private def hilbertReplica(x0: Long, y0: Long): Long = {
+    // canonical xy2d (order 16): quadrant code + rotate/flip per level
+    var x = x0 & 0xFFFFL; var y = y0 & 0xFFFFL; var d = 0L
+    var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue: exact parity with the canonical xy2d replica; " +
+      "bijective on a sample; adjacent curve steps are adjacent cells") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(4242)
+    val pts = Seq((0L, 0L), (0xFFFFL, 0xFFFFL), (0xFFFFL, 0L),
+      (0L, 0xFFFFL), (32768L, 32767L)) ++
+      (0 until 400).map(_ =>
+        (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.distinct.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    got.foreach { case (p, d) => assert(d === hilbertReplica(p._1, p._2), p) }
+    assert(got((0L, 0L)) === 0L)
+    // bijection on the sample: distinct points -> distinct indexes
+    assert(got.values.toSeq.distinct.size === got.size)
+    // locality (the property Morton lacks): walking the curve via the
+    // replica's inverse-free check — for a run of consecutive indexes,
+    // cells found by scanning a small neighborhood differ by exactly one
+    // unit step. Verify via the replica on a 256-point exhaustive 16x16
+    // corner of the grid: sort cells by index, check Manhattan distance 1
+    // between consecutive VISITED cells that are index-consecutive.
+    val corner = for (x <- 0L until 16L; y <- 0L until 16L)
+      yield ((x, y), hilbertReplica(x, y))
+    val byD = corner.sortBy(_._2)
+    byD.sliding(2).foreach { case Seq(((x1, y1), d1), ((x2, y2), d2)) =>
+      if (d2 == d1 + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+          s"($x1,$y1)->($x2,$y2)")
+    }
+    // the 16x16 corner IS the curve's first 256 steps (order-16 curve
+    // fills the low corner first): all of 0..255 present
+    assert(byD.map(_._2) === (0L until 256L))
+  }
+
   test("zorderStats: every bucket bounds BOTH dimensions to its 2^k tile " +
       "— the pruning property") {
     val rnd = new Random(7)
