@@ -1515,6 +1515,75 @@ object SparkEntry {
     "q_common_neighbors" -> ((s, dir) =>
       Graph.commonNeighbors(linkGraph(docs(s, dir)), 2)),
 
+    // degree assortativity (Newman 2002): Pearson correlation of endpoint
+    // degrees over the undirected edge rows (both directions, the
+    // standard symmetric form). All six power sums are exact integers;
+    // r is sqrt/division over them — sqrt IS correctly rounded (the
+    // q_group_stats policy), so the double replays cross-engine.
+    "q_assortativity" -> ((s, dir) => {
+      // the power-law restatement: linkGraph is near-regular (degree
+      // variance ZERO -> r undefined); hubs give the correlation teeth
+      val und = operators.OpCaches.register(
+        Graph.undirected(powerGraph(docs(s, dir))).persist())
+      val deg = operators.OpCaches.register(
+        und.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist())
+      val xy = und
+        .join(deg.select(col("u"), col("deg").as("x")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("y")), Seq("v"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sx2"),
+          col("sy2"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("sy2") - col("sy") * col("sy"))
+               .cast("double"))), 9).as("r"))
+    }),
+
+    // community-quality modularity of the 2-round LPA labels over the
+    // skewed graph — in EXACT integer form: Q·4m² = Σ_c (2m·e2_c − d_c²)
+    // where e2_c counts both-direction internal rows (= 2·e_c) and d_c
+    // is the community degree sum, so q_num/q_den is an exact rational
+    // and Q is ONE final division. Per-community rows ride along.
+    "q_modularity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val und = operators.OpCaches.register(
+        Graph.undirected(skewGraph(d)).persist())
+      val labels = operators.OpCaches.register(
+        Graph.labelProp(skewGraph(d), d.select(col("doc_id").as("node")), 2)
+          .persist())
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val dcs = deg.join(labels, deg("u") === labels("node"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+      val e2 = und
+        .join(labels.select(col("node").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .join(labels.select(col("node").as("v"), col("label").as("lv")),
+          Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu")).agg(count(lit(1)).as("e2_c"))
+        .withColumnRenamed("lu", "label")
+      val twoM = und.agg(count(lit(1)).as("rows2m"))
+      val per = dcs.join(e2, Seq("label"), "left")
+        .select(col("label"), coalesce(col("e2_c"), lit(0L)).as("e2_c"),
+          col("d_c"))
+        .crossJoin(broadcast(twoM))
+      val tot = per.agg(
+        sum(col("rows2m") * col("e2_c") - col("d_c") * col("d_c"))
+          .as("q_num"),
+        max(col("rows2m") * col("rows2m")).as("q_den"))
+      per.select(col("label"), col("e2_c"), col("d_c"))
+        .crossJoin(broadcast(tot))
+        .select(col("label"), col("e2_c"), col("d_c"), col("q_num"),
+          col("q_den"),
+          round(col("q_num").cast("double") / col("q_den").cast("double"), 9)
+            .as("q"))
+    }),
+
     // multi-source BFS min-hop distances (the Pregel frontier-expansion
     // shape): seeds = every 97th doc, 3 fixed supersteps over the regular
     // link restatement; each round is frontier-sized (join + distinct +
@@ -3786,6 +3855,75 @@ object SparkEntry {
          |SELECT c.a AS a, c.b AS b, c.cn AS cn FROM c
          |WHERE NOT EXISTS (SELECT 1 FROM u
          |  WHERE u.a = c.a AND u.b = c.b)""".stripMargin,
+
+    "q_assortativity" ->
+      // every sum CAST to BIGINT (HUGEINT guard); r mirrors the Spark
+      // expression tree op-for-op
+      s"""WITH e0 AS ($powerE0Sql),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |deg AS (SELECT u, count(*) AS deg FROM g GROUP BY 1),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM g
+         |  JOIN deg dx ON g.u = dx.u JOIN deg dy ON g.v = dy.u),
+         |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sx2,
+         |    CAST(sum(y * y) AS BIGINT) AS sy2 FROM xy)
+         |SELECT n, sx, sy, sxy, sx2, sy2,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 9) AS r
+         |FROM st""".stripMargin,
+
+    "q_modularity" -> {
+      // same 2-round LPA replay as q_label_prop, then the exact-integer
+      // modularity sums (Q·4m² = Σ 2m·e2_c − d_c²)
+      val rounds = (1 to 2).map { i =>
+        s"""nb$i AS (SELECT v, label, count(*) AS cnt
+           |  FROM g0 JOIN l${i - 1} ON g0.u = l${i - 1}.node
+           |  GROUP BY v, label),
+           |mx$i AS (SELECT v, max(cnt) AS mx FROM nb$i GROUP BY v),
+           |up$i AS (SELECT nb$i.v AS v, min(label) AS nl
+           |  FROM nb$i JOIN mx$i ON nb$i.v = mx$i.v AND nb$i.cnt = mx$i.mx
+           |  GROUP BY nb$i.v),
+           |l$i AS (SELECT node, coalesce(nl, label) AS label
+           |  FROM l${i - 1} LEFT JOIN up$i ON l${i - 1}.node = up$i.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |    SELECT doc_id AS src, (doc_id * 31 + 7) % 499 AS dst
+         |      FROM documents
+         |  UNION ALL SELECT doc_id, doc_id % 97 FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id * 17 + 3) % 251 FROM documents),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |g0 AS (SELECT a AS u, b AS v FROM u0
+         |  UNION ALL SELECT b AS u, a AS v FROM u0),
+         |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+         |$rounds,
+         |deg AS (SELECT u, count(*) AS deg FROM g0 GROUP BY 1),
+         |dcs AS (SELECT l2.label AS label, CAST(sum(deg.deg) AS BIGINT)
+         |    AS d_c
+         |  FROM deg JOIN l2 ON deg.u = l2.node GROUP BY 1),
+         |e2 AS (SELECT lu.label AS label, count(*) AS e2_c
+         |  FROM g0 JOIN l2 lu ON g0.u = lu.node
+         |  JOIN l2 lv ON g0.v = lv.node
+         |  WHERE lu.label = lv.label GROUP BY 1),
+         |m2 AS (SELECT count(*) AS rows2m FROM g0),
+         |per AS (SELECT dcs.label AS label,
+         |    coalesce(e2.e2_c, 0) AS e2_c, dcs.d_c AS d_c, m2.rows2m
+         |  FROM dcs LEFT JOIN e2 ON dcs.label = e2.label CROSS JOIN m2),
+         |tot AS (SELECT
+         |    CAST(sum(rows2m * e2_c - d_c * d_c) AS BIGINT) AS q_num,
+         |    CAST(max(rows2m * rows2m) AS BIGINT) AS q_den FROM per)
+         |SELECT per.label, per.e2_c, per.d_c, tot.q_num, tot.q_den,
+         |  round(CAST(tot.q_num AS DOUBLE) / CAST(tot.q_den AS DOUBLE), 9)
+         |    AS q
+         |FROM per CROSS JOIN tot""".stripMargin
+    },
 
     "q_bfs_hops" -> {
       // 3 unrolled BFS supersteps: frontier_r = distinct neighbors of

@@ -739,6 +739,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     operators.OpCaches.drain()
   }
 
+  test("q_assortativity: undirected rows + degrees cached, equi-joins " +
+      "only, one-row output") {
+    val p = plan("q_assortativity")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "und (2 uses) + deg (2 uses) should read from cache:\n" + p.take(3000))
+    operators.OpCaches.drain()
+  }
+
+  test("q_modularity: labels and undirected rows cached; community sums " +
+      "stay equi-joins; globals ride 1-row broadcasts") {
+    val p = plan("q_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "labels (3 uses) + und (3 uses) should read from cache:\n" + p.take(3000))
+    assert(p.contains("Broadcast"), p.take(3000))
+    operators.OpCaches.drain()
+  }
+
   test("q_random_walks: per-step hash-argmin stays equi-join + aggregate; " +
       "edges persisted and read from cache every step") {
     val p = plan("q_random_walks")

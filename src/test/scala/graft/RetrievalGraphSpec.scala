@@ -258,6 +258,29 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkTestSession {
     OpCaches.drainAll()
   }
 
+  test("q_modularity: exact-rational Q matches a driver replica over the " +
+      "sf0.001 LPA labels") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_modularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every row repeats the same q_num/q_den/q
+    assert(rows.map(r => (r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .distinct.length === 1)
+    val (qNum, qDen) = (rows.head.getLong(3), rows.head.getLong(4))
+    // replica: Q·4m² = Σ_c (2m·e2_c − d_c²) from the per-community rows
+    val rows2m = math.sqrt(qDen.toDouble).round // q_den = (2m)²
+    assert(rows2m * rows2m === qDen)
+    val wantNum = rows.map(r =>
+      rows2m * r.getLong(1) - r.getLong(2) * r.getLong(2)).sum
+    assert(wantNum === qNum)
+    // modularity is bounded
+    val q = qNum.toDouble / qDen.toDouble
+    assert(q >= -0.5 && q <= 1.0, q.toString)
+    // degree sums account for every undirected row: Σd_c == 2m
+    assert(rows.map(_.getLong(2)).sum === rows2m)
+    OpCaches.drainAll()
+  }
+
   test("commonNeighbors: counts match a brute-force enumeration and " +
       "exclude existing edges") {
     val nodes = (0L until 50L)
