@@ -156,7 +156,12 @@ object ExtractSim {
     * `/tmp` via an absolute path or `../../tmp`. Host files predating the
     * extraction are NOT modeled — an archive member colliding with a real
     * host path (`usr`, `etc`, a stale `/tmp` entry) is host-state-
-    * dependent and an excluded input class. */
+    * dependent and an excluded input class. So are absolute/escaping
+    * SYMLINK and HARDLINK member names: os.symlink/os.link at a host
+    * path survives the run, so the reference's own next replay flips to
+    * FileExistsError (sweep seed 0x272 cases 164/176 flipped goldens
+    * between two generations of the same seed) — the generators keep
+    * link names in-root, like fifos. */
   final class SimFs {
     val slash = new DirN("", null)
     val tmpP = new DirN("tmp", slash)

@@ -254,14 +254,31 @@ def rand_tar_case(i):
             dirnames.append(nm)
         elif kind < 0.84:
             # dir-targeted or escaping symlinks make the reference's own
-            # walk loop/escape (excluded input class) — files only
+            # walk loop/escape (excluded input class) — files only.
+            # The link's OWN NAME must stay in-root too: os.symlink at an
+            # absolute/escaping path survives the run and flips the NEXT
+            # generation's extractall to FileExistsError (HOST-STATEFUL,
+            # same class as escaping fifos; sweep seed 0x272 cases 164/176
+            # — '/4vq.py' and '/evyn3sm' flipped goldens between two
+            # generations of the same seed)
             tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
                 else member_name(1)
-            members.append(('sym', nm, tgt))
+            nmS = nm
+            normS = posixpath.normpath(nmS)
+            if nmS.startswith('/') or normS.startswith('..') \
+                    or normS in ('.', ''):
+                nmS = member_name(1)
+            members.append(('sym', nmS, tgt))
         elif kind < 0.94:
+            # hardlink names: same host-stateful EEXIST class as symlinks
             tgt = rnd.choice(filenames) if filenames and rnd.random() < 0.8 \
                 else member_name(1)
-            members.append(('hard', nm, tgt))
+            nmH = nm
+            normH = posixpath.normpath(nmH)
+            if nmH.startswith('/') or normH.startswith('..') \
+                    or normH in ('.', ''):
+                nmH = member_name(1)
+            members.append(('hard', nmH, tgt))
         else:
             # an escaping/absolute FIFO is HOST-STATEFUL on the reference
             # side: mkfifo lands OUTSIDE the extraction root, persists
