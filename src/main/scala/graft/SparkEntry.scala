@@ -708,6 +708,30 @@ object SparkEntry {
         sum(col("cents")).over(w).as("cents_5m"))
     }),
 
+    // salted skew join — the hot-key pattern stated as an operator: 70%
+    // of fact rows hit key 0, so a plain shuffle join puts 70% of the
+    // probe side in ONE task; salting splits the hot key 16 ways (fact
+    // salt = event_id mod 16, dim replicated ×16) and joins on
+    // (key, salt) — same result, 16× the parallelism on the hot key.
+    // The merge hints force the shuffle path (the 800-row dim would
+    // otherwise broadcast and hide the demonstration); the oracle is the
+    // UNSALTED join — salting must be result-transparent.
+    "q_salted_join" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        when(pmod(col("event_id"), lit(10L)) < 7, 0L)
+          .otherwise(pmod(col("user_id"), lit(50L))).as("skew_key"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        pmod(col("event_id"), lit(16L)).as("salt"))
+      val dim = s.range(50).select(col("id").as("skew_key"),
+          (col("id") * 37 + 11).as("weight"))
+        .select(col("skew_key"), col("weight"),
+          explode(sequence(lit(0L), lit(15L))).as("salt"))
+      e.hint("merge").join(dim.hint("merge"), Seq("skew_key", "salt"))
+        .groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          max(col("weight")).as("weight"))
+    }),
+
     // batch gap sessionization (the session_window stream's SQL-surface
     // dual): a 30-min silence starts a new session; session id = running
     // count of boundary flags (lag + cumulative sum over the SAME
@@ -3014,6 +3038,20 @@ object SparkEntry {
         |      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cents_5m
         |FROM events""".stripMargin,
+
+    "q_salted_join" ->
+      // the UNSALTED join: salting must be result-transparent.
+      // range(50) as a TABLE FUNCTION (not unnest) keeps i usable in
+      // scalar exprs (the binder-bug workaround)
+      """WITH e AS (SELECT CASE WHEN event_id % 10 < 7 THEN 0
+        |      ELSE user_id % 50 END AS skew_key,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT i AS skew_key, i * 37 + 11 AS weight
+        |  FROM range(50) t(i))
+        |SELECT e.skew_key AS skew_key, count(*) AS n,
+        |  CAST(sum(e.cents) AS BIGINT) AS cents, max(d.weight) AS weight
+        |FROM e JOIN d ON e.skew_key = d.skew_key
+        |GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       // session_no is a window sum(BIGINT) → HUGEINT in DuckDB: CAST

@@ -613,6 +613,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "exactly one exchange (user_id) expected:\n" + p.take(2500))
   }
 
+  test("q_salted_join: the hot key joins on (skew_key, salt) through the " +
+      "shuffle path — 16-way parallel on the skewed key, not broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("SortMergeJoin"),
+      "merge hint should force the shuffle join:\n" + p.take(3000))
+    assert("hashpartitioning\\(skew_key[^)]*salt".r.findFirstIn(p).isDefined,
+      "exchange must partition on (skew_key, salt):\n" + p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_sessionize: lag + running-sum + session agg all ride ONE " +
       "per-user exchange, no join") {
     val p = plan("q_sessionize")
