@@ -109,19 +109,67 @@ object Layout {
          |  FROM $prefix${k - 1})""".stripMargin
     }.mkString(",\n")
 
+  /** The same 16 stages as a single JVM loop — the per-row kernel behind
+    * [[hilbertStats]]. Same math as [[hilbertValue]] (LayoutSpec pins all
+    * three forms equal); a plain branch/shift loop the JIT compiles flat. */
+  def hilbertD(a: Long, b: Long): Long = {
+    var x = a & 65535L; var y = b & 65535L; var d = 0L
+    var i = 15
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { val tx = x; x = 65535L - y; y = 65535L - tx }
+        else { val tx = x; x = y; y = tx }
+      }
+      i -= 1
+    }
+    d
+  }
+
   /** Per-bucket manifest after clustering by Hilbert index — same shape
     * as [[zorderStats]] so the two layouts' bucket extents compare
-    * directly. */
+    * directly.
+    *
+    * Round-6 optimization (guide §1.2 step 2, per-task work): the
+    * 16-stage [[hilbertValue]] expression is built from nested
+    * higher-order-function lambdas, which sit OUTSIDE whole-stage codegen
+    * (ArrayTransform is interpreted per element) and allocate a 3-array
+    * per stage per row — measured 6.5-9.6 s per pass over sf0.1 lineitem.
+    * A chained-Project formulation is codegen'd but still pays ~16
+    * CASE-ladder layers (3.1 s). The imperative 30-op integer kernel
+    * [[hilbertD]] in a typed map runs the same math at 0.24-0.38 s —
+    * ~25x — so the per-row stage here deliberately uses the JVM loop;
+    * LayoutSpec pins hilbertD == hilbertValue == the canonical replica,
+    * and the aggregate shape (one pruned scan, one hash aggregate, one
+    * exchange) is unchanged (PlanSpec). Null keys pass through boxed and
+    * land in the null bucket, exactly like the Column form. */
   def hilbertStats(df: DataFrame, aCol: String, bCol: String,
-      bucketBits: Int = 10): DataFrame =
-    df.select(col(aCol), col(bCol),
-        hilbertValue(col(aCol), col(bCol)).as("d"))
+      bucketBits: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withD = df
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(java.lang.Long, java.lang.Long)]
+      .mapPartitions { it =>
+        it.map { case (a, b) =>
+          val d: java.lang.Long =
+            if (a == null || b == null) null
+            else java.lang.Long.valueOf(hilbertD(a.longValue, b.longValue))
+          (a, b, d)
+        }
+      }
+      .toDF(aCol, bCol, "d")
+    withD
       .select(col(aCol), col(bCol),
         shiftright(col("d"), 32 - bucketBits).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
         min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"))
+  }
 
   /** Deterministic training-order shuffle: shard = first 2 hex chars of
     * md5(key || salt) (256 shards), pos = dense 1-based rank of (full

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-6 optimization harness (guide §1): per-query isolation WITHOUT
+  * touching the frozen Bench/BatteryOnce methodology.
+  *
+  *  - times each query twice per rep: the driver-contract action
+  *    (`count()`, what BatteryOnce measures) and the noop sink
+  *    (`write.format("noop")` — computes every column, guide §1.4), so a
+  *    count-only speedup can't masquerade as a real one;
+  *  - optionally dumps `.explain("formatted")` per query to a directory
+  *    (the plans/r06 before/after evidence);
+  *  - labels jobs via setJobDescription for UI traceability.
+  *
+  * Usage: BenchExtra <cores> <sfDir> [--plans <dir>] [--reps N]
+  *                   [--no-noop] [query ...]
+  * Prints one line per query:
+  *   EXTRA {"q":"name","count_sec":[...],"noop_sec":[...]}
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = args(1)
+    var plansDir: Option[String] = None
+    var reps = 1
+    var doNoop = true
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--plans" => plansDir = Some(args(i + 1)); i += 2
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--no-noop" => doNoop = false; i += 1
+        case q => names += q; i += 1
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-extra-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val all = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = if (names.isEmpty) all
+             else all.filter(p => names.contains(p._1))
+    plansDir.foreach(d => new java.io.File(d).mkdirs())
+    // warm-up pass (not measured) — same discipline as BatteryOnce
+    qs.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup:$name")
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      graft.operators.OpCaches.drain()
+    }
+    spark.catalog.clearCache()
+    qs.foreach { case (name, fn) =>
+      // plan dump (outside the timed region)
+      plansDir.foreach { d =>
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, s"$name.txt"),
+            txt.getBytes("UTF-8"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[explain $name] ${e.getMessage}")
+        }
+        graft.operators.OpCaches.drain()
+      }
+      val countSecs = (1 to reps).map { r =>
+        spark.sparkContext.setJobDescription(s"count:$name#$r")
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.operators.OpCaches.drain()
+        sec
+      }
+      val noopSecs = if (!doNoop) Seq.empty[Double] else (1 to reps).map { r =>
+        spark.sparkContext.setJobDescription(s"noop:$name#$r")
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.operators.OpCaches.drain()
+        sec
+      }
+      def fmt(xs: Seq[Double]) = xs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(s"""EXTRA {"q":"$name","count_sec":${fmt(countSecs)},"noop_sec":${fmt(noopSecs)}}""")
+      System.out.flush()
+    }
+    graft.operators.OpCaches.drainAll()
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off probe: compare the HOF-let-bound hilbertValue against a chained
+  * multi-Project formulation (codegen-able) for equality and speed. */
+object HilbertProbe {
+  def stagedHilbert(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol), col(bCol),
+      col(aCol).bitwiseAND(lit(65535L)).as("_hx"),
+      col(bCol).bitwiseAND(lit(65535L)).as("_hy"),
+      lit(0L).as("_hd"))
+    val stepped = (15 to 0 by -1).foldLeft(base) { (acc, i) =>
+      val s = 1L << i
+      val x = col("_hx"); val y = col("_hy"); val d = col("_hd")
+      val rx = when(x.bitwiseAND(lit(s)) =!= 0L, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) =!= 0L, lit(1L)).otherwise(lit(0L))
+      val d2 = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0L,
+        when(rx === 1L, lit(65535L) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0L,
+        when(rx === 1L, lit(65535L) - x).otherwise(x)).otherwise(y)
+      acc.select(col(aCol), col(bCol), nx.as("_hx"), ny.as("_hy"),
+        d2.as("_hd"))
+    }
+    stepped.select(col(aCol), col(bCol), col("_hd").as("d"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    println(s"ROWS ${li.count()} PARTS ${li.rdd.getNumPartitions}")
+
+    val old = li.select(col("l_partkey"), col("l_suppkey"),
+      graft.operators.Layout.hilbertValue(col("l_partkey"), col("l_suppkey")).as("d"))
+    val neu = stagedHilbert(li, "l_partkey", "l_suppkey")
+    val neuRep = stagedHilbert(li.repartition(32), "l_partkey", "l_suppkey")
+    import spark.implicits._
+    val typed = li.select(col("l_partkey"), col("l_suppkey")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (a, b) =>
+          var x = a & 65535L; var y = b & 65535L; var d = 0L
+          var i = 15
+          while (i >= 0) {
+            val s = 1L << i
+            val rx = if ((x & s) != 0L) 1L else 0L
+            val ry = if ((y & s) != 0L) 1L else 0L
+            d += s * s * ((3L * rx) ^ ry)
+            if (ry == 0L) {
+              if (rx == 1L) { val tx = x; x = 65535L - y; y = 65535L - tx }
+              else { val tx = x; x = y; y = tx }
+            }
+            i -= 1
+          }
+          (a, b, d)
+        }
+      }.toDF("l_partkey", "l_suppkey", "d")
+
+    // equality checks
+    println(s"DIFF staged ${old.exceptAll(neu).union(neu.exceptAll(old)).count()}")
+    println(s"DIFF typed ${old.exceptAll(typed).union(typed.exceptAll(old)).count()}")
+
+    def time(name: String, df: DataFrame): Unit = {
+      // warm
+      df.write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { r =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    time("staged", neu)
+    time("stagedRep", neuRep)
+    time("typed", typed)
+    time("hof", old)
+    spark.stop()
+  }
+}

@@ -90,6 +90,47 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(byD.map(_._2) === (0L until 256L))
   }
 
+  test("hilbertD (the typed-map kernel behind hilbertStats) == " +
+      "hilbertValue == replica; hilbertStats == the HOF-derived manifest " +
+      "including null keys") {
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(77)
+    (0 until 2000).foreach { _ =>
+      val (x, y) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      assert(Layout.hilbertD(x, y) === hilbertReplica(x, y), (x, y))
+    }
+    val rows = (0 until 3000).map { i =>
+      (if (i % 97 == 0) null else java.lang.Long.valueOf(rnd.nextInt(65536).toLong),
+        if (i % 131 == 0) null else java.lang.Long.valueOf(rnd.nextInt(65536).toLong))
+    }
+    val df = rows.toDF("a", "b")
+    val got = Layout.hilbertStats(df, "a", "b", 10).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) -> r.toSeq.tail)
+      .toMap
+    // reference manifest from the Column (HOF) form on the non-null rows
+    // (the HOF's null-key behavior was an accident of when()-laziness —
+    // hilbertStats defines any-null-key -> null bucket instead; the
+    // declared query's keys are non-null so nothing observable changes)
+    val want = df.filter(col("a").isNotNull && col("b").isNotNull)
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b")).as("d"))
+      .select(col("a"), col("b"), shiftright(col("d"), 22).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("a")).as("a_min"),
+        max(col("a")).as("a_max"), min(col("b")).as("b_min"),
+        max(col("b")).as("b_max"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) -> r.toSeq.tail)
+      .toMap
+    assert(got - null === want)
+    // null-bucket row: every any-null-key row, stats over its non-null side
+    val nullRows = rows.filter(p => p._1 == null || p._2 == null)
+    val aVals = nullRows.map(_._1).filter(_ != null).map(_.longValue)
+    val bVals = nullRows.map(_._2).filter(_ != null).map(_.longValue)
+    assert(got(null) === Seq(nullRows.size.toLong,
+      aVals.min, aVals.max, bVals.min, bVals.max))
+  }
+
   test("zorderStats: every bucket bounds BOTH dimensions to its 2^k tile " +
       "— the pruning property") {
     val rnd = new Random(7)
