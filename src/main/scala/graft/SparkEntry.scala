@@ -1415,9 +1415,15 @@ object SparkEntry {
     // explode → (doc,tok) agg → tok-keyed df agg joined back on tok → one
     // row_number window on doc_id; the 1-row corpus count broadcasts.
     "q_tfidf_vectors" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 1)).as("tok"))
+      // tf persisted: it feeds BOTH the df aggregate and the score join —
+      // unpersisted, the tokenize+explode+groupBy subtree ran twice (the
+      // plan showed two full Generate+HashAggregate chains; round 6)
+      // w=1 shingles ARE the token array — explode it directly instead of
+      // re-building every token through slice+concat_ws (identical values)
+      val tf = operators.OpCaches.register(docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist())
       val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
@@ -1580,22 +1586,31 @@ object SparkEntry {
       val labels = operators.OpCaches.register(
         Graph.labelProp(skewGraph(d), d.select(col("doc_id").as("node")), 2)
           .persist())
-      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val dcs = deg.join(labels, deg("u") === labels("node"))
-        .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
-      val e2 = und
+      // ONE labeled-edge join feeds both community sums (round 6): d_c is
+      // Σ_u deg(u) per label == the row count of (edge ⋈ label_u) grouped
+      // by lu — the old separate degree aggregate + join computed the
+      // same number through two extra exchanges
+      val ju = operators.OpCaches.register(und
         .join(labels.select(col("node").as("u"), col("label").as("lu")),
           Seq("u"))
+        .persist())
+      val dcs = ju.groupBy(col("lu")).agg(count(lit(1)).as("d_c"))
+        .withColumnRenamed("lu", "label")
+      val e2 = ju
         .join(labels.select(col("node").as("v"), col("label").as("lv")),
           Seq("v"))
         .filter(col("lu") === col("lv"))
         .groupBy(col("lu")).agg(count(lit(1)).as("e2_c"))
         .withColumnRenamed("lu", "label")
       val twoM = und.agg(count(lit(1)).as("rows2m"))
-      val per = dcs.join(e2, Seq("label"), "left")
+      // per is consumed twice (the q_num/q_den aggregate under the
+      // broadcast AND the output rows) — persist it so the dcs/e2 joins
+      // run once (round 6)
+      val per = operators.OpCaches.register(dcs.join(e2, Seq("label"), "left")
         .select(col("label"), coalesce(col("e2_c"), lit(0L)).as("e2_c"),
           col("d_c"))
         .crossJoin(broadcast(twoM))
+        .persist())
       val tot = per.agg(
         sum(col("rows2m") * col("e2_c") - col("d_c") * col("d_c"))
           .as("q_num"),

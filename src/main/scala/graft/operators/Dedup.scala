@@ -21,14 +21,24 @@ object Dedup {
     df.groupBy(TextAnalysis.docFingerprint(text).as("fingerprint"))
       .agg(min(id).as("keeper"), count(lit(1)).as("dupes"))
 
-  /** Word w-shingles of the token stream (lowercased). */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = regexp_extract_all(lower(text), lit(TextAnalysis.TokenPattern), lit(0))
-    val n = size(toks)
+  /** Lowercased token stream — the one regex pass every shingle width
+    * derives from. Staging this column once and deriving several widths
+    * via [[shinglesFromToks]] halves the tokenizer cost of operators that
+    * need two widths (banding + verify). */
+  def toks(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TextAnalysis.TokenPattern), lit(0))
+
+  /** Word w-shingles from an already-materialized token array. */
+  def shinglesFromToks(tk: Column, w: Int): Column = {
+    val n = size(tk)
     val grams = transform(sequence(lit(0), n - w),
-      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+      i => concat_ws(" ", slice(tk, i + 1, lit(w))))
     when(n >= w, grams).otherwise(array())
   }
+
+  /** Word w-shingles of the token stream (lowercased). */
+  def shingles(text: Column, w: Int): Column =
+    shinglesFromToks(toks(text), w)
 
   /** MinHash signatures derived from an ALREADY-MATERIALIZED shingle-array
     * column: k permutations simulated by seeded md5; the i-th signature is
@@ -55,8 +65,15 @@ object Dedup {
     * compare; skewed buckets can be salted downstream. The shingle array is
     * staged in its own projection so the tokenizer runs once per doc. */
   def lshBands(df: DataFrame, id: Column, text: Column,
-      w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame = {
-    val staged = df.select(id.as("id"), shingles(text, w).as("_sh"))
+      w: Int = 3, k: Int = 4, bandsOf: Int = 2): DataFrame =
+    lshBandsFromShingles(df.select(id.as("id"), shingles(text, w).as("_sh")),
+      k, bandsOf)
+
+  /** Banding over an already-staged (id, _sh) shingle frame — lets callers
+    * that also need verify shingles derive both widths from ONE persisted
+    * token pass (see [[verifiedNearDups]]/[[incrementalNewDocs]]). */
+  def lshBandsFromShingles(staged: DataFrame, k: Int = 4,
+      bandsOf: Int = 2): DataFrame = {
     val withSigs = staged.select(
       col("id") +: minhashSignatureFromShingles(col("_sh"), k): _*)
     val nBands = k / bandsOf
@@ -101,9 +118,23 @@ object Dedup {
   def verifiedNearDups(df: DataFrame, id: Column, text: Column,
       w: Int = 3, k: Int = 4, bandsOf: Int = 2, vw: Int = 2,
       threshold: Double = 0.05): DataFrame = {
-    val cands = lshCandidatePairs(df, id, text, w, k, bandsOf)
+    // ONE tokenizer pass feeds both shingle widths (banding w + verify
+    // vw): the token array is persisted and each width is a cheap
+    // slice/concat derivation — round 6, guide §2.3 "don't compute the
+    // expensive thing twice". Identical shingles ⇒ identical results.
+    val tk = OpCaches.register(
+      df.select(id.as("id"), toks(text).as("_tk")).persist())
+    val b = OpCaches.register(lshBandsFromShingles(
+      tk.select(col("id"), shinglesFromToks(col("_tk"), w).as("_sh")),
+      k, bandsOf).persist())
+    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val sh = OpCaches.register(
-      df.select(id.as("id"), array_distinct(shingles(text, vw)).as("sh"))
+      tk.select(col("id"),
+          array_distinct(shinglesFromToks(col("_tk"), vw)).as("sh"))
         .persist())
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
@@ -136,16 +167,26 @@ object Dedup {
   def incrementalNewDocs(newDf: DataFrame, oldDf: DataFrame, id: Column,
       text: Column, w: Int = 3, k: Int = 4, bandsOf: Int = 2, vw: Int = 2,
       thetaNum: Int = 1, thetaDen: Int = 2): DataFrame = {
-    val nb = lshBands(newDf, id, text, w, k, bandsOf)
-    val ob = lshBands(oldDf, id, text, w, k, bandsOf)
-    val cands = nb.select(col("band"), col("bucket"), col("id").as("id_new"))
-      .join(ob.select(col("band"), col("bucket"), col("id").as("id_old")),
+    // per side, ONE tokenizer pass feeds banding (w) and verify (vw)
+    // shingles — the persisted token array replaces two regex passes over
+    // each corpus half (round 6; identical shingles ⇒ identical results)
+    val tkNew = OpCaches.register(
+      newDf.select(id.as("id"), toks(text).as("_tk")).persist())
+    val tkOld = OpCaches.register(
+      oldDf.select(id.as("id"), toks(text).as("_tk")).persist())
+    def bands(tk: DataFrame) = lshBandsFromShingles(
+      tk.select(col("id"), shinglesFromToks(col("_tk"), w).as("_sh")),
+      k, bandsOf)
+    val cands = bands(tkNew)
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+      .join(bands(tkOld)
+        .select(col("band"), col("bucket"), col("id").as("id_old")),
         Seq("band", "bucket"))
       .select("id_new", "id_old").distinct()
-    val shNew = newDf.select(id.as("id_new"),
-      array_distinct(shingles(text, vw)).as("sh_n"))
-    val shOld = oldDf.select(id.as("id_old"),
-      array_distinct(shingles(text, vw)).as("sh_o"))
+    val shNew = tkNew.select(col("id").as("id_new"),
+      array_distinct(shinglesFromToks(col("_tk"), vw)).as("sh_n"))
+    val shOld = tkOld.select(col("id").as("id_old"),
+      array_distinct(shinglesFromToks(col("_tk"), vw)).as("sh_o"))
     val inter = size(array_intersect(col("sh_n"), col("sh_o"))).cast("long")
     val union = size(col("sh_n")).cast("long") + size(col("sh_o")) - inter
     val dupIds = cands.join(shNew, Seq("id_new")).join(shOld, Seq("id_old"))
@@ -177,9 +218,14 @@ object Dedup {
   def setSimJoin(docs: DataFrame, id: Column, text: Column,
       w: Int, num: Int, den: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // (doc, shingle) distinctness is PER-DOC — dedup inside the array
+    // before exploding, so no exchange is needed at all (round 6: the old
+    // explode().distinct() shuffled every shingle row just to drop
+    // within-doc repeats; array_distinct produces the identical set)
     val sets = OpCaches.register(
-      docs.select(id.as("doc_id"), explode(shingles(text, w)).as("sh"))
-        .distinct().persist())
+      docs.select(id.as("doc_id"),
+          explode(array_distinct(shingles(text, w))).as("sh"))
+        .persist())
     val dfc = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val rk = sets.join(dfc, Seq("sh"))
       .select(col("doc_id"), col("sh"),

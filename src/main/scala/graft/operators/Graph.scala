@@ -211,14 +211,17 @@ object Graph {
     val und = OpCaches.register(undirected(edges).persist())
     var lbl = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      val nb = OpCaches.register(
-        und.join(lbl.select(col("node").as("u"), col("label")), Seq("u"))
-          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
-          .persist())
-      val mx = nb.groupBy(col("v")).agg(max(col("cnt")).as("mx"))
-      val upd = nb.join(mx, Seq("v"))
-        .filter(col("cnt") === col("mx"))
-        .groupBy(col("v")).agg(min(col("label")).as("nl"))
+      // argmax-with-min-tie as ONE aggregate: max over (cnt, -label)
+      // picks the highest count and, among ties, the smallest label —
+      // exactly the old groupBy-max + join + filter + min chain, minus
+      // one exchange and one join per round (labels are node ids ≥ 0, so
+      // the negation is order-exact; round 6)
+      val upd = und
+        .join(lbl.select(col("node").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("nl"))
       lbl = lbl.join(upd.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
     }

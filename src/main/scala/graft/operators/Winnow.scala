@@ -94,7 +94,7 @@ object Winnow {
     * tokens have no complete window and contribute nothing (both engines).
     * One projection; `ths` and `keys` are let-bound (see bindArr) so the
     * per-doc cost is O(n·(K+W)), never quadratic. */
-  def fingerprintKeys(df: DataFrame, id: Column, text: Column): DataFrame =
+  def fingerprintArray(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         bindArr(tokenHashes(text)) { ths =>
           when(size(ths) >= lit(K + W - 1),
@@ -104,6 +104,9 @@ object Winnow {
             })
             .otherwise(array().cast("array<bigint>"))
         }.as("fps"))
+
+  def fingerprintKeys(df: DataFrame, id: Column, text: Column): DataFrame =
+    fingerprintArray(df, id, text)
       .select(col("doc_id"), explode(col("fps")).as("fp_key"))
 
   /** Per-document fingerprint summary — pins the whole selected set
@@ -125,18 +128,28 @@ object Winnow {
     * at least `minShared` distinct fingerprints. */
   def winnowDups(df: DataFrame, id: Column, text: Column,
                  maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    // (doc, g) distinctness is PER-DOC: dropping the 20-bit position and
+    // deduping inside the key array before exploding yields the identical
+    // row set with NO distinct exchange (round 6)
     val fps = OpCaches.register(
-      fingerprintKeys(df, id, text)
-        .select(col("doc_id"), shiftright(col("fp_key"), 20).as("g"))
-        .distinct()
+      fingerprintArray(df, id, text)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(col("fps"), k => shiftright(k, 20)))).as("g"))
         .persist())
     val rare = fps.groupBy(col("g"))
       .agg(count(lit(1)).as("df_g"))
       .filter(col("df_g") <= maxDf)
       .select(col("g"))
-    fps.join(rare, Seq("g"))
-      .select(col("g"), col("doc_id").as("id_a"))
-      .join(fps.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+    // BOTH self-join sides read the rare-filtered rows (round 6, the r5
+    // verdict's item #2): common/boilerplate fingerprints — on a template-
+    // heavy corpus, most rows — used to flow into the join's B side and
+    // only drop AT the join; filtering once and persisting the sliver
+    // keeps them out of both sides. A pair survives iff its shared g is
+    // rare, so the output is unchanged.
+    val rareFps = OpCaches.register(fps.join(rare, Seq("g")).persist())
+    rareFps.select(col("g"), col("doc_id").as("id_a"))
+      .join(rareFps.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
