@@ -37,6 +37,24 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) = s.read.parquet(t(dir, "embeddings"))
   private def events(s: SparkSession, dir: String) = s.read.parquet(t(dir, "events"))
 
+  /** Scale-adaptive parallelism guard for CPU-heavy per-row stages (guide
+    * §2: derive partitioning from input size, never a constant tuned for
+    * one deployment). A small-SF parquet scan yields 1-3 splits
+    * (`maxPartitionBytes` = 128 MB), so an expensive projection placed
+    * directly on the scan runs on 1-3 of the session's cores; at
+    * production scale the same scan yields thousands of splits and the
+    * repartition must NOT fire (shuffling a 100-TB corpus to "gain"
+    * parallelism it already has would be a regression). Hence the gate:
+    * round-robin repartition to `defaultParallelism` ONLY when the scan
+    * has fewer partitions than that — a no-op exactly where the data is
+    * big enough to parallelize itself. Row-set is unchanged (round-robin
+    * is a pure redistribution; every consumer here is
+    * partitioning-agnostic by the repo's replayability design). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Deterministic planted secrets derived from md5(text) — identical
     * expressions exist in the oracle SQL, so the full Catalyst rule engine
     * output is DuckDB-checkable (severities/matches are known by
@@ -183,7 +201,8 @@ object SparkEntry {
     // and runs as a typed flatMap; everything around it stays relational.
     "q_container_expand" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .as[(Long, String, String, String)]
         .flatMap { case (id, text, lang, source) =>
           val u = java.nio.charset.StandardCharsets.UTF_8 // not Serializable: bind in-task
@@ -215,7 +234,8 @@ object SparkEntry {
     // member docs.
     "q_email_parts" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .as[(Long, String, String, String)]
         .flatMap { case (id, text, lang, source) =>
           val u = java.nio.charset.StandardCharsets.UTF_8 // not Serializable: bind in-task
@@ -266,7 +286,7 @@ object SparkEntry {
     // uppercase schemes, explicit ports, params-on-last-segment, userinfo,
     // and empty-path default ports. Pure per-row string work — no shuffle.
     "q_credential_entities" -> ((s, dir) => {
-      val c = s.read.parquet(t(dir, "customer"))
+      val c = spread(s.read.parquet(t(dir, "customer")))
       val n = s.read.parquet(t(dir, "nation"))
       val base = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey").as("doc_id"), col("c_name").as("nm"),
@@ -299,7 +319,8 @@ object SparkEntry {
     // Per-row map, no shuffle; the renderer is executor-local.
     "q_slice_text" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .as[(Long, String, String, Long)]
         .map { case (id, source, lang, n) =>
           def md5hex(x: String): String =
@@ -477,7 +498,8 @@ object SparkEntry {
     // plus the reference's strip cleanup (parserbase.py:176-182).
     "q_pdf_text" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .as[(Long, String, String, String)]
         .map { case (id, text, lang, source) =>
           def sub(n: Int) = text.substring(0, math.min(n, text.length))
@@ -510,7 +532,8 @@ object SparkEntry {
     // piece + .xls/.ppt single-byte paths are lossy outside cp1252.
     "q_office_text" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .as[(Long, String, String, String)]
         .map { case (id, text, lang, source) =>
           def snip(n: Int) = text.substring(0, math.min(n, text.length))
@@ -942,7 +965,7 @@ object SparkEntry {
 
     // SimHash document fingerprint (32-bit, codegen'd HOFs)
     "q_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
+      spread(docs(s, dir)).select(col("doc_id"),
         TextAnalysis.simhash32(col("text")).as("simhash"))
     }),
 
@@ -950,11 +973,12 @@ object SparkEntry {
     // candidates (zero recall loss at hamming ≤ 3, unlike MinHash
     // banding) + exact bit_count verify on candidates only
     "q_simhash_dups" -> ((s, dir) =>
-      Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"))),
+      Dedup.simhashNearDups(spread(docs(s, dir)), col("doc_id"),
+        col("text"))),
 
     // MinHash + LSH candidate pairs
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.lshCandidatePairs(docs(s, dir), col("doc_id"), col("text"))),
+      Dedup.lshCandidatePairs(spread(docs(s, dir)), col("doc_id"), col("text"))),
 
     // n-gram Jaccard verify stage (bucketed pairwise; shingle sets are
     // computed ONCE per doc before the join, not per pair — persisted so the
@@ -970,7 +994,7 @@ object SparkEntry {
       // shingle sets staged ONCE and persisted — the pair join references
       // them on both sides; computing shingles per pair-side would re-run
       // the tokenizer ~4x per doc (measured 13.7s vs ~1s at sf0.1)
-      val d = operators.OpCaches.register(docs(s, dir)
+      val d = operators.OpCaches.register(spread(docs(s, dir))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(col("text"), 2)).as("sh"))
         .persist())
@@ -994,7 +1018,7 @@ object SparkEntry {
     // column-blocked self-join (quadratic within blocks) — the composition
     // a 100-TB corpus actually runs
     "q_dedup_verify" -> ((s, dir) =>
-      Dedup.verifiedNearDups(docs(s, dir), col("doc_id"), col("text"))),
+      Dedup.verifiedNearDups(spread(docs(s, dir)), col("doc_id"), col("text"))),
 
     // duplicate CLUSTERS: verified near-dup pairs → connected components
     // via alternating large-star/small-star (O(log² n) rounds, O(edges)
@@ -1003,7 +1027,7 @@ object SparkEntry {
     // keeper selection needs the component, not the pair list.
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs =
-        Dedup.verifiedNearDups(docs(s, dir), col("doc_id"), col("text"))
+        Dedup.verifiedNearDups(spread(docs(s, dir)), col("doc_id"), col("text"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
     }),
@@ -1013,7 +1037,7 @@ object SparkEntry {
     // sizes — the actual training-set output of the dedup family
     "q_dedup_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.verifiedNearDups(d, col("doc_id"), col("text"))
+      val pairs = Dedup.verifiedNearDups(spread(d), col("doc_id"), col("text"))
       Dedup.assignComponents(d, col("doc_id"), pairs)
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .select(col("component").as("doc_id"), col("cluster_size"))
@@ -1030,7 +1054,8 @@ object SparkEntry {
     "q_incremental_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-      Dedup.incrementalNewDocs(d.filter(h >= "8"), d.filter(h < "8"),
+      Dedup.incrementalNewDocs(spread(d.filter(h >= "8")),
+          spread(d.filter(h < "8")),
           col("doc_id"), col("text"))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
@@ -1047,7 +1072,9 @@ object SparkEntry {
       val isBench = col("doc_id") % 53 === 0
       val benchGrams = d.filter(isBench)
         .select(explode(Dedup.shingles(col("text"), 5)).as("gram")).distinct()
-      val contaminated = d.filter(!isBench)
+      // the probe side's gram explode is the CPU (the broadcast semi keeps
+      // it map-side); spread() parallelizes the small-SF scan's 1-3 splits
+      val contaminated = spread(d.filter(!isBench))
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
         .join(broadcast(benchGrams), Seq("gram"), "left_semi")
         .select("doc_id").distinct()
@@ -1082,7 +1109,7 @@ object SparkEntry {
     // must not build its gram histogram in one array). One shuffle keyed
     // (doc_id, gram) with map-side partials, one on doc_id
     "q_gopher_quality" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = spread(docs(s, dir))
       val toks = regexp_extract_all(lower(col("text")),
         lit(TextAnalysis.TokenPattern), lit(0))
       val base = d.select(col("doc_id"), size(toks).cast("long").as("ntok"),
@@ -1217,7 +1244,7 @@ object SparkEntry {
       val toks = regexp_extract_all(lower(col("text")),
         lit(operators.TextAnalysis.TokenPattern), lit(0))
       val segs = operators.OpCaches.register(
-        docs(s, dir).select(col("doc_id"), toks.as("t"))
+        spread(docs(s, dir)).select(col("doc_id"), toks.as("t"))
           .filter(size(col("t")) >= 1)
           .select(col("doc_id"),
             posexplode(transform(
@@ -1251,7 +1278,7 @@ object SparkEntry {
       // this one shuffles the gram stream once and joins two doc-level
       // aggregates. 10.3 → ~4 s at sf0.1.
       val grams = operators.OpCaches.register(
-        docs(s, dir).select(col("doc_id"),
+        spread(docs(s, dir)).select(col("doc_id"),
           explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
           .persist())
       val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -1344,7 +1371,7 @@ object SparkEntry {
     // bit-deterministic (ordered fold of IEEE-exact terms), so the top-200
     // boundary is engine-stable — see operators/Selection.
     "q_dsir_select" -> ((s, dir) => {
-      Selection.dsirWeights(docs(s, dir), col("lang") === "en")
+      Selection.dsirWeights(spread(docs(s, dir)), col("lang") === "en")
         .orderBy(col("dsir_w").desc, col("doc_id").asc)
         .limit(200)
         .select(col("doc_id"), col("ntok"),
@@ -1359,7 +1386,7 @@ object SparkEntry {
     // the sample and the final bucketing.
     "q_ccnet_buckets" -> ((s, dir) => {
       val scores = operators.OpCaches.register(
-        Selection.bigramLmScores(docs(s, dir)).persist())
+        Selection.bigramLmScores(spread(docs(s, dir))).persist())
       Selection.sampledTerciles(scores)
         .select(col("doc_id"), col("nbig"),
           round(col("score"), 9).as("lm_score"), col("bucket"))
@@ -1420,7 +1447,7 @@ object SparkEntry {
       // plan showed two full Generate+HashAggregate chains; round 6)
       // w=1 shingles ARE the token array — explode it directly instead of
       // re-building every token through slice+concat_ws (identical values)
-      val tf = operators.OpCaches.register(docs(s, dir)
+      val tf = operators.OpCaches.register(spread(docs(s, dir))
         .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .persist())
@@ -1445,14 +1472,15 @@ object SparkEntry {
     // max) of the packed (hash, pos) keys — one HOF projection + one
     // groupBy, no UDF, partitioning-independent.
     "q_winnow_fingerprint" -> ((s, dir) =>
-      Winnow.fingerprintSummary(docs(s, dir), col("doc_id"), col("text"))),
+      Winnow.fingerprintSummary(spread(docs(s, dir)), col("doc_id"),
+        col("text"))),
 
     // winnowing near-dup pairs: self-join ONLY on selected fingerprints
     // (~2/(w+1) of gram hashes), with fingerprints in >10 docs dropped
     // first (the MOSS common-code filter, which is also the skew guard —
     // a boilerplate run shared by half the corpus never enters the join).
     "q_winnow_dups" -> ((s, dir) =>
-      Winnow.winnowDups(docs(s, dir), col("doc_id"), col("text"))),
+      Winnow.winnowDups(spread(docs(s, dir)), col("doc_id"), col("text"))),
 
     // 2D Pareto skyline per brand (minimize size, minimize price) via two
     // cumulative-min windows — the sort-based linear skyline, never the
@@ -1879,7 +1907,8 @@ object SparkEntry {
     // candidates must share a rare-prefix shingle — lossless for
     // J >= 7/10; verify is integer cross-multiplication (no floats).
     "q_setsim_join" -> ((s, dir) =>
-      Dedup.setSimJoin(docs(s, dir), col("doc_id"), col("text"), 3, 7, 10)),
+      Dedup.setSimJoin(spread(docs(s, dir)), col("doc_id"), col("text"),
+        3, 7, 10)),
 
     // per-group dispersion stats + outlier census: mean/std from exact
     // integer-valued power sums (every partial is exact, so the unordered
@@ -1915,7 +1944,7 @@ object SparkEntry {
     // and exact levenshtein verifies only candidates. Variants persisted
     // once and self-joined from cache.
     "q_typo_pairs" -> ((s, dir) => {
-      val v = s.read.parquet(t(dir, "customer"))
+      val v = spread(s.read.parquet(t(dir, "customer")))
         .select(col("c_custkey").as("k"), col("c_name").as("tok"))
       val vars = operators.OpCaches.register(
         v.select(col("k"), col("tok"),
@@ -1932,7 +1961,10 @@ object SparkEntry {
         .filter(col("name_a") < col("name_b"))
         .select(col("a_key"), col("b_key"), col("name_a"), col("name_b"))
         .distinct()
-        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+        // threshold form early-abandons each row at distance 2 (O(len)
+        // band instead of the full O(len²) matrix); ===1 is unchanged
+        // because the capped form returns -1 past the threshold
+        .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
     }),
 
     // winsorization (percentile clipping): per-source exact nearest-rank
@@ -2030,13 +2062,13 @@ object SparkEntry {
     // centroids are the vec_id % 97 == 0 rows). All-pairs-within-group is
     // O(n^2/|groups|) and was replaced by this bucketed probe.
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = spread(emb(s, dir))
       Similarity.ivfNearestNeighbor(e, e.filter(col("vec_id") % 97 === 0))
     }),
 
     // ANN brute-force baseline: top-5 cosine for 10 query vectors
     "q_ann_brute" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = spread(emb(s, dir))
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
     }),
 
@@ -2057,7 +2089,7 @@ object SparkEntry {
 
     // ANN scale path without training: random-hyperplane (sign) LSH bands
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(emb(s, dir), col("vec_id") < 10, 3)),
+      Similarity.lshTopK(spread(emb(s, dir)), col("vec_id") < 10, 3)),
 
     // ANN compression path: IVF-PQ — coarse buckets (vec_id % 97
     // centroids) + product-quantized ADC scoring with trained per-subspace
@@ -2105,9 +2137,9 @@ object SparkEntry {
     // what the oracle replays, the parse is what the spec pins.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.asMediaTable(docs(s, dir))
+      val media = Multimodal.asMediaTable(spread(docs(s, dir)))
         .select(col("doc_id"), col("media_len"), col("media_digest"))
-      val imgMeta = docs(s, dir)
+      val imgMeta = spread(docs(s, dir))
         .select(col("doc_id"), col("n_chars").cast("long"))
         .as[(Long, Long)]
         .map { case (id, nc) =>
