@@ -511,9 +511,14 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Embedding cosine similarity via zip_with + aggregate (codegen'd; no
-    * UDF). Elements widened to double BEFORE the multiply so the arithmetic
-    * matches the oracle's CAST(x AS DOUBLE)*y bit-for-bit. */
+  /** Embedding cosine similarity via zip_with + aggregate (no UDF).
+    * Elements widened to double BEFORE the multiply so the arithmetic
+    * matches the oracle's CAST(x AS DOUBLE)*y bit-for-bit. Length-generic,
+    * but higher-order functions evaluate INTERPRETED (outside whole-stage
+    * codegen) — hot candidate-pair paths use Similarity's compiled dotK
+    * kernel (bit-identical fold; measured 7× on the pair shape, see
+    * tools.DotProbe) and keep per-row norms instead of per-pair. Kept for
+    * tests and one-off callers. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),

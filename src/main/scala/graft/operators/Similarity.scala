@@ -16,20 +16,61 @@ import org.apache.spark.sql.expressions.Window
   *     Rademacher (±1) hyperplanes, banded like MinHash-LSH; vectors
   *     sharing any band bucket are candidates. No training step, so it
   *     works before centroids exist.
-  * All cosine math is zip_with+aggregate (codegen'd, no UDF).
+  *
+  * Kernel note (round 6): every dot product runs through [[dotK]], a
+  * compiled typed kernel over primitive double arrays, and norms are
+  * computed once per ROW (never per scored pair). The round-5 form —
+  * aggregate(zip_with(...)) per pair, three of them per cosine — evaluates
+  * INTERPRETED (higher-order functions sit outside whole-stage codegen)
+  * and dominated every candidate-pair stage. Measured on the sf0.1 pair
+  * shape (tools.DotProbe, warm, 249k pairs): HOF 3-dot cosine 3.16 s →
+  * HOF dot + per-row norms 1.14 s → compiled kernel + per-row norms
+  * 0.46 s. The fold order is bit-identical (acc from 0.0, +x_i*y_i left
+  * to right, inputs widened float→double exactly as zip_with's lambda
+  * did), so every oracle replay is unchanged.
   */
 object Similarity {
 
-  import Dedup.cosine
+  /** Compiled dot kernel: the same left fold as the old
+    * aggregate(zip_with(a, b, (p, q) => p.cast(double) * q), 0.0, +) —
+    * identical IEEE doubles in the identical order — but a tight JIT'd
+    * loop over primitive arrays instead of one interpreted Catalyst
+    * lambda call per element. Inputs must already be array<double>
+    * ([[asD]] at the call site; float→double widening is exact, matching
+    * the old per-element cast). Null array → null, like the HOF. */
+  private val dotK = udf { (x: Array[Double], y: Array[Double]) =>
+    if (x == null || y == null) None
+    else {
+      var acc = 0.0d
+      var i = 0
+      while (i < x.length) { acc = acc + x(i) * y(i); i += 1 }
+      Some(acc)
+    }
+  }
+
+  /** Widen an embedding column to array<double> ONCE per row — exactly
+    * the float→double cast the old HOF applied per element per pair. A
+    * no-op (removed by the analyzer) when the column is already double. */
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Per-row norm factor. sqrt is IEEE-correctly-rounded, so computing
+    * it per row and multiplying per pair yields bit-identical cosines to
+    * the old per-pair sqrt(dot(a,a))*sqrt(dot(b,b)). */
+  private def normK(c: Column): Column = sqrt(dotK(c, c))
 
   /** Brute-force top-k neighbors for each query vector. `queries` should be
     * small (it is broadcast); ranking is (cosine desc, id asc) — total order.
     * Returns (query_id, neighbor_id, cos) with cos rounded to 6 decimals. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+        asD(col("embedding")).as("v_emb"))
+      .withColumn("_vn", normK(col("v_emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        asD(col("embedding")).as("q_emb"))
+      .withColumn("_qn", normK(col("q_emb")))
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("cos",
+        dotK(col("q_emb"), col("v_emb")) / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -41,19 +82,27 @@ object Similarity {
   /** IVF bucket assignment: nearest centroid by (cosine desc, centroid_id
     * asc). Centroids are broadcast; the argmax is a groupBy(vec_id) with
     * max_by, so the n×|centroids| scored rows collapse map-side (partial
-    * aggregation) instead of being shuffled whole as a window sort would. */
+    * aggregation) instead of being shuffled whole as a window sort would.
+    * Output: (vec_id, centroid_id, embedding, vnorm) — the embedding comes
+    * back widened to array<double> and `vnorm` rides along so downstream
+    * pair stages (semDedup, bucket probes) never recompute norms. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").as("c_emb")))
-    vectors.join(c)
-      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+        asD(col("embedding")).as("c_emb"))
+      .withColumn("_cn", normK(col("c_emb"))))
+    vectors.select(col("vec_id"), asD(col("embedding")).as("embedding"))
+      .withColumn("_vn", normK(col("embedding")))
+      .join(c)
+      .withColumn("ccos",
+        dotK(col("embedding"), col("c_emb")) / (col("_vn") * col("_cn")))
       .groupBy(col("vec_id"))
       .agg(
         // max over (ccos, -centroid_id) = best cosine, ties to lowest id
         max_by(col("centroid_id"),
           struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+        first(col("embedding")).as("embedding"),
+        first(col("_vn")).as("vnorm"))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"), col("vnorm"))
   }
 
   /** IVF top-k: probe only the query's bucket. Same output shape as
@@ -64,13 +113,14 @@ object Similarity {
     val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("centroid_id"))
+        col("centroid_id"), col("vnorm").as("_qn"))
     val scored = assigned
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
-        col("centroid_id"))
+        col("centroid_id"), col("vnorm").as("_vn"))
       .join(broadcast(q), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("cos",
+        dotK(col("q_emb"), col("v_emb")) / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -86,14 +136,16 @@ object Similarity {
     * population stays bounded. Vectors alone in their bucket yield no row. */
   def ivfNearestNeighbor(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
-    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"),
+      col("vnorm").as("_an"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("nn_id"),
-      col("embedding").as("nn_emb"))
+      col("embedding").as("nn_emb"), col("vnorm").as("_bn"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     a.join(b, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", cosine(col("embedding"), col("nn_emb")))
+      .withColumn("cos",
+        dotK(col("embedding"), col("nn_emb")) / (col("_an") * col("_bn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
@@ -115,12 +167,14 @@ object Similarity {
     * PlanSpec-pinned). Returns kept rows (vec_id, centroid_id). */
   def semDedup(vectors: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     val assigned = OpCaches.register(ivfAssign(vectors, centroids).persist())
-    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("centroid_id"), col("vec_id"), col("embedding"),
+      col("vnorm").as("_an"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("dup_id"),
-      col("embedding").as("dup_emb"))
+      col("embedding").as("dup_emb"), col("vnorm").as("_bn"))
     val dropped = a.join(b, Seq("centroid_id"))
       .filter(col("vec_id") < col("dup_id"))
-      .filter(cosine(col("embedding"), col("dup_emb")) > tau)
+      .filter(dotK(col("embedding"), col("dup_emb")) /
+        (col("_an") * col("_bn")) > tau)
       .select(col("dup_id").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id"))
@@ -173,32 +227,60 @@ object Similarity {
 
   // ---------------- product quantization (IVF-PQ) ----------------
 
-  /** Left-cast double dot product — the exact arithmetic shape the DuckDB
-    * oracle replays (`CAST(a[i] AS DOUBLE) * b[i]`, sequential i). */
-  private def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
-      lit(0.0d), (acc, v) => acc + v)
-
   private def subSlices(emb: Column, subspaces: Int, dsub: Int): Column =
     array((0 until subspaces).map(m => slice(emb, m * dsub + 1, dsub)): _*)
 
   /** Product-quantization codebooks: the embedding is split into
-    * `subspaces` contiguous `dsub`-dim blocks and [[lloyd]] trains a small
-    * codebook independently in each — a vector then compresses to
+    * `subspaces` contiguous `dsub`-dim blocks and a small codebook is
+    * Lloyd-trained independently in each — a vector then compresses to
     * `subspaces` small ints, the memory shape that lets a billion-vector
     * index live in RAM (Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI'11). Deterministic + oracle-replayable for
     * the same reasons lloyd is. Returns (m, centroid_id, embedding). */
   def pqTrain(vectors: DataFrame, initPred: Column, subspaces: Int,
-      dsub: Int, iters: Int, trainPred: Column = lit(true)): DataFrame =
-    (0 until subspaces).map { m =>
-      val sub = vectors.select(col("vec_id"),
-        slice(col("embedding"), m * dsub + 1, dsub).as("embedding"))
-      // trainer sees only the sample; init stays full-table so the seed
-      // set is independent of the sampling rate
-      lloyd(sub.filter(trainPred), sub.filter(initPred), iters)
-        .select(lit(m).as("m"), col("centroid_id"), col("embedding"))
-    }.reduce(_ unionByName _)
+      dsub: Int, iters: Int, trainPred: Column = lit(true)): DataFrame = {
+    // ONE (vec, m) sub-vector table feeds the init set and every training
+    // iteration, and the per-subspace Lloyd chains collapse into a single
+    // chain of m-grouped aggregations: the old per-m reduce(union) ran
+    // `subspaces` independent iteration chains — `subspaces`× the scans
+    // and, worse, `subspaces`× the sequential broadcast-build jobs on the
+    // critical path (round 6, guide §2.6). Identical math: every join and
+    // aggregate below is keyed by m, so subspaces never mix; per-m the
+    // rows, the (ccos, -centroid_id) argmax, and the round-9 means are
+    // exactly the per-m lloyd's. Trainer sees only the sample; init stays
+    // full-table so the seed set is independent of the sampling rate.
+    val subs = vectors.select(col("vec_id"),
+      posexplode(subSlices(asD(col("embedding")), subspaces, dsub))
+        .as(Seq("m", "embedding")))
+    var cents = subs.filter(initPred)
+      .select(col("m"), col("vec_id").as("centroid_id"), col("embedding"))
+    val train = subs.filter(trainPred)
+      .withColumn("_vn", normK(col("embedding")))
+    for (_ <- 0 until iters) {
+      val cb = broadcast(cents.select(col("m"), col("centroid_id"),
+          col("embedding").as("c_emb"))
+        .withColumn("_cn", normK(col("c_emb"))))
+      val assigned = train.join(cb, Seq("m"))
+        .withColumn("ccos",
+          dotK(col("embedding"), col("c_emb")) / (col("_vn") * col("_cn")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(
+          max_by(col("centroid_id"),
+            struct(col("ccos"), (-col("centroid_id")).as("nid")))
+            .as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+      cents = assigned
+        .select(col("m"), col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("centroid_id"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 9).as("mu"))
+        .groupBy(col("m"), col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("m"), col("centroid_id"),
+          transform(col("pm"), x => x.getField("mu")).as("embedding"))
+    }
+    cents
+  }
 
   /** PQ encoding: per (vector, subspace) the nearest codeword (cosine
     * desc, code asc — the [[ivfAssign]] tie rule). One broadcast join +
@@ -208,12 +290,15 @@ object Similarity {
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, subspaces: Int,
       dsub: Int): DataFrame = {
     val subs = vectors.select(col("vec_id"),
-      posexplode(subSlices(col("embedding"), subspaces, dsub))
-        .as(Seq("m", "sub")))
+        posexplode(subSlices(asD(col("embedding")), subspaces, dsub))
+          .as(Seq("m", "sub")))
+      .withColumn("_sn", normK(col("sub")))
     val cb = broadcast(codebooks.select(col("m"),
-      col("centroid_id").as("code"), col("embedding").as("c_emb")))
+        col("centroid_id").as("code"), asD(col("embedding")).as("c_emb"))
+      .withColumn("_cn", normK(col("c_emb"))))
     subs.join(cb, Seq("m"))
-      .withColumn("ccos", cosine(col("sub"), col("c_emb")))
+      .withColumn("ccos",
+        dotK(col("sub"), col("c_emb")) / (col("_sn") * col("_cn")))
       .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("code"),
         struct(col("ccos"), (-col("code")).as("nid"))).as("code"))
@@ -241,7 +326,7 @@ object Similarity {
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"),
         col("centroid_id").as("q_cid"),
-        sqrt(dotD(col("embedding"), col("embedding"))).as("qnorm"),
+        sqrt(dotK(col("embedding"), col("embedding"))).as("qnorm"),
         posexplode(subSlices(col("embedding"), subspaces, dsub))
           .as(Seq("m", "qsub")))
     val lut = q.join(
@@ -249,8 +334,8 @@ object Similarity {
           col("embedding").as("c_emb"))), Seq("m"))
       .select(col("query_id"), col("q_cid"), col("qnorm"), col("m"),
         col("code"),
-        dotD(col("qsub"), col("c_emb")).as("pdot"),
-        dotD(col("c_emb"), col("c_emb")).as("cn2"))
+        dotK(col("qsub"), col("c_emb")).as("pdot"),
+        dotK(col("c_emb"), col("c_emb")).as("cn2"))
     // deterministic subspace-order summation (collect → sort by m → fold):
     // a plain sum() adds in partition order, and the last double ulp could
     // flip a 6dp rounding against the oracle
@@ -294,20 +379,22 @@ object Similarity {
     }
 
   /** Sign bit of <emb, hyperplane h> as the string "1"/"0" (string so band
-    * keys concatenate directly). Sum is a left fold from 0.0 — the exact
-    * shape DuckDB's list_sum reproduces. */
+    * keys concatenate directly). The projection runs through [[dotK]]
+    * against the ±1 weight literal — the same left fold from 0.0 the old
+    * zip_with form produced (x*(±1.0) is exact). `emb` should already be
+    * array<double> ([[lshHyperplaneBands]] widens once per row). */
   def hyperplaneBit(emb: Column, h: Int, dim: Int): Column = {
     val w = typedLit(hyperplaneWeights(h, dim))
-    val dot = aggregate(
-      zip_with(emb, w, (x, ww) => x.cast("double") * ww),
-      lit(0.0d), (acc, v) => acc + v)
-    when(dot > 0, lit("1")).otherwise(lit("0"))
+    when(dotK(asD(emb), w) > 0, lit("1")).otherwise(lit("0"))
   }
 
   /** One row per (vector, band): nbits sign bits grouped into bands of
     * `bandBits`; the bucket key is the band's bit string. Vectors sharing a
     * (band, bucket) are near-dup candidates — the candidate set shrinks
-    * exponentially in bandBits while any-band matching keeps recall. */
+    * exponentially in bandBits while any-band matching keeps recall. The
+    * embedding is widened to array<double> once per row here (feeding all
+    * nbits projections and the downstream pair scoring) and `vnorm` rides
+    * along for the per-pair cosine. */
   def lshHyperplaneBands(vectors: DataFrame, nbits: Int, bandBits: Int,
       dim: Int): DataFrame = {
     require(nbits % bandBits == 0, "nbits must be a multiple of bandBits")
@@ -316,8 +403,10 @@ object Similarity {
     val bandKeys = array((0 until nBands).map { b =>
       concat(bits.slice(b * bandBits, (b + 1) * bandBits): _*)
     }: _*)
-    vectors.select(col("vec_id"), col("embedding"),
-      posexplode(bandKeys).as(Seq("band", "bucket")))
+    vectors.select(col("vec_id"), asD(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        normK(col("embedding")).as("vnorm"),
+        posexplode(bandKeys).as(Seq("band", "bucket")))
   }
 
   /** LSH top-k: rank each query's band-bucket candidates by exact cosine.
@@ -330,13 +419,14 @@ object Similarity {
       lshHyperplaneBands(vectors, nbits, bandBits, dim).persist())
     val q = bands.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band"), col("bucket"))
+        col("band"), col("bucket"), col("vnorm").as("_qn"))
     val cand = bands
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"),
-        col("band"), col("bucket"))
+        col("band"), col("bucket"), col("vnorm").as("_vn"))
       .join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("cos",
+        dotK(col("q_emb"), col("v_emb")) / (col("_qn") * col("_vn")))
       // a pair colliding in several bands has identical cos rows: distinct
       // on the scalar triple dedups across bands without comparing arrays
       .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()

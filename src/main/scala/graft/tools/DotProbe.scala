@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe (round 6): which pair-scoring kernel is fastest WARM?
+  * Interleaved reps (3 rounds over all variants) so JIT warmup does not
+  * bias the ordering; reports per-variant min seconds. */
+object DotProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .withColumn("g", col("vec_id") % 8)
+
+    def hofDot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+        lit(0.0d), (acc, v) => acc + v)
+    def unrollDot(x: Column, y: Column) =
+      (1 to 64).foldLeft(lit(0.0d)) { (acc, i) =>
+        acc + element_at(x, i).cast("double") * element_at(y, i)
+      }
+    val udfDot = udf { (x: Array[Double], y: Array[Double]) =>
+      var acc = 0.0d; var i = 0
+      while (i < x.length) { acc = acc + x(i) * y(i); i += 1 }
+      acc
+    }
+    val udfCos = udf { (x: Array[Double], y: Array[Double]) =>
+      var d = 0.0d; var nx = 0.0d; var ny = 0.0d; var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    val a = base.select(col("g"), col("vec_id"), col("embedding"))
+    val b = base.select(col("g"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val paired = a.join(b, Seq("g")).filter(col("vec_id") < col("vb"))
+    val an = base.select(col("g"), col("vec_id"), col("embedding"),
+      sqrt(hofDot(col("embedding"), col("embedding"))).as("na"))
+    val bn = base.select(col("g"), col("vec_id").as("vb"),
+      col("embedding").as("eb"),
+      sqrt(hofDot(col("embedding"), col("embedding"))).as("nb"))
+    val pairedN = an.join(bn, Seq("g")).filter(col("vec_id") < col("vb"))
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "hof1" -> paired.select(hofDot(col("embedding"), col("eb")).as("d")),
+      "unroll1" -> paired.select(unrollDot(col("embedding"), col("eb")).as("d")),
+      "udf1" -> paired.select(udfDot(col("embedding"), col("eb")).as("d")),
+      "hof3" -> paired.select((hofDot(col("embedding"), col("eb")) /
+        (sqrt(hofDot(col("embedding"), col("embedding"))) *
+          sqrt(hofDot(col("eb"), col("eb"))))).as("d")),
+      "hofN" -> pairedN.select((hofDot(col("embedding"), col("eb")) /
+        (col("na") * col("nb"))).as("d")),
+      "udfcos" -> paired.select(udfCos(col("embedding"), col("eb")).as("d")),
+      "udfN" -> pairedN.select((udfDot(col("embedding"), col("eb")) /
+        (col("na") * col("nb"))).as("d")))
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (round <- 1 to 4; (name, df) <- variants) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 1) times(name) = sec :: times.getOrElse(name, Nil)
+    }
+    variants.foreach { case (name, _) =>
+      println(f"PROBE $name%-8s min=${times(name).min}%7.3f  all=${times(name).reverse.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
