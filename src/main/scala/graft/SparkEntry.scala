@@ -1609,10 +1609,15 @@ object SparkEntry {
     // and Q is ONE final division. Per-community rows ride along.
     "q_modularity" -> ((s, dir) => {
       val d = docs(s, dir)
+      // ONE undirected edge cache feeds the LPA rounds AND the community
+      // sums (the old code built and cached the identical edge set twice
+      // — once here, once inside labelProp; round 6). Pre-partitioned by
+      // the join key u so every per-round label join and the ju join read
+      // the cache without an edge-side exchange.
       val und = operators.OpCaches.register(
-        Graph.undirected(skewGraph(d)).persist())
+        Graph.undirected(skewGraph(d)).repartition(col("u")).persist())
       val labels = operators.OpCaches.register(
-        Graph.labelProp(skewGraph(d), d.select(col("doc_id").as("node")), 2)
+        Graph.labelPropUnd(und, d.select(col("doc_id").as("node")), 2)
           .persist())
       // ONE labeled-edge join feeds both community sums (round 6): d_c is
       // Σ_u deg(u) per label == the row count of (edge ⋈ label_u) grouped
@@ -1718,19 +1723,23 @@ object SparkEntry {
     // the key stream shuffles once per set into 256-row registers;
     // everything after is constant-size.
     "q_hll_union" -> ((s, dir) => {
-      val li = operators.OpCaches.register(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      // BOTH filtered register sets from ONE pass over the key stream
+      // (md5/rho once per row, one aggregation — rows in both sets used
+      // to hash twice across two builds); the union registers derive by
+      // greatest() from the same 256-row frame, replacing the old
+      // regsA⋈regsB join. li itself is no longer persisted: its two
+      // consumers (register pass + exact-count pass) each scan 3 pruned
+      // parquet columns, cheaper than a cache materialization job.
+      val pair = operators.OpCaches.register(
+        Sketches.hllRegistersPair(li, "l_orderkey",
+          col("l_returnflag") === "R", col("l_linestatus") === "F")
           .persist())
-      val regsA = operators.OpCaches.register(
-        Sketches.hllRegisters(li.filter(col("l_returnflag") === "R"),
-          "l_orderkey").persist())
-      val regsB = operators.OpCaches.register(
-        Sketches.hllRegisters(li.filter(col("l_linestatus") === "F"),
-          "l_orderkey").persist())
-      val regsU = regsA.withColumnRenamed("rho", "ra")
-        .join(regsB.withColumnRenamed("rho", "rb"), Seq("bucket"))
-        .select(col("bucket"), greatest(col("ra"), col("rb")).as("rho"))
+      val regsA = pair.select(col("bucket"), col("ra").as("rho"))
+      val regsB = pair.select(col("bucket"), col("rb").as("rho"))
+      val regsU = pair.select(col("bucket"),
+        greatest(col("ra"), col("rb")).as("rho"))
       def corr(regs: org.apache.spark.sql.DataFrame, n: String) =
         Sketches.hllEstimate(regs)
           .select(round(Sketches.hllCorrect(col("est"), col("zeros")), 3)

@@ -207,8 +207,15 @@ object Graph {
     * undirected edges) + two hash aggregates (per-(node,label) count,
     * then per-node max) + the argmax join — all integer, engine-exact.
     * Returns (node, label) after `rounds` rounds. */
-  def labelProp(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
-    val und = OpCaches.register(undirected(edges).persist())
+  def labelProp(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame =
+    labelPropUnd(OpCaches.register(undirected(edges).persist()), nodes, rounds)
+
+  /** [[labelProp]] over an ALREADY-BUILT (and ideally persisted)
+    * undirected both-directions edge table — callers that also consume
+    * the undirected edges themselves (q_modularity: degree and community
+    * sums) pass ONE shared cache instead of materializing the identical
+    * edge set twice (round 6, guide §2.4). */
+  def labelPropUnd(und: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     var lbl = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       // argmax-with-min-tie as ONE aggregate: max over (cnt, -label)

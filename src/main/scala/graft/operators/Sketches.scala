@@ -74,6 +74,31 @@ object Sketches {
       .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
+  /** Registers for TWO filtered subsets of one key stream in ONE pass:
+    * (bucket, ra, rb) with the max rho over rows satisfying each
+    * condition (0 where the subset left the bucket empty). Identical
+    * per-set values to hllRegisters(keys.filter(cond), keyCol) — max over
+    * a when(cond, rho) ignores the other subset's rows, and the left
+    * join + coalesce(0) is the same empty-bucket rule — but the md5/rho
+    * projection and the register aggregation run ONCE over the stream
+    * instead of once per subset (round 6, guide §2.3: rows in both
+    * subsets used to hash twice). */
+  def hllRegistersPair(keys: DataFrame, keyCol: String,
+      condA: Column, condB: Column): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val occ = keys.filter(condA || condB)
+      .select(substring(h, 1, 2).as("bucket"), rho48(h).as("rho"),
+        condA.as("ia"), condB.as("ib"))
+      .groupBy(col("bucket"))
+      .agg(max(when(col("ia"), col("rho"))).as("ra"),
+        max(when(col("ib"), col("rho"))).as("rb"))
+    val all = keys.sparkSession.range(HllM)
+      .select(format_string("%02x", col("id").cast("int")).as("bucket"))
+    all.join(occ, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ra"), lit(0)).as("ra"),
+        coalesce(col("rb"), lit(0)).as("rb"))
+  }
+
   /** Linear-counting lookup m·ln(m/V) for V = 1..m, computed ONCE here
     * and embedded as literal data on both engines. ln is not
     * IEEE-correctly-rounded cross-engine, but a double literal

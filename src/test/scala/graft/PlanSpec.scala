@@ -382,11 +382,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_max") || p.contains("max("), p.take(3000))
   }
 
-  test("q_hll_union: lineitem and both register tables cached and " +
-      "re-read; everything after the folds is 1-row broadcasts") {
+  test("q_hll_union: the single-pass register-pair table is cached and " +
+      "re-read by all three folds; everything after is 1-row broadcasts") {
+    // round 6: ONE register aggregation builds (bucket, ra, rb); the A/B/
+    // union estimates each fold over the cached 256-row pair frame (3
+    // cache reads), and lineitem is deliberately NOT cached — its two
+    // consumers (register pass + exact-count pass) scan 3 pruned parquet
+    // columns, cheaper than a cache materialization job.
     val p = plan("q_hll_union")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 5,
-      "li (3 consumers) + regsA/regsB (2 each) should read from cache:\n"
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "register-pair frame (3 fold consumers) should read from cache:\n"
         + p.take(3000))
     assert(p.contains("Broadcast"), p.take(3000))
     operators.OpCaches.drain()
