@@ -855,7 +855,19 @@ object ExtractSim {
 
   /** DecompressReader call-end offsets for a stream starting at `start`:
     * the first call sees the rest of the 8192-aligned chunk containing
-    * `start` (or a fresh chunk when aligned), later calls one chunk each. */
+    * `start` (or a fresh chunk when aligned), later calls one chunk each.
+    *
+    * MODEL ASSUMPTION (ADVICE r5): this charges every decompress() call
+    * exactly one 8192-byte input chunk. CPython's decompress(rawblock,
+    * size) is additionally OUTPUT-capped — with small read sizes one
+    * chunk's input is consumed across several calls (including b'' drain
+    * calls), so which output the raising call "loses" can differ from
+    * the chunk-aligned model at fine read granularity. The reference's
+    * actual read patterns (extract_bz2 copyfileobj 64 KiB reads, tarfile
+    * 512-byte-block reads over a BufferedReader) never hit that window —
+    * sweeps 0x266–0x273 (2k+ cases) are clean — but a consumer issuing
+    * sub-chunk reads straight against DecompressReader would need the
+    * output-capped model instead. */
   private def callBoundaries(start: Int, len: Int): Array[Long] = {
     val bs = Array.newBuilder[Long]
     var b = firstCallEnd(start)

@@ -53,21 +53,30 @@ object Graph {
         x => x.getField(v)),
       lit(0.0d), (acc, x) => acc + x)
     val e = OpCaches.register(edges.persist())
-    val nAgg = nodes.agg(count(lit(1)).cast("double").as("nv"))
-    var hub = nodes.select(col("node"), lit(1.0d).as("h"))
+    // the node set is referenced 2×/round + the |V| count: persist it once
+    // instead of re-running the source scan per reference (round 6, guide
+    // §2.4 — the per-round joins read the cache; the plan collapses from
+    // O(iters) scan+exchange subtrees of the source to one)
+    val nd = OpCaches.register(nodes.persist())
+    val nAgg = nd.agg(count(lit(1)).cast("double").as("nv"))
+    var hub = nd.select(col("node"), lit(1.0d).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val aIn = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(orderedSum("src", "h").as("s"))
-      auth = nodes.join(aIn.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      auth = nd.join(aIn.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(nAgg))
         .select(col("node"), (coalesce(col("s"), lit(0.0d)) / col("nv")).as("a"))
       val hOut = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(orderedSum("dst", "a").as("s"))
-      hub = nodes.join(hOut.withColumnRenamed("src", "node"), Seq("node"), "left")
+      hub = nd.join(hOut.withColumnRenamed("src", "node"), Seq("node"), "left")
         .crossJoin(broadcast(nAgg))
         .select(col("node"), (coalesce(col("s"), lit(0.0d)) / col("nv")).as("h"))
     }
+    // hub's plan embeds the final auth's whole chain, so the output join
+    // would evaluate it twice; marking it cached here makes the embedded
+    // reference hit the cache (CacheManager matches by logical plan)
+    OpCaches.register(auth.persist())
     auth.join(hub, Seq("node"))
   }
 
@@ -231,6 +240,13 @@ object Graph {
         .select(col("v"), (-col("m.neg")).as("nl"))
       lbl = lbl.join(upd.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+      // NOTE (round 6, measured): each round references the previous lbl
+      // twice (inside upd and as the left side) — per-round persist was
+      // tried to cut the re-evaluation and measured SLOWER at sf0.1
+      // (q_label_prop ~0.6 → ~1.3 s: cache-build cost per round beats the
+      // recompute, which runtime exchange reuse already dedupes). At
+      // production round counts the caller-side fix is checkpointing, not
+      // per-round caching.
     }
     lbl
   }
@@ -252,7 +268,10 @@ object Graph {
     * unrolled per round in SQL. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val e = OpCaches.register(edges.persist())
-    var dist = seeds.select(col("node"), lit(0L).as("hop"))
+    // the seed set re-appears in every round's visited anti-join (dist is
+    // a union rooted at it): persist it once (round 6)
+    val sd = OpCaches.register(seeds.persist())
+    var dist = sd.select(col("node"), lit(0L).as("hop"))
     var frontier = dist.select(col("node"))
     for (r <- 1 to rounds) {
       val nxt = OpCaches.register(
@@ -284,7 +303,10 @@ object Graph {
   def deterministicWalks(edges: DataFrame, seeds: DataFrame,
       steps: Int): DataFrame = {
     val e = OpCaches.register(edges.persist())
-    var cur: DataFrame = seeds.select(col("node").as("walk_id"), col("node"))
+    // seed set feeds both the step-0 output rows and the first heads
+    // frame: persist it once (round 6)
+    val sd = OpCaches.register(seeds.persist())
+    var cur: DataFrame = sd.select(col("node").as("walk_id"), col("node"))
     var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
     for (st <- 1 to steps) {
       val nxt = OpCaches.register(
@@ -306,7 +328,10 @@ object Graph {
                damping: Double = 0.85d, base: Double = 0.15d): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
     val eo = OpCaches.register(edges.join(outd, Seq("src")).persist())
-    var ranks = nodes.select(col("node"), lit(1.0d).as("rank"))
+    // node set referenced once per round (the rank left-join): persist it
+    // once instead of re-running the source scan per round (round 6)
+    val nd = OpCaches.register(nodes.persist())
+    var ranks = nd.select(col("node"), lit(1.0d).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = eo.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), col("src"),
@@ -316,7 +341,7 @@ object Graph {
           transform(array_sort(collect_list(struct(col("src"), col("c")))),
             x => x.getField("c")),
           lit(0.0d), (acc, v) => acc + v).as("m"))
-      ranks = nodes.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      ranks = nd.join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0d))).as("rank"))
     }

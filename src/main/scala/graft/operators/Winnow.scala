@@ -64,16 +64,21 @@ object Winnow {
   }
 
   /** Packed k-gram keys from a token-hash array: for gram j (0-based),
-    * `((Σ th_{j+t}·1009^(K-1-t)) mod Mod) · 2^20 + (2^20-1 - j)`. Assumes
-    * size(ths) ≥ K (callers gate on the window requirement anyway). */
+    * `((Σ th_{j+t}·1009^(K-1-t)) mod Mod) · 2^20 + (2^20-1 - j)`. Total:
+    * for size(ths) < K the clamped sequence bound yields [] (without the
+    * clamp, `sequence(0, m-1)` with m-1 < -1 builds a DESCENDING sequence
+    * and `element_at(ths, 0)` throws under ANSI — callers gate on the
+    * window requirement today, but only through CaseWhen laziness; the
+    * ADVICE r5 hardening makes the helper safe standalone). */
   def gramKeys(ths: Column): Column = {
     val m = size(ths) - (K - 1)
-    transform(sequence(lit(0), m - 1), j => {
+    val grams = transform(sequence(lit(0), m - 1), j => {
       val g = (0 until K).map(t =>
         element_at(ths, (j + t + 1).cast("int")) * lit(GramW(t)))
         .reduce(_ + _) % lit(Mod)
       g * lit(PosSpan) + (lit(PosSpan - 1) - j.cast("long"))
     })
+    when(size(ths) >= K, grams).otherwise(array().cast("array<bigint>"))
   }
 
   /** let-binding for array expressions inside ONE projection: the value of
